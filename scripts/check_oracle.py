@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Usage: check_oracle.py SF_DIR OUT_DIR
+  SF_DIR  = /root/testdata/sf0.01   (tables)
+  OUT_DIR = dir written by `sbt "runMain graft.Verify SF_DIR OUT_DIR"`
+
+For each query result parquet under OUT_DIR/<name>/ and its oracle SQL in
+OUT_DIR/oracle_sql.json: run the SQL in DuckDB over views on the parquet tables,
+sort columns by name (the driver does), and compare row-by-row, exactly.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = n_noracle = 0
+    have = {os.path.basename(d.rstrip("/"))
+            for d in glob.glob(os.path.join(out_dir, "*/"))}
+    for name in sorted(oracle.keys() - have):
+        print(f"  {name}: MISSING OUTPUT (query failed in Verify?)")
+        n_fail += 1
+    for d in sorted(glob.glob(os.path.join(out_dir, "*/"))):
+        name = os.path.basename(d.rstrip("/"))
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            print(f"  {name}: NO OUTPUT FILES");  n_fail += 1;  continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        got = got[sorted(got.columns)]
+        if name not in oracle:
+            print(f"  {name}: no oracle (rows-only), rows={len(got)}")
+            n_noracle += 1
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {e}");  n_fail += 1;  continue
+        want = want[sorted(want.columns)]
+        errs = compare(got, want)
+        if errs:
+            n_fail += 1
+            print(f"  {name}: FAIL")
+            for e in errs[:6]:
+                print(f"      {e}")
+        else:
+            n_pass += 1
+            print(f"  {name}: ok rows={len(got)}")
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    return 1 if n_fail else 0
+
+def compare(got, want):
+    errs = []
+    if list(got.columns) != list(want.columns):
+        return [f"columns differ: spark={list(got.columns)} duck={list(want.columns)}"]
+    if len(got) != len(want):
+        errs.append(f"row count: spark={len(got)} duck={len(want)}")
+    n = min(len(got), len(want))
+    for col in got.columns:
+        g, w = got[col].iloc[:n], want[col].iloc[:n]
+        bad = 0
+        for i in range(n):
+            gv, wv = g.iloc[i], w.iloc[i]
+            if not eq(gv, wv):
+                bad += 1
+                if bad <= 2:
+                    errs.append(f"col {col} row {i}: spark={gv!r} duck={wv!r}")
+        if bad:
+            errs.append(f"col {col}: {bad}/{n} mismatched")
+    return errs
+
+def eq(a, b):
+    try:
+        if a is None and b is None:
+            return True
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb  # exact — the driver hashes
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return str(a) == str(b)
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

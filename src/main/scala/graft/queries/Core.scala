@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Scans, projection, filtering, predicates — SURVEY.md §2b "Sources / sinks" and
+  * "Projection / filter / predicates". Filters and projections here are declarative so
+  * Catalyst pushes them into the parquet scan (verified via explain: PushedFilters /
+  * ReadSchema) — at 100 TB that is the difference between reading 2 columns of a
+  * partition subset and reading everything. */
+object Core {
+
+  val queries: Seq[Q] = Seq(
+    Q("scan_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1995-04-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    Q("filter_predicates",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_returnflag".isin("A", "R") &&
+                  $"l_quantity".between(10, 20) &&
+                  ($"l_linestatus" === "F" || !($"l_discount" > 0.05)) &&
+                  $"l_shipdate".isNotNull &&
+                  $"l_returnflag" =!= "N")
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity",
+            when($"l_discount" <= 0.02, "low")
+              .when($"l_discount" <= 0.06, "mid")
+              .otherwise("high").as("disc_band"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity",
+            $"disc_band")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |  CASE WHEN l_discount <= 0.02 THEN 'low'
+             |       WHEN l_discount <= 0.06 THEN 'mid'
+             |       ELSE 'high' END AS disc_band
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+             |  AND (l_linestatus = 'F' OR NOT (l_discount > 0.05))
+             |  AND l_shipdate IS NOT NULL AND l_returnflag <> 'N'
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    Q("filter_like_rlike",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_name".like("%a%") && $"p_type".rlike("^[A-Z]+") &&
+                  $"p_brand".startsWith("Brand"))
+          .select($"p_partkey", $"p_name", $"p_type")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '^[A-Z]+')
+             |  AND p_brand LIKE 'Brand%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("distinct_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus")
+          .distinct()
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Round-trip through a CSV sink+scan: exercises the CSV source/sink family while
+    // staying oracle-checkable against the parquet table (the round-trip must be
+    // lossless for the projected columns).
+    Q("csv_roundtrip_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/csv_roundtrip"
+        t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .csv(out)
+          .orderBy($"n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    Q("json_roundtrip_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/json_roundtrip"
+        t(s, dir, "customer").select($"c_custkey", $"c_name", $"c_mktsegment")
+          .coalesce(1).write.mode("overwrite").json(out)
+        s.read.schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING").json(out)
+          .orderBy($"c_custkey")
+      },
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
+
+    // Partitioned parquet sink + scan with partition pruning: the scan of the written
+    // dataset prunes to one partition directory (at scale: reads 1/N of the data).
+    Q("partitioned_write_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/part_by_flag"
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .filter($"l_returnflag" === "A")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag = 'A' ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("temp_view_sql",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n
+                |FROM orders WHERE o_totalprice > 1000.0
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n
+             |FROM orders WHERE o_totalprice > 1000.0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}

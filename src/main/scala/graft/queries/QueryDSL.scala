@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** Shared plumbing for the t2 oracle query corpus.
+  *
+  * Determinism rules (BASELINE.md): the driver hashes the Spark result against DuckDB
+  * running `oracle` on the same parquet tables, so every hashed query must be
+  * bit-reproducible across engines AND across partitionings:
+  *
+  *  - every query ends in a total ORDER BY (ties broken down to a unique key);
+  *  - double aggregations go through exact DECIMAL sums ([[QueryDSL.dsum]]): cast each
+  *    value to DECIMAL (exact, ties vanishingly unlikely on random doubles), sum
+  *    exactly (associative — partitioning-independent, unlike double sums), cast back
+  *    to DOUBLE. Both engines then produce identical bits;
+  *  - top-level output columns are scalars only (arrays are joined to strings);
+  *  - approximate operators (HLL, percentile_approx, LSH) are BENCH-only, never hashed.
+  */
+object QueryDSL {
+  /** (session, scale-factor dir) => result */
+  type QFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QFn, oracle: Option[String])
+
+  /** Order-insensitive exact sum of a double expression. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DataTypes.createDecimalType(30, scale))).cast("double")
+
+  /** Order-insensitive exact mean: exact decimal sum / count, single double division. */
+  def davg(c: Column, scale: Int = 4): Column = dsum(c, scale) / count(lit(1))
+
+  /** DuckDB-side equivalent of [[dsum]]. */
+  def sqlDsum(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** DuckDB-side equivalent of [[davg]]. */
+  def sqlDavg(e: String, scale: Int = 4): String = s"${sqlDsum(e, scale)} / COUNT(*)"
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = graft.Tables(s, dir, name)
+}
