@@ -15,7 +15,11 @@ object SparkEntry {
 
   private val families: Seq[Seq[Q]] = Seq(
     Core.queries,
-    Aggregates.queries
+    Aggregates.queries,
+    AggregatesExt.queries,
+    Joins.queries,
+    Windows.queries,
+    SetOps.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

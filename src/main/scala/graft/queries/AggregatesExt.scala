@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Grouping sets, argmax, exact stats, collected lists, exact percentiles —
+  * SURVEY.md §2b "Aggregations" (second half). Variance/stddev/covariance are computed
+  * from exact decimal moments (n, Σx, Σx²) with one double formula evaluation at the
+  * end — reproducible across engines and partitionings, unlike streaming variance. */
+object AggregatesExt {
+
+  val queries: Seq[Q] = Seq(
+    Q("agg_cube",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"),
+            (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).as("gid"))
+          .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${sqlDsum("l_quantity")} AS qty,
+              |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    Q("agg_rollup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+            (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority")).as("gid"))
+          .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS total,
+              |  GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("agg_grouping_sets",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Deterministic argmax per group via windowed pick (composite max_by isn't
+    // portable); one shuffle on the group key.
+    Q("agg_argmax",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal".desc, $"c_custkey")
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"c_nationkey", $"c_custkey".as("top_custkey"),
+            $"c_name".as("top_name"), $"c_acctbal".as("top_bal"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey AS top_custkey, c_name AS top_name,
+             |  c_acctbal AS top_bal
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |        ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+             |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // Two-pass centered moments: means first (exact decimal sum → one double
+    // division), then exact decimal sums of centered products. No end-stage
+    // cancellation, so the result is reproducible to the last bit.
+    Q("agg_stats_exact",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val means = li.groupBy($"l_returnflag".as("flag"))
+          .agg(davg($"l_quantity", 8).as("mx"), davg($"l_extendedprice", 8).as("my"))
+        li.join(means, li("l_returnflag") === means("flag"))
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(($"l_quantity" - $"mx") * ($"l_quantity" - $"mx"), 2).as("cxx"),
+            dsum(($"l_quantity" - $"mx") * ($"l_extendedprice" - $"my"), 2).as("cxy"))
+          .select($"l_returnflag", $"n",
+            ($"cxx" / ($"n" - 1)).as("var_samp_qty"),
+            sqrt($"cxx" / ($"n" - 1)).as("stddev_samp_qty"),
+            ($"cxy" / ($"n" - 1)).as("covar_samp"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT l_returnflag AS flag, ${sqlDavg("l_quantity", 8)} AS mx,
+              |    ${sqlDavg("l_extendedprice", 8)} AS my
+              |  FROM lineitem GROUP BY l_returnflag),
+              |c AS (
+              |  SELECT l_returnflag, COUNT(*) AS n,
+              |    ${sqlDsum("(l_quantity - mx) * (l_quantity - mx)", 2)} AS cxx,
+              |    ${sqlDsum("(l_quantity - mx) * (l_extendedprice - my)", 2)} AS cxy
+              |  FROM lineitem JOIN m ON l_returnflag = flag
+              |  GROUP BY l_returnflag)
+              |SELECT l_returnflag, n,
+              |  cxx / (n - 1) AS var_samp_qty,
+              |  sqrt(cxx / (n - 1)) AS stddev_samp_qty,
+              |  cxy / (n - 1) AS covar_samp
+              |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_collect_sorted",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            concat_ws(",", array_sort(collect_set($"o_orderpriority"))).as("priorities"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Exact median via positional pick — deterministic in both engines (interpolating
+    // percentile implementations differ in fp detail; approximate ones are BENCH-only).
+    Q("agg_median_positional",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity", $"l_orderkey",
+          $"l_linenumber")
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+          .filter($"rn" === floor(($"cnt" + 1) / 2).cast("long"))
+          .select($"l_returnflag", $"l_quantity".as("median_low"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, l_quantity AS median_low FROM (
+             |  SELECT l_returnflag, l_quantity,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+             |  FROM lineitem)
+             |WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT) ORDER BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Joins — SURVEY.md §2b "Joins". Scale notes per query:
+  *  - fact⋈fact (lineitem⋈orders) shuffles on the join key; AQE handles skew.
+  *  - dim joins (nation/region/supplier) are explicitly `broadcast()` — at 100 TB the
+  *    dims stay KB-MB sized, so the join is map-side with zero shuffle of the fact.
+  *  - non-equi joins are kept band-limited so the BNLJ work is bounded per row.
+  *  - the as-of join is expressed as equi-join + per-key window (shuffle on the equi
+  *    key, no cross product), the standard scalable formulation.
+  */
+object Joins {
+
+  val queries: Seq[Q] = Seq(
+    Q("join_inner_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 8).as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 8)} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("join_broadcast_dims",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("total_bal"))
+          .orderBy($"r_name")
+      },
+      Some(s"""SELECT r_name, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS total_bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("join_left_agg",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            count($"l_orderkey").as("n_matched"),
+            sum(when($"l_orderkey".isNull, 1).otherwise(0)).as("n_unmatched"),
+            dsum(coalesce($"l_quantity", lit(0.0))).as("qty"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_matched,
+              |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
+              |  ${sqlDsum("COALESCE(l_quantity, 0.0)")} AS qty
+              |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("join_right_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "right")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"), count($"l_orderkey").as("n_li"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_li
+             |FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("join_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        // orders customers vs high-balance customers: both sides have exclusives.
+        val o = t(s, dir, "orders").groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        val c = t(s, dir, "customer").filter($"c_acctbal" > 5000)
+          .select($"c_custkey", $"c_mktsegment")
+        o.join(c, o("o_custkey") === c("c_custkey"), "full")
+          .select(
+            coalesce($"o_custkey", $"c_custkey").as("custkey"),
+            coalesce($"n_orders", lit(0L)).as("n_orders"),
+            coalesce($"c_mktsegment", lit("NONE")).as("segment"))
+          .orderBy($"custkey", $"n_orders", $"segment")
+      },
+      Some("""SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+             |  COALESCE(n_orders, 0) AS n_orders,
+             |  COALESCE(c_mktsegment, 'NONE') AS segment
+             |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+             |FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+             |  ON o_custkey = c_custkey
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("join_semi",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter($"o_totalprice" > 4000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey", $"c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 4000)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("join_anti",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey", $"c_name", $"c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("join_cross",
+      (s, dir) => {
+        import s.implicits._
+        val r = t(s, dir, "region")
+        val n = t(s, dir, "nation")
+        r.crossJoin(n)
+          .select($"r_regionkey", $"n_nationkey",
+            ($"n_regionkey" === $"r_regionkey").as("same_region"))
+          .orderBy($"r_regionkey", $"n_nationkey", $"same_region")
+      },
+      Some("""SELECT r_regionkey, n_nationkey, n_regionkey = r_regionkey AS same_region
+             |FROM region CROSS JOIN nation
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Banded non-equi (theta/range) join: supplier balances vs customer balances
+    // within a band. Band-limited so work per supplier row is bounded.
+    Q("join_range_band",
+      (s, dir) => {
+        import s.implicits._
+        val sup = t(s, dir, "supplier")
+        val c = t(s, dir, "customer")
+        sup.join(c,
+            c("c_acctbal") >= sup("s_acctbal") - 50 &&
+            c("c_acctbal") <= sup("s_acctbal") + 50)
+          .groupBy($"s_suppkey")
+          .agg(count(lit(1)).as("n_close"), dsum($"c_acctbal").as("band_bal"))
+          .orderBy($"s_suppkey")
+      },
+      Some(s"""SELECT s_suppkey, COUNT(*) AS n_close, ${sqlDsum("c_acctbal")} AS band_bal
+              |FROM supplier JOIN customer
+              |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
+              |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    // As-of join: for each event, the most recent order of that customer at or before
+    // the event timestamp. Equi-join on the key + windowed pick — shuffles once on
+    // user_id, no cross product; the scalable formulation of ASOF JOIN.
+    Q("join_asof",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id")
+        val o = t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        val joined = e.join(o,
+          e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+        val w = Window.partitionBy($"event_id")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        joined.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+import QueryDSL._
+
+/** Window functions — SURVEY.md §2b "Window functions". Determinism: every window's
+  * ORDER BY is total within its partition (ties broken to a unique key), so
+  * row_number/ntile/lag/lead are reproducible across engines and partitionings.
+  * Running sums go through exact decimals (frame accumulation of doubles would be
+  * order-stable here, but decimal keeps the rule uniform). At scale each window is one
+  * shuffle on its partition key; pre-partitioned data would avoid even that. */
+object Windows {
+
+  private val dec = DataTypes.createDecimalType(30, 4)
+
+  val queries: Seq[Q] = Seq(
+    Q("win_rank_rownum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber", $"l_partkey")
+        t(s, dir, "lineitem")
+          .filter($"l_suppkey" <= 20)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"l_extendedprice",
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .filter($"rn" <= 5)
+          .orderBy($"l_suppkey", $"rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+             |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+             |  FROM lineitem WHERE l_suppkey <= 20
+             |  WINDOW w AS (PARTITION BY l_suppkey
+             |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey)
+             |) WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    Q("win_lag_lead",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .filter($"user_id" <= 30)
+          .select($"user_id", $"event_id", $"value",
+            lag($"value", 1).over(w).as("prev_value"),
+            lead($"value", 1).over(w).as("next_value"),
+            lag($"event_type", 2, "none").over(w).as("prev2_type"))
+          .orderBy($"user_id", $"event_id", $"value")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  LAG(value, 1) OVER w AS prev_value,
+             |  LEAD(value, 1) OVER w AS next_value,
+             |  LAG(event_type, 2, 'none') OVER w AS prev2_type
+             |FROM events WHERE user_id <= 30
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id, value""".stripMargin)),
+
+    Q("win_running_sum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter($"o_custkey" <= 100)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+            sum($"o_totalprice".cast(dec)).over(w).cast("double").as("running_total"),
+            count(lit(1)).over(w).as("running_n"),
+            max($"o_totalprice").over(w).as("running_max"))
+          .orderBy($"o_custkey", $"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE) AS running_total,
+             |  COUNT(*) OVER w AS running_n,
+             |  MAX(o_totalprice) OVER w AS running_max
+             |FROM orders WHERE o_custkey <= 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey, o_totalprice""".stripMargin)),
+
+    // RANGE frame keyed on the order value itself — frame membership depends only on
+    // values, so ties are harmless by construction.
+    Q("win_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+          .rangeBetween(-100, 0)
+        t(s, dir, "orders")
+          .filter($"o_custkey" <= 50)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            count(lit(1)).over(w).as("n_within_100"),
+            sum($"o_totalprice".cast(dec)).over(w).cast("double").as("sum_within_100"))
+          .orderBy($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  COUNT(*) OVER w AS n_within_100,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE) AS sum_within_100
+             |FROM orders WHERE o_custkey <= 50
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("win_ntile_pct",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .filter($"c_custkey" <= 300)
+          .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 9).as("pct_rank"),
+            round(cume_dist().over(w), 9).as("cdist"))
+          .orderBy($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  NTILE(4) OVER w AS quartile,
+             |  ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+             |  ROUND(CUME_DIST() OVER w, 9) AS cdist
+             |FROM customer WHERE c_custkey <= 300
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("win_first_last_nth",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .filter($"o_custkey" <= 30)
+          .select($"o_orderstatus", $"o_orderkey",
+            first($"o_orderkey").over(w).as("first_key"),
+            last($"o_orderkey").over(w).as("last_key"),
+            nth_value($"o_orderkey", 3).over(w).as("third_key"))
+          .orderBy($"o_orderstatus", $"o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+             |  LAST_VALUE(o_orderkey) OVER w AS last_key,
+             |  NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+             |FROM orders WHERE o_custkey <= 30
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Top-k per group — the scalable idiom (no global sort, one shuffle on the group key).
+    Q("topk_per_group",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+  )
+}
