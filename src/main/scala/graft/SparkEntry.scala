@@ -19,7 +19,9 @@ object SparkEntry {
     AggregatesExt.queries,
     Joins.queries,
     Windows.queries,
-    SetOps.queries
+    SetOps.queries,
+    Scalars.queries,
+    EventsQ.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

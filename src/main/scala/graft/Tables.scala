@@ -40,7 +40,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = eventsRaw(spark, dir)
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `div` = integral division: ns epochs (~1.7e18) exceed double's 2^53 exact range,
+    // so float division here would corrupt the low microseconds.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Event-table queries: JSON extraction and the batch-equivalents of the streaming
+  * operator surface (SURVEY.md §2b "Streaming"). Each windowing query here uses the
+  * exact same expressions a Structured Streaming job would (`window`, `session_window`)
+  * — the streaming wiring itself (watermarks, output modes, state) lives in
+  * graft.streaming and is exercised by ScalaTest with a memory sink, since a DuckDB
+  * oracle can only check the time/window semantics, which batch execution shares. */
+object EventsQ {
+
+  val queries: Seq[Q] = Seq(
+    Q("events_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").filter($"event_id" < 2000)
+          .select($"event_id",
+            get_json_object($"props", "$.k").as("k_str"),
+            from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k_int"),
+            json_tuple($"props", "k").as("k_tup"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+             |  json_extract_string(props, '$.k') AS k_tup
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
+    Q("stream_tumbling_batch",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+          .select($"w.start".as("wstart"), $"event_type", $"n", $"total")
+          .orderBy($"wstart", $"event_type")
+      },
+      Some(s"""SELECT make_timestamp(CAST(floor(epoch(ts)/600) AS BIGINT)*600*1000000) AS wstart,
+              |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("stream_sliding_batch",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"w.start".as("wstart"), $"event_type", $"n")
+          .orderBy($"wstart", $"event_type")
+      },
+      Some("""SELECT make_timestamp((CAST(floor((epoch(ts) - off)/600) AS BIGINT)*600 + off)
+             |         * 1000000) AS wstart,
+             |  event_type, COUNT(*) AS n
+             |FROM events CROSS JOIN (VALUES (0), (300)) offs(off)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Session windows (30 min gap) per user. Spark semantics: a session is [first,
+    // last+gap); an event at exactly prev_ts+gap starts a new session.
+    Q("stream_session_batch",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+          .select($"user_id", $"w.start".as("session_start"), $"n", $"total")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some(s"""WITH marked AS (
+              |  SELECT user_id, ts, value,
+              |    CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              |                 + INTERVAL 30 MINUTE
+              |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events),
+              |sessions AS (
+              |  SELECT user_id, ts, value,
+              |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              |                           ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM marked)
+              |SELECT user_id,
+              |  CAST(date_trunc('microseconds', MIN(ts)) AS TIMESTAMP) AS session_start,
+              |  COUNT(*) AS n, ${sqlDsum("value")} AS total
+              |FROM sessions GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Keep-first dedup per key in event-time order — the deterministic formulation of
+    // dropDuplicates; dropDuplicatesWithinWatermark shares these semantics in streaming.
+    Q("stream_dedup_first",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type", $"event_id", $"value")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |                               ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Stream-static join shape: fact events against the customer dim (broadcast side).
+    Q("events_static_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        val c = t(s, dir, "customer")
+        e.join(broadcast(c), e("user_id") === c("c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+              |FROM events JOIN customer ON user_id = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("events_minute_histogram",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_trunc("minute", $"ts").as("minute"))
+          .agg(count(lit(1)).as("n"), davg($"value").as("avg_value"))
+          .filter($"n" >= 2)
+          .orderBy($"minute")
+      },
+      Some(s"""SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+              |  COUNT(*) AS n, ${sqlDavg("value")} AS avg_value
+              |FROM events GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin))
+  )
+}

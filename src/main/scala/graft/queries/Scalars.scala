@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Scalar function families — SURVEY.md §2b "Scalar function families". One query per
+  * family, each exercising the declared functions with outputs normalized to
+  * engine-portable scalars. Everything here is whole-stage-codegen'd by Catalyst (no
+  * UDFs in these paths). Transcendental results are rounded to 9 digits (libm last-ulp
+  * differences across engines); integer/exact paths are compared raw. */
+object Scalars {
+
+  val queries: Seq[Q] = Seq(
+    Q("fn_string_basic",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").filter($"p_partkey" <= 500)
+          .select($"p_partkey",
+            concat($"p_brand", lit("#"), $"p_type").as("tagged"),
+            concat_ws("/", $"p_brand", $"p_name").as("pathy"),
+            upper($"p_name").as("up"),
+            lower($"p_type").as("lo"),
+            substring($"p_name", 1, 5).as("pre5"),
+            length($"p_name").as("len"),
+            regexp_replace($"p_name", "a", "@").as("subst"),
+            lpad($"p_brand", 12, "*").as("lp"),
+            rpad($"p_brand", 12, "*").as("rp"),
+            reverse($"p_brand").as("rev"),
+            trim(concat(lit("  "), $"p_brand", lit("  "))).as("trimmed"),
+            ltrim(concat(lit("xx"), $"p_brand"), "x").as("ltrimmed"),
+            instr($"p_name", "a").as("pos_a"),
+            $"p_name".startsWith("a").as("starts_a"),
+            $"p_name".endsWith("e").as("ends_e"),
+            $"p_name".contains("ro").as("has_ro"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  p_brand || '#' || p_type AS tagged,
+             |  concat_ws('/', p_brand, p_name) AS pathy,
+             |  upper(p_name) AS up, lower(p_type) AS lo,
+             |  substring(p_name, 1, 5) AS pre5, length(p_name) AS len,
+             |  replace(p_name, 'a', '@') AS subst,
+             |  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+             |  reverse(p_brand) AS rev,
+             |  trim('  ' || p_brand || '  ') AS trimmed,
+             |  ltrim('xx' || p_brand, 'x') AS ltrimmed,
+             |  instr(p_name, 'a') AS pos_a,
+             |  starts_with(p_name, 'a') AS starts_a,
+             |  ends_with(p_name, 'e') AS ends_e,
+             |  contains(p_name, 'ro') AS has_ro
+             |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
+
+    Q("fn_string_regex",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").filter($"c_custkey" <= 500)
+          .select($"c_custkey",
+            split_part($"c_name", lit("#"), lit(1)).as("name_head"),
+            element_at(split($"c_name", "#"), -1).as("name_tail"),
+            regexp_extract($"c_name", "(\\d+)", 1).as("digits"),
+            regexp_replace($"c_name", "[0-9]", "#").as("masked"),
+            $"c_name".rlike("[0-9]{3}").as("has3digits"),
+            translate($"c_mktsegment", "AEIOU", "aeiou").as("translated"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  split_part(c_name, '#', 1) AS name_head,
+             |  list_extract(string_split(c_name, '#'), len(string_split(c_name, '#'))) AS name_tail,
+             |  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+             |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             |  regexp_matches(c_name, '[0-9]{3}') AS has3digits,
+             |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated
+             |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)),
+
+    Q("fn_datetime",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+          .select($"o_orderkey",
+            year($"o_orderdate").as("yr"),
+            month($"o_orderdate").as("mo"),
+            dayofmonth($"o_orderdate").as("dom"),
+            weekday($"o_orderdate").as("wd_mon0"),
+            date_trunc("month", $"o_orderdate").as("month_start"),
+            date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+            date_sub($"o_orderdate".cast("date"), 7).as("week_before"),
+            datediff(lit("1999-01-01").cast("date"), $"o_orderdate".cast("date"))
+              .as("days_to_1999"),
+            unix_timestamp($"o_orderdate").as("epoch_s"),
+            date_format($"o_orderdate", "yyyy-MM").as("ym"),
+            (year($"o_orderdate") * 12 + month($"o_orderdate") -
+              (lit(1995) * 12 + 6)).as("months_since_jun95"),
+            to_date(lit("1997-07-01"), "yyyy-MM-dd").as("fixed_date"),
+            quarter($"o_orderdate").as("qtr"),
+            dayofyear($"o_orderdate").as("doy"),
+            last_day($"o_orderdate".cast("date")).as("eom"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |  day(o_orderdate) AS dom,
+             |  isodow(o_orderdate) - 1 AS wd_mon0,
+             |  date_trunc('month', o_orderdate) AS month_start,
+             |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+             |  CAST(o_orderdate AS DATE) - 7 AS week_before,
+             |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  strftime(o_orderdate, '%Y-%m') AS ym,
+             |  year(o_orderdate) * 12 + month(o_orderdate) - (1995 * 12 + 6) AS months_since_jun95,
+             |  DATE '1997-07-01' AS fixed_date,
+             |  quarter(o_orderdate) AS qtr,
+             |  dayofyear(o_orderdate) AS doy,
+             |  last_day(CAST(o_orderdate AS DATE)) AS eom
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("fn_math",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").filter($"l_orderkey" <= 200)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount",
+            abs($"l_quantity" - 25).as("abs_dev"),
+            ceil($"l_quantity" / 7).as("ceil7"),
+            floor($"l_quantity" / 7).as("floor7"),
+            round($"l_quantity" * $"l_discount", 3).as("rounded"),
+            sqrt($"l_quantity").as("sq"),
+            round(exp($"l_discount"), 9).as("e_disc"),
+            round(ln($"l_quantity" + 1), 9).as("ln_qty"),
+            round(log10($"l_extendedprice"), 9).as("log_price"),
+            round(pow($"l_quantity", 1.5), 6).as("qty15"),
+            signum($"l_quantity" - 25).as("sgn"),
+            pmod($"l_orderkey" - 3, lit(7)).as("pm7"),
+            greatest($"l_quantity", $"l_discount" * 100, lit(5.0)).as("big"),
+            least($"l_quantity", $"l_tax" * 100).as("small"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount",
+            $"abs_dev", $"rounded")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+             |  abs(l_quantity - 25) AS abs_dev,
+             |  ceil(l_quantity / 7) AS ceil7,
+             |  floor(l_quantity / 7) AS floor7,
+             |  round(l_quantity * l_discount, 3) AS rounded,
+             |  sqrt(l_quantity) AS sq,
+             |  round(exp(l_discount), 9) AS e_disc,
+             |  round(ln(l_quantity + 1), 9) AS ln_qty,
+             |  round(log10(l_extendedprice), 9) AS log_price,
+             |  round(pow(l_quantity, 1.5), 6) AS qty15,
+             |  CAST(sign(l_quantity - 25) AS DOUBLE) AS sgn,
+             |  ((l_orderkey - 3) % 7 + 7) % 7 AS pm7,
+             |  greatest(l_quantity, l_discount * 100, 5.0) AS big,
+             |  least(l_quantity, l_tax * 100) AS small
+             |FROM lineitem WHERE l_orderkey <= 200
+             |ORDER BY 1, 2, 3, 4, 5, 8""".stripMargin)),
+
+    Q("fn_conditional",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").filter($"c_custkey" <= 500)
+          .select($"c_custkey",
+            coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("DEFAULT"))
+              .as("seg_or_default"),
+            nvl(nullif($"c_name", $"c_name"), lit("anon")).as("nvl_name"),
+            when($"c_acctbal" < 0, "overdrawn")
+              .when($"c_acctbal" < 5000, "normal")
+              .otherwise("premium").as("tier"),
+            isnan($"c_acctbal" / nullif($"c_acctbal", $"c_acctbal")).as("nan_check"),
+            ($"c_acctbal" > 0 && $"c_nationkey" < 10).as("pred_and"),
+            ifnull(nullif($"c_nationkey", lit(5)), lit(-1)).as("nk_not5"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+             |  coalesce(nullif(c_name, c_name), 'anon') AS nvl_name,
+             |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             |       WHEN c_acctbal < 5000 THEN 'normal'
+             |       ELSE 'premium' END AS tier,
+             |  coalesce(isnan(c_acctbal / nullif(c_acctbal, c_acctbal)), FALSE) AS nan_check,
+             |  c_acctbal > 0 AND c_nationkey < 10 AS pred_and,
+             |  coalesce(nullif(c_nationkey, 5), -1) AS nk_not5
+             |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)),
+
+    Q("fn_array",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split($"p_name", " ")
+        t(s, dir, "part").filter($"p_partkey" <= 500)
+          .select($"p_partkey",
+            size(toks).as("n_tokens"),
+            concat_ws(",", array_sort(array_distinct(toks))).as("sorted_tokens"),
+            concat_ws(",", slice(toks, 1, 2)).as("first2"),
+            element_at(toks, 1).as("tok1"),
+            array_contains(toks, "green").as("has_green"),
+            concat_ws(",", array(lit("x"), $"p_brand", $"p_type")).as("built"),
+            aggregate(
+              filter(transform(toks, x => length(x)), l => l > 3),
+              lit(0), (acc, x) => acc + x).as("len_sum_gt3"),
+            concat_ws(",", flatten(array(slice(toks, 1, 1), slice(toks, 1, 1))))
+              .as("flat_dup"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH toks AS (
+             |  SELECT p_partkey, p_brand, p_type, string_split(p_name, ' ') AS tk
+             |  FROM part WHERE p_partkey <= 500)
+             |SELECT p_partkey,
+             |  len(tk) AS n_tokens,
+             |  array_to_string(list_sort(list_distinct(tk)), ',') AS sorted_tokens,
+             |  array_to_string(tk[1:2], ',') AS first2,
+             |  tk[1] AS tok1,
+             |  list_contains(tk, 'green') AS has_green,
+             |  array_to_string(['x', p_brand, p_type], ',') AS built,
+             |  coalesce(list_sum(list_filter(list_transform(tk, x -> length(x)),
+             |    l -> l > 3)), 0) AS len_sum_gt3,
+             |  array_to_string(flatten([tk[1:1], tk[1:1]]), ',') AS flat_dup
+             |FROM toks ORDER BY p_partkey""".stripMargin)),
+
+    Q("fn_explode",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").filter($"p_partkey" <= 300)
+          .select($"p_partkey", posexplode(split($"p_type", " ")).as(Seq("pos", "word")))
+          .orderBy($"p_partkey", $"pos", $"word")
+      },
+      Some("""SELECT p_partkey, CAST(u.pos - 1 AS INT) AS pos, u.word
+             |FROM (SELECT p_partkey,
+             |        unnest(string_split(p_type, ' ')) AS word,
+             |        generate_subscripts(string_split(p_type, ' '), 1) AS pos
+             |      FROM part WHERE p_partkey <= 300) u
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("fn_map",
+      (s, dir) => {
+        import s.implicits._
+        val m = map(lit("brand"), $"p_brand", lit("type"), $"p_type")
+        t(s, dir, "part").filter($"p_partkey" <= 300)
+          .select($"p_partkey",
+            concat_ws(",", map_keys(m)).as("mkeys"),
+            concat_ws(",", map_values(m)).as("mvals"),
+            element_at(m, "brand").as("brand_val"),
+            size(m).as("msize"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  'brand,type' AS mkeys,
+             |  p_brand || ',' || p_type AS mvals,
+             |  p_brand AS brand_val,
+             |  2 AS msize
+             |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin)),
+
+    Q("fn_cast_matrix",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").filter($"l_orderkey" <= 100)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_quantity".cast("int").as("qty_int"),
+            $"l_quantity".cast("string").as("qty_str"),
+            $"l_orderkey".cast("double").as("key_dbl"),
+            $"l_orderkey".cast("string").as("key_str"),
+            ($"l_quantity" > 25).cast("int").as("big_flag"),
+            $"l_extendedprice".cast("decimal(18,2)").cast("string").as("price_dec_str"),
+            lit("123").cast("long").as("parsed_int"),
+            lit("4.5").cast("double").as("parsed_dbl"),
+            expr("try_cast('notanum' AS int)").isNull.as("bad_cast_null"),
+            lit("1996-03-05").cast("date").as("parsed_date"),
+            lit("1996-03-05 12:30:00").cast("timestamp").as("parsed_ts"),
+            $"l_shipdate".cast("date").as("ship_day"),
+            unix_timestamp($"l_shipdate").as("ship_epoch"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"ship_epoch")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  CAST(trunc(l_quantity) AS INT) AS qty_int,
+             |  CAST(l_quantity AS VARCHAR) AS qty_str,
+             |  CAST(l_orderkey AS DOUBLE) AS key_dbl,
+             |  CAST(l_orderkey AS VARCHAR) AS key_str,
+             |  CAST(l_quantity > 25 AS INT) AS big_flag,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+             |  CAST('123' AS BIGINT) AS parsed_int,
+             |  CAST('4.5' AS DOUBLE) AS parsed_dbl,
+             |  TRY_CAST('notanum' AS INT) IS NULL AS bad_cast_null,
+             |  DATE '1996-03-05' AS parsed_date,
+             |  TIMESTAMP '1996-03-05 12:30:00' AS parsed_ts,
+             |  CAST(l_shipdate AS DATE) AS ship_day,
+             |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+             |FROM lineitem WHERE l_orderkey <= 100
+             |ORDER BY 1, 2, 3, ship_epoch""".stripMargin))
+  )
+}
