@@ -21,7 +21,8 @@ object SparkEntry {
     Windows.queries,
     SetOps.queries,
     Scalars.queries,
-    EventsQ.queries
+    EventsQ.queries,
+    Llm.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

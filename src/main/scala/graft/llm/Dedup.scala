@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM data pipelines (SURVEY.md §2b "LLM extensions"):
+  * exact (keyed keep-first, content-hash collapse), MinHash+LSH near-dup, n-gram
+  * Jaccard, SimHash. All pure DataFrame pipelines — every stage is a shuffle on an
+  * explicit key (doc id, salt, band signature, shingle), so the work scales out
+  * horizontally; nothing is collected to the driver. The MinHash banding join is the
+  * 100 TB path: candidates come from equal band-signature buckets, never from a
+  * pairwise cross join. */
+object Dedup {
+
+  /** Deterministic keep-first exact dedup: first row per key under `order`. The batch
+    * formulation of streaming dropDuplicates, made reproducible. */
+  def keepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Content digest for exact-hash dedup. */
+  def contentDigest(text: Column): Column = sha2(text, 256)
+
+  /** MinHash signatures: one row per (id, salt) with the min salted-md5 over the
+    * document's shingle set. `numHashes` salted hashes simulate independent
+    * permutations; min over lexicographic hex is consistent across engines. */
+  def minhashSignatures(docs: DataFrame, id: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(id), explode(TextFunctions.shingles(col(textCol), shingleN))
+      .as("shingle"))
+    val salts = sh.sparkSession.range(numHashes.toLong).toDF("salt")
+    sh.crossJoin(broadcast(salts))
+      .groupBy(col(id), col("salt"))
+      .agg(min(md5(concat(col("salt").cast("string"), lit("|"), col("shingle"))))
+        .as("minhash"))
+  }
+
+  /** Band the signatures (`bandSize` hashes per band) and emit candidate pairs from
+    * equal (band, signature) buckets — the LSH join. */
+  def bandedCandidates(sigs: DataFrame, id: String, bandSize: Int): DataFrame = {
+    val banded = sigs
+      .withColumn("band", floor(col("salt") / bandSize).cast("int"))
+      .groupBy(col(id), col("band"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("salt"), col("minhash")))),
+          x => x.getField("minhash"))).as("sig"))
+    val a = banded.select(col(id).as("id1"), col("band"), col("sig"))
+    val b = banded.select(col(id).as("id2"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Jaccard for candidate pairs: |A∩B| via join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * Computed via shingle-key joins (distributed), never by materializing pairwise
+    * set intersections on the driver. */
+  def jaccardPairs(candidates: DataFrame, docs: DataFrame, id: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(id).as("jid"),
+      explode(TextFunctions.shingles(col(textCol), shingleN)).as("shingle"))
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col("jid").as("id1"), col("shingle")), Seq("id1"))
+      .join(sh.select(col("jid").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+    candidates
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .join(sizes.select(col("jid").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("jid").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("sz1") + col("sz2") - col("n_shared")))
+  }
+
+  /** 16-bit SimHash over the distinct token set (md5-nibble bit votes). Returns
+    * (id, simhash16). Near-dup docs land on nearby/equal values. */
+  def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(id),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitVotes = (0 until 16).map { i =>
+      sum(when(instr(lit("89abcdef"), substring(col("h"), i + 1, 1)) > 0, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val votes = toks.groupBy(col(id)).agg(bitVotes.head, bitVotes.tail: _*)
+    val value = (0 until 16).map { i =>
+      when(col(s"b$i") > 0, math.pow(2, i).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col(id), value.as("simhash16"))
+  }
+}

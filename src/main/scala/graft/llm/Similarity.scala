@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** Similarity search over embedding columns (`array<float>`) — SURVEY.md §2b "LLM
+  * extensions". Exact paths use order-insensitive decimal accumulation so results are
+  * reproducible across engines/partitionings (per-element float→double products are
+  * exact; the decimal sum is associative). Brute-force top-k is the oracle baseline;
+  * the LSH-bucketed variant is the scale path (candidates from shared hyperplane
+  * sign buckets — at 100 TB the cross join is replaced by a bucket equi-join). */
+object Similarity {
+
+  private val DEC = DataTypes.createDecimalType(30, 12)
+
+  /** Exact dot product of two float arrays, accumulated in decimal (associative →
+    * partitioning-independent) and returned as double. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
+      lit(0).cast(DEC),
+      (acc, x) => (acc + x).cast(DEC)
+    ).cast("double")
+
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (normExact(a) * normExact(b))
+
+  /** Brute-force cosine top-k: every query row against every corpus row, windowed
+    * pick of the k best. Exact — the correctness baseline for ANN variants. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
+    val scored = q.join(c, col("qid") =!= col("vid"))
+      .withColumn("cosine", cosineExact(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cosine")
+  }
+
+  /** Sign-LSH bucketing: `numPlanes` pseudo-random hyperplanes derived
+    * deterministically from xxhash64(plane, dim) — no RNG, reproducible anywhere.
+    * Vectors sharing the full sign pattern land in one bucket; top-k runs within
+    * buckets only (approximate, BENCH-only — not oracle-hashed). */
+  def lshBuckets(vecs: DataFrame, numPlanes: Int, dims: Int): DataFrame = {
+    // plane p component d in [-1, 1): derived from a 64-bit hash, fully deterministic
+    val planeVals: Seq[Seq[Double]] = (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"plane$p-dim$d")
+        (h.toDouble / Int.MaxValue)
+      }
+    }
+    val sigBits = (0 until numPlanes).map { p =>
+      val plane = planeVals(p)
+      val dot = (0 until dims).map { d =>
+        element_at(col("embedding"), d + 1).cast("double") * lit(plane(d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    vecs.withColumn("bucket", concat(sigBits: _*))
+  }
+
+  /** ANN top-k via sign-LSH buckets: exact cosine within each bucket. */
+  def lshTopK(vecs: DataFrame, k: Int, numPlanes: Int, dims: Int): DataFrame = {
+    val bucketed = lshBuckets(vecs, numPlanes, dims)
+    val a = bucketed.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+      col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vid"), col("embedding").as("cvec"),
+      col("bucket"))
+    val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("vid"))
+      .withColumn("cosine", cosineExact(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cosine")
+  }
+
+  /** Per-label centroids, exactly: explode positions, decimal-mean per (label, pos).
+    * Returns (label, pos, centroid_val) — the distributed form of a vector mean. */
+  def labelCentroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(DEC)).cast("double") / count(lit(1)))
+        .as("centroid_val"))
+}

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM data pipelines: tokenization, n-grams,
+  * quality features, language-ID heuristics, fingerprinting (SURVEY.md §2b "LLM
+  * extensions"). All pure `Column` expressions — codegen'd by Catalyst, no UDFs, so
+  * they vectorize inside whole-stage codegen and distribute trivially at 100 TB. */
+object TextFunctions {
+
+  /** Lowercased unicode word tokens (letters+digits runs). CJK text has no spaces, so
+    * a run of CJK chars is one token — language-ID handles zh via codepoint detection
+    * instead. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: count of letter-runs, digit-runs, and isolated symbols —
+    * the shape of a byte-pair pretokenizer's word-splitting regex. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
+
+  /** Word n-grams over a token array (empty below n tokens). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+
+  /** Distinct word n-gram shingle set — the MinHash input. */
+  def shingles(text: Column, n: Int): Column = array_distinct(ngrams(tokens(text), n))
+
+  // Tiny per-language stopword inventories for the language-ID heuristic.
+  val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val stopwordsFr = Seq("le", "la", "les", "de", "et", "un", "une", "est")
+  val stopwordsEs = Seq("el", "la", "los", "de", "y", "un", "una", "es")
+  val stopwordsDe = Seq("der", "die", "das", "und", "ein", "eine", "ist", "von")
+
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  def cjkCharCount(text: Column): Column = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+
+  /** n-gram/stopword-heuristic language ID over {en,fr,es,de,zh}; deterministic
+    * tie-break favors en > de > es > fr. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordHits(toks, stopwordsEn)
+    val fr = stopwordHits(toks, stopwordsFr)
+    val es = stopwordHits(toks, stopwordsEs)
+    val de = stopwordHits(toks, stopwordsDe)
+    when(cjkCharCount(text) > 0, "zh")
+      .when(en >= fr && en >= es && en >= de, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality-scoring features: lengths, token stats, character-class ratios. */
+  def whitespaceRatio(text: Column): Column =
+    regexp_count(text, lit("\\s")).cast("double") / greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("\\p{N}")).cast("double") / greatest(length(text), lit(1))
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^\\p{L}\\p{N}\\s]")).cast("double") /
+      greatest(length(text), lit(1))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    stopwordHits(toks, stopwordsEn).cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** Content fingerprint: digest of the token-normalized text. Two documents with the
+    * same token stream (ignoring case/punctuation/spacing) collide. */
+  def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+}

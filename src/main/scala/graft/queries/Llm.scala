@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import QueryDSL._
+
+/** LLM-data-pipeline operator queries (SURVEY.md §2b "LLM extensions"): dedup family,
+  * similarity search, text analysis, multimodal columns. Thin wrappers over the
+  * graft.llm library with DuckDB oracles mirroring each pipeline. */
+object Llm {
+
+  /** DuckDB token list expression (mirror of TextFunctions.tokens). */
+  private def duckToks(textExpr: String) =
+    s"list_filter(regexp_split_to_array(lower($textExpr), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+
+  /** DuckDB distinct 3-gram shingle list over tokens tk. */
+  private val duckShingles3 =
+    """CASE WHEN len(tk) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+      |         i -> array_to_string(tk[i:i+2], ' ')))
+      |  ELSE [] END""".stripMargin
+
+  private val duckShingleBase =
+    s"""toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+       |shing AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("dedup_exact_keyfirst",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.keepFirst(t(s, dir, "documents"), Seq($"lang", $"source"), Seq($"doc_id"))
+          .select($"lang", $"source", $"doc_id")
+          .orderBy($"lang", $"source")
+      },
+      Some("""SELECT lang, source, doc_id FROM (
+             |  SELECT lang, source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn = 1 ORDER BY lang, source""".stripMargin)),
+
+    // Content-hash collapse over a simulated re-crawl (the table unioned with itself):
+    // every doc collapses 2→1 on its sha-256 digest.
+    Q("dedup_hash_collapse",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        d.unionByName(d)
+          .groupBy(Dedup.contentDigest($"text").as("digest"))
+          .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+          .select($"canonical_id", $"n_copies", substring($"digest", 1, 16).as("digest16"))
+          .orderBy($"canonical_id")
+      },
+      Some("""SELECT canonical_id, n_copies, digest16 FROM (
+             |  SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+             |    substring(sha256(text), 1, 16) AS digest16
+             |  FROM (SELECT doc_id, text FROM documents
+             |        UNION ALL SELECT doc_id, text FROM documents)
+             |  GROUP BY sha256(text))
+             |ORDER BY canonical_id""".stripMargin)),
+
+    // Full MinHash+LSH pipeline: shingle → 8 salted minhashes → 4 bands × 2 → bucket
+    // join for candidates → exact Jaccard verification on candidates only.
+    Q("dedup_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+          numHashes = 8, shingleN = 3)
+        val cand = Dedup.bandedCandidates(sigs, "doc_id", bandSize = 2)
+        Dedup.jaccardPairs(cand, docs, "doc_id", "text", shingleN = 3)
+          .select($"id1", $"id2", round($"jaccard", 6).as("jacc"))
+          .orderBy($"jacc".desc, $"id1", $"id2")
+          .limit(50)
+      },
+      Some(s"""WITH $duckShingleBase,
+              |mh AS (
+              |  SELECT doc_id, salt,
+              |    min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
+              |  FROM shing CROSS JOIN (SELECT unnest(range(0, 8)) AS salt)
+              |  GROUP BY doc_id, salt),
+              |banded AS (
+              |  SELECT doc_id, CAST(floor(salt / 2) AS INT) AS band,
+              |    string_agg(minhash, '' ORDER BY salt) AS sig
+              |  FROM mh GROUP BY doc_id, CAST(floor(salt / 2) AS INT)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+              |  WHERE a.doc_id < b.doc_id),
+              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.id1, c.id2, COUNT(*) AS n_shared
+              |  FROM cand c
+              |  JOIN shing s1 ON s1.doc_id = c.id1
+              |  JOIN shing s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+              |  GROUP BY c.id1, c.id2)
+              |SELECT c.id1, c.id2,
+              |  round(COALESCE(i.n_shared, 0) * 1.0 /
+              |        (z1.sz + z2.sz - COALESCE(i.n_shared, 0)), 6) AS jacc
+              |FROM cand c
+              |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+              |JOIN sz z1 ON z1.doc_id = c.id1
+              |JOIN sz z2 ON z2.doc_id = c.id2
+              |ORDER BY jacc DESC, c.id1, c.id2 LIMIT 50""".stripMargin)),
+
+    // Exact n-gram Jaccard on a bounded same-language pair set (the non-LSH baseline).
+    Q("dedup_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val sub = docs.filter($"doc_id" < 150)
+        val pairs = sub.select($"doc_id".as("id1"), $"lang".as("lang1"))
+          .join(sub.select($"doc_id".as("id2"), $"lang".as("lang2")),
+            col("id1") < col("id2") && col("lang1") === col("lang2"))
+          .select("id1", "id2")
+        Dedup.jaccardPairs(pairs, docs, "doc_id", "text", shingleN = 3)
+          .select($"id1", $"id2", round($"jaccard", 6).as("jacc"))
+          .filter($"jacc" > 0)
+          .orderBy($"jacc".desc, $"id1", $"id2")
+          .limit(100)
+      },
+      Some(s"""WITH $duckShingleBase,
+              |sub AS (SELECT doc_id, lang FROM documents WHERE doc_id < 150),
+              |pairs AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id AND a.lang = b.lang),
+              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.id1, p.id2, COUNT(*) AS n_shared
+              |  FROM pairs p
+              |  JOIN shing s1 ON s1.doc_id = p.id1
+              |  JOIN shing s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+              |  GROUP BY p.id1, p.id2)
+              |SELECT p.id1, p.id2,
+              |  round(COALESCE(i.n_shared, 0) * 1.0 /
+              |        (z1.sz + z2.sz - COALESCE(i.n_shared, 0)), 6) AS jacc
+              |FROM pairs p
+              |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+              |JOIN sz z1 ON z1.doc_id = p.id1
+              |JOIN sz z2 ON z2.doc_id = p.id2
+              |WHERE round(COALESCE(i.n_shared, 0) * 1.0 /
+              |        (z1.sz + z2.sz - COALESCE(i.n_shared, 0)), 6) > 0
+              |ORDER BY jacc DESC, p.id1, p.id2 LIMIT 100""".stripMargin)),
+
+    Q("dedup_simhash",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhash16(t(s, dir, "documents").filter($"doc_id" < 200), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val bitSums = (0 until 16).map(i =>
+          s"SUM(CASE WHEN instr('89abcdef', substring(md5(tok), ${i + 1}, 1)) > 0 " +
+            s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+        val bitVal = (0 until 16).map(i =>
+          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_distinct(${duckToks("text")})) AS tok
+           |  FROM documents WHERE doc_id < 200),
+           |votes AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM toks GROUP BY doc_id)
+           |SELECT doc_id, $bitVal AS simhash16
+           |FROM votes ORDER BY doc_id""".stripMargin
+      }),
+
+    // Embedding-cosine near-dup: top pairs by exact cosine within a bounded id range.
+    Q("dedup_embedding_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").filter($"vec_id" < 100)
+        val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
+        val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+        a.join(b, col("id1") < col("id2"))
+          .select($"id1", $"id2",
+            round(Similarity.cosineExact($"e1", $"e2"), 9).as("cosine"))
+          .orderBy($"cosine".desc, $"id1", $"id2")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+             |flat AS (
+             |  SELECT vec_id, unnest(embedding) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM e),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY vec_id),
+             |dots AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |    CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+             |  GROUP BY a.vec_id, b.vec_id)
+             |SELECT d.id1, d.id2, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosine
+             |FROM dots d
+             |JOIN norms n1 ON n1.vec_id = d.id1
+             |JOIN norms n2 ON n2.vec_id = d.id2
+             |ORDER BY cosine DESC, d.id1, d.id2 LIMIT 20""".stripMargin)),
+
+    // Brute-force exact cosine top-k: the ANN correctness baseline.
+    Q("sim_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.filter($"vec_id" < 20), e, k = 5)
+          .select($"qid", $"rank", $"vid", round($"cosine", 9).as("cosine"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, unnest(embedding) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY vec_id),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20
+             |  GROUP BY q.vec_id, c.vec_id),
+             |scored AS (
+             |  SELECT d.qid, d.vid, d.dot / (nq.nrm * nc.nrm) AS cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY d.qid
+             |      ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |  FROM dots d
+             |  JOIN norms nq ON nq.vec_id = d.qid
+             |  JOIN norms nc ON nc.vec_id = d.vid)
+             |SELECT qid, rank, vid, round(cosine, 9) AS cosine
+             |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Vector aggregation: exact per-label centroids, then each vector's distance to
+    // its label centroid.
+    Q("sim_centroid_distance",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.labelCentroids(e)
+        val flat = e.filter($"vec_id" < 100)
+          .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+        flat.join(cents, Seq("label", "pos"))
+          .groupBy($"vec_id", $"label")
+          .agg(sqrt(dsum(($"v".cast("double") - $"centroid_val") *
+            ($"v".cast("double") - $"centroid_val"), 12)).as("dist"))
+          .select($"vec_id", $"label", round($"dist", 9).as("dist"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, label, unnest(embedding) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |cents AS (
+             |  SELECT label, pos,
+             |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+             |      / COUNT(*) AS centroid_val
+             |  FROM flat GROUP BY label, pos)
+             |SELECT f.vec_id, f.label,
+             |  round(sqrt(CAST(SUM(CAST((CAST(f.v AS DOUBLE) - c.centroid_val) *
+             |    (CAST(f.v AS DOUBLE) - c.centroid_val) AS DECIMAL(30,12)))
+             |    AS DOUBLE)), 9) AS dist
+             |FROM flat f JOIN cents c ON c.label = f.label AND c.pos = f.pos
+             |WHERE f.vec_id < 100
+             |GROUP BY f.vec_id, f.label ORDER BY f.vec_id""".stripMargin)),
+
+    Q("text_langid_confusion",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", TF.langId($"text").as("predicted"))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some {
+        def hits(words: Seq[String]) =
+          s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+        val en = hits(TF.stopwordsEn); val fr = hits(TF.stopwordsFr)
+        val es = hits(TF.stopwordsEs); val de = hits(TF.stopwordsDe)
+        s"""WITH toks AS (SELECT lang, text, ${duckToks("text")} AS tk FROM documents),
+           |pred AS (
+           |  SELECT lang,
+           |    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+           |         WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
+           |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+           |         WHEN $es >= $fr THEN 'es'
+           |         ELSE 'fr' END AS predicted
+           |  FROM toks)
+           |SELECT lang, predicted, COUNT(*) AS n
+           |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      }),
+
+    Q("text_quality_features",
+      (s, dir) => {
+        import s.implicits._
+        val toks = TF.tokens($"text")
+        t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id", $"n_chars",
+            length($"text").as("text_len"),
+            TF.tokenCount($"text").as("n_tokens"),
+            TF.bpeishTokenCount($"text").as("n_bpeish"),
+            round(TF.whitespaceRatio($"text"), 9).as("ws_ratio"),
+            round(TF.digitRatio($"text"), 9).as("digit_ratio"),
+            round(TF.punctRatio($"text"), 9).as("punct_ratio"),
+            round(TF.stopwordRatio($"text"), 9).as("stopword_ratio"),
+            round(aggregate(toks, lit(0), (a, x) => a + length(x)).cast("double") /
+              greatest(size(toks), lit(1)), 9).as("avg_tok_len"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val en = TF.stopwordsEn.map(w => s"'$w'").mkString(",")
+        s"""WITH toks AS (
+           |  SELECT doc_id, n_chars, text, ${duckToks("text")} AS tk
+           |  FROM documents WHERE doc_id < 200)
+           |SELECT doc_id, n_chars, length(text) AS text_len,
+           |  len(tk) AS n_tokens,
+           |  len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS n_bpeish,
+           |  round(len(regexp_extract_all(text, '\\s')) * 1.0
+           |    / greatest(length(text), 1), 9) AS ws_ratio,
+           |  round(len(regexp_extract_all(text, '\\p{N}')) * 1.0
+           |    / greatest(length(text), 1), 9) AS digit_ratio,
+           |  round(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) * 1.0
+           |    / greatest(length(text), 1), 9) AS punct_ratio,
+           |  round(len(list_filter(tk, t -> t IN ($en))) * 1.0
+           |    / greatest(len(tk), 1), 9) AS stopword_ratio,
+           |  round(list_sum(list_transform(tk, t -> length(t))) * 1.0
+           |    / greatest(len(tk), 1), 9) AS avg_tok_len
+           |FROM toks ORDER BY doc_id""".stripMargin
+      }),
+
+    // tf-idf: top-scoring term per document over the bounded English subset.
+    Q("text_tfidf_top",
+      (s, dir) => {
+        import s.implicits._
+        val sub = t(s, dir, "documents").filter($"lang" === "en" && $"doc_id" < 150)
+        val terms = sub.select($"doc_id", explode(TF.tokens($"text")).as("term"))
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = sub.select(countDistinct($"doc_id").as("n_docs"))
+        val scored = tf.join(df, Seq("term")).crossJoin(n)
+          .withColumn("tfidf", $"tf" * log($"n_docs".cast("double") / $"df"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"tfidf".desc, $"term")
+        scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"doc_id", $"term".as("top_term"), round($"tfidf", 9).as("score"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sub AS (SELECT doc_id, text FROM documents
+             |            WHERE lang = 'en' AND doc_id < 150),
+             |terms AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |           x -> x <> '')) AS term
+             |  FROM sub),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sub),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf
+             |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n)
+             |SELECT doc_id, term AS top_term, round(tfidf, 9) AS score FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, term) AS rn FROM scored)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    Q("text_fingerprint_buckets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id",
+            TF.fingerprint($"text").as("fingerprint"),
+            substring(TF.fingerprint($"text"), 1, 2).as("bucket"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  md5(array_to_string(${duckToks("text")}, ' ')) AS fingerprint,
+              |  substring(md5(array_to_string(${duckToks("text")}, ' ')), 1, 2) AS bucket
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    Q("multimodal_binary_meta",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.attachBinary(t(s, dir, "documents").filter($"doc_id" < 200))
+          .select($"doc_id",
+            length($"payload").as("n_bytes"),
+            $"meta.checksum".as("checksum"),
+            upper(hex(substring($"payload", 1, 8))).as("head_hex"),
+            $"meta.source".as("source"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  sha256(text) AS checksum,
+             |  upper(hex(encode(substring(text, 1, 8)))) AS head_hex,
+             |  source
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // Partition-wise feature extraction (stubbed codec) — no SQL oracle (rows-only):
+    // the byte-level loop is not SQL-expressible, but output is deterministic.
+    Q("multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractFeatures(s,
+            Multimodal.attachBinary(t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF()
+          .select($"doc_id", $"media_type", $"n_bytes",
+            round($"mean_byte", 9).as("mean_byte"),
+            round($"byte_entropy", 9).as("byte_entropy"))
+          .orderBy($"doc_id")
+      },
+      None)
+  )
+}
