@@ -22,7 +22,8 @@ object SparkEntry {
     SetOps.queries,
     Scalars.queries,
     EventsQ.queries,
-    Llm.queries
+    Llm.queries,
+    SpecQ.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

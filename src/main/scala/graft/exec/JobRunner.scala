@@ -1,0 +1,128 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.spec._
+
+/** Raised when a command's task fails (reference TaskFailure, command.py:85-86): the
+  * job aborts and the CLI exits with the task's return code. */
+final case class TaskFailure(command: String, returncode: Int)
+  extends RuntimeException(s"command '$command' failed with returncode $returncode")
+
+/** Job execution (reference Job.execute, job.py:146-209) with the same control flow:
+  *
+  *  1. conform the optional command-name filter (comma string or list,
+  *     case-insensitive, job.py:147-157)
+  *  2. build the task registry (discovery + engine built-ins)
+  *  3. verify the data dir exists (job.py:196,211-214)
+  *  4. **fail-fast**: validate every command's inputs against its task schema before
+  *     anything runs (job.py:198-200)
+  *  5. run sequentially; `skip: true` commands are pruned from execution but were
+  *     already resolved and stay referenceable (command.py:45-51)
+  *  6. a non-zero task → TaskFailure aborts the job
+  *
+  * `dryrun` prints the fully-resolved manifest instead of executing. */
+final class JobRunner(spark: SparkSession, log: String => Unit = println) {
+
+  def execute(job: Job, commands: Option[Seq[String]] = None,
+      dryrun: Boolean = false): Unit = {
+    val resolved = Placeholders.resolve(job, sys.env, w => log(s"WARNING: $w"))
+    val registry = {
+      val discovered = Registry.discover(resolved.tasks, w => log(s"WARNING: $w"))
+      Ops.taskSpecs.values.foldLeft(discovered) { (r, spec) =>
+        if (r.get(spec.name).isDefined) r else r.withTask(spec)
+      }
+    }
+
+    val filter = commands.map(_.flatMap(_.split(",")).map(c => Keys.snake(c.trim)).toSet)
+    val selected = resolved.commands.zipWithIndex.filter { case (c, i) =>
+      filter.forall(f =>
+        f.contains(Keys.snake(c.name.getOrElse(""))) || f.contains(i.toString))
+    }
+    if (filter.isDefined && selected.isEmpty)
+      throw SpecError(s"no commands match filter ${commands.get.mkString(",")}")
+
+    if (!Files.isDirectory(Paths.get(resolved.data)))
+      Files.createDirectories(Paths.get(resolved.data))
+
+    // fail-fast: validate ALL selected commands before running ANY (job.py:198-200)
+    val errors = selected.flatMap { case (cmd, _) =>
+      val task = registry.get(cmd.task).getOrElse(
+        throw SpecError(s"unknown task '${cmd.task}'"))
+      Validation.validate(task, cmd.env, w => log(s"WARNING: $w"))
+    }
+    if (errors.nonEmpty)
+      throw SpecError("input validation failed:\n  " + errors.mkString("\n  "))
+
+    if (dryrun) {
+      log(s"DRYRUN: job '${resolved.name}' data=${resolved.data}")
+      selected.foreach { case (cmd, i) =>
+        log(s"DRYRUN: [${i + 1}/${selected.size}] ${cmd.name.getOrElse(cmd.task)} " +
+          s"task=${cmd.task} skip=${cmd.skip} env=${renderEnv(cmd.env)}")
+      }
+      return
+    }
+
+    val ctx = new JobContext(spark, resolved.data)
+    val n = selected.size
+    selected.zipWithIndex.foreach { case ((cmd, _), i) =>
+      val label = cmd.name.getOrElse(cmd.task)
+      if (cmd.skip) log(s"COMMAND [${i + 1}/$n] '$label' skipped")
+      else {
+        log(s"COMMAND [${i + 1}/$n] '$label' (task ${cmd.task})")
+        val task = registry.get(cmd.task).get
+        val env = Validation.withDefaults(task, cmd.env)
+        val rc = executeTask(task, env, ctx)
+        if (rc != 0) throw TaskFailure(label, rc)
+      }
+    }
+    log(s"JOB '${resolved.name}' completed")
+  }
+
+  private def renderEnv(env: Map[String, EnvValue]): String =
+    env.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.render}" }.mkString("{", ", ", "}")
+
+  /** Task execution (reference Task.execute, task.py:291-347). Spark-op bodies run a
+    * registered DataFrame operator; exec bodies run a real subprocess with
+    * cwd=basedir, env=host env + stringified inputs, stdout streamed line-by-line
+    * into the logger (never materialized — memory stays bounded). */
+  def executeTask(task: Task, env: Map[String, EnvValue], ctx: JobContext): Int =
+    task.body match {
+      case TaskBody.SparkOp(op) =>
+        Ops.builtins.get(op) match {
+          case Some(fn) => fn(ctx, env); 0
+          case None => throw SpecError(s"unknown spark-op '$op' in task '${task.name}'")
+        }
+      case TaskBody.Exec(argv) => runSubprocess(task, argv, env)
+      case TaskBody.Script(interp, script) => runSubprocess(task, interp :+ script, env)
+    }
+
+  private def runSubprocess(task: Task, argv: List[String],
+      env: Map[String, EnvValue]): Int = {
+    val pb = new ProcessBuilder(argv: _*)
+    task.basedir.foreach(d => pb.directory(new java.io.File(d)))
+    val penv = pb.environment()
+    env.foreach { case (k, v) => penv.put(k, v.render) } // bool → "True" (task.py:307)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    try {
+      var line = reader.readLine()
+      while (line != null) { log(s"  ${task.name}: $line"); line = reader.readLine() }
+    } finally reader.close()
+    proc.waitFor()
+  }
+
+  /** Run a task's in-manifest tests (reference task.py:161-193 + task_test_case.py):
+    * execute with the test env, then the `verify` command; exit 0 = pass. */
+  def runTaskTests(task: Task, ctx: JobContext): Map[String, Boolean] =
+    task.tests.map { case (name, tc) =>
+      val rc = try {
+        val envd = Validation.withDefaults(task, tc.env)
+        val r = executeTask(task, envd, ctx)
+        if (r == 0) runSubprocess(task, Yaml.tokenize(tc.verify), envd) else r
+      } catch { case _: Exception => 1 }
+      name -> (rc == 0)
+    }
+}

@@ -1,0 +1,112 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spec.{EnvValue, SpecError}
+
+/** Mutable per-job state: named DataFrame handoff (the engine's analogue of the
+  * reference's file-based data plane — results are temp views instead of files on
+  * disk, parquet checkpoints when a command asks for one). */
+final class JobContext(val spark: SparkSession, val dataDir: String) {
+  def view(name: String): DataFrame =
+    try spark.table(name)
+    catch { case _: Exception => throw SpecError(s"no such view '$name'") }
+}
+
+/** Built-in Spark operator task bodies (`spark-op:` in a task manifest). Each op reads
+  * its parameters from the command's resolved env (strings by then validated/typed)
+  * and registers its result as the view named by OUTPUT, which downstream commands
+  * reference via `${previous.env.OUTPUT}` — lineage replaces file handoff.
+  *
+  * These generalize the reference's shipped task archetypes (SURVEY.md §2a): download
+  * → read-parquet/read-csv/read-json; grep-filter → filter; parser → select/sql;
+  * splitter → repartition-write; echo/print-env → show. */
+object Ops {
+
+  type SparkOp = (JobContext, Map[String, EnvValue]) => Unit
+
+  private def str(env: Map[String, EnvValue], k: String): String =
+    graft.spec.Keys.fuzzyGet(env, k) match {
+      case Some(v) if v != EnvValue.NullV => v.render
+      case _ => throw SpecError(s"op parameter '$k' is required")
+    }
+  private def opt(env: Map[String, EnvValue], k: String): Option[String] =
+    graft.spec.Keys.fuzzyGet(env, k).filter(_ != EnvValue.NullV).map(_.render)
+
+  val builtins: Map[String, SparkOp] = Map(
+    "read-parquet" -> { (ctx, env) =>
+      ctx.spark.read.parquet(str(env, "PATH"))
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "read-csv" -> { (ctx, env) =>
+      var r = ctx.spark.read
+        .option("header", opt(env, "HEADER").getOrElse("true"))
+        .option("delimiter", opt(env, "DELIMITER").getOrElse(","))
+      r = opt(env, "SCHEMA") match {
+        case Some(s) => r.schema(s)
+        case None => r.option("inferSchema", "true")
+      }
+      r.csv(str(env, "PATH")).createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "read-json" -> { (ctx, env) =>
+      val r = ctx.spark.read
+      opt(env, "SCHEMA").map(r.schema).getOrElse(r)
+        .json(str(env, "PATH")).createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "read-text" -> { (ctx, env) =>
+      ctx.spark.read.text(str(env, "PATH")).createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "filter" -> { (ctx, env) =>
+      ctx.view(str(env, "INPUT")).filter(str(env, "PREDICATE"))
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "select" -> { (ctx, env) =>
+      val cols = str(env, "COLUMNS").split(",").map(c => expr(c.trim))
+      ctx.view(str(env, "INPUT")).select(cols.toIndexedSeq: _*)
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "sql" -> { (ctx, env) =>
+      ctx.spark.sql(str(env, "QUERY")).createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "write-parquet" -> { (ctx, env) =>
+      var w = ctx.view(str(env, "INPUT")).write
+        .mode(opt(env, "MODE").getOrElse("overwrite"))
+      opt(env, "PARTITION_BY").foreach(p => w = w.partitionBy(p.split(","): _*))
+      w.parquet(str(env, "PATH"))
+    },
+    "write-csv" -> { (ctx, env) =>
+      ctx.view(str(env, "INPUT")).write
+        .mode(opt(env, "MODE").getOrElse("overwrite"))
+        .option("header", "true").csv(str(env, "PATH"))
+    },
+    "show" -> { (ctx, env) =>
+      ctx.view(str(env, "INPUT"))
+        .show(opt(env, "LIMIT").map(_.toInt).getOrElse(20), truncate = false)
+    }
+  )
+
+  import graft.spec.{InputType, Task, TaskBody, TaskInput}
+  private def req = TaskInput(required = true, inputType = Some(InputType.TString))
+  private def optIn = TaskInput(required = false, inputType = Some(InputType.TString))
+
+  /** Input schemas for the builtin ops, so the runner's fail-fast validation catches
+    * missing/mistyped parameters before ANY command executes (reference
+    * job.py:198-200 semantics carried over to Spark operators). */
+  val taskSpecs: Map[String, Task] = Map(
+    "read-parquet" -> Map("PATH" -> req, "OUTPUT" -> req),
+    "read-csv" -> Map("PATH" -> req, "OUTPUT" -> req, "HEADER" -> optIn,
+      "DELIMITER" -> optIn, "SCHEMA" -> optIn),
+    "read-json" -> Map("PATH" -> req, "OUTPUT" -> req, "SCHEMA" -> optIn),
+    "read-text" -> Map("PATH" -> req, "OUTPUT" -> req),
+    "filter" -> Map("INPUT" -> req, "PREDICATE" -> req, "OUTPUT" -> req),
+    "select" -> Map("INPUT" -> req, "COLUMNS" -> req, "OUTPUT" -> req),
+    "sql" -> Map("QUERY" -> req, "OUTPUT" -> req),
+    "write-parquet" -> Map("INPUT" -> req, "PATH" -> req, "MODE" -> optIn,
+      "PARTITION_BY" -> optIn),
+    "write-csv" -> Map("INPUT" -> req, "PATH" -> req, "MODE" -> optIn),
+    "show" -> Map("INPUT" -> req,
+      "LIMIT" -> TaskInput(required = false, inputType = Some(InputType.TInt)))
+  ).map { case (name, schema) =>
+    name -> Task(name = name, body = TaskBody.SparkOp(name), env = schema)
+  }
+}

@@ -1,0 +1,25 @@
+package graft.spec
+
+/** Key normalization + fuzzy lookup semantics (reference utils/dicts.py):
+  *  - manifest root keys → snake_case (`my-key` → `my_key`, dicts.py:5-11)
+  *  - env keys → POSIX upper-snake (`base-url` → `BASE_URL`, dicts.py:14-27)
+  *  - lookups are case-insensitive with `-`/`_` interchangeable (dicts.py:30-40)
+  */
+object Keys {
+  def snake(k: String): String = k.replace('-', '_').toLowerCase
+
+  def envKey(k: String): String = k.replace('-', '_').toUpperCase
+
+  private def canon(k: String): String = k.replace('-', '_').toLowerCase
+
+  /** Case-insensitive, -/_-interchangeable lookup. */
+  def fuzzyGet[V](m: Map[String, V], key: String): Option[V] = {
+    m.get(key).orElse {
+      val c = canon(key)
+      m.collectFirst { case (k, v) if canon(k) == c => v }
+    }
+  }
+
+  def conformRoot(m: Map[String, Any]): Map[String, Any] = m.map { case (k, v) => snake(k) -> v }
+  def conformEnv(m: Map[String, Any]): Map[String, Any] = m.map { case (k, v) => envKey(k) -> v }
+}

@@ -1,0 +1,209 @@
+package graft.spec
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** YAML → model parsing. Construction is analysis (reference: pydantic validation at
+  * model build, job.py:111-137): every structural error is raised here, before any
+  * execution. */
+object Yaml {
+
+  private def load(text: String): Any =
+    new org.yaml.snakeyaml.Yaml().load[Any](text)
+
+  private def asMap(any: Any, what: String): Map[String, Any] = any match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, v) => String.valueOf(k) -> (v: Any) }.toMap
+    case other => throw SpecError(s"$what must be a mapping, got: $other")
+  }
+
+  private def asList(any: Any): List[Any] = any match {
+    case l: java.util.List[_] => l.asScala.toList.map(x => x: Any)
+    case other => throw SpecError(s"expected a list, got: $other")
+  }
+
+  private def envMap(any: Any): Map[String, EnvValue] =
+    Keys.conformEnv(asMap(any, "env")).map { case (k, v) => k -> EnvValue(v) }
+
+  // ---- Job ----------------------------------------------------------------
+
+  def jobFromFile(path: String): Job = {
+    val p = Paths.get(path)
+    jobFromString(Files.readString(p), basedir = Some(p.toAbsolutePath.getParent.toString))
+  }
+
+  def jobFromString(text: String, basedir: Option[String] = None): Job = {
+    val root = Keys.conformRoot(asMap(load(text), "job manifest"))
+    val name = root.getOrElse("name",
+      throw SpecError("job manifest requires a 'name'")).toString
+    val dataRaw = root.getOrElse("data",
+      throw SpecError("job manifest requires a 'data' dir")).toString
+    val env = root.get("env").map(envMap).getOrElse(Map.empty)
+    // host_env: normalized to env-key style; default = keys of job env
+    // (reference load_host_env, job.py:121-130)
+    val hostEnv = root.get("host_env") match {
+      case None => env.keys.toList.sorted
+      case Some(s: String) => List(Keys.envKey(s))
+      case Some(l) => asList(l).map(x => Keys.envKey(x.toString))
+    }
+    val tasks = root.get("tasks") match {
+      case None => Nil
+      case Some(s: String) => List(s)
+      case Some(l) => asList(l).map(_.toString)
+    }
+    val commands = root.get("commands").map(asList).getOrElse(Nil).map(parseCommand)
+    val resolvePath = (p: String) =>
+      if (Paths.get(p).isAbsolute || p.startsWith("~")) p
+      else basedir match {
+        case Some(b) => Paths.get(b, p).toString
+        case None => throw SpecError(
+          s"relative path '$p' requires a basedir (job loaded from a file)")
+      }
+    Job(
+      name = name,
+      description = root.get("description").map(_.toString),
+      basedir = basedir,
+      data = resolvePath(expandHome(dataRaw)),
+      hostEnv = hostEnv,
+      env = env,
+      tasks = tasks.map(t => resolvePath(expandHome(t))),
+      commands = commands)
+  }
+
+  private val commandNameOk = "^[a-z0-9-_]+$".r
+
+  private def parseCommand(any: Any): Command = {
+    val m = Keys.conformRoot(asMap(any, "command"))
+    val name = m.get("name").map(_.toString)
+    name.foreach { n =>
+      if (commandNameOk.findFirstIn(n).isEmpty)
+        throw SpecError(s"invalid command name '$n': must match [a-z0-9-_]+")
+    }
+    Command(
+      name = name,
+      task = m.getOrElse("task", throw SpecError("command requires a 'task'")).toString,
+      env = m.get("env").map(envMap).getOrElse(Map.empty),
+      skip = m.get("skip").exists {
+        case b: java.lang.Boolean => b
+        case s => s.toString.toBoolean
+      })
+  }
+
+  // ---- Task ---------------------------------------------------------------
+
+  def taskFromFile(path: String): Task = {
+    val p = Paths.get(path)
+    taskFromString(Files.readString(p),
+      basedir = Some(p.toAbsolutePath.getParent.toString))
+  }
+
+  def taskFromString(text: String, basedir: Option[String] = None): Task = {
+    val root = Keys.conformRoot(asMap(load(text), "task manifest"))
+    val name = root.getOrElse("name",
+      throw SpecError("task manifest requires a 'name'")).toString
+    val body = parseBody(root)
+    val env: Map[String, TaskInput] = root.get("env") match {
+      case None => Map.empty
+      case Some(l: java.util.List[_]) =>
+        // env as a plain list of names = all-required untyped inputs
+        l.asScala.map(x => Keys.envKey(x.toString) -> TaskInput()).toMap
+      case Some(m) =>
+        Keys.conformEnv(asMap(m, "task env")).map { case (k, v) => k -> parseInput(k, v) }
+    }
+    val tests: Map[String, TaskTestCase] = root.get("tests") match {
+      case None => Map.empty
+      case Some(m) => asMap(m, "tests").map { case (tn, tv) =>
+        val tm = Keys.conformRoot(asMap(tv, s"test $tn"))
+        tn -> TaskTestCase(tn,
+          tm.get("env").map(envMap).getOrElse(Map.empty),
+          tm.getOrElse("verify", throw SpecError(s"test '$tn' requires 'verify'")).toString)
+      }
+    }
+    Task(name = name, basedir = basedir, body = body, env = env, tests = tests)
+  }
+
+  /** Run-command forms (reference utils/run.py:6-23): string → tokenized; list →
+    * stringified argv; {interpreter, script} → interpreter argv + script. The engine
+    * adds `spark-op: <name>` as the Spark-native body. */
+  private def parseBody(root: Map[String, Any]): TaskBody = {
+    root.get("spark_op").map(op => TaskBody.SparkOp(op.toString)).getOrElse {
+      root.get("run") match {
+        case None => throw SpecError("task manifest requires 'run' or 'spark-op'")
+        case Some(s: String) => TaskBody.Exec(tokenize(s))
+        case Some(l: java.util.List[_]) =>
+          TaskBody.Exec(l.asScala.map(String.valueOf(_)).toList)
+        case Some(m: java.util.Map[_, _]) =>
+          val mm = Keys.conformRoot(asMap(m, "run"))
+          val script = mm.getOrElse("script",
+            throw SpecError("run object requires 'script'")).toString
+          val interp = mm.get("interpreter") match {
+            case None => List("/bin/sh", "-c")
+            case Some(s: String) => tokenize(s)
+            case Some(l) => asList(l).map(_.toString)
+          }
+          TaskBody.Script(interp, script)
+        case Some(other) => throw SpecError(s"unsupported run form: $other")
+      }
+    }
+  }
+
+  /** shlex-like tokenization (quotes + escapes). */
+  def tokenize(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0; var inS = false; var inD = false; var started = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false else cur.append(c) }
+      else if (inD) {
+        if (c == '"') inD = false
+        else if (c == '\\' && i + 1 < s.length && "\"\\".contains(s.charAt(i + 1))) {
+          cur.append(s.charAt(i + 1)); i += 1
+        } else cur.append(c)
+      }
+      else c match {
+        case '\'' => inS = true; started = true
+        case '"' => inD = true; started = true
+        case '\\' if i + 1 < s.length => cur.append(s.charAt(i + 1)); started = true; i += 1
+        case w if w.isWhitespace =>
+          if (started || cur.nonEmpty) { out += cur.toString; cur.clear(); started = false }
+        case other => cur.append(other); started = true
+      }
+      i += 1
+    }
+    if (started || cur.nonEmpty) out += cur.toString
+    out.toList
+  }
+
+  private def parseInput(key: String, any: Any): TaskInput = any match {
+    case s: String if s.nonEmpty && !s.contains(":") =>
+      TaskInput(description = Some(s)) // bare description string
+    case m: java.util.Map[_, _] =>
+      val mm = Keys.conformRoot(asMap(m, s"input $key"))
+      val hasRequired = mm.contains("required")
+      val hasOptional = mm.contains("optional")
+      if (hasRequired && hasOptional)
+        throw SpecError(s"input '$key': 'required' and 'optional' are mutually exclusive")
+      val default = mm.get("default").map(EnvValue(_))
+      val required =
+        if (hasOptional) !mm("optional").toString.toBoolean
+        else if (hasRequired) mm("required").toString.toBoolean
+        else default.isEmpty // a default implies optional
+      TaskInput(
+        description = mm.get("description").map(_.toString),
+        required = required && default.isEmpty,
+        default = default,
+        inputType = mm.get("type").map(t => InputType.parse(t.toString) match {
+          case Right(tt) => tt
+          case Left(err) => throw SpecError(s"input '$key': $err")
+        }))
+    case s: String => TaskInput(description = Some(s))
+    case null => TaskInput()
+    case other => throw SpecError(s"input '$key': unsupported schema $other")
+  }
+
+  private[spec] def expandHome(p: String): String =
+    if (p == "~") sys.props("user.home")
+    else if (p.startsWith("~/")) sys.props("user.home") + p.substring(1)
+    else p
+}

@@ -1,0 +1,216 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spec._
+
+/** End-to-end job execution over the real engine (reference
+  * tests/test_end_to_end.py): full pipeline, dryrun, skip, fail-fast validation,
+  * command filter, subprocess exit codes, task discovery. */
+class JobRunnerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-exec").toString
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runner(buf: scala.collection.mutable.ListBuffer[String]) =
+    new JobRunner(spark, m => buf += m)
+
+  test("two-command spark-op pipeline with ${previous} chaining writes real output") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: pipeline
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/lineitem.parquet
+         |      output: li_raw
+         |  - name: narrow
+         |    task: filter
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      predicate: l_quantity > 45
+         |      output: li_f
+         |  - name: save
+         |    task: write-parquet
+         |    env:
+         |      input: $${narrow.env.OUTPUT}
+         |      path: $${job.data}/out
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job)
+    val out = spark.read.parquet(s"$data/out")
+    assert(out.count() > 0)
+    assert(out.filter("l_quantity <= 45").count() == 0)
+    assert(log.exists(_.contains("completed")))
+  }
+
+  test("dryrun prints resolved manifest and executes nothing") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: dry
+         |data: $data
+         |commands:
+         |  - name: save
+         |    task: write-parquet
+         |    env: {input: nonexistent_view, path: $data/nope}
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job, dryrun = true)
+    assert(!Files.exists(Paths.get(s"$data/nope")))
+    assert(log.exists(_.startsWith("DRYRUN")))
+    assert(log.exists(_.contains("input validation") == false))
+  }
+
+  test("skip: true prunes execution but the command still resolves") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: skippy
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env: {path: $sf/region.parquet, output: r}
+         |  - name: broken
+         |    task: read-parquet
+         |    skip: true
+         |    env: {path: /nonexistent/nowhere.parquet, output: x}
+         |  - name: save
+         |    task: write-parquet
+         |    env:
+         |      input: $${load.env.OUTPUT}
+         |      path: $${job.data}/out
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job)
+    assert(spark.read.parquet(s"$data/out").count() == 5)
+    assert(log.exists(_.contains("skipped")))
+  }
+
+  test("fail-fast: a bad command blocks ALL execution, including valid earlier ones") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: failfast
+         |data: $data
+         |commands:
+         |  - name: ok
+         |    task: read-parquet
+         |    env: {path: $sf/region.parquet, output: r}
+         |  - name: bad
+         |    task: read-parquet
+         |    env: {output: x}
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    val e = intercept[SpecError](runner(log).execute(job))
+    assert(e.getMessage.contains("PATH"))
+    assert(!log.exists(_.contains("COMMAND [1"))) // nothing ran
+  }
+
+  test("command filter selects by name, case-insensitively") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: filtered
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env: {path: $sf/nation.parquet, output: n}
+         |  - name: save-a
+         |    task: write-parquet
+         |    env: {input: n, path: $data/a}
+         |  - name: save-b
+         |    task: write-parquet
+         |    env: {input: n, path: $data/b}
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job, commands = Some(Seq("LOAD,save-a")))
+    assert(Files.exists(Paths.get(s"$data/a")))
+    assert(!Files.exists(Paths.get(s"$data/b")))
+  }
+
+  test("subprocess task: env crosses stringified, non-zero exit aborts the job") {
+    val data = tmp()
+    val tasksDir = tmp()
+    Files.createDirectories(Paths.get(s"$tasksDir/check"))
+    Files.writeString(Paths.get(s"$tasksDir/check/manifest.yml"),
+      """name: check-env
+        |run:
+        |  interpreter: /bin/sh -c
+        |  script: test "$FLAG" = "True" && test "$N" = "3"
+        |env:
+        |  FLAG: {type: bool}
+        |  N: {type: int}
+        |""".stripMargin)
+    val good = Yaml.jobFromString(
+      s"""name: sub
+         |data: $data
+         |tasks: [$tasksDir]
+         |commands:
+         |  - task: check-env
+         |    env: {flag: true, n: 3}
+         |""".stripMargin)
+    runner(scala.collection.mutable.ListBuffer[String]()).execute(good)
+
+    val bad = Yaml.jobFromString(
+      s"""name: sub2
+         |data: $data
+         |tasks: [$tasksDir]
+         |commands:
+         |  - name: willfail
+         |    task: check-env
+         |    env: {flag: false, n: 3}
+         |""".stripMargin)
+    val e = intercept[TaskFailure](
+      runner(scala.collection.mutable.ListBuffer[String]()).execute(bad))
+    assert(e.returncode != 0)
+  }
+
+  test("task discovery skips tests/ dirs and broken manifests, warns") {
+    val tasksDir = tmp()
+    Files.createDirectories(Paths.get(s"$tasksDir/good"))
+    Files.writeString(Paths.get(s"$tasksDir/good/manifest.yml"), "name: good\nrun: echo\n")
+    Files.createDirectories(Paths.get(s"$tasksDir/tests/hidden"))
+    Files.writeString(Paths.get(s"$tasksDir/tests/hidden/manifest.yml"),
+      "name: hidden\nrun: echo\n")
+    Files.createDirectories(Paths.get(s"$tasksDir/broken"))
+    Files.writeString(Paths.get(s"$tasksDir/broken/manifest.yml"), "name: [unclosed\n")
+    var warned = List.empty[String]
+    val reg = Registry.discover(Seq(tasksDir), w => warned ::= w)
+    assert(reg.get("good").isDefined)
+    assert(reg.get("GOOD").isDefined) // case-insensitive lookup
+    assert(reg.get("hidden").isEmpty)
+    assert(warned.exists(_.contains("broken")))
+  }
+
+  test("in-manifest task tests run: exit 0 = pass") {
+    val data = tmp()
+    val task = Yaml.taskFromString(
+      """name: echoer
+        |run:
+        |  interpreter: /bin/sh -c
+        |  script: test -n "$MSG"
+        |env:
+        |  MSG: {type: str}
+        |tests:
+        |  happy:
+        |    env: {msg: hello}
+        |    verify: /bin/true
+        |  sad:
+        |    env: {msg: ""}
+        |    verify: /bin/true
+        |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    val results = runner(log).runTaskTests(task, new JobContext(spark, data))
+    assert(results("happy"))
+    assert(!results("sad"))
+  }
+}
