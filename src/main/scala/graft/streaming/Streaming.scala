@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2b "Streaming"): the same windowing /
+  * dedup / join expressions as the batch queries in graft.queries.EventsQ, wired as
+  * incremental streams — watermarks bound state, so these run indefinitely on an
+  * unbounded events feed at any scale; parallelism follows the shuffle partitioning
+  * on the group keys exactly like batch.
+  *
+  * Local testing drives a parquet-backed stream through a memory sink
+  * (`processAllAvailable`), asserting stream == batch on the same data. */
+object Streaming {
+
+  /** The events schema as stored (ts is int64 nanos in the parquet footer). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** readStream over the events parquet, ns→µs timestamp normalization identical to
+    * graft.Tables.events. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // streaming file sources need a directory: scan the sf dir, globbed to events
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with watermark-bounded state. */
+  def tumblingCounts(events: DataFrame, width: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window counts. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("total"))
+
+  /** Stateful dedup, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-static join: unbounded events against a bounded dimension. */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals (update
+    * mode). State is one small record per key — bounded, spillable, scalable. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (pn, pt) = state.getOption.getOrElse((0L, 0.0))
+          var n = pn; var t = pt
+          rows.foreach { case (_, v) => n += 1; t += v }
+          state.update((n, t))
+          UserTotal(uid, n, t)
+      }
+  }
+
+  /** Drive any streaming frame to a memory sink until the source is drained; returns
+    * the sink contents. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Parquet sink variant (append mode) — checkpointed, restart-safe. */
+  def runToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", path).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}
