@@ -26,15 +26,56 @@ object Dedup {
   /** MinHash signatures: one row per (id, salt) with the min salted-md5 over the
     * document's shingle set. `numHashes` salted hashes simulate independent
     * permutations; min over lexicographic hex is consistent across engines. */
+  /** The exploded (id, shingle) frame — the shared input of signature computation and
+    * Jaccard verification. Callers should `.cache()` it when running both. */
+  def shingleFrame(docs: DataFrame, id: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs
+      // stage the token array as a real column: higher-order-function lambdas
+      // re-evaluate free subexpressions per invocation, so tokenizing inline would
+      // re-run the regex split once per shingle position
+      .select(col(id), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col(id),
+        explode(array_distinct(TextFunctions.ngrams(col("__tk"), shingleN)))
+          .as("shingle"))
+
   def minhashSignatures(docs: DataFrame, id: String, textCol: String,
-      numHashes: Int, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(id), explode(TextFunctions.shingles(col(textCol), shingleN))
-      .as("shingle"))
-    val salts = sh.sparkSession.range(numHashes.toLong).toDF("salt")
-    sh.crossJoin(broadcast(salts))
-      .groupBy(col(id), col("salt"))
-      .agg(min(md5(concat(col("salt").cast("string"), lit("|"), col("shingle"))))
-        .as("minhash"))
+      numHashes: Int, shingleN: Int): DataFrame =
+    minhashFromShingles(shingleFrame(docs, id, textCol, shingleN), id, numHashes)
+
+  /** One pass over the shingles: all `numHashes` salted minima as parallel aggregates
+    * (map-side partial agg, no salt cross-join — 1/numHashes-th the shuffle volume).
+    * Returns the wide signature frame (id, mh0..mh{n-1}) — one shuffle total. */
+  def minhashWide(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh$s"))
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-form (id, salt, minhash) view of [[minhashWide]] — shuffle-free unpivot. */
+  def minhashFromShingles(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val stackExpr = (0 until numHashes).map(s => s"$s, mh$s").mkString(", ")
+    minhashWide(sh, id, numHashes).select(col(id),
+      expr(s"stack($numHashes, $stackExpr) as (salt, minhash)"))
+  }
+
+  /** Candidate pairs from the wide signature frame: band signatures are a pure
+    * projection (stack of concats — no extra shuffle), then an equi-join on
+    * (band, sig) buckets. Total: explode-free, sort-free, 2 shuffles (join+distinct). */
+  def bandedCandidatesWide(wide: DataFrame, id: String, numHashes: Int,
+      bandSize: Int): DataFrame = {
+    val nBands = numHashes / bandSize
+    val sigExpr = (0 until nBands).map { b =>
+      val c = (0 until bandSize).map(s => s"mh${b * bandSize + s}").mkString(", ")
+      s"$b, concat($c)"
+    }.mkString(", ")
+    val banded = wide.select(col(id),
+      expr(s"stack($nBands, $sigExpr) as (band, sig)"))
+    val a = banded.select(col(id).as("id1"), col("band"), col("sig"))
+    val b = banded.select(col(id).as("id2"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   /** Band the signatures (`bandSize` hashes per band) and emit candidate pairs from
@@ -57,9 +98,12 @@ object Dedup {
     * Computed via shingle-key joins (distributed), never by materializing pairwise
     * set intersections on the driver. */
   def jaccardPairs(candidates: DataFrame, docs: DataFrame, id: String,
-      textCol: String, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(id).as("jid"),
-      explode(TextFunctions.shingles(col(textCol), shingleN)).as("shingle"))
+      textCol: String, shingleN: Int): DataFrame =
+    jaccardFromShingles(candidates,
+      shingleFrame(docs, id, textCol, shingleN).withColumnRenamed(id, "jid"))
+
+  /** As [[jaccardPairs]] but over a precomputed (jid, shingle) frame. */
+  def jaccardFromShingles(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col("jid").as("id1"), col("shingle")), Seq("id1"))

@@ -32,10 +32,14 @@ object Similarity {
   /** Brute-force cosine top-k: every query row against every corpus row, windowed
     * pick of the k best. Exact — the correctness baseline for ANN variants. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
+    // precompute norms once per vector (vs per pair): 3x less decimal work, same bits
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+      normExact(col("embedding")).as("qnorm"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cvec"),
+      normExact(col("embedding")).as("cnorm"))
     val scored = q.join(c, col("qid") =!= col("vid"))
-      .withColumn("cosine", cosineExact(col("qvec"), col("cvec")))
+      .withColumn("cosine", dotExact(col("qvec"), col("cvec")) /
+        (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "vid", "cosine")

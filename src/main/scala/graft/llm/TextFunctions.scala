@@ -22,11 +22,15 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
 
-  /** Word n-grams over a token array (empty below n tokens). */
+  /** Word n-grams over a token array (empty below n tokens). Built with O(1)
+    * element_at lookups — a slice()-based formulation is O(len) per shingle, i.e.
+    * quadratic per document. */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat((0 until n).flatMap(j =>
+          if (j == 0) Seq(element_at(toks, i + j + 1))
+          else Seq(lit(" "), element_at(toks, i + j + 1))): _*)))
       .otherwise(array())
 
   /** Distinct word n-gram shingle set — the MinHash input. */

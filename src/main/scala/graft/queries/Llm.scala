@@ -64,13 +64,20 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
-          numHashes = 8, shingleN = 3)
-        val cand = Dedup.bandedCandidates(sigs, "doc_id", bandSize = 2)
-        Dedup.jaccardPairs(cand, docs, "doc_id", "text", shingleN = 3)
+        // checkpoint the shingle frame to scratch parquet: both consumers (signatures
+        // + verification) read it back without recomputation, and nothing lingers in
+        // executor memory after the query — the pattern that survives 100 TB
+        val shPath = s"${Sinks.scratchDir}/minhash_shingles"
+        Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+          .write.mode("overwrite").parquet(shPath)
+        val sh = s.read.parquet(shPath)
+        val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
+        val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8, bandSize = 2)
+        val res = Dedup.jaccardFromShingles(cand, sh.withColumnRenamed("doc_id", "jid"))
           .select($"id1", $"id2", round($"jaccard", 6).as("jacc"))
           .orderBy($"jacc".desc, $"id1", $"id2")
           .limit(50)
+        res
       },
       Some(s"""WITH $duckShingleBase,
               |mh AS (
@@ -169,11 +176,13 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings").filter($"vec_id" < 100)
-        val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
-        val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+        val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"),
+          Similarity.normExact($"embedding").as("n1"))
+        val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"),
+          Similarity.normExact($"embedding").as("n2"))
         a.join(b, col("id1") < col("id2"))
           .select($"id1", $"id2",
-            round(Similarity.cosineExact($"e1", $"e2"), 9).as("cosine"))
+            round(Similarity.dotExact($"e1", $"e2") / ($"n1" * $"n2"), 9).as("cosine"))
           .orderBy($"cosine".desc, $"id1", $"id2")
           .limit(20)
       },
