@@ -23,7 +23,8 @@ object SparkEntry {
     Scalars.queries,
     EventsQ.queries,
     Llm.queries,
-    SpecQ.queries
+    SpecQ.queries,
+    Extras.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

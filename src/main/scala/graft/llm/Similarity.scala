@@ -50,32 +50,31 @@ object Similarity {
     * Vectors sharing the full sign pattern land in one bucket; top-k runs within
     * buckets only (approximate, BENCH-only — not oracle-hashed). */
   def lshBuckets(vecs: DataFrame, numPlanes: Int, dims: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
     // plane p component d in [-1, 1): derived from a 64-bit hash, fully deterministic
-    val planeVals: Seq[Seq[Double]] = (0 until numPlanes).map { p =>
-      (0 until dims).map { d =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(s"plane$p-dim$d")
-        (h.toDouble / Int.MaxValue)
-      }
-    }
     val sigBits = (0 until numPlanes).map { p =>
-      val plane = planeVals(p)
-      val dot = (0 until dims).map { d =>
-        element_at(col("embedding"), d + 1).cast("double") * lit(plane(d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      val plane = array((0 until dims).map { d =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"plane$p-dim$d")
+        lit((h.toDouble / Int.MaxValue).toFloat)
+      }: _*)
+      when(vec_dot(col("embedding"), plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     vecs.withColumn("bucket", concat(sigBits: _*))
   }
 
-  /** ANN top-k via sign-LSH buckets: exact cosine within each bucket. */
+  /** ANN top-k via sign-LSH buckets: codegen'd cosine within each bucket only — the
+    * 100 TB path (bucket equi-join replaces the cross join; BENCH-only, approximate). */
   def lshTopK(vecs: DataFrame, k: Int, numPlanes: Int, dims: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine_fast, vec_norm}
     val bucketed = lshBuckets(vecs, numPlanes, dims)
     val a = bucketed.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-      col("bucket"))
+      vec_norm(col("embedding")).as("qn"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("vid"), col("embedding").as("cvec"),
-      col("bucket"))
+      vec_norm(col("embedding")).as("cn"), col("bucket"))
     val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("vid"))
-      .withColumn("cosine", cosineExact(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vec_dot(col("qvec"), col("cvec")) /
+          (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "vid", "cosine")

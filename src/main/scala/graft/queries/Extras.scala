@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import QueryDSL._
+
+/** Remaining source formats, the exec-parity pipe stage, and the approximate
+  * (BENCH-only, rows-only-checked) operator variants. */
+object Extras {
+
+  val queries: Seq[Q] = Seq(
+    Q("orc_roundtrip_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/orc_roundtrip"
+        t(s, dir, "supplier").coalesce(1).write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy($"s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    Q("text_roundtrip_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/text_roundtrip"
+        t(s, dir, "region").select(concat_ws("|", $"r_regionkey", $"r_name").as("value"))
+          .coalesce(1).write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(
+            split($"value", "\\|").getItem(0).cast("int").as("r_regionkey"),
+            split($"value", "\\|").getItem(1).as("r_name"))
+          .orderBy($"r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // Exec-parity opaque stage: rows streamed through a real subprocess (grep) per
+    // partition, parsed back, aggregated — oracle-checked against the equivalent
+    // relational filter.
+    Q("pipe_subprocess_filter",
+      (s, dir) => {
+        import s.implicits._
+        val in = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+        val piped = graft.ops.Pipe.pipeTsv(in,
+          Seq("grep", "-E", "A$"),
+          StructType.fromDDL(
+            "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING"))
+        piped.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+              |FROM lineitem WHERE l_returnflag = 'A'
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Approximate operators — BENCH-only per BASELINE.md determinism rules: rows-only
+    // driver check (no hash compare against DuckDB), exact twins carry t2 coverage.
+    Q("approx_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+            approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    Q("approx_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+            percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ANN similarity via sign-LSH buckets (codegen'd vec_dot) — the approximate
+    // BENCH-scale twin of sim_cosine_topk.
+    Q("sim_cosine_topk_lsh",
+      (s, dir) => {
+        import s.implicits._
+        graft.llm.Similarity.lshTopK(t(s, dir, "embeddings"), k = 5,
+            numPlanes = 6, dims = 64)
+          .select($"qid", $"rank", $"vid", round($"cosine", 6).as("cosine"))
+          .orderBy($"qid", $"rank")
+      },
+      None)
+  )
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("vec_dot matches the decimal-exact HOF formulation to 1e-9") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf).limit(50).cache()
+    val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+    val pairs = a.join(b, $"id1" < $"id2")
+      .select(
+        VectorFunctions.vec_dot($"e1", $"e2").as("fast"),
+        graft.llm.Similarity.dotExact($"e1", $"e2").as("exact"))
+    val maxDiff = pairs.agg(max(abs($"fast" - $"exact"))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"maxDiff=$maxDiff")
+  }
+
+  test("vec_dot interpreted eval (no codegen) agrees with codegen") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val v = df.select(VectorFunctions.vec_dot($"a", $"b")).head().getDouble(0)
+    assert(math.abs(v - 32.0) < 1e-12)
+    // interpreted path
+    val row = df.select($"a", $"b").head()
+    val expr = FloatVecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f, 3.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4.0f, 5.0f, 6.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(expr.eval(null).asInstanceOf[Double] == 32.0)
+  }
+
+  test("vec_dot is registered for SQL via GraftExtensions") {
+    import spark.implicits._
+    Seq((Array(1.0f, 1.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vt")
+    val v = spark.sql("SELECT vec_dot(a, b) AS d FROM vt").head().getDouble(0)
+    assert(v == 5.0)
+  }
+
+  test("vec_dot rejects non-float-array inputs at analysis") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b") // array<double>
+    intercept[Exception] {
+      df.select(VectorFunctions.vec_dot($"a", $"b")).head()
+    }
+  }
+
+  test("lshTopK returns ranked neighbors from shared buckets") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val res = graft.llm.Similarity.lshTopK(e, k = 3, numPlanes = 4, dims = 64)
+    assert(res.count() > 0)
+    assert(res.filter(col("rank") > 3).count() == 0)
+  }
+
+  test("VectorMean aggregator computes element-wise means via partial+final agg") {
+    import spark.implicits._
+    val ds = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)), (1, Array(10.0f, 0.0f)))
+      .toDS()
+    val agg = new Aggregators.VectorMean(2).toColumn
+    val got = ds.groupByKey(_._1).mapValues(_._2).agg(agg).collect().toMap
+    assert(got(0).toSeq == Seq(2.0, 4.0))
+    assert(got(1).toSeq == Seq(10.0, 0.0))
+  }
+
+  test("TopK aggregator keeps exactly k best with deterministic tie-break") {
+    import spark.implicits._
+    val ds = Seq((1, 0.5, 10L), (1, 0.9, 11L), (1, 0.9, 12L), (1, 0.1, 13L))
+      .toDS()
+    val agg = new Aggregators.TopK(2).toColumn
+    val got = ds.groupByKey(_._1).mapValues(t => (t._2, t._3)).agg(agg).collect().toMap
+    assert(got(1) == Seq((0.9, 11L), (0.9, 12L)))
+  }
+}
