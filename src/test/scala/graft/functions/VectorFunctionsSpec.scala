@@ -6,12 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class VectorFunctionsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark = {
+    // getOrCreate may return a session created by another suite in this JVM,
+    // in which case .withExtensions is silently ignored — register explicitly.
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    VectorFunctions.register(s)
+    s
+  }
 
   private val sf = "/root/testdata/sf0.001"
 
