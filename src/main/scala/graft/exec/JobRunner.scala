@@ -63,7 +63,7 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println) {
       return
     }
 
-    val ctx = new JobContext(spark, resolved.data)
+    val ctx = new JobContext(spark, resolved.data, log)
     val n = selected.size
     selected.zipWithIndex.foreach { case ((cmd, _), i) =>
       val label = cmd.name.getOrElse(cmd.task)

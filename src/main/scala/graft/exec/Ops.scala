@@ -7,7 +7,8 @@ import graft.spec.{EnvValue, SpecError}
 /** Mutable per-job state: named DataFrame handoff (the engine's analogue of the
   * reference's file-based data plane — results are temp views instead of files on
   * disk, parquet checkpoints when a command asks for one). */
-final class JobContext(val spark: SparkSession, val dataDir: String) {
+final class JobContext(val spark: SparkSession, val dataDir: String,
+    val log: String => Unit = println) {
   def view(name: String): DataFrame =
     try spark.table(name)
     catch { case _: Exception => throw SpecError(s"no such view '$name'") }
@@ -82,6 +83,16 @@ object Ops {
     "show" -> { (ctx, env) =>
       ctx.view(str(env, "INPUT"))
         .show(opt(env, "LIMIT").map(_.toInt).getOrElse(20), truncate = false)
+    },
+    // Nested job (reference R13: a task runs the CLI on an inner manifest,
+    // tests/test_end_to_end.py:434-519): pipeline-as-operator on the same session,
+    // so inner temp views land in the shared catalog exactly like inner output
+    // files land in the shared filesystem for the reference.
+    "run-job" -> { (ctx, env) =>
+      val job = graft.spec.Yaml.jobFromFile(str(env, "PATH"))
+      new JobRunner(ctx.spark, m => ctx.log(s"  [nested] $m"))
+        .execute(job, opt(env, "COMMANDS").map(c => Seq(c)),
+          dryrun = opt(env, "DRYRUN").exists(_.equalsIgnoreCase("true")))
     }
   )
 
@@ -105,7 +116,9 @@ object Ops {
       "PARTITION_BY" -> optIn),
     "write-csv" -> Map("INPUT" -> req, "PATH" -> req, "MODE" -> optIn),
     "show" -> Map("INPUT" -> req,
-      "LIMIT" -> TaskInput(required = false, inputType = Some(InputType.TInt)))
+      "LIMIT" -> TaskInput(required = false, inputType = Some(InputType.TInt))),
+    "run-job" -> Map("PATH" -> req, "COMMANDS" -> optIn,
+      "DRYRUN" -> TaskInput(required = false, inputType = Some(InputType.TBool)))
   ).map { case (name, schema) =>
     name -> Task(name = name, body = TaskBody.SparkOp(name), env = schema)
   }

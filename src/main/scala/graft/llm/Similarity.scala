@@ -80,6 +80,68 @@ object Similarity {
       .select("qid", "rank", "vid", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids partitions the
+    * corpus into lists; each query searches only its `nprobe` nearest lists. The
+    * 100 TB path when sign-LSH buckets skew: list sizes are balanced by k-means-style
+    * refinement, and the probe join is an equi-join on list id (never a cross join
+    * against the corpus).
+    *
+    * Deterministic everywhere: seeds are the `nlist` lowest vec_ids (no RNG), one
+    * refinement sweep (assign → exact mean), ties broken by list id. Approximate —
+    * BENCH-only, never oracle-hashed. */
+  def ivfTopK(vecs: DataFrame, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine_fast, vec_dot, vec_norm}
+    import org.apache.spark.sql.functions.broadcast
+
+    // seed centroids: nlist lowest ids — deterministic, tiny (nlist × dims floats)
+    val seeds = vecs.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("seed_ord"), col("embedding").as("cent"))
+      .withColumn("list_id", row_number().over(Window.orderBy(col("seed_ord"))) - 1)
+      .select("list_id", "cent")
+
+    // assignment = argmax cosine over the broadcast centroid set (map-side only)
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(cents))
+        .withColumn("aff", cosine_fast(col("embedding"), col("cent")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("list_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+    }
+
+    // one k-means sweep: exact element-wise mean per list (nlist×dims rows — tiny)
+    val assigned0 = assign(seeds)
+    val refined = assigned0
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("list_id", "pos")
+      .agg(avg(col("v").cast("double")).cast("float").as("cv"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("list_id"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+
+    val lists = assign(refined)
+      .select(col("vec_id").as("vid"), col("embedding").as("cvec"),
+        vec_norm(col("embedding")).as("cn"), col("list_id"))
+
+    // probe: each query joins only its nprobe nearest lists (equi-join on list_id)
+    val qProbe = {
+      val scored = vecs.crossJoin(broadcast(refined))
+        .withColumn("aff", cosine_fast(col("embedding"), col("cent")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("list_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          vec_norm(col("embedding")).as("qn"), col("list_id"))
+    }
+
+    val scored = qProbe.join(lists, Seq("list_id")).filter(col("qid") =!= col("vid"))
+      .withColumn("cosine", vec_dot(col("qvec"), col("cvec")) /
+        (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cosine")
+  }
+
   /** Per-label centroids, exactly: explode positions, decimal-mean per (label, pos).
     * Returns (label, pos, centroid_val) — the distributed form of a vector mean. */
   def labelCentroids(vecs: DataFrame): DataFrame =

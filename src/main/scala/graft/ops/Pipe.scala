@@ -26,6 +26,13 @@ object Pipe {
     lines.toDF("value").select(cols.toIndexedSeq: _*)
   }
 
+  /** Wrap a filter-style shell command so that exit code 1 (grep's "no lines
+    * matched") is not an error: with many partitions some will legitimately
+    * produce zero matches, and Spark's PipedRDD fails the task on any nonzero
+    * exit. Codes >1 still propagate as task failures (R11 error parity). */
+  def shellTolerant(cmd: String): Seq[String] =
+    Seq("sh", "-c", s"$cmd; ec=$$?; [ $$ec -le 1 ] || exit $$ec")
+
   /** Raw line pipe: Dataset[String] through `cmd`. */
   def pipeLines(ds: Dataset[String], cmd: Seq[String]): Dataset[String] = {
     val spark = ds.sparkSession

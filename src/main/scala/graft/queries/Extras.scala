@@ -41,7 +41,7 @@ object Extras {
         val in = t(s, dir, "lineitem")
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
         val piped = graft.ops.Pipe.pipeTsv(in,
-          Seq("grep", "-E", "A$"),
+          graft.ops.Pipe.shellTolerant("grep -E 'A$'"),
           StructType.fromDDL(
             "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING"))
         piped.groupBy($"l_returnflag")
@@ -73,6 +73,19 @@ object Extras {
           .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
             percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"))
           .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ANN similarity via IVF coarse quantization (codegen'd vec_dot): nlist
+    // centroid lists, nprobe probed per query — the skew-robust approximate twin
+    // of sim_cosine_topk (BENCH-only, rows-only).
+    Q("sim_cosine_topk_ivf",
+      (s, dir) => {
+        import s.implicits._
+        graft.llm.Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5,
+            nlist = 16, nprobe = 2)
+          .select($"qid", $"rank", $"vid", round($"cosine", 6).as("cosine"))
+          .orderBy($"qid", $"rank")
       },
       None),
 

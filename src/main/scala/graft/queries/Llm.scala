@@ -64,13 +64,14 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        // checkpoint the shingle frame to scratch parquet: both consumers (signatures
-        // + verification) read it back without recomputation, and nothing lingers in
-        // executor memory after the query — the pattern that survives 100 TB
-        val shPath = s"${Sinks.scratchDir}/minhash_shingles"
-        Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
-          .write.mode("overwrite").parquet(shPath)
-        val sh = s.read.parquet(shPath)
+        // persist the shingle frame once for its two consumers (signatures +
+        // verification): MEMORY_AND_DISK spills instead of OOMing, so the same plan
+        // holds on a cluster (at 100 TB each executor caches only its partitions;
+        // a parquet checkpoint would pay a full extra write+read of the largest
+        // intermediate). Materialized eagerly so both consumers hit the cache.
+        val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sh.count()
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
         val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8, bandSize = 2)
         val res = Dedup.jaccardFromShingles(cand, sh.withColumnRenamed("doc_id", "jid"))

@@ -54,6 +54,41 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(log.exists(_.contains("completed")))
   }
 
+  test("nested job via run-job op: inner manifest executes on the same session") {
+    val data = tmp()
+    val innerPath = s"$data/inner.yml"
+    Files.writeString(Paths.get(innerPath),
+      s"""name: inner
+         |data: $data/inner-data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: inner_regions
+         |  - name: save
+         |    task: write-parquet
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      path: $${job.data}/out
+         |""".stripMargin)
+    val job = Yaml.jobFromString(
+      s"""name: outer
+         |data: $data
+         |commands:
+         |  - name: delegate
+         |    task: run-job
+         |    env:
+         |      path: $innerPath
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job)
+    assert(spark.read.parquet(s"$data/inner-data/out").count() == 5)
+    // inner views share the outer catalog (analogue of the shared filesystem)
+    assert(spark.table("inner_regions").count() == 5)
+    assert(log.exists(_.contains("[nested]")))
+  }
+
   test("dryrun prints resolved manifest and executes nothing") {
     val data = tmp()
     val job = Yaml.jobFromString(

@@ -74,6 +74,18 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(res.filter(col("rank") > 3).count() == 0)
   }
 
+  test("ivfTopK probes nearest lists and finds most brute-force neighbors") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val ivf = graft.llm.Similarity.ivfTopK(e, k = 5, nlist = 8, nprobe = 4)
+    assert(ivf.filter(col("rank") > 5).count() == 0)
+    val exact = graft.llm.Similarity.bruteForceTopK(e.limit(10), e, k = 5)
+      .select("qid", "vid")
+    val hits = ivf.select("qid", "vid").join(exact, Seq("qid", "vid")).count()
+    val total = exact.count()
+    // probing half the lists must recover well over half the true neighbors
+    assert(hits >= total / 2, s"recall too low: $hits/$total")
+  }
+
   test("VectorMean aggregator computes element-wise means via partial+final agg") {
     import spark.implicits._
     val ds = Seq(
