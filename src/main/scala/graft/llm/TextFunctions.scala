@@ -81,4 +81,27 @@ object TextFunctions {
   /** Content fingerprint: digest of the token-normalized text. Two documents with the
     * same token stream (ignoring case/punctuation/spacing) collide. */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+
+  /** Token-normalized character stream (input of the rolling-hash fingerprints). */
+  def normalizedText(text: Column): Column = concat_ws(" ", tokens(text))
+
+  /** Rolling char k-gram hashes over an ALREADY-STAGED normalized-text column.
+    * IMPORTANT: pass a real column, not an expression — HOF lambdas re-evaluate free
+    * subexpressions per element, so an inline normalize would re-run per position. */
+  def charGramHashes(norm: Column, k: Int): Column =
+    when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => md5(norm.substr(i, lit(k)))))
+      .otherwise(array())
+
+  /** Winnowing (Schleimer et al., SIGMOD 2003) over a STAGED gram-hash column: the
+    * distinct set of per-window minima — the standard rolling-hash document
+    * fingerprint. Guarantee: any shared substring of length ≥ k+w-1 yields a shared
+    * print. Documents shorter than w grams contribute their single overall minimum. */
+  def winnowPrints(grams: Column, w: Int): Column =
+    when(size(grams) === 0, array())
+      .when(size(grams) < w, array(array_min(grams)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(grams) - (w - 1)),
+          j => array_min(slice(grams, j, lit(w))))))
 }

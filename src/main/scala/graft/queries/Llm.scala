@@ -72,7 +72,11 @@ object Llm {
         val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sh.count()
+        // persist the signature frame as well: the banded candidate generation is a
+        // self-join, and without a materialized input both join sides re-run the
+        // minhash aggregation (one row per doc — tiny at any scale)
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8, bandSize = 2)
         val res = Dedup.jaccardFromShingles(cand, sh.withColumnRenamed("doc_id", "jid"))
           .select($"id1", $"id2", round($"jaccard", 6).as("jacc"))
@@ -391,6 +395,43 @@ object Llm {
               |  md5(array_to_string(${duckToks("text")}, ' ')) AS fingerprint,
               |  substring(md5(array_to_string(${duckToks("text")}, ' ')), 1, 2) AS bucket
               |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing rolling-hash fingerprint (char 8-grams, window 4): shared substrings
+    // of length >= 11 guarantee shared prints. Each stage is staged as a real column
+    // (HOF lambdas re-evaluate free subexpressions, so inlining would be quadratic).
+    Q("text_winnow_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 150)
+          .select($"doc_id", TF.normalizedText($"text").as("nt"))
+          .select($"doc_id", TF.charGramHashes($"nt", 8).as("grams"))
+          .select($"doc_id", TF.winnowPrints($"grams", 4).as("prints"))
+          .select($"doc_id",
+            size($"prints").as("n_prints"),
+            md5(concat_ws("", array_sort($"prints"))).as("winnow_sig"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH norm AS (
+              |  SELECT doc_id, array_to_string(${duckToks("text")}, ' ') AS nt
+              |  FROM documents WHERE doc_id < 150),
+              |g AS (
+              |  SELECT doc_id,
+              |    CASE WHEN length(nt) >= 8
+              |      THEN list_transform(range(1, length(nt) - 6),
+              |             i -> md5(substring(nt, CAST(i AS INT), 8)))
+              |      ELSE [] END AS grams
+              |  FROM norm),
+              |w AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(grams) = 0 THEN []
+              |         WHEN len(grams) < 4 THEN [list_min(grams)]
+              |         ELSE list_distinct(list_transform(range(1, len(grams) - 2),
+              |                j -> list_min(grams[j:j+3])))
+              |    END AS prints
+              |  FROM g)
+              |SELECT doc_id, len(prints) AS n_prints,
+              |  md5(array_to_string(list_sort(prints), '')) AS winnow_sig
+              |FROM w ORDER BY doc_id""".stripMargin)),
 
     Q("multimodal_binary_meta",
       (s, dir) => {
