@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2b "Streaming"): the same windowing /
@@ -83,6 +85,45 @@ object Streaming {
           state.update((n, t))
           UserTotal(uid, n, t)
       }
+  }
+
+  final case class UserPeak(user_id: Long, n: Long, peak: Double)
+
+  /** Arbitrary keyed state via the Spark 4 `transformWithState` API: per-user event
+    * count + running peak held in two explicit `ValueState` cells on the RocksDB
+    * state store. Unlike mapGroupsWithState, state cells are typed/named/TTL-capable
+    * and the processor can emit any number of rows per input batch — the long-term
+    * replacement API for custom streaming state. */
+  class UserPeakProcessor extends StatefulProcessor[Long, (Long, Double), UserPeak] {
+    @transient private var nState: ValueState[Long] = _
+    @transient private var peakState: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      peakState =
+        getHandle.getValueState[Double]("peak", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserPeak] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var peak = if (peakState.exists()) peakState.get() else Double.NegativeInfinity
+      rows.foreach { case (_, v) => n += 1; if (v > peak) peak = v }
+      nState.update(n)
+      peakState.update(peak)
+      Iterator.single(UserPeak(key, n, peak))
+    }
+  }
+
+  /** transformWithState wiring (requires the RocksDB state store provider). */
+  def runningUserPeaks(spark: SparkSession, events: DataFrame): Dataset[UserPeak] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserPeakProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Drive any streaming frame to a memory sink until the source is drained; returns

@@ -78,6 +78,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n") =!= col("wn")).isEmpty)
   }
 
+  test("transformWithState running peaks converge to batch aggregates") {
+    val got = Streaming.runToMemory(spark,
+      Streaming.runningUserPeaks(spark, Streaming.eventsStream(spark, sf)).toDF(),
+      "t_tws", OutputMode.Update())
+    // update mode emits one row per key per batch; the final n/peak per key must
+    // equal the batch count/max
+    val last = got.groupBy("user_id")
+      .agg(max(col("n")).as("n"), max(col("peak")).as("peak"))
+    val want = batchEvents.groupBy(col("user_id").as("uid"))
+      .agg(count(lit(1)).as("wn"), max(col("value")).as("wpeak"))
+    val joined = last.join(want, last("user_id") === want("uid"))
+    assert(joined.filter(col("n") =!= col("wn") || col("peak") =!= col("wpeak")).isEmpty)
+    assert(last.count() == want.count())
+  }
+
   test("parquet streaming sink writes append results with checkpoint") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Streaming.runToParquet(
