@@ -1,0 +1,81 @@
+package graft.spec
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the spec layer (SURVEY.md §5): key conforming is
+  * idempotent, fuzzy lookup is spelling-invariant, `$$` escaping round-trips through
+  * the placeholder scanner, and whole-match type retention holds for arbitrary
+  * env values. */
+object PropertySpec extends Properties("spec") {
+
+  private val keyGen: Gen[String] = for {
+    head <- Gen.alphaChar
+    tail <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('-'), Gen.const('_')))
+  } yield (head :: tail).mkString
+
+  property("snake is idempotent") = forAll(keyGen) { k =>
+    Keys.snake(Keys.snake(k)) == Keys.snake(k)
+  }
+
+  property("envKey is idempotent") = forAll(keyGen) { k =>
+    Keys.envKey(Keys.envKey(k)) == Keys.envKey(k)
+  }
+
+  property("snake and envKey agree modulo case") = forAll(keyGen) { k =>
+    Keys.envKey(k).toLowerCase == Keys.snake(k)
+  }
+
+  /** Random respelling that fuzzy lookup must treat as the same key. */
+  private def respell(k: String): Gen[String] =
+    Gen.sequence[List[Char], Char](k.toList.map {
+      case '-' | '_' => Gen.oneOf('-', '_')
+      case c => Gen.oneOf(c.toLower, c.toUpper)
+    }).map(_.mkString)
+
+  property("fuzzyGet finds any respelling") = forAll(keyGen) { k =>
+    forAll(respell(k)) { k2 =>
+      Keys.fuzzyGet(Map(k -> 1), k2).contains(1)
+    }
+  }
+
+  private val tmpData =
+    java.nio.file.Files.createTempDirectory("graft-prop").toString
+
+  private def resolveOne(env: Map[String, EnvValue],
+      cmdEnv: Map[String, EnvValue]): Map[String, EnvValue] =
+    Placeholders.resolve(
+      Job(name = "p", data = tmpData, env = env,
+        commands = List(Command(None, "t", cmdEnv))))
+      .commands.head.env
+
+  // printable text without placeholder-active characters
+  private val litGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', ':', '/', '!')))
+      .map(_.mkString)
+
+  property("$$-escaped literals round-trip") = forAll(litGen, litGen, litGen) {
+    (a, b, c) =>
+      val raw = s"$a$$$$$b$$$$$c" // a$$b$$c — escapes, no references
+      val r = resolveOne(Map.empty, Map("K" -> EnvValue.Str(raw)))
+      r("K") == EnvValue.Str(s"$a$$$b$$$c")
+  }
+
+  private val envValGen: Gen[EnvValue] = Gen.oneOf(
+    Gen.choose(Long.MinValue, Long.MaxValue).map(EnvValue.IntV),
+    Gen.choose(-1e9, 1e9).map(EnvValue.FloatV),
+    Gen.oneOf(true, false).map(EnvValue.BoolV),
+    litGen.map(EnvValue.Str))
+
+  property("whole-match reference retains the exact value and type") =
+    forAll(envValGen) { v =>
+      val r = resolveOne(Map("X" -> v), Map("K" -> EnvValue.Str("${job.env.X}")))
+      r("K") == v
+    }
+
+  property("embedded reference stringifies via render") = forAll(envValGen) { v =>
+    val r = resolveOne(Map("X" -> v),
+      Map("K" -> EnvValue.Str("a ${job.env.X} b")))
+    r("K") == EnvValue.Str(s"a ${v.render} b")
+  }
+}
