@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for extreme key skew (SURVEY.md §4 / 100 TB design rules).
+  *
+  * AQE's skew-join splits oversized partitions at runtime, which covers moderate
+  * skew; explicit salting is the remedy when a single hot key exceeds what one
+  * reducer can hold. The fact side gets a deterministic per-row salt in
+  * [0, nSalts); the dimension side is replicated once per salt; joining on
+  * (key, salt) spreads each hot key over nSalts reducers. Exact join semantics are
+  * preserved: every (fact row, dim row) pair appears exactly once, because a fact
+  * row carries one salt and the dim row's replica for that salt is unique.
+  *
+  * Replication cost is nSalts × |dim| — use only when dim is the small side
+  * (the same precondition as broadcasting; salting applies when the dim is too big
+  * to broadcast but the fact's key histogram is spiked). */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner or left equi-join of `fact` to `dim` on `key`, salted `nSalts` ways.
+    * Salt = hash of the whole fact row — deterministic, uniform, and independent of
+    * partitioning (no RNG: respects engine reproducibility rules). */
+  def salted(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"salted join supports inner/left, got $joinType")
+    val saltedFact = fact.withColumn(SaltCol,
+      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(nSalts))
+        .cast("int"))
+    val replicatedDim = dim.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, SaltCol), joinType).drop(SaltCol)
+  }
+}

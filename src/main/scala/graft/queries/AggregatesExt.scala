@@ -11,6 +11,48 @@ import QueryDSL._
 object AggregatesExt {
 
   val queries: Seq[Q] = Seq(
+    // Pivot with an explicit value list (no extra distinct-values pass — at scale
+    // the implicit-values form needs one full scan just to enumerate columns).
+    Q("agg_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum($"l_quantity"))
+          .select($"l_linestatus", $"A".as("qty_a"), $"N".as("qty_n"),
+            $"R".as("qty_r"))
+          .orderBy($"l_linestatus")
+      },
+      Some(s"""SELECT l_linestatus,
+              |  ${sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+              |  ${sqlDsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+              |  ${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // Unpivot/melt (wide → long): ids stay, value columns become (metric, val) rows.
+    Q("unpivot_melt",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 100)
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+            "metric", "val")
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+             |  FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |  FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |  FROM lineitem WHERE l_orderkey < 100)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     Q("agg_cube",
       (s, dir) => {
         import s.implicits._

@@ -165,6 +165,23 @@ object Joins {
               |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
               |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
 
+    // Salted skew join: identical semantics to the plain equi-join (the oracle IS
+    // the plain join); the salt spreads any hot l_suppkey over 8 reducers.
+    Q("join_skew_salted",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_suppkey", $"l_quantity")
+        val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+        graft.ops.SkewJoin.salted(li, sup, "l_suppkey", nSalts = 8)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+          .orderBy($"s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // As-of join: for each event, the most recent order of that customer at or before
     // the event timestamp. Equi-join on the key + windowed pick — shuffles once on
     // user_id, no cross product; the scalable formulation of ASOF JOIN.
