@@ -99,15 +99,18 @@ object Similarity {
       .withColumn("list_id", row_number().over(Window.orderBy(col("seed_ord"))) - 1)
       .select("list_id", "cent")
 
-    // assignment = argmax cosine over the broadcast centroid set (map-side only)
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(cents))
+    // assignment = argmax cosine over the broadcast centroid set. max_by instead of
+    // a window: partial aggregation collapses the ×nlist expansion map-side, so the
+    // shuffle carries one row per vector, not nlist rows (the window formulation
+    // sort-shuffles the whole expansion).
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
         .withColumn("aff", cosine_fast(col("embedding"), col("cent")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("aff").desc, col("list_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("embedding")).as("embedding"),
+          max_by(col("list_id"), struct(col("aff"), -col("list_id"))).as("list_id"))
         .select(col("vec_id"), col("embedding"), col("list_id"))
-    }
 
     // one k-means sweep: exact element-wise mean per list (nlist×dims rows — tiny)
     val assigned0 = assign(seeds)

@@ -165,6 +165,42 @@ object Joins {
               |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
               |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
 
+    // Bucketed co-located join: both fact tables written bucketBy(orderkey) with the
+    // same bucket count, so the join needs NO shuffle of either side (SortMergeJoin
+    // reads matching buckets directly — verify via explain: no Exchange below the
+    // join). At 100 TB this is the pattern for repeated fact-fact joins: pay the
+    // bucketed write once, join shuffle-free forever after.
+    Q("join_bucketed_colocated",
+      (s, dir) => {
+        import s.implicits._
+        // a fresh session's in-memory catalog doesn't know about managed-table
+        // locations left by previous JVMs — drop both, then clear stale dirs
+        Seq("li_bucketed", "o_bucketed").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("li_bucketed")
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("o_bucketed")
+        // MERGE hint: at small SF the dim side fits the broadcast threshold, which
+        // would hide the point — force the sort-merge path to demonstrate that the
+        // bucket layout joins with no Exchange under the join (the 100 TB fact-fact
+        // case, where broadcasting is impossible anyway).
+        s.table("li_bucketed").hint("merge")
+          .join(s.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Salted skew join: identical semantics to the plain equi-join (the oracle IS
     // the plain join); the salt spreads any hot l_suppkey over 8 reducers.
     Q("join_skew_salted",
