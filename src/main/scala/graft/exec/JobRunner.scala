@@ -21,14 +21,22 @@ final case class TaskFailure(command: String, returncode: Int)
   *     already resolved and stay referenceable (command.py:45-51)
   *  6. a non-zero task → TaskFailure aborts the job
   *
-  * `dryrun` prints the fully-resolved manifest instead of executing. */
-final class JobRunner(spark: SparkSession, log: String => Unit = println) {
+  * `dryrun` prints the fully-resolved manifest instead of executing.
+  *
+  * `context` (optional) renders JOB/COMMAND scopes through a [[ContextLogger]]
+  * (reference R15 nested log contexts); without it, plain lines go to `log`. */
+final class JobRunner(spark: SparkSession, log: String => Unit = println,
+    context: Option[ContextLogger] = None) {
+
+  /** Ordinary output line, routed through the context prefixes when present. */
+  private def out(msg: String): Unit =
+    context.map(_.line(msg)).getOrElse(log(msg))
 
   def execute(job: Job, commands: Option[Seq[String]] = None,
       dryrun: Boolean = false): Unit = {
-    val resolved = Placeholders.resolve(job, sys.env, w => log(s"WARNING: $w"))
+    val resolved = Placeholders.resolve(job, sys.env, w => out(s"WARNING: $w"))
     val registry = {
-      val discovered = Registry.discover(resolved.tasks, w => log(s"WARNING: $w"))
+      val discovered = Registry.discover(resolved.tasks, w => out(s"WARNING: $w"))
       Ops.taskSpecs.values.foldLeft(discovered) { (r, spec) =>
         if (r.get(spec.name).isDefined) r else r.withTask(spec)
       }
@@ -49,34 +57,38 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println) {
     val errors = selected.flatMap { case (cmd, _) =>
       val task = registry.get(cmd.task).getOrElse(
         throw SpecError(s"unknown task '${cmd.task}'"))
-      Validation.validate(task, cmd.env, w => log(s"WARNING: $w"))
+      Validation.validate(task, cmd.env, w => out(s"WARNING: $w"))
     }
     if (errors.nonEmpty)
       throw SpecError("input validation failed:\n  " + errors.mkString("\n  "))
 
     if (dryrun) {
-      log(s"DRYRUN: job '${resolved.name}' data=${resolved.data}")
+      out(s"DRYRUN: job '${resolved.name}' data=${resolved.data}")
       selected.foreach { case (cmd, i) =>
-        log(s"DRYRUN: [${i + 1}/${selected.size}] ${cmd.name.getOrElse(cmd.task)} " +
+        out(s"DRYRUN: [${i + 1}/${selected.size}] ${cmd.name.getOrElse(cmd.task)} " +
           s"task=${cmd.task} skip=${cmd.skip} env=${renderEnv(cmd.env)}")
       }
       return
     }
 
-    val ctx = new JobContext(spark, resolved.data, log)
+    context.foreach(_.jobStart(resolved.name))
+    val ctx = new JobContext(spark, resolved.data, out)
     val n = selected.size
     selected.zipWithIndex.foreach { case ((cmd, _), i) =>
       val label = cmd.name.getOrElse(cmd.task)
-      if (cmd.skip) log(s"COMMAND [${i + 1}/$n] '$label' skipped")
+      if (cmd.skip) out(s"COMMAND [${i + 1}/$n] '$label' skipped")
       else {
-        log(s"COMMAND [${i + 1}/$n] '$label' (task ${cmd.task})")
+        context.map(_.commandStart(label, i + 1, n))
+          .getOrElse(log(s"COMMAND [${i + 1}/$n] '$label' (task ${cmd.task})"))
         val task = registry.get(cmd.task).get
         val env = Validation.withDefaults(task, cmd.env)
         val rc = executeTask(task, env, ctx)
+        context.foreach(_.commandEnd())
         if (rc != 0) throw TaskFailure(label, rc)
       }
     }
-    log(s"JOB '${resolved.name}' completed")
+    context.map(_.jobEnd(resolved.name))
+      .getOrElse(log(s"JOB '${resolved.name}' completed"))
   }
 
   private def renderEnv(env: Map[String, EnvValue]): String =
@@ -109,7 +121,7 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println) {
       new java.io.InputStreamReader(proc.getInputStream))
     try {
       var line = reader.readLine()
-      while (line != null) { log(s"  ${task.name}: $line"); line = reader.readLine() }
+      while (line != null) { out(s"  ${task.name}: $line"); line = reader.readLine() }
     } finally reader.close()
     proc.waitFor()
   }

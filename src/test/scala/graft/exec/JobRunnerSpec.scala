@@ -54,6 +54,32 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(log.exists(_.contains("completed")))
   }
 
+  test("context logger renders nested JOB/COMMAND frames (reference R15)") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: framed
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: fr_regions
+         |""".stripMargin)
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    val ctx = new ContextLogger(m => buf += m, style = "box", timestamps = false)
+    new JobRunner(spark, m => buf += m, Some(ctx)).execute(job)
+    assert(buf.exists(_.startsWith("╔══ JOB framed")))
+    assert(buf.exists(_.contains("┌─ COMMAND [1/1] load")))
+    assert(buf.exists(_.startsWith("╚══ JOB framed complete")))
+    // plain style has no frames, indentation only
+    val buf2 = scala.collection.mutable.ListBuffer[String]()
+    val ctx2 = new ContextLogger(m => buf2 += m, style = "plain", timestamps = false)
+    new JobRunner(spark, m => buf2 += m, Some(ctx2)).execute(job)
+    assert(buf2.exists(_.startsWith("JOB framed")))
+    assert(!buf2.exists(_.contains("╔")))
+  }
+
   test("nested job via run-job op: inner manifest executes on the same session") {
     val data = tmp()
     val innerPath = s"$data/inner.yml"
