@@ -20,6 +20,24 @@ object Llm {
       |         i -> array_to_string(tk[i:i+2], ' ')))
       |  ELSE [] END""".stripMargin
 
+  /** DuckDB CTE `sh(doc_id, simhash16)` mirroring [[Dedup.simhash16]] for
+    * doc_id < 200 (md5-nibble bit votes over the distinct token set). */
+  private lazy val duckSimhashUnder200: String = {
+    val bitSums = (0 until 16).map(i =>
+      s"SUM(CASE WHEN instr('89abcdef', substring(md5(tok), ${i + 1}, 1)) > 0 " +
+        s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+    val bitVal = (0 until 16).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${duckToks("text")})) AS tok
+       |  FROM documents WHERE doc_id < 200),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bitVal AS simhash16 FROM votes)""".stripMargin
+  }
+
   private val duckShingleBase =
     s"""toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
        |shing AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks)""".stripMargin
@@ -159,22 +177,31 @@ object Llm {
         Dedup.simhash16(t(s, dir, "documents").filter($"doc_id" < 200), "doc_id", "text")
           .orderBy($"doc_id")
       },
-      Some {
-        val bitSums = (0 until 16).map(i =>
-          s"SUM(CASE WHEN instr('89abcdef', substring(md5(tok), ${i + 1}, 1)) > 0 " +
-            s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
-        val bitVal = (0 until 16).map(i =>
-          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, unnest(list_distinct(${duckToks("text")})) AS tok
-           |  FROM documents WHERE doc_id < 200),
-           |votes AS (
-           |  SELECT doc_id,
-           |    $bitSums
-           |  FROM toks GROUP BY doc_id)
-           |SELECT doc_id, $bitVal AS simhash16
-           |FROM votes ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"$duckSimhashUnder200\nSELECT doc_id, simhash16 FROM sh ORDER BY doc_id")),
+
+    // SimHash in use: near-dup candidate pairs by Hamming distance over the 16-bit
+    // signatures — bit_count(xor) is a codegen'd integer op on both engines, so the
+    // pair scan is cheap; at scale the self-join would be blocked by signature
+    // prefix buckets exactly like the MinHash banding.
+    Q("dedup_simhash_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.simhash16(
+          t(s, dir, "documents").filter($"doc_id" < 200), "doc_id", "text")
+        val a = sh.select($"doc_id".as("id1"), $"simhash16".as("h1"))
+        val b = sh.select($"doc_id".as("id2"), $"simhash16".as("h2"))
+        a.join(b, $"id1" < $"id2")
+          .select($"id1", $"id2",
+            bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
+          .filter($"hamming" <= 3)
+          .orderBy($"hamming", $"id1", $"id2")
+      },
+      Some(s"""$duckSimhashUnder200
+              |SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+              |ORDER BY hamming, id1, id2""".stripMargin)),
 
     // Embedding-cosine near-dup: top pairs by exact cosine within a bounded id range.
     Q("dedup_embedding_cosine",
@@ -345,6 +372,37 @@ object Llm {
            |    / greatest(len(tk), 1), 9) AS avg_tok_len
            |FROM toks ORDER BY doc_id""".stripMargin
       }),
+
+    // Composed quality filter — the actual training-data keep/drop decision built
+    // from the feature functions: per (lang, kept) counts over the whole table.
+    Q("text_quality_filter",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .select($"lang",
+            TF.tokenCount($"text").as("n_tokens"),
+            TF.whitespaceRatio($"text").as("ws_ratio"),
+            TF.digitRatio($"text").as("digit_ratio"))
+        d.select($"lang",
+            ($"n_tokens".between(20, 2000) &&
+             $"ws_ratio" < 0.35 && $"digit_ratio" < 0.2).as("kept"))
+          .groupBy($"lang", $"kept")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"kept")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT lang,
+              |    len(${duckToks("text")}) AS n_tokens,
+              |    len(regexp_extract_all(text, '\\s')) * 1.0
+              |      / greatest(length(text), 1) AS ws_ratio,
+              |    len(regexp_extract_all(text, '\\p{N}')) * 1.0
+              |      / greatest(length(text), 1) AS digit_ratio
+              |  FROM documents)
+              |SELECT lang,
+              |  (n_tokens BETWEEN 20 AND 2000 AND ws_ratio < 0.35
+              |   AND digit_ratio < 0.2) AS kept,
+              |  COUNT(*) AS n
+              |FROM f GROUP BY lang, kept ORDER BY lang, kept""".stripMargin)),
 
     // tf-idf: top-scoring term per document over the bounded English subset.
     Q("text_tfidf_top",
