@@ -70,15 +70,23 @@ object Ops {
       ctx.spark.sql(str(env, "QUERY")).createOrReplaceTempView(str(env, "OUTPUT"))
     },
     "write-parquet" -> { (ctx, env) =>
-      var w = ctx.view(str(env, "INPUT")).write
+      // Observation piggybacks metrics on the write job itself — row counts with
+      // zero extra passes (a separate count() would re-run the whole plan).
+      val obs = new org.apache.spark.sql.Observation()
+      var w = ctx.view(str(env, "INPUT"))
+        .observe(obs, count(lit(1)).as("rows")).write
         .mode(opt(env, "MODE").getOrElse("overwrite"))
       opt(env, "PARTITION_BY").foreach(p => w = w.partitionBy(p.split(","): _*))
       w.parquet(str(env, "PATH"))
+      ctx.log(s"wrote ${obs.get("rows")} rows -> ${str(env, "PATH")}")
     },
     "write-csv" -> { (ctx, env) =>
-      ctx.view(str(env, "INPUT")).write
+      val obs = new org.apache.spark.sql.Observation()
+      ctx.view(str(env, "INPUT"))
+        .observe(obs, count(lit(1)).as("rows")).write
         .mode(opt(env, "MODE").getOrElse("overwrite"))
         .option("header", "true").csv(str(env, "PATH"))
+      ctx.log(s"wrote ${obs.get("rows")} rows -> ${str(env, "PATH")}")
     },
     "show" -> { (ctx, env) =>
       ctx.view(str(env, "INPUT"))

@@ -52,6 +52,8 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.filter("l_quantity <= 45").count() == 0)
     assert(log.exists(_.contains("completed")))
+    // Observation metric emitted by the sink op, no extra pass
+    assert(log.exists(l => l.contains("wrote") && l.contains("rows")))
   }
 
   test("context logger renders nested JOB/COMMAND frames (reference R15)") {
