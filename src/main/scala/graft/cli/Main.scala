@@ -19,7 +19,13 @@ object Main {
       args(i) match {
         case "-c" | "--commands" => commands = Some(args(i + 1).split(",").toSeq); i += 2
         case "--dry-run" | "--dryrun" => dryrun = true; i += 1
-        case "--log-style" => style = args(i + 1); i += 2
+        case "--log-style" =>
+          style = args(i + 1)
+          if (!Set("box", "plain", "compact").contains(style)) {
+            System.err.println(s"invalid --log-style '$style' (box|plain|compact)")
+            sys.exit(2)
+          }
+          i += 2
         case "--no-timestamps" => timestamps = false; i += 1
         case other => manifest = Some(other); i += 1
       }

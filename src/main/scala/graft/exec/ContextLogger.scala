@@ -39,8 +39,11 @@ final class ContextLogger(sink: String => Unit, style: String = "box",
 
   def jobEnd(name: String): Unit = {
     inJob = false
-    if (style == "box") sink(s"$stamp╚══ JOB $name complete ══")
-    else sink(s"${stamp}JOB $name complete")
+    style match {
+      case "box" => sink(s"$stamp╚══ JOB $name complete ══")
+      case "plain" => sink(s"${stamp}JOB $name complete")
+      case _ => sink(s"$stamp[job] $name complete")
+    }
   }
 
   def commandStart(label: String, i: Int, n: Int): Unit = {

@@ -78,7 +78,10 @@ object Ops {
         .mode(opt(env, "MODE").getOrElse("overwrite"))
       opt(env, "PARTITION_BY").foreach(p => w = w.partitionBy(p.split(","): _*))
       w.parquet(str(env, "PATH"))
-      ctx.log(s"wrote ${obs.get("rows")} rows -> ${str(env, "PATH")}")
+      // non-blocking read: a skipped write (MODE=ignore over an existing path)
+      // never fires the metric, and a blocking get would hang the job
+      org.apache.spark.sql.graftbridge.Bridge.observedRow(obs)
+        .foreach(r => ctx.log(s"wrote ${r.getAs[Long]("rows")} rows -> ${str(env, "PATH")}"))
     },
     "write-csv" -> { (ctx, env) =>
       val obs = new org.apache.spark.sql.Observation()
@@ -86,7 +89,8 @@ object Ops {
         .observe(obs, count(lit(1)).as("rows")).write
         .mode(opt(env, "MODE").getOrElse("overwrite"))
         .option("header", "true").csv(str(env, "PATH"))
-      ctx.log(s"wrote ${obs.get("rows")} rows -> ${str(env, "PATH")}")
+      org.apache.spark.sql.graftbridge.Bridge.observedRow(obs)
+        .foreach(r => ctx.log(s"wrote ${r.getAs[Long]("rows")} rows -> ${str(env, "PATH")}"))
     },
     "show" -> { (ctx, env) =>
       ctx.view(str(env, "INPUT"))

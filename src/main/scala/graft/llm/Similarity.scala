@@ -112,30 +112,41 @@ object Similarity {
           max_by(col("list_id"), struct(col("aff"), -col("list_id"))).as("list_id"))
         .select(col("vec_id"), col("embedding"), col("list_id"))
 
-    // one k-means sweep: exact element-wise mean per list (nlist×dims rows — tiny)
+    // one k-means sweep: exact element-wise decimal mean per list (nlist×dims rows
+    // — tiny; decimal accumulation keeps the centroids partitioning-independent,
+    // same rule as labelCentroids/dotExact)
     val assigned0 = assign(seeds)
     val refined = assigned0
       .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("list_id", "pos")
-      .agg(avg(col("v").cast("double")).cast("float").as("cv"))
+      .agg((sum(col("v").cast("double").cast(DEC)).cast("double") / count(lit(1)))
+        .cast("float").as("cv"))
       .groupBy("list_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
       .select(col("list_id"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
 
-    val lists = assign(refined)
+    // ONE ranked pass over the vecs×refined-centroid expansion serves both roles:
+    // rn == 1 is the final list assignment, rn <= nprobe are the probe targets —
+    // computing them separately would evaluate the cross join + cosines twice.
+    // Eagerly checkpointed (small: n_vecs × nprobe rows) so the two consumers read
+    // the materialized blocks instead of re-running the expansion.
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("aff").desc, col("list_id"))
+    val ranked = vecs.crossJoin(broadcast(refined))
+      .withColumn("aff", cosine_fast(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= math.max(nprobe, 1))
+      .select(col("vec_id"), col("embedding"), col("list_id"), col("rn"))
+      .localCheckpoint(true)
+
+    val lists = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("vid"), col("embedding").as("cvec"),
         vec_norm(col("embedding")).as("cn"), col("list_id"))
 
     // probe: each query joins only its nprobe nearest lists (equi-join on list_id)
-    val qProbe = {
-      val scored = vecs.crossJoin(broadcast(refined))
-        .withColumn("aff", cosine_fast(col("embedding"), col("cent")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("aff").desc, col("list_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          vec_norm(col("embedding")).as("qn"), col("list_id"))
-    }
+    val qProbe = ranked
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        vec_norm(col("embedding")).as("qn"), col("list_id"))
 
     val scored = qProbe.join(lists, Seq("list_id")).filter(col("qid") =!= col("vid"))
       .withColumn("cosine", vec_dot(col("qvec"), col("cvec")) /

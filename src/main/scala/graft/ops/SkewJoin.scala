@@ -21,15 +21,19 @@ object SkewJoin {
   private val SaltCol = "__graft_salt"
 
   /** Inner or left equi-join of `fact` to `dim` on `key`, salted `nSalts` ways.
-    * Salt = hash of the whole fact row — deterministic, uniform, and independent of
-    * partitioning (no RNG: respects engine reproducibility rules). */
+    * Salt = hash of (row contents, per-row ordinal): the ordinal guarantees uniform
+    * spreading even when a hot key's rows are duplicates (the classic skew shape,
+    * where a content-only hash would send every copy to one reducer). The salt value
+    * is partitioning-dependent, which is safe — it never reaches the output and the
+    * join result is identical for any salt assignment. */
   def salted(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int,
       joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     require(joinType == "inner" || joinType == "left",
       s"salted join supports inner/left, got $joinType")
     val saltedFact = fact.withColumn(SaltCol,
-      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(nSalts))
-        .cast("int"))
+      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*),
+        monotonically_increasing_id()), lit(nSalts)).cast("int"))
     val replicatedDim = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedFact.join(replicatedDim, Seq(key, SaltCol), joinType).drop(SaltCol)

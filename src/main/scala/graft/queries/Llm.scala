@@ -96,10 +96,16 @@ object Llm {
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8, bandSize = 2)
+        // materialize the (tiny) final result eagerly, then release both caches —
+        // Verify/Bench share one session across all queries, so leaving the shingle
+        // frame cached would squeeze execution memory for everything after
         val res = Dedup.jaccardFromShingles(cand, sh.withColumnRenamed("doc_id", "jid"))
           .select($"id1", $"id2", round($"jaccard", 6).as("jacc"))
           .orderBy($"jacc".desc, $"id1", $"id2")
           .limit(50)
+          .localCheckpoint(true)
+        sh.unpersist()
+        wide.unpersist()
         res
       },
       Some(s"""WITH $duckShingleBase,

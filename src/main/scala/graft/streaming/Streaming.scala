@@ -115,7 +115,12 @@ object Streaming {
     }
   }
 
-  /** transformWithState wiring (requires the RocksDB state store provider). */
+  /** transformWithState wiring. NOTE: transformWithState requires the RocksDB state
+    * store provider, and the conf set here is session-wide — every stateful query
+    * started afterwards also runs on RocksDB. That is safe (RocksDB is a fully
+    * supported provider for all stateful operators, rocksdbjni ships with Spark) but
+    * callers who need the HDFS-backed default elsewhere should use a separate
+    * session (`spark.newSession()`). */
   def runningUserPeaks(spark: SparkSession, events: DataFrame): Dataset[UserPeak] = {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -11,4 +11,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking Observation read (`getRowOrEmpty` is `private[sql]`): None when
+    * the observed action never fired its metrics (e.g. a skipped write). */
+  def observedRow(obs: org.apache.spark.sql.Observation)
+      : Option[org.apache.spark.sql.Row] = obs.getRowOrEmpty
 }
