@@ -39,16 +39,18 @@ def main(sf_dir, out_dir):
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
         got = got[sorted(got.columns)]
+        got_types = dtypes(con, f"SELECT * FROM read_parquet({files!r})")
         if name not in oracle:
             print(f"  {name}: no oracle (rows-only), rows={len(got)}")
             n_noracle += 1
             continue
         try:
             want = con.execute(oracle[name]).fetchdf()
+            want_types = dtypes(con, oracle[name])
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {e}");  n_fail += 1;  continue
         want = want[sorted(want.columns)]
-        errs = compare(got, want)
+        errs = compare(got, want) + compare_types(got_types, want_types)
         if errs:
             n_fail += 1
             print(f"  {name}: FAIL")
@@ -59,6 +61,38 @@ def main(sf_dir, out_dir):
             print(f"  {name}: ok rows={len(got)}")
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
     return 1 if n_fail else 0
+
+def kind(duck_type):
+    """Collapse a DuckDB type to the pandas KIND the driver hashes.
+
+    Round-1 driver evidence pins the equivalence classes: integer widths never
+    mattered (agg_cube gid INTEGER vs BIGINT passed; dedup_simhash_hamming
+    INTEGER vs TINYINT passed) and DATE vs TIMESTAMP passed (fn_datetime
+    month_start), but int vs DOUBLE failed (fn_math) and int vs HUGEINT failed
+    (fn_array, join_left_agg) — i.e. the driver hashes the pandas value, and
+    HUGEINT/DOUBLE/DECIMAL become float64 ("3.0") while any int width hashes as
+    "3". So the gate compares the pandas kind, not the raw DuckDB type."""
+    t = duck_type.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    if t.startswith(("DATE", "TIMESTAMP")):
+        return "datetime"
+    return t
+
+def dtypes(con, sql):
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: kind(r[1]) for r in rows}
+
+def compare_types(got_types, want_types):
+    errs = []
+    for col in sorted(set(got_types) | set(want_types)):
+        g, w = got_types.get(col), want_types.get(col)
+        if g != w:
+            errs.append(f"col {col}: dtype-kind spark={g} duck={w}")
+    return errs
 
 def compare(got, want):
     errs = []

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query wall seconds.
@@ -26,17 +27,32 @@ object Bench {
     // warm-up: session init, codegen, file listing
     Tables.lineitem(spark, sfDir).count()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // All-column-consuming action: sum of per-row hashes forces every projected
+    // column to actually be evaluated. A bare count() lets Catalyst prune the whole
+    // projection (and eliminate sorts), under-measuring expression work.
+    def consume(df: DataFrame): Unit =
+      try df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum(col("h"))).head()
+      catch { case _: Throwable => df.count() } // un-hashable column type: weaker action
     def onePass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try { consume(SparkEntry.queries(name)(spark, sfDir)) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val best = (1 to passes).map(_ => onePass())
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val qs = names.map(k => "\"" + k + "\":" + best(k)).mkString("{", ",", "}")
     val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    // Full per-query map: to a file (+ one stdout line for humans). The FINAL stdout
+    // line is a short total-only JSON so a tail-capture can never truncate it mid-line.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}"""
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }

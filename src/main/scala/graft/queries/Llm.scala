@@ -185,21 +185,33 @@ object Llm {
       },
       Some(s"$duckSimhashUnder200\nSELECT doc_id, simhash16 FROM sh ORDER BY doc_id")),
 
-    // SimHash in use: near-dup candidate pairs by Hamming distance over the 16-bit
-    // signatures — bit_count(xor) is a codegen'd integer op on both engines, so the
-    // pair scan is cheap; at scale the self-join would be blocked by signature
-    // prefix buckets exactly like the MinHash banding.
+    // SimHash in use: near-dup pairs by Hamming distance over the 16-bit signatures.
+    // Candidates come from pigeonhole banding, NOT an all-pairs scan: split the
+    // signature into 4 disjoint 4-bit bands; hamming(h1,h2) <= 3 means at most 3
+    // bands can differ, so at least one band is EQUAL — every qualifying pair is
+    // found by an equi-join on (band index, band value), and the exact bit_count
+    // check runs only on those candidates. The DuckDB oracle stays the all-pairs
+    // formulation, independently proving the banding loses no pairs. At real scale
+    // the signature is 64-bit with 16-bit bands (65536 bucket values per band);
+    // the plan shape — explode ×4, shuffle on (band, value), equi-join — is the same.
     Q("dedup_simhash_hamming",
       (s, dir) => {
         import s.implicits._
         val sh = Dedup.simhash16(
           t(s, dir, "documents").filter($"doc_id" < 200), "doc_id", "text")
-        val a = sh.select($"doc_id".as("id1"), $"simhash16".as("h1"))
-        val b = sh.select($"doc_id".as("id2"), $"simhash16".as("h2"))
-        a.join(b, $"id1" < $"id2")
+        val banded = sh.select($"doc_id", $"simhash16",
+          posexplode(array((0 until 4).map(i =>
+            shiftright($"simhash16", i * 4).bitwiseAND(lit(15))): _*))
+            .as(Seq("band", "nib")))
+        val a = banded.select($"band".as("band1"), $"nib".as("nib1"),
+          $"doc_id".as("id1"), $"simhash16".as("h1"))
+        val b = banded.select($"band".as("band2"), $"nib".as("nib2"),
+          $"doc_id".as("id2"), $"simhash16".as("h2"))
+        a.join(b, $"band1" === $"band2" && $"nib1" === $"nib2" && $"id1" < $"id2")
           .select($"id1", $"id2",
             bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
           .filter($"hamming" <= 3)
+          .distinct()
           .orderBy($"hamming", $"id1", $"id2")
       },
       Some(s"""$duckSimhashUnder200

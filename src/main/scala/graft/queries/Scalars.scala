@@ -136,8 +136,8 @@ object Scalars {
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
              |  abs(l_quantity - 25) AS abs_dev,
-             |  ceil(l_quantity / 7) AS ceil7,
-             |  floor(l_quantity / 7) AS floor7,
+             |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil7,
+             |  CAST(floor(l_quantity / 7) AS BIGINT) AS floor7,
              |  round(l_quantity * l_discount, 3) AS rounded,
              |  sqrt(l_quantity) AS sq,
              |  round(exp(l_discount), 9) AS e_disc,
@@ -184,7 +184,7 @@ object Scalars {
         val toks = split($"p_name", " ")
         t(s, dir, "part").filter($"p_partkey" <= 500)
           .select($"p_partkey",
-            size(toks).as("n_tokens"),
+            size(toks).cast("long").as("n_tokens"),
             concat_ws(",", array_sort(array_distinct(toks))).as("sorted_tokens"),
             concat_ws(",", slice(toks, 1, 2)).as("first2"),
             element_at(toks, 1).as("tok1"),
@@ -192,7 +192,7 @@ object Scalars {
             concat_ws(",", array(lit("x"), $"p_brand", $"p_type")).as("built"),
             aggregate(
               filter(transform(toks, x => length(x)), l => l > 3),
-              lit(0), (acc, x) => acc + x).as("len_sum_gt3"),
+              lit(0L), (acc, x) => acc + x).as("len_sum_gt3"),
             concat_ws(",", flatten(array(slice(toks, 1, 1), slice(toks, 1, 1))))
               .as("flat_dup"))
           .orderBy($"p_partkey")
@@ -207,8 +207,8 @@ object Scalars {
              |  tk[1] AS tok1,
              |  list_contains(tk, 'green') AS has_green,
              |  array_to_string(['x', p_brand, p_type], ',') AS built,
-             |  coalesce(list_sum(list_filter(list_transform(tk, x -> length(x)),
-             |    l -> l > 3)), 0) AS len_sum_gt3,
+             |  CAST(coalesce(list_sum(list_filter(list_transform(tk, x -> length(x)),
+             |    l -> l > 3)), 0) AS BIGINT) AS len_sum_gt3,
              |  array_to_string(flatten([tk[1:1], tk[1:1]]), ',') AS flat_dup
              |FROM toks ORDER BY p_partkey""".stripMargin)),
 
