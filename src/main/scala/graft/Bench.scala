@@ -31,7 +31,8 @@ object Bench {
     // column to actually be evaluated. A bare count() lets Catalyst prune the whole
     // projection (and eliminate sorts), under-measuring expression work.
     def consume(df: DataFrame): Unit =
-      try df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum(col("h"))).head()
+      try df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(sum(col("h"))).head()
       catch { case _: Throwable => df.count() } // un-hashable column type: weaker action
     def onePass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()

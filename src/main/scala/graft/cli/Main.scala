@@ -5,10 +5,31 @@ import graft.exec.{ContextLogger, JobRunner, TaskFailure}
 import graft.spec.Yaml
 
 /** CLI entry point (reference __main__.py:12-63):
-  * `graft.cli.Main job.yml [-c cmd1,cmd2] [--dry-run] [--log-style box|plain|compact]
-  * [--no-timestamps]`. Exit code mirrors a failing task's return code. */
+  * `graft.cli.Main job.yml [-c cmd1,cmd2] [--dry-run] [-l|--log-style STYLE]
+  * [-t|--no-timestamps]`. Exit code mirrors a failing task's return code.
+  *
+  * Log styles accept BOTH this engine's names and the reference's spellings
+  * (__main__.py `choices=["minimal","moderate","gaudy"]`, default gaudy):
+  * gaudy→box (default), moderate→compact, minimal→plain. */
 object Main {
+
+  private val usage = "usage: graft.cli.Main <job.yml> [-c commands] [--dry-run] " +
+    "[-l|--log-style box|compact|plain|gaudy|moderate|minimal] [-t|--no-timestamps]"
+
+  private val styleAliases = Map(
+    "box" -> "box", "compact" -> "compact", "plain" -> "plain",
+    "gaudy" -> "box", "moderate" -> "compact", "minimal" -> "plain")
+
   def main(args: Array[String]): Unit = {
+    def usageExit(msg: String): Nothing = {
+      System.err.println(msg)
+      System.err.println(usage)
+      sys.exit(2)
+    }
+    // flags taking a value must not be the last argument (ADVICE: unguarded
+    // args(i+1) threw ArrayIndexOutOfBounds instead of printing usage)
+    def valueOf(flag: String, i: Int): String =
+      if (i + 1 < args.length) args(i + 1) else usageExit(s"$flag requires a value")
     var manifest: Option[String] = None
     var commands: Option[Seq[String]] = None
     var dryrun = false
@@ -17,24 +38,19 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-c" | "--commands" => commands = Some(args(i + 1).split(",").toSeq); i += 2
+        case f @ ("-c" | "--commands") =>
+          commands = Some(valueOf(f, i).split(",").toSeq); i += 2
         case "--dry-run" | "--dryrun" => dryrun = true; i += 1
-        case "--log-style" =>
-          style = args(i + 1)
-          if (!Set("box", "plain", "compact").contains(style)) {
-            System.err.println(s"invalid --log-style '$style' (box|plain|compact)")
-            sys.exit(2)
-          }
+        case f @ ("-l" | "--log-style") =>
+          val v = valueOf(f, i)
+          style = styleAliases.getOrElse(v,
+            usageExit(s"invalid $f '$v' (box|compact|plain|gaudy|moderate|minimal)"))
           i += 2
-        case "--no-timestamps" => timestamps = false; i += 1
+        case "-t" | "--no-timestamps" => timestamps = false; i += 1
         case other => manifest = Some(other); i += 1
       }
     }
-    val path = manifest.getOrElse {
-      System.err.println("usage: graft.cli.Main <job.yml> [-c commands] [--dry-run] " +
-        "[--log-style box|plain|compact] [--no-timestamps]")
-      sys.exit(2)
-    }
+    val path = manifest.getOrElse(usageExit("missing job manifest path"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")

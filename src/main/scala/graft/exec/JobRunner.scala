@@ -63,10 +63,30 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
       throw SpecError("input validation failed:\n  " + errors.mkString("\n  "))
 
     if (dryrun) {
-      out(s"DRYRUN: job '${resolved.name}' data=${resolved.data}")
-      selected.foreach { case (cmd, i) =>
-        out(s"DRYRUN: [${i + 1}/${selected.size}] ${cmd.name.getOrElse(cmd.task)} " +
-          s"task=${cmd.task} skip=${cmd.skip} env=${renderEnv(cmd.env)}")
+      // Reference dryrun (job.py:160-171, golden-tested test_end_to_end.py:252-349):
+      // the fully-resolved manifest as an indented YAML dump — users inspect resolved
+      // placeholders here — then, per command, what WOULD execute (run/cwd/env,
+      // reference task.py dryrun branch) without running anything.
+      out(s"DRYRUN: job '${resolved.name}' — manifest parsed as:")
+      ManifestRender.job(resolved).foreach(l => out(s"  $l"))
+      val n = selected.size
+      selected.zipWithIndex.foreach { case ((cmd, _), i) =>
+        val label = cmd.name.getOrElse(cmd.task)
+        if (cmd.skip) out(s"DRYRUN: [${i + 1}/$n] '$label' skipped")
+        else {
+          out(s"DRYRUN: [${i + 1}/$n] '$label' (task ${cmd.task}) would execute with:")
+          val task = registry.get(cmd.task).get
+          val env = Validation.withDefaults(task, cmd.env)
+          val runLine = task.body match {
+            case TaskBody.SparkOp(op) => s"spark-op: $op"
+            case TaskBody.Exec(argv) => s"run: ${argv.mkString(" ")}"
+            case TaskBody.Script(interp, script) =>
+              s"run: ${interp.mkString(" ")} ${script.linesIterator.mkString("; ")}"
+          }
+          out(s"  $runLine")
+          task.basedir.foreach(d => out(s"  cwd: $d"))
+          out(s"  env: ${renderEnv(env)}")
+        }
       }
       return
     }

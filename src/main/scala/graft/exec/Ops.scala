@@ -78,10 +78,12 @@ object Ops {
         .mode(opt(env, "MODE").getOrElse("overwrite"))
       opt(env, "PARTITION_BY").foreach(p => w = w.partitionBy(p.split(","): _*))
       w.parquet(str(env, "PATH"))
-      // non-blocking read: a skipped write (MODE=ignore over an existing path)
-      // never fires the metric, and a blocking get would hang the job
-      org.apache.spark.sql.graftbridge.Bridge.observedRow(obs)
-        .foreach(r => ctx.log(s"wrote ${r.getAs[Long]("rows")} rows -> ${str(env, "PATH")}"))
+      // bounded wait: metric delivery is async; after the deadline log an explicit
+      // marker so a missing count is distinguishable from zero rows
+      org.apache.spark.sql.graftbridge.Bridge.observedRow(obs, waitMillis = 2000)
+        .fold(ctx.log(s"wrote ? rows (metric unavailable) -> ${str(env, "PATH")}")) {
+          r => ctx.log(s"wrote ${r.getAs[Long]("rows")} rows -> ${str(env, "PATH")}")
+        }
     },
     "write-csv" -> { (ctx, env) =>
       val obs = new org.apache.spark.sql.Observation()
@@ -89,8 +91,10 @@ object Ops {
         .observe(obs, count(lit(1)).as("rows")).write
         .mode(opt(env, "MODE").getOrElse("overwrite"))
         .option("header", "true").csv(str(env, "PATH"))
-      org.apache.spark.sql.graftbridge.Bridge.observedRow(obs)
-        .foreach(r => ctx.log(s"wrote ${r.getAs[Long]("rows")} rows -> ${str(env, "PATH")}"))
+      org.apache.spark.sql.graftbridge.Bridge.observedRow(obs, waitMillis = 2000)
+        .fold(ctx.log(s"wrote ? rows (metric unavailable) -> ${str(env, "PATH")}")) {
+          r => ctx.log(s"wrote ${r.getAs[Long]("rows")} rows -> ${str(env, "PATH")}")
+        }
     },
     "show" -> { (ctx, env) =>
       ctx.view(str(env, "INPUT"))

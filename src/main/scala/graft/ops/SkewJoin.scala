@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for extreme key skew (SURVEY.md §4 / 100 TB design rules).
@@ -21,19 +21,26 @@ object SkewJoin {
   private val SaltCol = "__graft_salt"
 
   /** Inner or left equi-join of `fact` to `dim` on `key`, salted `nSalts` ways.
-    * Salt = hash of (row contents, per-row ordinal): the ordinal guarantees uniform
-    * spreading even when a hot key's rows are duplicates (the classic skew shape,
-    * where a content-only hash would send every copy to one reducer). The salt value
-    * is partitioning-dependent, which is safe — it never reaches the output and the
-    * join result is identical for any salt assignment. */
+    *
+    * Salt = DETERMINISTIC hash of the fact row — recomputing a lost map partition
+    * after a fetch failure reproduces the same salts, so the operator never depends
+    * on indeterminate-stage rollback (a nondeterministic salt like rand() or
+    * monotonically_increasing_id() forces Spark to roll back or abort whole stages
+    * on retry; at 1000 executors fetch failures are routine, not exceptional).
+    *
+    * By default the salt hashes all fact columns; rows that are EXACT duplicates
+    * share a salt (they co-locate, spreading bounded by the duplicate count). When
+    * the hot key's rows are near-identical, pass `saltOn` — any expression unique
+    * per source row (a source row id, file+offset) — for uniform spreading. */
   def salted(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", saltOn: Option[Column] = None): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     require(joinType == "inner" || joinType == "left",
       s"salted join supports inner/left, got $joinType")
+    val saltBasis = saltOn.getOrElse(
+      struct(fact.columns.map(col).toIndexedSeq: _*))
     val saltedFact = fact.withColumn(SaltCol,
-      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*),
-        monotonically_increasing_id()), lit(nSalts)).cast("int"))
+      pmod(xxhash64(saltBasis), lit(nSalts)).cast("int"))
     val replicatedDim = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedFact.join(replicatedDim, Seq(key, SaltCol), joinType).drop(SaltCol)

@@ -106,6 +106,51 @@ object EventsQ {
              |  FROM events)
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
+    // Watermark late-data semantics as a deterministic batch oracle. Events "arrive"
+    // in event_id order except every 17th, which is delayed 40 positions; the
+    // watermark is the running max event time over ARRIVAL order (strictly before
+    // the current row — a streaming watermark lags the data that advanced it) minus
+    // 10 minutes, and a row is dropped iff its event time < watermark. Per-window
+    // counts then show exactly what a `withWatermark("ts", "10 minutes")` job drops.
+    // The streaming wiring itself (graft.streaming) is ScalaTest-verified; this row
+    // pins the DROP RULE to the DuckDB oracle. The global arrival-order running max
+    // is inherently sequential (real streaming computes the watermark per
+    // micro-batch), so the probe is deliberately bounded to 5k rows — it checks
+    // semantics, not throughput.
+    Q("stream_watermark_late_drop",
+      (s, dir) => {
+        import s.implicits._
+        val arr = t(s, dir, "events").filter($"event_id" < 5000)
+          .select($"event_id", $"ts", $"value",
+            ($"event_id" + when($"event_id" % 17 === 0, 40).otherwise(0)).as("arrival"))
+        val w = Window.orderBy($"arrival", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val marked = arr
+          .withColumn("wm", max($"ts").over(w) - expr("INTERVAL 10 MINUTES"))
+          .withColumn("late", coalesce($"ts" < $"wm", lit(false)))
+        marked.groupBy(window($"ts", "10 minutes").as("w"))
+          .agg(count(lit(1)).as("n_all"),
+            sum(when($"late", 1L).otherwise(0L)).as("n_dropped"))
+          .select($"w.start".as("wstart"), $"n_all", $"n_dropped",
+            ($"n_all" - $"n_dropped").as("n_kept"))
+          .orderBy($"wstart")
+      },
+      Some("""WITH arr AS (
+             |  SELECT event_id, ts, value,
+             |    event_id + CASE WHEN event_id % 17 = 0 THEN 40 ELSE 0 END AS arrival
+             |  FROM events WHERE event_id < 5000),
+             |wmk AS (
+             |  SELECT event_id, ts, value,
+             |    max(ts) OVER (ORDER BY arrival, event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      - INTERVAL 10 MINUTE AS wm
+             |  FROM arr)
+             |SELECT make_timestamp(CAST(floor(epoch(ts)/600) AS BIGINT)*600*1000000) AS wstart,
+             |  COUNT(*) AS n_all,
+             |  CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |  COUNT(*) - CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM wmk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stream-static join shape: fact events against the customer dim (broadcast side).
     Q("events_static_join",
       (s, dir) => {

@@ -1,0 +1,79 @@
+package graft.spec
+
+/** Task-side env→args bridge (R14; reference xetl/argparse.py:9-47, tested in
+  * tests/test_argparser.py:173-277): exec-task authors declare inputs once in the
+  * task manifest and get a CLI for free. Each declared env var `MY_VAR` becomes a
+  * `--my-var` argument; values are resolved as
+  *
+  *   CLI argument  >  host env var  >  declared default
+  *
+  * (the reference prepends `--name=env_value` for every declared var set in the host
+  * env and lets argparse's last-wins rule give CLI precedence). Values are converted
+  * per the declared input type; a missing required input or a type failure raises
+  * [[SpecError]] — the argparse usage-error analogue. One deliberate deviation:
+  * `bool` parses true/false/1/0 (Python's `type=bool` treats any non-empty string,
+  * including "false", as True — a stdlib quirk, not a semantic to preserve). */
+object ArgParse {
+
+  /** `MY_ENV_VAR` → `my-env-var` (reference arg_name_for_env, argparse.py:9-15). */
+  def argNameForEnv(envName: String): String = envName.toLowerCase.replace('_', '-')
+
+  /** Parse `args` against the task's declared inputs. Accepts both `--name=value`
+    * and `--name value` argument forms; a repeated argument keeps the last value.
+    * Returns the resolved env map keyed by the declared env-var names. */
+  def parseArgs(task: Task, args: Seq[String],
+      hostEnv: Map[String, String] = sys.env): Map[String, EnvValue] = {
+    val byArgName: Map[String, String] =
+      task.env.keys.map(k => argNameForEnv(k) -> k).toMap
+
+    // CLI args → (env name → raw string), last occurrence wins
+    val cli = scala.collection.mutable.LinkedHashMap[String, String]()
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      val a = rest.head
+      rest = rest.tail
+      if (!a.startsWith("--"))
+        throw SpecError(s"unexpected argument '$a' (expected --name=value or --name value)")
+      val (name, value) = a.indexOf('=') match {
+        case -1 =>
+          rest match {
+            case v :: tl => rest = tl; (a.drop(2), v)
+            case Nil => throw SpecError(s"argument '$a' is missing a value")
+          }
+        case i => (a.substring(2, i), a.substring(i + 1))
+      }
+      val envName = byArgName.getOrElse(name,
+        throw SpecError(s"unrecognized argument '--$name' for task '${task.name}'; " +
+          s"valid: ${byArgName.keys.toSeq.sorted.map("--" + _).mkString(", ")}"))
+      cli(envName) = value
+    }
+
+    task.env.map { case (envName, input) =>
+      val raw = cli.get(envName).orElse(hostEnv.get(envName))
+      val value = raw match {
+        case Some(s) => convert(envName, s, input.inputType)
+        case None => input.default.getOrElse {
+          if (input.required)
+            throw SpecError(s"missing required argument --${argNameForEnv(envName)} " +
+              s"(or env var $envName) for task '${task.name}'")
+          EnvValue.NullV
+        }
+      }
+      envName -> value
+    }
+  }
+
+  private def convert(name: String, s: String, t: Option[InputType]): EnvValue =
+    t match {
+      case None | Some(InputType.TString) => EnvValue.Str(s)
+      case Some(InputType.TInt) => s.toLongOption.map(EnvValue.IntV).getOrElse(
+        throw SpecError(s"argument $name: invalid int value '$s'"))
+      case Some(InputType.TFloat) => s.toDoubleOption.map(EnvValue.FloatV).getOrElse(
+        throw SpecError(s"argument $name: invalid float value '$s'"))
+      case Some(InputType.TBool) => s.trim.toLowerCase match {
+        case "true" | "1" => EnvValue.BoolV(true)
+        case "false" | "0" => EnvValue.BoolV(false)
+        case _ => throw SpecError(s"argument $name: invalid bool value '$s'")
+      }
+    }
+}

@@ -12,8 +12,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Non-blocking Observation read (`getRowOrEmpty` is `private[sql]`): None when
-    * the observed action never fired its metrics (e.g. a skipped write). */
-  def observedRow(obs: org.apache.spark.sql.Observation)
-      : Option[org.apache.spark.sql.Row] = obs.getRowOrEmpty
+  /** Observation read with a bounded wait (`getRowOrEmpty` is `private[sql]`).
+    * Metric delivery rides the async listener bus, so a read immediately after the
+    * action can race it — poll briefly instead of blocking forever (a skipped write,
+    * e.g. MODE=ignore over an existing path, never fires the metric at all).
+    * None after the deadline means "metric unavailable", distinct from zero rows. */
+  def observedRow(obs: org.apache.spark.sql.Observation, waitMillis: Long = 0)
+      : Option[org.apache.spark.sql.Row] = {
+    val deadline = System.nanoTime() + waitMillis * 1000000L
+    var r = obs.getRowOrEmpty
+    while (r.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(25)
+      r = obs.getRowOrEmpty
+    }
+    r
+  }
 }

@@ -134,6 +134,70 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(log.exists(_.contains("input validation") == false))
   }
 
+  // Reference dryrun prints the FULLY-RESOLVED manifest as an indented YAML dump
+  // (job.py:160-171), golden-tested against the exact transcript like
+  // tests/test_end_to_end.py:252-349 — placeholders resolved, nested structure kept.
+  test("dryrun golden transcript: resolved YAML manifest + per-command would-execute") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: dry-gold
+         |description: golden dryrun
+         |data: $data
+         |env:
+         |  BASE_QTY: 45
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: dg_regions
+         |  - name: narrow
+         |    task: filter
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      predicate: r_regionkey > $${job.env.BASE_QTY}
+         |      output: dg_f
+         |    skip: true
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job, dryrun = true)
+    val expected = List(
+      // resolution-time warnings precede the dump: host_env defaults to the job env
+      // keys (R2/R3 warn-on-missing) and job env propagates into every command's
+      // env (R4), where the tasks don't declare it (R10 warn-on-unknown)
+      "WARNING: host env variable 'BASE_QTY' is not set",
+      "WARNING: unknown input 'BASE_QTY' for task 'read-parquet'",
+      "WARNING: unknown input 'BASE_QTY' for task 'filter'",
+      "DRYRUN: job 'dry-gold' — manifest parsed as:",
+      "  name: dry-gold",
+      "  description: golden dryrun",
+      s"  data: $data",
+      "  host_env:",
+      "  - BASE_QTY",
+      "  env:",
+      "    BASE_QTY: 45",
+      "  commands:",
+      "  - name: load",
+      "    task: read-parquet",
+      "    env:",
+      "      BASE_QTY: 45",
+      "      OUTPUT: dg_regions",
+      s"      PATH: $sf/region.parquet",
+      "  - name: narrow",
+      "    task: filter",
+      "    env:",
+      "      BASE_QTY: 45",
+      "      INPUT: dg_regions",
+      "      OUTPUT: dg_f",
+      "      PREDICATE: r_regionkey > 45",
+      "    skip: true",
+      "DRYRUN: [1/2] 'load' (task read-parquet) would execute with:",
+      "  spark-op: read-parquet",
+      s"  env: {BASE_QTY=45, OUTPUT=dg_regions, PATH=$sf/region.parquet}",
+      "DRYRUN: [2/2] 'narrow' skipped")
+    assert(log.toList == expected)
+  }
+
   test("skip: true prunes execution but the command still resolves") {
     val data = tmp()
     val job = Yaml.jobFromString(

@@ -1,0 +1,89 @@
+package graft.spec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** R14 env→args bridge (reference tests/test_argparser.py:173-277): env backfills
+  * missing args, CLI overrides env, defaults fill the rest, typed conversion. */
+class ArgParseSpec extends AnyFunSuite {
+
+  private val task = Yaml.taskFromString(
+    """name: download
+      |description: Download files from a remote server
+      |env:
+      |  URL:
+      |    description: URL to download
+      |    type: str
+      |  THROTTLE:
+      |    description: Seconds to wait between downloads
+      |    type: float
+      |  FOLLOW_REDIRECTS:
+      |    description: Follow HTTP redirects
+      |    type: bool
+      |run: download
+      |""".stripMargin, basedir = Some("/tmp"))
+
+  private val fullEnv = Map(
+    "URL" -> "http://www.example.com", "THROTTLE" -> "1.1", "FOLLOW_REDIRECTS" -> "true")
+
+  test("arg_name_for_env: MY_ENV_VAR -> my-env-var") {
+    assert(ArgParse.argNameForEnv("MY_ENV_VAR") == "my-env-var")
+  }
+
+  test("all values from env (test_argument_parser_all_from_env)") {
+    val r = ArgParse.parseArgs(task, Nil, fullEnv)
+    assert(r("URL") == EnvValue.Str("http://www.example.com"))
+    assert(r("THROTTLE") == EnvValue.FloatV(1.1))
+    assert(r("FOLLOW_REDIRECTS") == EnvValue.BoolV(true))
+  }
+
+  test("some from env, some from CLI (test_argument_parser_some_from_env)") {
+    val r = ArgParse.parseArgs(task, Seq("--url=http://www.example.com"),
+      fullEnv - "URL")
+    assert(r("URL") == EnvValue.Str("http://www.example.com"))
+    assert(r("THROTTLE") == EnvValue.FloatV(1.1))
+  }
+
+  test("CLI overrides env (test_argument_parser_cli_args_override_env)") {
+    val r = ArgParse.parseArgs(task,
+      Seq("--url=http://www.cli-url.com", "--throttle=2.2"), fullEnv)
+    assert(r("URL") == EnvValue.Str("http://www.cli-url.com"))
+    assert(r("THROTTLE") == EnvValue.FloatV(2.2))
+    assert(r("FOLLOW_REDIRECTS") == EnvValue.BoolV(true))
+  }
+
+  test("space-separated form and last-occurrence-wins") {
+    val r = ArgParse.parseArgs(task,
+      Seq("--url", "http://a", "--url=http://b", "--throttle", "3.5",
+        "--follow-redirects", "false"), Map.empty)
+    assert(r("URL") == EnvValue.Str("http://b"))
+    assert(r("THROTTLE") == EnvValue.FloatV(3.5))
+    assert(r("FOLLOW_REDIRECTS") == EnvValue.BoolV(false))
+  }
+
+  test("declared default fills an absent optional input") {
+    val t = Yaml.taskFromString(
+      """name: dummy
+        |env:
+        |  VAR:
+        |    description: The best variable ever
+        |    optional: true
+        |    type: int
+        |    default: 1
+        |run: dummy
+        |""".stripMargin, basedir = Some("/tmp"))
+    assert(ArgParse.parseArgs(t, Nil, Map.empty)("VAR") == EnvValue.IntV(1))
+    assert(ArgParse.parseArgs(t, Seq("--var=2"), Map.empty)("VAR") == EnvValue.IntV(2))
+  }
+
+  test("missing required input raises, unknown argument raises, bad types raise") {
+    val e1 = intercept[SpecError](ArgParse.parseArgs(task, Nil, Map.empty))
+    assert(e1.getMessage.contains("missing required argument"))
+    val e2 = intercept[SpecError](
+      ArgParse.parseArgs(task, Seq("--nope=1"), fullEnv))
+    assert(e2.getMessage.contains("unrecognized"))
+    assert(intercept[SpecError](ArgParse.parseArgs(task,
+      Seq("--throttle=abc"), fullEnv)).getMessage.contains("float"))
+    assert(intercept[SpecError](ArgParse.parseArgs(task,
+      Seq("--follow-redirects=maybe"), fullEnv)).getMessage.contains("bool"))
+  }
+}
