@@ -27,12 +27,13 @@ object Bench {
     // warm-up: session init, codegen, file listing
     Tables.lineitem(spark, sfDir).count()
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // All-column-consuming action: sum of per-row hashes forces every projected
+    // All-column-consuming action: XOR of per-row hashes forces every projected
     // column to actually be evaluated. A bare count() lets Catalyst prune the whole
-    // projection (and eliminate sorts), under-measuring expression work.
+    // projection (and eliminate sorts), under-measuring expression work. bit_xor,
+    // not sum: summing 64-bit hashes overflows LONG under ANSI mode.
     def consume(df: DataFrame): Unit =
       try df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-        .agg(sum(col("h"))).head()
+        .agg(expr("bit_xor(h)")).head()
       catch { case _: Throwable => df.count() } // un-hashable column type: weaker action
     def onePass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()

@@ -29,8 +29,10 @@ object Aggregators {
       val (n, s) = b
       if (n == 0) s else s.map(_ / n)
     }
+    // native tuple/array encoding: partial buffers cross the shuffle as an
+    // UnsafeRow (long, double[]), not a Java-serialized blob per group
     override def bufferEncoder: Encoder[(Long, Array[Double])] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.javaSerialization[Array[Double]])
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Double])]()
     override def outputEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
@@ -40,11 +42,22 @@ object Aggregators {
     * of the windowed top-k. */
   class TopK(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    // rank order: higher score first, id ascending on ties
+    private def outranks(x: (Double, Long), y: (Double, Long)): Boolean =
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (score, id) => (-score, id) }.take(k)
     override def zero: Seq[(Double, Long)] = Nil
+    // Invariant: the buffer stays rank-sorted, so the per-row path is a bounded
+    // O(k) insert (common case O(1): the row doesn't beat the current floor) —
+    // not an O(k log k) re-sort per input row.
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      trim(b :+ a)
+      if (b.size >= k && !outranks(a, b.last)) b
+      else {
+        val i = b.indexWhere(e => outranks(a, e))
+        val ins = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+        if (ins.size > k) ins.take(k) else ins
+      }
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(x ++ y)
     override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b

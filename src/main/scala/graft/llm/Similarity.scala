@@ -80,6 +80,45 @@ object Similarity {
       .select("qid", "rank", "vid", "cosine")
   }
 
+  /** Band-split sign-LSH ANN: the full-sign-pattern bucketing above can skew (one
+    * popular sign pattern = one huge bucket, and recall drops as numPlanes grows
+    * because near neighbors must agree on EVERY plane). Splitting the signature
+    * into `bands` bands of numPlanes/bands planes fixes both, exactly like MinHash
+    * banding: a pair is a candidate when ANY band matches, so each band's buckets
+    * are coarser (2^(planes/band) values — bounded skew) while overall recall
+    * rises (OR over bands). Candidate generation runs on compact (band, sig, id)
+    * rows, pairs are deduped BEFORE vectors are fetched, and scoring joins the
+    * embeddings back by id — the shape that keeps shuffle payloads narrow at
+    * 100 TB. Approximate — BENCH-only, never oracle-hashed. */
+  def lshBandedTopK(vecs: DataFrame, k: Int, numPlanes: Int, bands: Int,
+      dims: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    require(numPlanes % bands == 0, s"bands ($bands) must divide numPlanes ($numPlanes)")
+    val r = numPlanes / bands
+    // compact candidate stream: (band index, band signature, id) — no vectors
+    val banded = lshBuckets(vecs, numPlanes, dims)
+      .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
+        substring(col("bucket"), b * r + 1, r)): _*)).as(Seq("band", "bsig")))
+    val cands = banded.select(col("band"), col("bsig"), col("vec_id").as("qid"))
+      .join(banded.select(col("band"), col("bsig"), col("vec_id").as("vid")),
+        Seq("band", "bsig"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct() // a pair may share several bands — score once
+    // fetch vectors for surviving pairs only, then score
+    val sides = vecs.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    val scored = cands
+      .join(sides.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(sides.select(col("vec_id").as("vid"), col("embedding").as("cvec"),
+        col("nrm").as("cn")), Seq("vid"))
+      .withColumn("cosine", vec_dot(col("qvec"), col("cvec")) /
+        (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cosine")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids partitions the
     * corpus into lists; each query searches only its `nprobe` nearest lists. The
     * 100 TB path when sign-LSH buckets skew: list sizes are balanced by k-means-style

@@ -48,9 +48,16 @@ object TextFunctions {
   def cjkCharCount(text: Column): Column = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
 
   /** n-gram/stopword-heuristic language ID over {en,fr,es,de,zh}; deterministic
-    * tie-break favors en > de > es > fr. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+    * tie-break favors en > de > es > fr.
+    *
+    * Prefer [[langIdFrom]] with a STAGED token column (withColumn first): the inline
+    * form repeats the tokenizing split inside each of the four stopword scans. */
+  def langId(text: Column): Column = langIdFrom(text, tokens(text))
+
+  /** [[langId]] over an already-staged token column — one tokenization feeds all
+    * four stopword counts (staged columns survive CollapseProject because the
+    * expression is non-cheap and multiply-referenced). */
+  def langIdFrom(text: Column, toks: Column): Column = {
     val en = stopwordHits(toks, stopwordsEn)
     val fr = stopwordHits(toks, stopwordsFr)
     val es = stopwordHits(toks, stopwordsEs)

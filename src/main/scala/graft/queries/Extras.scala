@@ -99,6 +99,19 @@ object Extras {
           .select($"qid", $"rank", $"vid", round($"cosine", 6).as("cosine"))
           .orderBy($"qid", $"rank")
       },
+      None),
+
+    // Band-split sign-LSH ANN: 8 planes in 4 bands of 2 — bounded bucket skew and
+    // OR-over-bands recall; candidates are deduped as compact id pairs before the
+    // embeddings are fetched for scoring (BENCH-only, rows-only).
+    Q("sim_cosine_topk_lsh_banded",
+      (s, dir) => {
+        import s.implicits._
+        graft.llm.Similarity.lshBandedTopK(t(s, dir, "embeddings"), k = 5,
+            numPlanes = 8, bands = 4, dims = 64)
+          .select($"qid", $"rank", $"vid", round($"cosine", 6).as("cosine"))
+          .orderBy($"qid", $"rank")
+      },
       None)
   )
 }

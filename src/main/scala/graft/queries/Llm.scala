@@ -330,7 +330,8 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .select($"lang", TF.langId($"text").as("predicted"))
+          .withColumn("toks", TF.tokens($"text"))
+          .select($"lang", TF.langIdFrom($"text", $"toks").as("predicted"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted")

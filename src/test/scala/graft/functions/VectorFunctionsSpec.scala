@@ -74,6 +74,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(res.filter(col("rank") > 3).count() == 0)
   }
 
+  test("lshBandedTopK: banding beats full-signature recall, pairs scored once") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val banded = graft.llm.Similarity.lshBandedTopK(e, k = 3,
+      numPlanes = 8, bands = 4, dims = 64)
+    assert(banded.filter(col("rank") > 3).count() == 0)
+    // each (qid, vid) appears at most once despite multi-band collisions
+    assert(banded.groupBy("qid", "vid").count().filter(col("count") > 1).count() == 0)
+    val exact = graft.llm.Similarity.bruteForceTopK(e.limit(10), e, k = 3)
+      .select("qid", "vid")
+    val full = graft.llm.Similarity.lshTopK(e, k = 3, numPlanes = 8, dims = 64)
+    val recallBanded = banded.select("qid", "vid").join(exact, Seq("qid", "vid")).count()
+    val recallFull = full.select("qid", "vid").join(exact, Seq("qid", "vid")).count()
+    // OR-over-bands candidates are a superset of full-signature candidates
+    assert(recallBanded >= recallFull,
+      s"banding lost recall: $recallBanded < $recallFull")
+  }
+
   test("ivfTopK probes nearest lists and finds most brute-force neighbors") {
     val e = graft.Tables.embeddings(spark, sf)
     val ivf = graft.llm.Similarity.ivfTopK(e, k = 5, nlist = 8, nprobe = 4)
