@@ -246,23 +246,36 @@ object Joins {
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
-    // As-of join: for each event, the most recent order of that customer at or before
-    // the event timestamp. Equi-join on the key + windowed pick — shuffles once on
-    // user_id, no cross product; the scalable formulation of ASOF JOIN.
+    // As-of join via UNION-MERGE: for each event, the most recent order of that
+    // customer at or before the event timestamp. The equi-join + per-event window
+    // formulation materializes events × orders-per-user and shuffles that expansion
+    // a second time for the window; here both inputs are unioned keyed by
+    // (user, time) and ONE window per user carries the latest order forward —
+    // a single shuffle of |events| + |orders| rows, no pair expansion. Within a
+    // timestamp: order rows (tag 0) sort before event rows (tag 1), giving the
+    // inclusive `o_orderdate <= ts` semantics, and o_orderkey ascending means
+    // `last` carries the highest key among same-date orders — exactly the
+    // ROW_NUMBER() ... ORDER BY o_orderdate DESC, o_orderkey DESC pick.
     Q("join_asof",
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "events")
-          .select($"event_id", $"ts", $"user_id")
+          .select($"user_id", $"ts".cast("timestamp").as("t"), lit(1).as("tag"),
+            $"event_id", lit(null).cast("long").as("okey"),
+            lit(null).cast("double").as("price"))
         val o = t(s, dir, "orders")
-          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
-        val joined = e.join(o,
-          e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
-        val w = Window.partitionBy($"event_id")
-          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-        joined.withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .select($"o_custkey".as("user_id"), $"o_orderdate".cast("timestamp").as("t"),
+            lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+            $"o_orderkey".as("okey"), $"o_totalprice".as("price"))
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"tag", $"okey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .withColumn("carried",
+            last(when($"tag" === 0, struct($"okey", $"price")), ignoreNulls = true)
+              .over(w))
+          .filter($"tag" === 1)
+          .select($"event_id", $"user_id",
+            $"carried.okey".as("o_orderkey"), $"carried.price".as("o_totalprice"))
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, user_id, o_orderkey, o_totalprice
