@@ -101,14 +101,17 @@ object Extras {
       },
       None),
 
-    // Band-split sign-LSH ANN: 8 planes in 4 bands of 2 — bounded bucket skew and
-    // OR-over-bands recall; candidates are deduped as compact id pairs before the
-    // embeddings are fetched for scoring (BENCH-only, rows-only).
+    // Band-split sign-LSH ANN: 16 planes in 2 bands of 8 — each band has 256
+    // signature values, so candidate sets stay selective (~n²/256 per band) while
+    // OR-over-bands recall beats a single 16-plane signature; candidates are
+    // deduped as compact id pairs before the embeddings are fetched for scoring
+    // (BENCH-only, rows-only). Band width is the selectivity knob: too few bits
+    // per band degenerates toward all-pairs.
     Q("sim_cosine_topk_lsh_banded",
       (s, dir) => {
         import s.implicits._
         graft.llm.Similarity.lshBandedTopK(t(s, dir, "embeddings"), k = 5,
-            numPlanes = 8, bands = 4, dims = 64)
+            numPlanes = 16, bands = 2, dims = 64)
           .select($"qid", $"rank", $"vid", round($"cosine", 6).as("cosine"))
           .orderBy($"qid", $"rank")
       },

@@ -259,23 +259,15 @@ object Joins {
     Q("join_asof",
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "events")
-          .select($"user_id", $"ts".cast("timestamp").as("t"), lit(1).as("tag"),
-            $"event_id", lit(null).cast("long").as("okey"),
-            lit(null).cast("double").as("price"))
+        val e = t(s, dir, "events").select($"event_id", $"ts", $"user_id")
         val o = t(s, dir, "orders")
-          .select($"o_custkey".as("user_id"), $"o_orderdate".cast("timestamp").as("t"),
-            lit(0).as("tag"), lit(null).cast("long").as("event_id"),
-            $"o_orderkey".as("okey"), $"o_totalprice".as("price"))
-        val w = Window.partitionBy($"user_id").orderBy($"t", $"tag", $"okey")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        e.unionByName(o)
-          .withColumn("carried",
-            last(when($"tag" === 0, struct($"okey", $"price")), ignoreNulls = true)
-              .over(w))
-          .filter($"tag" === 1)
-          .select($"event_id", $"user_id",
-            $"carried.okey".as("o_orderkey"), $"carried.price".as("o_totalprice"))
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        graft.ops.AsOfJoin.asof(e, o,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightTieBreak = "o_orderkey",
+            payload = Seq("o_orderkey", "o_totalprice"))
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, user_id, o_orderkey, o_totalprice
