@@ -207,12 +207,12 @@ object Joins {
           }
         ensure(liTbl) {
           t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
-            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
             .mode("overwrite").saveAsTable(liTbl)
         }
         ensure(oTbl) {
           t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
-            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
             .mode("overwrite").saveAsTable(oTbl)
         }
         // MERGE hint: at small SF the dim side fits the broadcast threshold, which
