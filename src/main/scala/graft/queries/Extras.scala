@@ -32,6 +32,24 @@ object Extras {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // Round-trip through the built-in XML source/sink (first-class in Spark 4):
+    // row-per-element write, schema-driven read back, oracle-checked against the
+    // original parquet table.
+    Q("xml_roundtrip_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/xml_roundtrip"
+        t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+          .coalesce(1).write.mode("overwrite")
+          .option("rootTag", "nations").option("rowTag", "nation")
+          .format("xml").save(out)
+        s.read.option("rowTag", "nation")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .format("xml").load(out)
+          .orderBy($"n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // Exec-parity opaque stage: rows streamed through a real subprocess (grep) per
     // partition, parsed back, aggregated — oracle-checked against the equivalent
     // relational filter.
