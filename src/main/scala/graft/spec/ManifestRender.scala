@@ -56,20 +56,27 @@ object ManifestRender {
   private def envLines(env: Map[String, EnvValue]): List[String] =
     env.toList.sortBy(_._1).map { case (k, v) => s"$k: ${scalar(v)}" }
 
-  /** YAML-native scalar: booleans lowercase, numbers bare, strings plain unless a
-    * plain render would re-parse as a different type or break the line structure. */
+  /** YAML-native scalar: booleans lowercase, numbers bare, strings plain only when
+    * the plain form provably parses back to the identical string in mapping
+    * position — checked by actually parsing, because YAML 1.1 has far too many
+    * scalar re-interpretations to enumerate (boolean/null spellings,
+    * decimal/hex/octal/sexagesimal numbers, timestamps, indicators, comments);
+    * anything else is single-quoted. Dryrun-only path, so the per-value parse is
+    * free of hot-path concerns. */
   def scalar(v: EnvValue): String = v match {
     case EnvValue.Str(s) =>
-      val plainSafe = s.nonEmpty && s == s.trim &&
-        !Set("true", "false", "null", "yes", "no", "on", "off", "~")(s.toLowerCase) &&
-        !s.matches("[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?") &&
-        !s.contains(": ") && !s.endsWith(":") && !s.contains(" #") &&
-        !s.exists(c => c == '\n' || c == '\'' || c == '"') &&
-        !"?:,[]{}#&*!|>%@`".contains(s.head) &&
-        !(s.head == '-' && (s.length == 1 || s.charAt(1) == ' '))
-      if (plainSafe) s else "'" + s.replace("'", "''") + "'"
+      if (plainParsesExactly(s)) s else "'" + s.replace("'", "''") + "'"
     case EnvValue.BoolV(b) => if (b) "true" else "false"
     case EnvValue.NullV => "null"
     case other => other.render
   }
+
+  private def plainParsesExactly(s: String): Boolean =
+    s.nonEmpty && !s.exists(c => c == '\n' || c == '\r') &&
+      (try {
+        new org.yaml.snakeyaml.Yaml().load[Any](s"k: $s") match {
+          case m: java.util.Map[_, _] => m.size == 1 && m.get("k") == s
+          case _ => false
+        }
+      } catch { case _: Exception => false })
 }

@@ -78,4 +78,36 @@ object PropertySpec extends Properties("spec") {
       Map("K" -> EnvValue.Str("a ${job.env.X} b")))
     r("K") == EnvValue.Str(s"a ${v.render} b")
   }
+
+  // ManifestRender quoting soundness: a rendered scalar, parsed back by the same
+  // YAML engine the loader uses, must reproduce the original value and type —
+  // strings never reparse as booleans/numbers, specials are quoted correctly.
+  private val trickyStrGen: Gen[String] = Gen.oneOf(
+    litGen,
+    Gen.oneOf("true", "false", "null", "yes", "NO", "~", "", " padded ", "-",
+      "- item", "a: b", "trailing:", "it's", "\"quoted\"", "# comment", "@host",
+      "*star", "&anchor", "[seq]", "{map}", "|pipe", ">fold", "%tag", "?q"),
+    Gen.oneOf("42", "-17", "3.14", "1e6", "+0.5", ".5", "0x1f", "00123"))
+
+  property("ManifestRender scalar round-trips through snakeyaml") =
+    forAll(Gen.oneOf(
+      trickyStrGen.map(EnvValue.Str): Gen[EnvValue],
+      envValGen)) { v =>
+      val parsed = new org.yaml.snakeyaml.Yaml()
+        .load[Any](s"k: ${ManifestRender.scalar(v)}")
+        .asInstanceOf[java.util.Map[String, Any]].get("k")
+      v match {
+        case EnvValue.Str(s) => parsed == s
+        case EnvValue.BoolV(b) => parsed == b
+        case EnvValue.IntV(i) =>
+          EnvValue(parsed) == EnvValue.IntV(i)
+        case EnvValue.FloatV(f) =>
+          EnvValue(parsed) match {
+            case EnvValue.FloatV(g) => g == f
+            case EnvValue.IntV(g) => g.toDouble == f // 1.0 may parse integral
+            case _ => false
+          }
+        case EnvValue.NullV => parsed == null
+      }
+    }
 }
