@@ -57,4 +57,57 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** STUB resize: a real build would decode, resample pixels, and re-encode; here
+    * the payload is deterministically strided down to at most `targetBytes` bytes.
+    * Same partition-wise shape: one record in, one (smaller) record out, bounded
+    * memory regardless of table size. */
+  def resize(spark: SparkSession, media: DataFrame,
+      targetBytes: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { rec =>
+        val n = rec.payload.length
+        if (n <= targetBytes) rec
+        else {
+          // ceil-stride keeps the sample within targetBytes and spread evenly
+          val stride = (n + targetBytes - 1) / targetBytes
+          val out = Array.ofDim[Byte]((n + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = rec.payload(i * stride); i += 1 }
+          rec.copy(payload = out)
+        }
+      })
+  }
+
+  /** STUB frame-sample: treats the payload as consecutive `frameBytes`-sized frames
+    * and keeps every `everyK`-th (the keyframe-sampling analogue for video). One
+    * input record fans out to its kept frames via a LAZY iterator inside
+    * mapPartitions — a 10 GB video row never materializes all frames at once. */
+  def frameSample(spark: SparkSession, media: DataFrame, frameBytes: Int,
+      everyK: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && everyK > 0,
+      s"frameBytes/everyK must be positive, got $frameBytes/$everyK")
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { rec =>
+        val nFrames = (rec.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator
+          .filter(_ % everyK == 0)
+          .map { f =>
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, rec.payload.length)
+            val frame = java.util.Arrays.copyOfRange(rec.payload, from, until)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            MediaFrame(rec.doc_id, f, until - from,
+              md.digest(frame).map("%02x".format(_)).mkString)
+          }
+      })
+  }
 }
+
+/** One sampled frame: which frame, how many bytes, and a content digest. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: String)

@@ -541,6 +541,24 @@ object Llm {
             round($"byte_entropy", 9).as("byte_entropy"))
           .orderBy($"doc_id")
       },
+      None),
+
+    // Resize + frame-sample over the binary payloads (stub codecs, partition-wise
+    // typed pipeline — see Multimodal): payloads strided to ≤256 bytes, then split
+    // into 64-byte frames keeping every 2nd. Rows-only like the other codec-stub
+    // query (BASELINE.md determinism rules exclude stubbed codecs from hashing).
+    Q("multimodal_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.attachBinary(
+          t(s, dir, "documents").filter($"doc_id" < 100))
+        Multimodal.frameSample(s,
+            Multimodal.resize(s, media, targetBytes = 256).toDF(),
+            frameBytes = 64, everyK = 2)
+          .toDF()
+          .select($"doc_id", $"frame_idx", $"n_bytes", $"checksum")
+          .orderBy($"doc_id", $"frame_idx")
+      },
       None)
   )
 }
