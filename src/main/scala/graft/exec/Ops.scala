@@ -100,6 +100,54 @@ object Ops {
       ctx.view(str(env, "INPUT"))
         .show(opt(env, "LIMIT").map(_.toInt).getOrElse(20), truncate = false)
     },
+    // LLM-pipeline operators as first-class YAML tasks: a reference user drives
+    // everything through the job manifest, so the dedup/text-analysis surface must
+    // be reachable from the spec layer, not only from the library.
+    "text-quality" -> { (ctx, env) =>
+      import graft.llm.{TextFunctions => TF}
+      val textCol = opt(env, "TEXT_COL").getOrElse("text")
+      val t = col(textCol)
+      ctx.view(str(env, "INPUT"))
+        .withColumn("__toks", TF.tokens(t)) // staged once for the token features
+        .withColumn("text_len", length(t))
+        .withColumn("n_tokens", size(col("__toks")))
+        .withColumn("n_bpeish", TF.bpeishTokenCount(t))
+        .withColumn("whitespace_ratio", TF.whitespaceRatio(t))
+        .withColumn("digit_ratio", TF.digitRatio(t))
+        .withColumn("punct_ratio", TF.punctRatio(t))
+        .withColumn("lang_pred", TF.langIdFrom(t, col("__toks")))
+        .drop("__toks")
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    "dedup-exact" -> { (ctx, env) =>
+      val keys = str(env, "KEYS").split(",").map(k => col(k.trim)).toSeq
+      val order = opt(env, "ORDER").map(_.split(",").map(k => col(k.trim)).toSeq)
+        .getOrElse(keys)
+      graft.llm.Dedup.keepFirst(ctx.view(str(env, "INPUT")), keys, order)
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    // Near-dup collapse: MinHash+LSH banding for candidates, exact Jaccard verify,
+    // keep the lowest id of each near-dup pair (deterministic — banding, hashes,
+    // and the threshold are all reproducible).
+    "minhash-dedup" -> { (ctx, env) =>
+      val idCol = opt(env, "ID_COL").getOrElse("doc_id")
+      val textCol = opt(env, "TEXT_COL").getOrElse("text")
+      val numHashes = opt(env, "NUM_HASHES").map(_.toInt).getOrElse(12)
+      val bandSize = opt(env, "BAND_SIZE").map(_.toInt).getOrElse(3)
+      val minJaccard = opt(env, "MIN_JACCARD").map(_.toDouble).getOrElse(0.8)
+      val docs = ctx.view(str(env, "INPUT"))
+      val sh = graft.llm.Dedup.shingleFrame(docs, idCol, textCol, shingleN = 3)
+        .withColumnRenamed(idCol, "jid").cache()
+      val cands = graft.llm.Dedup.bandedCandidatesWide(
+        graft.llm.Dedup.minhashWide(sh.withColumnRenamed("jid", idCol), idCol,
+          numHashes), idCol, numHashes, bandSize)
+      val victims = graft.llm.Dedup.jaccardFromShingles(cands, sh)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id2").as(idCol)).distinct() // id1 < id2: keep the lowest id
+      val out = docs.join(victims, Seq(idCol), "left_anti")
+      out.createOrReplaceTempView(str(env, "OUTPUT"))
+      sh.unpersist()
+    },
     // Nested job (reference R13: a task runs the CLI on an inner manifest,
     // tests/test_end_to_end.py:434-519): pipeline-as-operator on the same session,
     // so inner temp views land in the shared catalog exactly like inner output
@@ -134,7 +182,15 @@ object Ops {
     "show" -> Map("INPUT" -> req,
       "LIMIT" -> TaskInput(required = false, inputType = Some(InputType.TInt))),
     "run-job" -> Map("PATH" -> req, "COMMANDS" -> optIn,
-      "DRYRUN" -> TaskInput(required = false, inputType = Some(InputType.TBool)))
+      "DRYRUN" -> TaskInput(required = false, inputType = Some(InputType.TBool))),
+    "text-quality" -> Map("INPUT" -> req, "OUTPUT" -> req, "TEXT_COL" -> optIn),
+    "dedup-exact" -> Map("INPUT" -> req, "KEYS" -> req, "ORDER" -> optIn,
+      "OUTPUT" -> req),
+    "minhash-dedup" -> Map("INPUT" -> req, "OUTPUT" -> req, "ID_COL" -> optIn,
+      "TEXT_COL" -> optIn,
+      "NUM_HASHES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "BAND_SIZE" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "MIN_JACCARD" -> TaskInput(required = false, inputType = Some(InputType.TFloat)))
   ).map { case (name, schema) =>
     name -> Task(name = name, body = TaskBody.SparkOp(name), env = schema)
   }

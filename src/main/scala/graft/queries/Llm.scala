@@ -543,6 +543,62 @@ object Llm {
       },
       None),
 
+    // The LLM operators driven END-TO-END from the YAML spec layer (the reference
+    // user's surface): read documents -> text-quality features -> dedup-exact
+    // keep-first per (lang, source) -> project -> write. Oracle mirrors the
+    // feature expressions and the keep-first window.
+    Q("job_yaml_llm_pipeline",
+      (s, dir) => {
+        val data = s"${Sinks.scratchDir}/job_yaml_llm"
+        val manifest =
+          s"""name: llm-pipeline
+             |description: text-quality + exact dedup via job spec
+             |data: $data
+             |commands:
+             |  - name: load
+             |    task: read-parquet
+             |    env:
+             |      path: $dir/documents.parquet
+             |      output: ydocs
+             |  - name: features
+             |    task: text-quality
+             |    env:
+             |      input: $${previous.env.OUTPUT}
+             |      output: yfeat
+             |  - name: keep-first
+             |    task: dedup-exact
+             |    env:
+             |      input: $${features.env.OUTPUT}
+             |      keys: lang,source
+             |      order: doc_id
+             |      output: ydedup
+             |  - name: project
+             |    task: select
+             |    env:
+             |      input: $${previous.env.OUTPUT}
+             |      columns: doc_id, lang, source, text_len, n_tokens
+             |      output: yout
+             |  - name: save
+             |    task: write-parquet
+             |    env:
+             |      input: $${project.env.OUTPUT}
+             |      path: $${job.data}/out
+             |""".stripMargin
+        new graft.exec.JobRunner(s, _ => ())
+          .execute(graft.spec.Yaml.jobFromString(manifest))
+        s.read.parquet(s"$data/out").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH feat AS (
+              |  SELECT doc_id, lang, source, length(text) AS text_len,
+              |    len(${duckToks("text")}) AS n_tokens
+              |  FROM documents),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+              |                               ORDER BY doc_id) AS rn
+              |  FROM feat)
+              |SELECT doc_id, lang, source, text_len, n_tokens
+              |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // Resize + frame-sample over the binary payloads (stub codecs, partition-wise
     // typed pipeline — see Multimodal): payloads strided to ≤256 bytes, then split
     // into 64-byte frames keeping every 2nd. Rows-only like the other codec-stub

@@ -198,6 +198,44 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(log.toList == expected)
   }
 
+  test("minhash-dedup spark-op matches the library pipeline's survivor set") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Dedup
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: md
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env: {path: $sf/documents.parquet, output: md_docs}
+         |  - name: collapse
+         |    task: minhash-dedup
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      num-hashes: 12
+         |      band-size: 3
+         |      min-jaccard: 0.8
+         |      output: md_out
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job)
+    val out = spark.table("md_out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.columns.toSeq == docs.columns.toSeq) // schema preserved
+    // survivors = docs minus the library pipeline's near-dup victims (id1 kept)
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+      .withColumnRenamed("doc_id", "jid")
+    val cands = Dedup.bandedCandidatesWide(
+      Dedup.minhashWide(sh.withColumnRenamed("jid", "doc_id"), "doc_id", 12),
+      "doc_id", 12, 3)
+    val victims = Dedup.jaccardFromShingles(cands, sh)
+      .filter(col("jaccard") >= 0.8).select(col("id2")).distinct()
+    assert(out.count() == docs.count() - victims.count())
+    assert(out.join(victims.withColumnRenamed("id2", "doc_id"), Seq("doc_id"))
+      .count() == 0)
+  }
+
   test("skip: true prunes execution but the command still resolves") {
     val data = tmp()
     val job = Yaml.jobFromString(
