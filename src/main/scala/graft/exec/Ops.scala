@@ -148,6 +148,29 @@ object Ops {
       out.createOrReplaceTempView(str(env, "OUTPUT"))
       sh.unpersist()
     },
+    // ANN similarity search from the spec layer: banded sign-LSH top-k over an
+    // embedding view (vec_id, embedding) — the scale path, never a cross join.
+    "similarity-topk" -> { (ctx, env) =>
+      graft.llm.Similarity.lshBandedTopK(
+        ctx.view(str(env, "INPUT")),
+        k = opt(env, "K").map(_.toInt).getOrElse(5),
+        numPlanes = opt(env, "PLANES").map(_.toInt).getOrElse(16),
+        bands = opt(env, "BANDS").map(_.toInt).getOrElse(2),
+        dims = opt(env, "DIMS").map(_.toInt).getOrElse(64))
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
+    // Multimodal frame sampling from the spec layer: binary attach -> resize ->
+    // fixed-frame split keeping every k-th (codec stubbed; partition-wise).
+    "media-frames" -> { (ctx, env) =>
+      val media = graft.llm.Multimodal.attachBinary(ctx.view(str(env, "INPUT")))
+      graft.llm.Multimodal.frameSample(ctx.spark,
+          graft.llm.Multimodal.resize(ctx.spark, media,
+            targetBytes = opt(env, "TARGET_BYTES").map(_.toInt).getOrElse(256)).toDF(),
+          frameBytes = opt(env, "FRAME_BYTES").map(_.toInt).getOrElse(64),
+          everyK = opt(env, "EVERY_K").map(_.toInt).getOrElse(2))
+        .toDF()
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
     // Nested job (reference R13: a task runs the CLI on an inner manifest,
     // tests/test_end_to_end.py:434-519): pipeline-as-operator on the same session,
     // so inner temp views land in the shared catalog exactly like inner output
@@ -190,7 +213,16 @@ object Ops {
       "TEXT_COL" -> optIn,
       "NUM_HASHES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
       "BAND_SIZE" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
-      "MIN_JACCARD" -> TaskInput(required = false, inputType = Some(InputType.TFloat)))
+      "MIN_JACCARD" -> TaskInput(required = false, inputType = Some(InputType.TFloat))),
+    "similarity-topk" -> Map("INPUT" -> req, "OUTPUT" -> req,
+      "K" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "PLANES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "BANDS" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "DIMS" -> TaskInput(required = false, inputType = Some(InputType.TInt))),
+    "media-frames" -> Map("INPUT" -> req, "OUTPUT" -> req,
+      "TARGET_BYTES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "FRAME_BYTES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
+      "EVERY_K" -> TaskInput(required = false, inputType = Some(InputType.TInt)))
   ).map { case (name, schema) =>
     name -> Task(name = name, body = TaskBody.SparkOp(name), env = schema)
   }

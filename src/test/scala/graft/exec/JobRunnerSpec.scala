@@ -236,6 +236,43 @@ class JobRunnerSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("similarity-topk and media-frames spark-ops run end-to-end from YAML") {
+    import org.apache.spark.sql.functions.col
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: simmm
+         |data: $data
+         |commands:
+         |  - name: vecs
+         |    task: read-parquet
+         |    env: {path: $sf/embeddings.parquet, output: sm_vecs}
+         |  - name: ann
+         |    task: similarity-topk
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      k: 3
+         |      output: sm_ann
+         |  - name: docs
+         |    task: read-parquet
+         |    env: {path: $sf/documents.parquet, output: sm_docs}
+         |  - name: frames
+         |    task: media-frames
+         |    env:
+         |      input: $${docs.env.OUTPUT}
+         |      frame-bytes: 64
+         |      every-k: 2
+         |      output: sm_frames
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    runner(log).execute(job)
+    val ann = spark.table("sm_ann")
+    assert(ann.count() > 0 && ann.filter(col("rank") > 3).count() == 0)
+    assert(ann.columns.toSeq == Seq("qid", "rank", "vid", "cosine"))
+    val frames = spark.table("sm_frames")
+    assert(frames.count() > 0 && frames.filter(col("n_bytes") > 64).count() == 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+  }
+
   test("skip: true prunes execution but the command still resolves") {
     val data = tmp()
     val job = Yaml.jobFromString(
