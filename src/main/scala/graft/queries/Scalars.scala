@@ -151,6 +151,62 @@ object Scalars {
              |FROM lineitem WHERE l_orderkey <= 200
              |ORDER BY 1, 2, 3, 4, 5, 8""".stripMargin)),
 
+    Q("fn_trig",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").filter($"l_orderkey" <= 200)
+          .select($"l_orderkey", $"l_linenumber", $"l_discount", $"l_tax",
+            round(sin($"l_discount"), 9).as("sin_d"),
+            round(cos($"l_discount"), 9).as("cos_d"),
+            round(tan($"l_discount"), 9).as("tan_d"),
+            round(atan($"l_tax"), 9).as("atan_t"),
+            round(atan2($"l_discount", $"l_tax" + 0.01), 9).as("atan2_dt"),
+            round(degrees($"l_discount"), 9).as("deg_d"),
+            round(radians($"l_tax"), 9).as("rad_t"),
+            round(sinh($"l_discount"), 9).as("sinh_d"),
+            round(cosh($"l_discount"), 9).as("cosh_d"),
+            round(tanh($"l_discount"), 9).as("tanh_d"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_discount", $"l_tax")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_discount, l_tax,
+             |  round(sin(l_discount), 9) AS sin_d,
+             |  round(cos(l_discount), 9) AS cos_d,
+             |  round(tan(l_discount), 9) AS tan_d,
+             |  round(atan(l_tax), 9) AS atan_t,
+             |  round(atan2(l_discount, l_tax + 0.01), 9) AS atan2_dt,
+             |  round(degrees(l_discount), 9) AS deg_d,
+             |  round(radians(l_tax), 9) AS rad_t,
+             |  round((exp(l_discount) - exp(-l_discount)) / 2, 9) AS sinh_d,
+             |  round((exp(l_discount) + exp(-l_discount)) / 2, 9) AS cosh_d,
+             |  round((exp(2*l_discount) - 1) / (exp(2*l_discount) + 1), 9) AS tanh_d
+             |FROM lineitem WHERE l_orderkey <= 200
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    Q("fn_bitwise",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").filter($"l_orderkey" <= 300)
+          .select($"l_orderkey", $"l_linenumber",
+            $"l_orderkey".bitwiseAND(lit(255)).as("and255"),
+            $"l_orderkey".bitwiseOR(lit(16)).as("or16"),
+            $"l_orderkey".bitwiseXOR($"l_linenumber").as("xor_ln"),
+            shiftleft($"l_linenumber", 3).as("shl3"),
+            shiftright($"l_orderkey", 2).as("shr2"),
+            bit_count($"l_orderkey").as("popcnt"),
+            bitwise_not($"l_orderkey").as("flipped"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_orderkey & 255 AS and255,
+             |  l_orderkey | 16 AS or16,
+             |  xor(l_orderkey, l_linenumber) AS xor_ln,
+             |  l_linenumber << 3 AS shl3,
+             |  l_orderkey >> 2 AS shr2,
+             |  bit_count(l_orderkey) AS popcnt,
+             |  ~l_orderkey AS flipped
+             |FROM lineitem WHERE l_orderkey <= 300
+             |ORDER BY 1, 2""".stripMargin)),
+
     Q("fn_conditional",
       (s, dir) => {
         import s.implicits._
