@@ -177,6 +177,39 @@ object Joins {
               |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
               |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
 
+    // Interval/overlap join (SURVEY §2b "interval/overlap join"): order pairs of the
+    // SAME customer whose 7-day activity windows [orderdate, orderdate+7d] overlap.
+    // The equi key (custkey) partitions the work — the shuffle is a plain hash
+    // exchange on custkey and the overlap predicate runs as a residual inside each
+    // key group (orders-per-customer is bounded), so the plan is a SortMergeJoin,
+    // never BNLJ/cartesian. This is the scalable overlap-join shape whenever a
+    // partition key exists; when none does, bucket time like join_range_band.
+    Q("join_interval_overlap",
+      (s, dir) => {
+        import s.implicits._
+        def legs(k: String, ck: String, st: String, en: String) =
+          t(s, dir, "orders").select(
+            $"o_custkey".as(ck), $"o_orderkey".as(k),
+            $"o_orderdate".as(st),
+            ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as(en))
+        val a = legs("k1", "ck", "s1", "e1")
+        val b = legs("k2", "ck2", "s2", "e2")
+        a.join(b,
+            $"ck" === $"ck2" && $"k1" < $"k2" &&
+            $"s1" <= $"e2" && $"s2" <= $"e1")
+          .groupBy($"ck")
+          .agg(count(lit(1)).as("n_overlap"),
+            min($"k1").as("first_key"))
+          .orderBy($"ck")
+      },
+      Some("""SELECT a.o_custkey AS ck, COUNT(*) AS n_overlap,
+             |  min(a.o_orderkey) AS first_key
+             |FROM orders a JOIN orders b
+             |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             | AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY
+             | AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bucketed co-located join: both fact tables written bucketBy(orderkey) with the
     // same bucket count, so the join needs NO shuffle of either side (SortMergeJoin
     // reads matching buckets directly — verify via explain: no Exchange below the

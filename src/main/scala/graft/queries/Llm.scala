@@ -510,6 +510,67 @@ object Llm {
               |  md5(array_to_string(list_sort(prints), '')) AS winnow_sig
               |FROM w ORDER BY doc_id""".stripMargin)),
 
+    // Test-set decontamination: flag training docs sharing any word 3-gram with a
+    // "benchmark" probe set (docs 0-9). The probe side is tiny by construction
+    // (benchmarks are KB-MB even when the corpus is 100 TB), so it is explicitly
+    // broadcast — the corpus-side shingle stream never shuffles; each task filters
+    // its own partitions map-side and only the per-doc hit counts aggregate.
+    Q("text_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = t(s, dir, "documents")
+          .select($"doc_id", explode(TF.shingles($"text", 3)).as("shingle"))
+        val probe = sh.filter($"doc_id" < 10).select($"shingle").distinct()
+        sh.filter($"doc_id" >= 10)
+          .join(broadcast(probe), Seq("shingle"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $duckShingleBase,
+              |probe AS (SELECT DISTINCT shingle FROM shing WHERE doc_id < 10)
+              |SELECT doc_id, COUNT(*) AS n_hits
+              |FROM shing JOIN probe USING (shingle)
+              |WHERE doc_id >= 10
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: inject a deterministic synthetic email+phone per document (the
+    // corpus is synthetic word-soup with no real PII), then redact both with
+    // regexp_replace. Pure codegen'd projection — scales as a map-only stage.
+    Q("text_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+        t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id",
+            concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+              lit("@mail.example.com or +1-555-"),
+              lpad($"doc_id".cast("string"), 4, "0"), lit(" now")).as("raw"))
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace($"raw", email, "<EMAIL>"),
+              phone, "<PHONE>"))
+          .select($"doc_id",
+            regexp_count($"raw", lit(email)).as("n_emails"),
+            regexp_count($"raw", lit(phone)).as("n_phones"),
+            expr("right(scrubbed, 60)").as("tail60"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or +1-555-'
+             |      || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now' AS raw
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+             |    AS n_emails,
+             |  len(regexp_extract_all(raw, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             |  right(regexp_replace(regexp_replace(raw,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 60) AS tail60
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
     Q("multimodal_binary_meta",
       (s, dir) => {
         import s.implicits._

@@ -282,6 +282,34 @@ object Scalars {
              |      FROM part WHERE p_partkey <= 300) u
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // explode_outer/posexplode_outer: rows with an EMPTY filtered array must survive
+    // with NULL pos/word (plain explode would drop them). DuckDB has no outer unnest,
+    // so the oracle pads empty lists with [NULL] before unnesting and nulls the pos.
+    Q("fn_explode_outer",
+      (s, dir) => {
+        import s.implicits._
+        val sToks = filter(split($"p_name", " "), w => w.startsWith("s"))
+        t(s, dir, "part").filter($"p_partkey" <= 300)
+          .select($"p_partkey", posexplode_outer(sToks).as(Seq("pos", "word")))
+          .orderBy($"p_partkey", $"pos".asc_nulls_first, $"word".asc_nulls_first)
+      },
+      Some("""WITH arrs AS (
+             |  SELECT p_partkey,
+             |    list_filter(string_split(p_name, ' '), w -> w LIKE 's%') AS arr
+             |  FROM part WHERE p_partkey <= 300),
+             |padded AS (
+             |  SELECT p_partkey,
+             |    CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE arr END AS arr
+             |  FROM arrs)
+             |SELECT p_partkey,
+             |  CASE WHEN u.word IS NULL THEN NULL
+             |       ELSE CAST(u.pos - 1 AS INT) END AS pos,
+             |  u.word
+             |FROM (SELECT p_partkey, unnest(arr) AS word,
+             |        generate_subscripts(arr, 1) AS pos
+             |      FROM padded) u
+             |ORDER BY 1, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)),
+
     Q("fn_map",
       (s, dir) => {
         import s.implicits._
