@@ -571,6 +571,74 @@ object Llm {
              |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 60) AS tail60
              |FROM raw ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic stratified sampling (corpus mixing): per-source keep rates via an
+    // md5-nibble threshold on the doc id — no RNG, so the sample is reproducible
+    // across engines, retries, and partitionings (a seeded Bernoulli sample is not
+    // portable to the oracle and recomputes differently under task retry). Map-only.
+    Q("sample_stratified_hash",
+      (s, dir) => {
+        import s.implicits._
+        val nibble =
+          conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10).cast("int")
+        // low-resource sources get 75% (nibble<12), the rest 25% (nibble<4)
+        val thr = when($"source".isin("src0", "src1", "src2"), 12).otherwise(4)
+        t(s, dir, "documents")
+          .withColumn("kept", nibble < thr)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_total,
+             |  CAST(SUM(CASE WHEN
+             |    instr('0123456789abcdef',
+             |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+             |    < CASE WHEN source IN ('src0','src1','src2') THEN 12 ELSE 4 END
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Token-budget shard packing (sequence packing for training shards): assign each
+    // doc to shard floor(cum_tokens_before / 2000) in doc_id order. A naive global
+    // running-sum window is a SINGLE reducer at 100 TB, so this uses the scalable
+    // two-level prefix sum: (1) per-bucket token totals (one row per bucket),
+    // (2) running offset across that tiny bucket frame, (3) within-bucket running
+    // sum partitioned by bucket plus the broadcast offset. Identical semantics to
+    // the oracle's global window, but every stage is key-partitioned.
+    Q("text_token_budget_pack",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+          .select($"doc_id", TF.tokenCount($"text").cast("long").as("n_tok"),
+            floor($"doc_id" / 100).as("bkt"))
+        val offsets = d.groupBy($"bkt").agg(sum($"n_tok").as("bkt_tok"))
+          .withColumn("offset", coalesce(
+            sum($"bkt_tok").over(Window.orderBy($"bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"bkt", $"offset")
+        val shard = d.join(broadcast(offsets), Seq("bkt"))
+          .withColumn("cum_before", $"offset" + coalesce(
+            sum($"n_tok").over(Window.partitionBy($"bkt").orderBy($"doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("shard", floor($"cum_before" / 2000))
+        shard.groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+            min($"doc_id").as("first_doc"))
+          .orderBy($"shard")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, CAST(len(${duckToks("text")}) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, n_tok,
+              |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              |  FROM t)
+              |SELECT CAST(floor(cum_before / 2000) AS BIGINT) AS shard,
+              |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              |  min(doc_id) AS first_doc
+              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("multimodal_binary_meta",
       (s, dir) => {
         import s.implicits._
