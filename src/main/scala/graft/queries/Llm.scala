@@ -639,6 +639,76 @@ object Llm {
               |  min(doc_id) AS first_doc
               |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public): duplicate-word
+    // fraction and most-frequent-2-gram fraction, then a keep/drop verdict on integer
+    // cross-multiplied thresholds (unique words >= 40%, top 2-gram <= 20%) so the
+    // hashed columns are ints/booleans, never cross-engine doubles. Entirely map-only
+    // per-document HOFs — no shuffle at all before the final presentation sort, so it
+    // scales as a pure scan at 100 TB (per-doc cost is O(words * distinct) with
+    // document-bounded arrays; no explode row blowup, stays in whole-stage codegen).
+    Q("text_repetition_gopher",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .withColumn("toks", TF.tokens($"text"))
+          .withColumn("g2", TF.ngrams($"toks", 2))
+        d.select($"doc_id",
+            size($"toks").as("n_words"),
+            size(array_distinct($"toks")).as("n_unique_words"),
+            size($"g2").as("n_2grams"),
+            coalesce(array_max(transform(array_distinct($"g2"),
+              g => size(filter($"g2", x => x === g)))), lit(0)).as("top_2gram_count"))
+          .withColumn("kept",
+            $"n_unique_words" * 5 >= $"n_words" * 2 &&
+              $"top_2gram_count" * 5 <= $"n_2grams")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+              |g AS (SELECT doc_id, w,
+              |  CASE WHEN len(w) >= 2
+              |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              |    ELSE [] END AS g2
+              |  FROM t),
+              |m AS (SELECT doc_id, len(w) AS n_words,
+              |  len(list_distinct(w)) AS n_unique_words, len(g2) AS n_2grams,
+              |  COALESCE(list_max(list_transform(list_distinct(g2),
+              |    x -> len(list_filter(g2, y -> y = x)))), 0) AS top_2gram_count
+              |  FROM g)
+              |SELECT doc_id, n_words, n_unique_words, n_2grams, top_2gram_count,
+              |  (n_unique_words * 5 >= n_words * 2
+              |   AND top_2gram_count * 5 <= n_2grams) AS kept
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-token-window chunking (the splitter archetype applied to tokens: one doc →
+    // ceil(n/32) training chunks). Generator-only plan: the chunk list is built as a
+    // per-row array (O(1) slice per chunk) and posexplode'd map-side — no shuffle, no
+    // driver involvement, so a 100 TB corpus chunks as a pure scan.
+    Q("text_chunk_fixed_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val C = 32
+        val d = t(s, dir, "documents")
+          .withColumn("toks", TF.tokens($"text"))
+          .where(size($"toks") > 0)
+        d.select($"doc_id", posexplode(
+            transform(sequence(lit(0), floor((size($"toks") - 1) / C).cast("int")),
+              i => slice($"toks", i * C + 1, lit(C))))
+            .as(Seq("chunk_id", "chunk_toks")))
+          .select($"doc_id", $"chunk_id",
+            concat_ws(" ", $"chunk_toks").as("chunk_text"),
+            size($"chunk_toks").as("n_chunk_tokens"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+              |i AS (SELECT doc_id, w,
+              |  unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id
+              |  FROM t WHERE len(w) > 0),
+              |c AS (SELECT doc_id, chunk_id,
+              |  w[chunk_id * 32 + 1 : chunk_id * 32 + 32] AS cw FROM i)
+              |SELECT doc_id, chunk_id, array_to_string(cw, ' ') AS chunk_text,
+              |  len(cw) AS n_chunk_tokens
+              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("multimodal_binary_meta",
       (s, dir) => {
         import s.implicits._
