@@ -22,6 +22,7 @@ object SparkEntry {
     SetOps.queries,
     Scalars.queries,
     EventsQ.queries,
+    SqlSurface.queries,
     Llm.queries,
     SpecQ.queries,
     Extras.queries

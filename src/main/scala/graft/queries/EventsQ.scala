@@ -177,6 +177,46 @@ object EventsQ {
       },
       Some(s"""SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
               |  COUNT(*) AS n, ${sqlDavg("value")} AS avg_value
-              |FROM events GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin))
+              |FROM events GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin)),
+
+    // Time-series gap fill + LOCF interpolation: per-user daily totals, a generated
+    // date spine (sequence/explode — a generator, not a driver loop) over each user's
+    // own [min, max] span, then last-observation-carried-forward via
+    // last(ignoreNulls) over an ordered row frame. Spine generation and the fill
+    // window both partition by user_id, so the whole query is one shuffle family on
+    // the same key; day totals are decimal-exact so LOCF values hash identically.
+    Q("events_gapfill_locf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events").filter($"user_id" < 20)
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(dsum($"value").as("day_value"))
+        val spine = daily.groupBy($"user_id")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"user_id",
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select($"user_id", $"day",
+            last($"day_value", ignoreNulls = true).over(w).as("filled_value"),
+            $"day_value".isNull.as("was_gap"))
+          .orderBy($"user_id", $"day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    ${sqlDsum("value")} AS day_value
+              |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+              |spine AS (
+              |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1))
+              |SELECT s.user_id, s.day,
+              |  last_value(d.day_value IGNORE NULLS) OVER (
+              |    PARTITION BY s.user_id ORDER BY s.day
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+              |  d.day_value IS NULL AS was_gap
+              |FROM spine s LEFT JOIN daily d USING (user_id, day)
+              |ORDER BY 1, 2""".stripMargin))
   )
 }

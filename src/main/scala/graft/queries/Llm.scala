@@ -177,6 +177,62 @@ object Llm {
               |        (z1.sz + z2.sz - COALESCE(i.n_shared, 0)), 6) > 0
               |ORDER BY jacc DESC, p.id1, p.id2 LIMIT 100""".stripMargin)),
 
+    // Pairs → clusters → canonical keep: the step real dedup pipelines run AFTER
+    // candidate generation. Edges = doc pairs (doc_id < 300) sharing ≥ 5 distinct
+    // 3-gram shingles, with a document-frequency cap (shingle in ≤ 50 docs) so a
+    // stop-phrase shingle can't fan the candidate join out — the same cap production
+    // MinHash pipelines apply. Clusters come from ConnectedComponents (min-label +
+    // pointer jumping, all equi-joins); singletons keep their own id. Oracle: DuckDB
+    // WITH RECURSIVE reachability → min reachable id.
+    Q("dedup_cluster_cc",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").filter($"doc_id" < 300)
+        val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+        val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .filter($"df".between(2, 50)).select("shingle")
+        val shc = sh.join(freq, "shingle")
+        val edges = shc.select($"shingle", $"doc_id".as("src"))
+          .join(shc.select($"shingle", $"doc_id".as("dst")), "shingle")
+          .filter($"src" < $"dst")
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 5).select("src", "dst")
+        val cc = graft.ops.ConnectedComponents.run(edges)
+        val full = docs.select($"doc_id")
+          .join(cc, docs("doc_id") === cc("v"), "left")
+          .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+        full
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy($"component")))
+          .withColumn("keep", $"doc_id" === $"component")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |toks AS (SELECT doc_id, ${duckToks("text")} AS tk
+              |         FROM documents WHERE doc_id < 300),
+              |shing AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks),
+              |freq AS (SELECT shingle FROM shing GROUP BY shingle
+              |         HAVING COUNT(*) BETWEEN 2 AND 50),
+              |shc AS (SELECT s.doc_id, s.shingle FROM shing s JOIN freq f USING (shingle)),
+              |edges0 AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b
+              |  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+              |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+              |reach(v, lab) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v),
+              |comp AS (SELECT v, MIN(lab) AS component FROM reach GROUP BY v)
+              |SELECT d.doc_id,
+              |  COALESCE(c.component, d.doc_id) AS component,
+              |  COUNT(*) OVER (PARTITION BY COALESCE(c.component, d.doc_id)) AS cluster_size,
+              |  d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+              |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+              |LEFT JOIN comp c ON c.v = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     Q("dedup_simhash",
       (s, dir) => {
         import s.implicits._

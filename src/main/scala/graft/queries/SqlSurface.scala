@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** ANSI-SQL surface operators beyond plain joins/aggs: correlated and uncorrelated
+  * subqueries (EXISTS / NOT EXISTS / IN / correlated scalar), FILTER-clause
+  * aggregates, and null-safe equality joins. The Spark surface here is deliberately
+  * `spark.sql(...)` where the feature IS a SQL feature — Catalyst decorrelates every
+  * subquery below into a semi/anti/left join (RewriteCorrelatedScalarSubquery,
+  * RewritePredicateSubquery), so the physical plans are ordinary hash-partitioned
+  * joins that scale out; nothing executes per-row against the inner table. */
+object SqlSurface {
+
+  val queries: Seq[Q] = Seq(
+
+    // EXISTS + NOT EXISTS in one predicate: customers with ≥1 urgent order and no
+    // finished order. Catalyst plans LeftSemi ⨝ then LeftAnti ⨝ on o_custkey — two
+    // shuffled equi-joins, no per-row subquery execution.
+    Q("subq_exists",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer c
+                |WHERE EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_orderpriority = '1-URGENT')
+                |  AND NOT EXISTS (SELECT 1 FROM orders o2
+                |                  WHERE o2.o_custkey = c.c_custkey
+                |                    AND o2.o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')
+             |  AND NOT EXISTS (SELECT 1 FROM orders o2
+             |                  WHERE o2.o_custkey = c.c_custkey
+             |                    AND o2.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Uncorrelated IN subquery → LeftSemi against a broadcast-sized inner (nation).
+    Q("subq_in",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT s_suppkey, s_name FROM supplier
+                |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                |                      WHERE n_regionkey IN (1, 2))
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+             |                      WHERE n_regionkey IN (1, 2))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Correlated scalar subquery (per-customer order count): decorrelated into a
+    // left outer join against a pre-aggregated orders frame — one shuffle each side,
+    // exact BIGINT output.
+    Q("subq_scalar_correlated",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey,
+                |  (SELECT COUNT(*) FROM orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+                |FROM customer c
+                |WHERE c_custkey <= 200
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT COUNT(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c
+             |WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // FILTER-clause aggregates: conditional counts/sums inside ONE grouped pass
+    // (no self-joins, no second scan); decimal-exact sum per QueryDSL rules.
+    Q("agg_filtered", {
+      val sql = s"""SELECT l_returnflag,
+                   |  COUNT(*) AS n_all,
+                   |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+                   |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)))
+                   |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_disc
+                   |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) AS n_all,
+             |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)))
+             |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match each
+    // other, unlike '=' which drops them. Both sides pre-aggregate to ≤5 rows before
+    // the join, so the null-safe comparison is exercised without a wide shuffle; at
+    // scale a null-safe key still hash-partitions (NULL is just one more key value).
+    Q("join_null_safe",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val nullablePrio =
+          when($"o_orderpriority" === "1-URGENT", lit(null)).otherwise($"o_orderpriority")
+        val a = o.groupBy(nullablePrio.as("prio")).agg(count(lit(1)).as("n_all"))
+        val b = o.filter($"o_orderstatus" === "F")
+          .groupBy(nullablePrio.as("prio")).agg(count(lit(1)).as("n_finished"))
+        a.join(b, a("prio") <=> b("prio"), "left")
+          .select(a("prio"), $"n_all", coalesce($"n_finished", lit(0L)).as("n_finished"))
+          .orderBy(a("prio").asc_nulls_first)
+      },
+      Some("""WITH a AS (
+             |  SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio, COUNT(*) AS n_all
+             |  FROM orders GROUP BY 1),
+             |b AS (
+             |  SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio, COUNT(*) AS n_finished
+             |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+             |SELECT a.prio, a.n_all, COALESCE(b.n_finished, 0) AS n_finished
+             |FROM a LEFT JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+             |ORDER BY a.prio ASC NULLS FIRST""".stripMargin))
+  )
+}
