@@ -23,6 +23,7 @@ object SparkEntry {
     Scalars.queries,
     EventsQ.queries,
     SqlSurface.queries,
+    Headline.queries,
     Llm.queries,
     SpecQ.queries,
     Extras.queries

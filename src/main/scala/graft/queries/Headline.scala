@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Headline multi-operator pipelines: TPC-H-shaped star joins (the canonical 100 TB
+  * plan test — selective dim filters must prune the fact scan, dims must broadcast)
+  * and a MERGE/upsert changeset application (the batch form of a mutable-table sink).
+  * These exercise join ORDER and join STRATEGY selection, not just join correctness:
+  * at scale the only acceptable plan filters customer/orders before the lineitem join
+  * and never shuffles a dim. */
+object Headline {
+
+  val queries: Seq[Q] = Seq(
+
+    // TPC-H Q3 shape (shipping priority): 3-way fact⋈fact⋈dim with selective filters
+    // on both fact sides. Catalyst pushes both date predicates into the parquet scans
+    // and AQE picks the join order; revenue is decimal-exact per QueryDSL.
+    Q("tpch_q3_shape",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 8).as("revenue"))
+          .select($"l_orderkey", $"revenue", $"o_orderdate")
+          .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+          .limit(20)
+      },
+      Some(s"""SELECT l_orderkey,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 8)} AS revenue,
+              |  o_orderdate
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |  AND l_shipdate > TIMESTAMP '1997-01-01'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q5 shape (local supplier volume): 6-table star — two fact tables plus four
+    // dims, with the "local" c_nationkey = s_nationkey residual. nation/region are
+    // explicitly broadcast; supplier/customer join on their keys. Per-nation revenue.
+    Q("tpch_q5_shape",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
+                    c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 8).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(s"""SELECT n_name,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 8)} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // MERGE/upsert: apply a changeset (updates for o_orderkey % 100 < 10, inserts
+    // with shifted keys) onto the orders snapshot via ONE full-outer join on the key
+    // — the scalable batch formulation of MERGE INTO (no per-row lookups; both sides
+    // hash-partition on o_orderkey). Output: per-op row counts and value totals.
+    Q("upsert_merge_changeset",
+      (s, dir) => {
+        import s.implicits._
+        val snap = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+        val base = t(s, dir, "orders")
+        val updates = base.filter($"o_orderkey" % 100 < 10)
+          .select($"o_orderkey".as("u_orderkey"),
+            ($"o_totalprice" * 1.1).as("u_totalprice"))
+        val inserts = base.filter($"o_orderkey" % 100 >= 95)
+          .select(($"o_orderkey" + 10000000L).as("u_orderkey"),
+            $"o_totalprice".as("u_totalprice"))
+        val changes = updates.union(inserts)
+        snap.join(changes, $"o_orderkey" === $"u_orderkey", "full_outer")
+          .select(
+            when($"o_orderkey".isNull, "insert")
+              .when($"u_orderkey".isNull, "keep")
+              .otherwise("update").as("op"),
+            coalesce($"u_totalprice", $"o_totalprice").as("price"))
+          .groupBy($"op")
+          .agg(count(lit(1)).as("n"), dsum($"price").as("total"))
+          .orderBy($"op")
+      },
+      Some(s"""WITH changes AS (
+              |  SELECT o_orderkey AS u_orderkey, o_totalprice * 1.1 AS u_totalprice
+              |  FROM orders WHERE o_orderkey % 100 < 10
+              |  UNION ALL
+              |  SELECT o_orderkey + 10000000 AS u_orderkey, o_totalprice AS u_totalprice
+              |  FROM orders WHERE o_orderkey % 100 >= 95)
+              |SELECT
+              |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              |       WHEN c.u_orderkey IS NULL THEN 'keep'
+              |       ELSE 'update' END AS op,
+              |  COUNT(*) AS n,
+              |  ${sqlDsum("COALESCE(c.u_totalprice, o.o_totalprice)")} AS total
+              |FROM (SELECT o_orderkey, o_totalprice FROM orders) o
+              |FULL OUTER JOIN changes c ON o.o_orderkey = c.u_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Stream-stream join, batch-equivalent: click → purchase conversion within
+    // 10 minutes per user. The join is EQUI on user_id with a residual time band —
+    // a hash-partitioned join whose per-key fanout is bounded by per-user activity,
+    // exactly the shape Structured Streaming executes with watermarked state (the
+    // streaming wiring for this query is exercised in StreamingSpec).
+    Q("stream_stream_join_batch",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+        val buys = e.filter($"event_type" === "purchase")
+          .select($"user_id".as("b_user"), $"event_id".as("buy_id"), $"ts".as("buy_ts"))
+        clicks.join(buys,
+            $"user_id" === $"b_user" &&
+            $"buy_ts" >= $"click_ts" &&
+            $"buy_ts" <= $"click_ts" + expr("interval 10 minutes"))
+          .select($"user_id", $"click_id", $"buy_id")
+          .orderBy($"user_id", $"click_id", $"buy_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+             |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') b
+             |  ON c.user_id = b.user_id
+             | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+             |ORDER BY 1, 2, 3""".stripMargin))
+  )
+}

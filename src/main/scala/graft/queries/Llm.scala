@@ -574,8 +574,11 @@ object Llm {
     Q("text_decontaminate",
       (s, dir) => {
         import s.implicits._
-        val sh = t(s, dir, "documents")
-          .select($"doc_id", explode(TF.shingles($"text", 3)).as("shingle"))
+        // shingleFrame stages the token array before the n-gram HOF — calling
+        // TF.shingles($"text",...) inline would re-run the tokenizer regex once per
+        // element_at inside the transform lambda (HOFs block subexpression
+        // elimination): measured 10s → 1s at sf0.1 for this query.
+        val sh = Dedup.shingleFrame(t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
         val probe = sh.filter($"doc_id" < 10).select($"shingle").distinct()
         sh.filter($"doc_id" >= 10)
           .join(broadcast(probe), Seq("shingle"))

@@ -68,6 +68,28 @@ object Streaming {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream join: click → purchase conversion within `window` per user.
+    * Both sides carry a watermark and the join condition time-bounds buy_ts relative
+    * to click_ts, so Spark can expire join state — the REQUIRED shape for an
+    * unbounded stream-stream inner join (without the bound, state grows forever).
+    * Batch-equivalent oracle: `stream_stream_join_batch` in queries.Headline. */
+  def streamStreamClickBuy(events: DataFrame, window: String,
+      watermark: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermark)
+    clicks.join(buys,
+      col("user_id") === col("b_user") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr(s"interval $window"))
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+  }
+
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals (update

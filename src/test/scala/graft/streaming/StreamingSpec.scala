@@ -65,6 +65,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("stream-stream time-bounded join: stream == batch") {
+    val got = Streaming.runToMemory(spark,
+      Streaming.streamStreamClickBuy(Streaming.eventsStream(spark, sf),
+        "10 minutes", "1 minute"),
+      "t_sstream", OutputMode.Append())
+    val e = batchEvents
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val want = clicks.join(buys,
+      col("user_id") === col("b_user") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr("interval 10 minutes"))
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("mapGroupsWithState running totals converge to batch totals") {
     val got = Streaming.runToMemory(spark,
       Streaming.runningUserTotals(spark, Streaming.eventsStream(spark, sf)).toDF(),
