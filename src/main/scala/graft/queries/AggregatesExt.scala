@@ -191,6 +191,31 @@ object AggregatesExt {
              |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
              |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
              |  FROM lineitem)
-             |WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT) ORDER BY l_returnflag""".stripMargin))
+             |WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT) ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated percentiles (percentile_cont semantics): Spark's exact
+    // `percentile` vs DuckDB's `quantile_cont`. l_quantity is integer-valued, so the
+    // linear interpolation lands on exact .0/.25/.5/.75 doubles — bit-identical in
+    // both engines regardless of each engine's interpolation formula associativity.
+    Q("agg_percentile_cont",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+            count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            element_at($"qs", 1).as("q25"),
+            element_at($"qs", 2).as("q50"),
+            element_at($"qs", 3).as("q75"),
+            $"n")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.50) AS q50,
+             |  quantile_cont(l_quantity, 0.75) AS q75,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

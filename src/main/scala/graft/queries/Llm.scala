@@ -768,6 +768,51 @@ object Llm {
               |  len(cw) AS n_chunk_tokens
               |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Chunk-level exact dedup (the C4/RefinedWeb "remove duplicated lines across the
+    // corpus" step, on fixed 32-token windows since the corpus has no newlines): keep
+    // only the globally-first occurrence of each chunk (min doc_id, then chunk_id),
+    // report per-doc retention. The dedup key is the chunk DIGEST, not the text —
+    // the shuffle carries 16 bytes per chunk instead of the chunk body, which is the
+    // difference between shuffling 100 TB and shuffling ~2% of it.
+    Q("dedup_chunk_exact",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val C = 32
+        val chunks = t(s, dir, "documents")
+          .withColumn("toks", TF.tokens($"text"))
+          .where(size($"toks") > 0)
+          .select($"doc_id", posexplode(
+              transform(sequence(lit(0), floor((size($"toks") - 1) / C).cast("int")),
+                i => slice($"toks", i * C + 1, lit(C))))
+              .as(Seq("chunk_id", "chunk_toks")))
+          .select($"doc_id", $"chunk_id",
+            md5(concat_ws(" ", $"chunk_toks")).as("h"),
+            size($"chunk_toks").cast("long").as("n_tok"))
+        val rn = row_number().over(
+          Window.partitionBy($"h").orderBy($"doc_id", $"chunk_id"))
+        chunks.withColumn("rn", rn)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"rn" === 1, $"n_tok").otherwise(0L)).as("n_tokens_kept"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+              |i AS (SELECT doc_id, w,
+              |  unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id
+              |  FROM t WHERE len(w) > 0),
+              |c AS (SELECT doc_id, chunk_id,
+              |  md5(array_to_string(w[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ')) AS h,
+              |  len(w[chunk_id * 32 + 1 : chunk_id * 32 + 32]) AS n_tok FROM i),
+              |r AS (SELECT doc_id, n_tok,
+              |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+              |  FROM c)
+              |SELECT doc_id, COUNT(*) AS n_chunks,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
+              |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("multimodal_binary_meta",
       (s, dir) => {
         import s.implicits._

@@ -364,6 +364,62 @@ object Scalars {
              |  CAST(l_shipdate AS DATE) AS ship_day,
              |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
              |FROM lineitem WHERE l_orderkey <= 100
-             |ORDER BY 1, 2, 3, ship_epoch""".stripMargin))
+             |ORDER BY 1, 2, 3, ship_epoch""".stripMargin)),
+
+    // inline: the array-of-structs generator (one input row → one output row per
+    // struct, struct fields become columns). Here each lineitem fans out to tagged
+    // (measure, value) rows — the unpivot-via-generator idiom.
+    Q("fn_inline_structs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").filter($"l_orderkey" <= 50)
+          .select($"l_orderkey", $"l_linenumber",
+            inline(array(
+              struct(lit("price").as("tag"), $"l_extendedprice".as("val")),
+              struct(lit("qty").as("tag"), $"l_quantity".as("val")))))
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+          // val is the final tiebreaker to make the order total
+          .orderBy($"l_orderkey", $"l_linenumber", $"tag", $"val")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, u.tag AS tag, u.val AS val
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    unnest([{'tag': 'price', 'val': l_extendedprice},
+             |            {'tag': 'qty',   'val': l_quantity}]) AS u
+             |  FROM lineitem WHERE l_orderkey <= 50)
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // array_sort with a COMPARATOR LAMBDA (not natural order): tokens ordered by
+    // (length, lexicographic). The DuckDB oracle emulates the same order with a
+    // padded sort key, proving the comparator semantics; Spark runs the real
+    // three-way comparator inside codegen.
+    Q("fn_array_sort_lambda",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id",
+            graft.llm.TextFunctions.tokens($"text").as("tk"))
+          .select($"doc_id",
+            array_join(slice(expr(
+              """array_sort(tk, (l, r) -> CASE
+                |  WHEN length(l) < length(r) THEN -1
+                |  WHEN length(l) > length(r) THEN 1
+                |  WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END)""".stripMargin),
+              1, 5), " ").as("first5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  array_to_string(
+              |    list_transform(
+              |      list_sort(list_transform(${duckToksInline},
+              |        t -> lpad(CAST(length(t) AS VARCHAR), 4, '0') || t))[1:5],
+              |      x -> x[5:]), ' ') AS first5
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.
+    * A def, not a val: it is referenced from the `queries` val above, which would
+    * otherwise read it before initialization. */
+  private def duckToksInline =
+    """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"""
 }

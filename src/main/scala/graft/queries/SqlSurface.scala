@@ -118,6 +118,30 @@ object SqlSurface {
              |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
              |SELECT a.prio, a.n_all, COALESCE(b.n_finished, 0) AS n_finished
              |FROM a LEFT JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
-             |ORDER BY a.prio ASC NULLS FIRST""".stripMargin))
+             |ORDER BY a.prio ASC NULLS FIRST""".stripMargin)),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT: per-customer top-2 orders.
+    // Catalyst decorrelates the lateral limit into a partitioned window (rank ≤ 2)
+    // over one shuffled join — no per-row subquery execution at any scale.
+    Q("subq_lateral_topk",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+                |FROM customer c
+                |JOIN LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |WHERE c_custkey < 100
+                |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer c
+             |JOIN LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
+             |WHERE c_custkey < 100
+             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
   )
 }
