@@ -26,6 +26,7 @@ object SparkEntry {
     Headline.queries,
     Llm.queries,
     SpecQ.queries,
+    Scale.queries,
     Extras.queries
   )
 

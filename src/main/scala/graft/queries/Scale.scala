@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDSL._
+
+/** Scale-infrastructure operators: the techniques that keep a 100 TB pipeline fast —
+  * bloom runtime filters ahead of selective joins, mergeable distinct sketches,
+  * one-pass column profiling, deterministic weighted sampling, range-clustered data
+  * layout, cohort rollups, banded fuzzy dedup — each expressed as a declarative plan
+  * and hash-checked against DuckDB (sketch estimates excepted, rows-only).
+  */
+object Scale {
+
+  /** DuckDB: integer value of the first 6 hex nibbles of md5(doc_id) — the oracle
+    * mirror of Spark's `conv(substring(md5(x),1,6),16,10)`. DuckDB has no hex-string
+    * to integer cast, so the nibbles are summed positionally. */
+  private def duckHex6(x: String): String =
+    (1 to 6).map { i =>
+      val place = math.pow(16, 6 - i).toLong
+      s"(instr('0123456789abcdef', substring(md5($x), $i, 1)) - 1) * ${place}"
+    }.mkString("(", " + ", ")")
+
+  val queries: Seq[Q] = Seq(
+
+    // Bloom runtime-filter semi-join: the dim side (customers with acctbal > 9000,
+    // ~10% selective) is collapsed to ONE binary bloom value via an uncorrelated
+    // scalar subquery; `might_contain` prunes fact rows at the scan, BEFORE the
+    // shuffle; the exact LEFT SEMI join then scrubs bloom false positives, so the
+    // result is exactly the semi-join. This is Catalyst's InjectRuntimeFilter shape,
+    // written out declaratively (SketchFunctions registers the internal expressions).
+    // At 100 TB the shuffle carries only the ~10% of orders that might match.
+    Q("join_bloom_prefilter",
+      (s, dir) => {
+        graft.functions.SketchFunctions.register(s)
+        graft.Tables.registerAll(s, dir)
+        s.sql(s"""WITH rich AS (
+                 |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+                 |probe AS (
+                 |  SELECT o_custkey, o_totalprice, o_orderpriority FROM orders
+                 |  WHERE graft_might_contain(
+                 |    (SELECT graft_bloom_agg(xxhash64(c_custkey),
+                 |            CAST(4000 AS BIGINT), CAST(65536 AS BIGINT)) FROM rich),
+                 |    xxhash64(o_custkey)))
+                 |SELECT o_orderpriority, COUNT(*) AS n_orders,
+                 |  ${sqlDsum("o_totalprice")} AS sum_price
+                 |FROM probe LEFT SEMI JOIN rich ON probe.o_custkey = rich.c_custkey
+                 |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders o
+              |WHERE EXISTS (SELECT 1 FROM customer c
+              |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Mergeable distinct-count sketches (Apache DataSketches HLL, built into Spark):
+    // per-source sketches union into a corpus-wide estimate WITHOUT re-scanning —
+    // the map-side partials are the sketch itself, so at 100 TB the shuffle carries
+    // one ~KB buffer per source per partition. Rows-only (estimates are
+    // approximate; BASELINE.md keeps approximate ops out of the hash gate).
+    Q("approx_hll_mergeable",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH sk AS (
+                |  SELECT source, hll_sketch_agg(doc_id, 12) AS sk,
+                |         COUNT(DISTINCT doc_id) AS exact_nd
+                |  FROM documents GROUP BY source)
+                |SELECT source, hll_sketch_estimate(sk) AS approx_nd, exact_nd FROM sk
+                |UNION ALL
+                |SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk)),
+                |       SUM(exact_nd) FROM sk
+                |ORDER BY source""".stripMargin)
+      },
+      None),
+
+    // One-pass column profiler (data-quality stats collection): row count, null
+    // count, distinct count, min/max for four columns in a SINGLE aggregation over
+    // the table, unpivoted to one row per column with `inline`. The multi-distinct
+    // Expand is the exact-profile cost; the 100 TB variant swaps countDistinct for
+    // approx_count_distinct / hll (see approx_hll_mergeable) with the same shape.
+    Q("profile_columns",
+      (s, dir) => {
+        import s.implicits._
+        val stats = t(s, dir, "orders").agg(
+          count(lit(1)).as("n_rows"),
+          count($"o_orderstatus").as("nn_status"),
+          countDistinct($"o_orderstatus").as("nd_status"),
+          min($"o_orderstatus").as("lo_status"), max($"o_orderstatus").as("hi_status"),
+          count($"o_orderpriority").as("nn_prio"),
+          countDistinct($"o_orderpriority").as("nd_prio"),
+          min($"o_orderpriority").as("lo_prio"), max($"o_orderpriority").as("hi_prio"),
+          count($"o_custkey").as("nn_cust"),
+          countDistinct($"o_custkey").as("nd_cust"),
+          min($"o_custkey").cast("double").as("lo_cust"),
+          max($"o_custkey").cast("double").as("hi_cust"),
+          count($"o_totalprice").as("nn_price"),
+          countDistinct($"o_totalprice").as("nd_price"),
+          min($"o_totalprice").as("lo_price"), max($"o_totalprice").as("hi_price"))
+        stats.selectExpr(
+          """inline(array(
+            |  named_struct('column', 'o_custkey', 'n_rows', n_rows,
+            |    'n_null', n_rows - nn_cust, 'n_distinct', nd_cust,
+            |    'min_str', CAST(NULL AS STRING), 'max_str', CAST(NULL AS STRING),
+            |    'min_num', lo_cust, 'max_num', hi_cust),
+            |  named_struct('column', 'o_orderpriority', 'n_rows', n_rows,
+            |    'n_null', n_rows - nn_prio, 'n_distinct', nd_prio,
+            |    'min_str', lo_prio, 'max_str', hi_prio,
+            |    'min_num', CAST(NULL AS DOUBLE), 'max_num', CAST(NULL AS DOUBLE)),
+            |  named_struct('column', 'o_orderstatus', 'n_rows', n_rows,
+            |    'n_null', n_rows - nn_status, 'n_distinct', nd_status,
+            |    'min_str', lo_status, 'max_str', hi_status,
+            |    'min_num', CAST(NULL AS DOUBLE), 'max_num', CAST(NULL AS DOUBLE)),
+            |  named_struct('column', 'o_totalprice', 'n_rows', n_rows,
+            |    'n_null', n_rows - nn_price, 'n_distinct', nd_price,
+            |    'min_str', CAST(NULL AS STRING), 'max_str', CAST(NULL AS STRING),
+            |    'min_num', lo_price, 'max_num', hi_price)))""".stripMargin)
+          .orderBy($"column")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+             |SELECT 'o_custkey' AS "column", n_rows,
+             |  n_rows - COUNT(o_custkey) AS n_null,
+             |  COUNT(DISTINCT o_custkey) AS n_distinct,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+             |  CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+             |  CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_orderpriority', n_rows, n_rows - COUNT(o_orderpriority),
+             |  COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+             |  MAX(o_orderpriority), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_orderstatus', n_rows, n_rows - COUNT(o_orderstatus),
+             |  COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_totalprice', n_rows, n_rows - COUNT(o_totalprice),
+             |  COUNT(DISTINCT o_totalprice), CAST(NULL AS VARCHAR),
+             |  CAST(NULL AS VARCHAR), MIN(o_totalprice), MAX(o_totalprice)
+             |FROM orders, n GROUP BY n_rows
+             |ORDER BY "column"""".stripMargin)),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-ES top-k): weight each
+    // document by n_chars, draw its uniform from md5(doc_id) (no RNG — reproducible
+    // across engines, retries, and partitionings), keep the k smallest -ln(u)/w
+    // keys. Spark's TakeOrderedAndProject computes the top-k per partition and
+    // merges k rows per partition — no global sort, no single reducer.
+    Q("sample_weighted_topk",
+      (s, dir) => {
+        import s.implicits._
+        val u = (conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("double") + lit(1.0)) / lit(16777217.0)
+        val top = t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", (-log(u) / $"n_chars").as("k"))
+          .orderBy($"k", $"doc_id").limit(50)
+        top.select(
+            row_number().over(Window.orderBy($"k", $"doc_id")).as("rank"),
+            $"doc_id", $"n_chars")
+          .orderBy($"rank")
+      },
+      Some(s"""WITH k AS (
+              |  SELECT doc_id, n_chars,
+              |    -ln((${duckHex6("CAST(doc_id AS VARCHAR)")} + 1.0) / 16777217.0)
+              |      / n_chars AS k
+              |  FROM documents),
+              |top AS (SELECT * FROM k ORDER BY k, doc_id LIMIT 50)
+              |SELECT row_number() OVER (ORDER BY k, doc_id) AS rank, doc_id, n_chars
+              |FROM top ORDER BY rank""".stripMargin)),
+
+    // Range-clustered data layout: repartitionByRange + sortWithinPartitions writes
+    // parquet where each file covers a disjoint o_orderdate range, so a date filter
+    // on read prunes to ~1/8 of files via row-group min/max stats (the poor man's
+    // Z-order; at 100 TB this layout is the difference between scanning a year and
+    // scanning everything). The read-back aggregate hash-matches the unclustered
+    // oracle — layout never changes semantics.
+    Q("sorted_layout_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/orders_range_clustered"
+        t(s, dir, "orders")
+          .repartitionByRange(8, $"o_orderdate")
+          .sortWithinPartitions($"o_orderdate", $"o_orderkey")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter($"o_orderdate".between("1997-01-01", "1997-12-31"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+              |                      AND TIMESTAMP '1997-12-31 00:00:00'
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Cohort retention rollup: users bucketed by first-seen day, activity counted
+    // per (cohort, day offset). Two key-partitioned shuffles (per-user min, then the
+    // cohort×offset rollup) — the standard product-analytics shape, no window over
+    // the global stream.
+    Q("events_cohort_retention",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("d"))
+        val cohorts = e.groupBy($"user_id").agg(min($"d").as("cohort"))
+        e.join(cohorts, "user_id")
+          .groupBy($"cohort", datediff($"d", $"cohort").as("offset_days"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort", $"offset_days")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+             |SELECT cohort, date_diff('day', cohort, d) AS offset_days,
+             |  COUNT(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN f ON e.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Banded fuzzy (edit-distance) near-dup: candidate pairs come from an EQUI-join
+    // on an 8-char lowercase prefix band (hash-partitioned, no all-pairs scan);
+    // Levenshtein runs only within bands, on a bounded 120-char head. Prefix banding
+    // is the cheap recall heuristic for templated/boilerplate duplicates; MinHash
+    // (dedup_minhash_lsh) covers reordered text.
+    Q("dedup_fuzzy_edit",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select(
+          $"doc_id", substring(lower($"text"), 1, 8).as("band"),
+          substring($"text", 1, 120).as("head"))
+        val a = d.toDF("id_a", "band", "head_a")
+        val b = d.toDF("id_b", "band", "head_b")
+        a.join(b, "band")
+          .filter($"id_a" < $"id_b")
+          .withColumn("edit_dist", levenshtein($"head_a", $"head_b"))
+          .filter($"edit_dist" <= 30)
+          .select($"id_a", $"id_b", $"edit_dist")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, substring(lower(text), 1, 8) AS band,
+             |                  substring(text, 1, 120) AS head FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  levenshtein(a.head, b.head) AS edit_dist
+             |FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.head, b.head) <= 30
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // regexp_extract_all as a table-valued extraction primitive (entity/pattern
+    // mining): all ≥8-letter words per document, with positional access and a joined
+    // preview. Map-only, stays in whole-stage codegen. try_element_at (not
+    // element_at) — ANSI mode makes out-of-bounds element_at an error, DuckDB
+    // list[1] on an empty list is NULL.
+    Q("fn_regexp_extract_all",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id",
+            regexp_extract_all(lower($"text"), lit("[a-z]{8,}"), lit(0)).as("words"))
+          .select($"doc_id",
+            size($"words").as("n_long"),
+            coalesce(try_element_at($"words", lit(1)), lit("")).as("first_long"),
+            array_join(slice($"words", 1, 3), "|").as("first3"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text), '[a-z]{8,}') AS words
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT doc_id, len(words) AS n_long,
+             |  COALESCE(words[1], '') AS first_long,
+             |  COALESCE(array_to_string(words[1:3], '|'), '') AS first3
+             |FROM w ORDER BY doc_id""".stripMargin))
+  )
+}
