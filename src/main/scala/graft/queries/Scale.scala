@@ -233,8 +233,14 @@ object Scale {
         val b = d.toDF("id_b", "band", "head_b")
         a.join(b, "band")
           .filter($"id_a" < $"id_b")
-          .withColumn("edit_dist", levenshtein($"head_a", $"head_b"))
-          .filter($"edit_dist" <= 30)
+          // length-delta pre-prune: levenshtein(a,b) >= |len(a)-len(b)|, so pairs
+          // whose head lengths differ by >30 can never pass — skip the O(n*m) DP
+          // for them entirely (same result, ~free predicate).
+          .filter(abs(length($"head_a") - length($"head_b")) <= 30)
+          // thresholded levenshtein: banded DP that early-exits once the distance
+          // provably exceeds 30 (returns -1) — O(n·k) instead of O(n·m) per pair.
+          .withColumn("edit_dist", levenshtein($"head_a", $"head_b", 30))
+          .filter($"edit_dist" >= 0)
           .select($"id_a", $"id_b", $"edit_dist")
           .orderBy($"id_a", $"id_b")
       },
@@ -251,6 +257,37 @@ object Scale {
     // preview. Map-only, stays in whole-stage codegen. try_element_at (not
     // element_at) — ANSI mode makes out-of-bounds element_at an error, DuckDB
     // list[1] on an empty list is NULL.
+    // Custom Catalyst Generator (UDTF surface beyond explode): shingle_gen streams
+    // (pos, shingle) rows without materializing the per-document shingle array —
+    // peak memory per input row is O(shingle width), not O(document length), which
+    // is what survives heavy-tailed web documents at 100 TB. Registered per-session
+    // (ShingleGen.register), invoked through LATERAL VIEW.
+    Q("fn_shingle_generator",
+      (s, dir) => {
+        graft.functions.ShingleGen.register(s)
+        graft.Tables.documents(s, dir).createOrReplaceTempView("docs_sg")
+        s.sql("""WITH d AS (
+                |  SELECT doc_id,
+                |    filter(split(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS tk
+                |  FROM docs_sg WHERE doc_id < 50)
+                |SELECT doc_id, pos, shingle
+                |FROM d LATERAL VIEW shingle_gen(tk, 3) g AS pos, shingle
+                |ORDER BY doc_id, pos""".stripMargin)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                x -> x <> '') AS tk
+             |  FROM documents WHERE doc_id < 50),
+             |l AS (
+             |  SELECT doc_id,
+             |    range(1, CASE WHEN len(tk) >= 3 THEN len(tk) - 1 ELSE 1 END) AS idx,
+             |    tk FROM toks)
+             |SELECT doc_id, unnest(list_transform(idx, i -> i - 1)) AS pos,
+             |  unnest(list_transform(idx, i -> array_to_string(tk[i:i+2], ' ')))
+             |    AS shingle
+             |FROM l ORDER BY doc_id, pos""".stripMargin)),
+
     Q("fn_regexp_extract_all",
       (s, dir) => {
         import s.implicits._
