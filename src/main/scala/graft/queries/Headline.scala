@@ -148,6 +148,35 @@ object Headline {
              |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') b
              |  ON c.user_id = b.user_id
              | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Batch equivalent of the LEFT-OUTER stream-stream join
+    // (Streaming.streamStreamClickBuyOuter): clicks that never convert inside the
+    // window surface with a NULL buy — in streaming those rows emit on watermark-
+    // driven state eviction; in batch they are the ordinary outer-join remainder.
+    // Same physical shape either way: a key-partitioned join, state/shuffle bounded
+    // by the time band.
+    Q("stream_stream_join_outer_batch",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+        val buys = e.filter($"event_type" === "purchase")
+          .select($"user_id".as("b_user"), $"event_id".as("buy_id"), $"ts".as("buy_ts"))
+        clicks.join(buys,
+            $"user_id" === $"b_user" &&
+            $"buy_ts" >= $"click_ts" &&
+            $"buy_ts" <= $"click_ts" + expr("interval 10 minutes"),
+            "leftOuter")
+          .select($"user_id", $"click_id", $"buy_id")
+          .orderBy($"user_id", $"click_id", $"buy_id".asc_nulls_first)
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+             |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+             |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') b
+             |  ON c.user_id = b.user_id
+             | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+             |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin))
   )
 }

@@ -90,6 +90,32 @@ object Streaming {
       .select(col("user_id"), col("click_id"), col("buy_id"))
   }
 
+  /** LEFT-OUTER stream-stream join: clicks with no purchase inside `window` emit a
+    * NULL buy — but only once the watermark passes click_ts + window, i.e. when the
+    * engine can PROVE no match is still coming (that proof is what the mandatory
+    * time bound + watermark buy). The null row arrives on state eviction, typically
+    * in a later (possibly data-less) micro-batch — the semantic difference from the
+    * inner variant above. Clicks younger than the final watermark horizon stay in
+    * state and never emit in a finite run; StreamingSpec compares against batch on
+    * the mature region only. */
+  def streamStreamClickBuyOuter(events: DataFrame, window: String,
+      watermark: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermark)
+    clicks.join(buys,
+      col("user_id") === col("b_user") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr(s"interval $window"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("buy_id"))
+  }
+
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals (update

@@ -65,6 +65,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("stream-stream LEFT-OUTER join: stream == batch on the mature region") {
+    val got = Streaming.runToMemory(spark,
+      Streaming.streamStreamClickBuyOuter(Streaming.eventsStream(spark, sf),
+        "10 minutes", "1 minute"),
+      "t_sstream_outer", OutputMode.Append())
+    val e = batchEvents
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val want = clicks.join(buys,
+      col("user_id") === col("b_user") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr("interval 10 minutes"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("buy_id"))
+    // Null emission happens on state eviction: a click can only prove "no match"
+    // once the final watermark passes click_ts + 10 min. The global watermark is the
+    // MIN across both input streams of (per-stream max event time - 1 min delay) —
+    // at this sparse scale the last purchase can trail the last click by a long gap,
+    // so the horizon derives from the min-of-maxes, with a 12-min pullback
+    // (1 min delay + 10 min window + 1 min boundary margin). Younger clicks are
+    // still in state when the finite stream ends; equivalence holds on the mature
+    // region only.
+    val maxPerStream = batchEvents
+      .agg(max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mb"))
+      .head()
+    val horizon = new java.sql.Timestamp(
+      math.min(maxPerStream.getTimestamp(0).getTime,
+        maxPerStream.getTimestamp(1).getTime) - 12 * 60 * 1000L)
+    val gotMature = got.filter(col("click_ts") < lit(horizon))
+    val wantMature = want.filter(col("click_ts") < lit(horizon))
+    assert(gotMature.count() == wantMature.count() && gotMature.count() > 0)
+    assert(gotMature.except(wantMature).isEmpty &&
+      wantMature.except(gotMature).isEmpty)
+    // and the outer semantics actually fired: some mature clicks carry a NULL buy
+    assert(gotMature.filter(col("buy_id").isNull).count() > 0)
+  }
+
   test("stream-stream time-bounded join: stream == batch") {
     val got = Streaming.runToMemory(spark,
       Streaming.streamStreamClickBuy(Streaming.eventsStream(spark, sf),
