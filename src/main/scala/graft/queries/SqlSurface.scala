@@ -142,6 +142,51 @@ object SqlSurface {
              |  WHERE o.o_custkey = c.c_custkey
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
              |WHERE c_custkey < 100
-             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): generate a month spine by recursion,
+    // left-join the fact aggregate onto it so empty months surface as zero — the
+    // classic report-completeness shape. The recursion itself is driver-cheap
+    // (12 rows); the data-touching part stays one key-partitioned aggregation.
+    Q("sql_recursive_cte",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH RECURSIVE m(mon) AS (
+                |  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12)
+                |SELECT mon, COALESCE(n, 0) AS n_orders
+                |FROM m LEFT JOIN (
+                |  SELECT month(o_orderdate) AS mon2, COUNT(*) AS n
+                |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+                |ON mon = mon2 ORDER BY mon""".stripMargin)
+      },
+      Some("""WITH RECURSIVE m(mon) AS (
+             |  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12)
+             |SELECT mon, COALESCE(n, 0) AS n_orders
+             |FROM m LEFT JOIN (
+             |  SELECT month(o_orderdate) AS mon2, COUNT(*) AS n
+             |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+             |ON mon = mon2 ORDER BY mon""".stripMargin)),
+
+    // VARIANT semi-structured type (Spark 4): parse the JSON props column once into
+    // a binary VARIANT and extract typed fields with variant_get — the columnar
+    // semi-structured path (shredded binary, no per-access JSON re-parse, unlike
+    // get_json_object). try_variant_get returns NULL for missing paths.
+    Q("fn_variant_semistructured",
+      (s, dir) => {
+        import s.implicits._
+        graft.Tables.events(s, dir)
+          .filter($"event_id" < 2000)
+          .select($"event_id", parse_json($"props").as("v"))
+          .select($"event_id",
+            expr("variant_get(v, '$.k', 'int')").as("k_int"),
+            expr("variant_get(v, '$.k', 'string')").as("k_str"),
+            expr("try_variant_get(v, '$.missing', 'int')").as("k_missing"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(NULL AS INTEGER) AS k_missing
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
   )
 }
