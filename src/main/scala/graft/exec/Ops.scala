@@ -171,6 +171,27 @@ object Ops {
         .toDF()
         .createOrReplaceTempView(str(env, "OUTPUT"))
     },
+    // One-pass column profiler from the spec layer (data-quality stats before a
+    // pipeline stage commits to a schema): one aggregation over the view computes
+    // row/null/distinct/min/max per requested column, unpivoted to a row per
+    // column. Exact distincts; swap in approx_count_distinct for 100 TB profiles.
+    "profile" -> { (ctx, env) =>
+      val cols = str(env, "COLUMNS").split(",").map(_.trim).filter(_.nonEmpty)
+      if (cols.isEmpty) throw SpecError("op parameter 'COLUMNS' must name >= 1 column")
+      val df = ctx.view(str(env, "INPUT"))
+      val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__lo_$c"),
+        max(col(c)).cast("string").as(s"__hi_$c"))).toSeq
+      val structs = cols.map(c =>
+        s"""named_struct('column', '$c', 'n_rows', __n,
+           |  'n_null', __n - `__nn_$c`, 'n_distinct', `__nd_$c`,
+           |  'min_value', `__lo_$c`, 'max_value', `__hi_$c`)""".stripMargin)
+        .mkString("inline(array(", ", ", "))")
+      df.agg(aggs.head, aggs.tail: _*).selectExpr(structs)
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
     // Nested job (reference R13: a task runs the CLI on an inner manifest,
     // tests/test_end_to_end.py:434-519): pipeline-as-operator on the same session,
     // so inner temp views land in the shared catalog exactly like inner output
@@ -207,6 +228,7 @@ object Ops {
     "run-job" -> Map("PATH" -> req, "COMMANDS" -> optIn,
       "DRYRUN" -> TaskInput(required = false, inputType = Some(InputType.TBool))),
     "text-quality" -> Map("INPUT" -> req, "OUTPUT" -> req, "TEXT_COL" -> optIn),
+    "profile" -> Map("INPUT" -> req, "COLUMNS" -> req, "OUTPUT" -> req),
     "dedup-exact" -> Map("INPUT" -> req, "KEYS" -> req, "ORDER" -> optIn,
       "OUTPUT" -> req),
     "minhash-dedup" -> Map("INPUT" -> req, "OUTPUT" -> req, "ID_COL" -> optIn,

@@ -144,6 +144,23 @@ object SqlSurface {
              |WHERE c_custkey < 100
              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
 
+    // ANSI listagg (Spark 4) — ordered string aggregation WITHIN GROUP; the ORDER BY
+    // inside the aggregate makes the concatenation deterministic under any
+    // partitioning (collect_list alone is partition-order-sensitive). Groups here
+    // are dimension-bounded; unbounded-group listagg is an anti-pattern at scale.
+    Q("agg_listagg",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT n_name,
+                |  listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS suppliers
+                |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): generate a month spine by recursion,
     // left-join the fact aggregate onto it so empty months surface as zero — the
     // classic report-completeness shape. The recursion itself is driver-cheap

@@ -56,6 +56,35 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(log.exists(l => l.contains("wrote") && l.contains("rows")))
   }
 
+  test("profile spark-op emits one stats row per requested column") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: profile-job
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/orders.parquet
+         |      output: p_orders
+         |  - name: stats
+         |    task: profile
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      columns: o_orderstatus,o_custkey
+         |      output: p_stats
+         |""".stripMargin)
+    runner(scala.collection.mutable.ListBuffer[String]()).execute(job)
+    val rows = spark.table("p_stats").orderBy("column").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("o_custkey", "o_orderstatus"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val n = orders.count()
+    assert(rows.forall(_.getLong(1) == n))          // n_rows
+    assert(rows.forall(_.getLong(2) == 0L))         // n_null
+    val ndStatus = orders.select("o_orderstatus").distinct().count()
+    assert(rows.find(_.getString(0) == "o_orderstatus").get.getLong(3) == ndStatus)
+  }
+
   test("context logger renders nested JOB/COMMAND frames (reference R15)") {
     val data = tmp()
     val job = Yaml.jobFromString(
