@@ -414,7 +414,48 @@ object Scalars {
               |      list_sort(list_transform(${duckToksInline},
               |        t -> lpad(CAST(length(t) AS VARCHAR), 4, '0') || t))[1:5],
               |      x -> x[5:]), ' ') AS first5
-              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ANSI-safe try_* family: Spark 4 runs under ANSI mode, where bad casts,
+    // division by zero, and out-of-bounds element access are ERRORS; the try_
+    // variants give per-row NULL-on-failure semantics — the right behavior for a
+    // 100 TB ingest where one malformed record must not kill a stage. Mixed
+    // good/bad inputs are constructed so every column exercises both paths.
+    Q("fn_try_errors",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").filter($"p_partkey" <= 300)
+          .select($"p_partkey",
+            expr("""CASE WHEN p_size % 3 = 0 THEN CAST(p_size AS STRING)
+                   |     ELSE p_type END""".stripMargin).as("istr"),
+            expr("""CASE WHEN p_size % 2 = 0
+                   |     THEN concat('2024-0', CAST(p_size % 9 + 1 AS STRING), '-15')
+                   |     ELSE 'not-a-date' END""".stripMargin).as("dstr"),
+            $"p_retailprice", ($"p_size" % 4).as("den"),
+            split($"p_name", " ").as("words"))
+          .select($"p_partkey",
+            expr("try_cast(istr AS INT)").as("parsed_int"),
+            try_divide($"p_retailprice", $"den").as("safe_div"),
+            expr("try_to_timestamp(dstr)").as("parsed_ts"),
+            try_element_at($"words", lit(99)).as("oob_word"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH v AS (
+             |  SELECT p_partkey,
+             |    CASE WHEN p_size % 3 = 0 THEN CAST(p_size AS VARCHAR)
+             |         ELSE p_type END AS istr,
+             |    CASE WHEN p_size % 2 = 0
+             |         THEN '2024-0' || CAST(p_size % 9 + 1 AS VARCHAR) || '-15'
+             |         ELSE 'not-a-date' END AS dstr,
+             |    p_retailprice, p_size % 4 AS den,
+             |    string_split(p_name, ' ') AS words
+             |  FROM part WHERE p_partkey <= 300)
+             |SELECT p_partkey,
+             |  TRY_CAST(istr AS INTEGER) AS parsed_int,
+             |  p_retailprice / NULLIF(den, 0) AS safe_div,
+             |  TRY_CAST(dstr AS TIMESTAMP) AS parsed_ts,
+             |  words[99] AS oob_word
+             |FROM v ORDER BY p_partkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.
