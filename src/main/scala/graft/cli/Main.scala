@@ -14,7 +14,8 @@ import graft.spec.Yaml
 object Main {
 
   private val usage = "usage: graft.cli.Main <job.yml> [-c commands] [--dry-run] " +
-    "[-l|--log-style box|compact|plain|gaudy|moderate|minimal] [-t|--no-timestamps]"
+    "[-l|--log-style box|compact|plain|gaudy|moderate|minimal] [-t|--no-timestamps] " +
+    "[--test-task NAME]"
 
   private val styleAliases = Map(
     "box" -> "box", "compact" -> "compact", "plain" -> "plain",
@@ -35,6 +36,7 @@ object Main {
     var dryrun = false
     var style = "box"
     var timestamps = true
+    var testTask: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -47,6 +49,7 @@ object Main {
             usageExit(s"invalid $f '$v' (box|compact|plain|gaudy|moderate|minimal)"))
           i += 2
         case "-t" | "--no-timestamps" => timestamps = false; i += 1
+        case f @ "--test-task" => testTask = Some(valueOf(f, i)); i += 2
         case other => manifest = Some(other); i += 1
       }
     }
@@ -62,8 +65,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val ctx = new ContextLogger(println, style, timestamps)
-      new JobRunner(spark, println, Some(ctx))
-        .execute(Yaml.jobFromFile(path), commands, dryrun)
+      val runner = new JobRunner(spark, println, Some(ctx))
+      testTask match {
+        case Some(name) =>
+          val results = runner.testTask(Yaml.jobFromFile(path), name)
+          if (results.values.exists(!_)) { spark.stop(); sys.exit(1) }
+        case None =>
+          runner.execute(Yaml.jobFromFile(path), commands, dryrun)
+      }
     } catch {
       case TaskFailure(_, rc) => spark.stop(); sys.exit(rc)
       case e: Exception =>

@@ -32,15 +32,34 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
   private def out(msg: String): Unit =
     context.map(_.line(msg)).getOrElse(log(msg))
 
+  private def buildRegistry(resolved: Job): Registry = {
+    val discovered = Registry.discover(resolved.tasks, w => out(s"WARNING: $w"))
+    Ops.taskSpecs.values.foldLeft(discovered) { (r, spec) =>
+      if (r.get(spec.name).isDefined) r else r.withTask(spec)
+    }
+  }
+
+  /** Run one task's in-manifest tests from the CLI (`--test-task NAME`). The
+    * reference defines the tests mechanism (task.py:161-193) but ships no runner;
+    * this closes that last gap: resolve the job, discover the task, execute each
+    * test case (env + verify, exit 0 = pass) and report per-case results. */
+  def testTask(job: Job, taskName: String): Map[String, Boolean] = {
+    val resolved = Placeholders.resolve(job, sys.env, w => out(s"WARNING: $w"))
+    val registry = buildRegistry(resolved)
+    val task = registry.get(taskName).getOrElse(
+      throw SpecError(s"unknown task '$taskName'"))
+    if (task.tests.isEmpty) out(s"task '${task.name}' declares no tests")
+    val results = runTaskTests(task, new JobContext(spark, resolved.data, out))
+    results.toSeq.sortBy(_._1).foreach { case (name, ok) =>
+      out(s"TEST ${task.name}/$name: ${if (ok) "PASS" else "FAIL"}")
+    }
+    results
+  }
+
   def execute(job: Job, commands: Option[Seq[String]] = None,
       dryrun: Boolean = false): Unit = {
     val resolved = Placeholders.resolve(job, sys.env, w => out(s"WARNING: $w"))
-    val registry = {
-      val discovered = Registry.discover(resolved.tasks, w => out(s"WARNING: $w"))
-      Ops.taskSpecs.values.foldLeft(discovered) { (r, spec) =>
-        if (r.get(spec.name).isDefined) r else r.withTask(spec)
-      }
-    }
+    val registry = buildRegistry(resolved)
 
     val filter = commands.map(_.flatMap(_.split(",")).map(c => Keys.snake(c.trim)).toSet)
     val selected = resolved.commands.zipWithIndex.filter { case (c, i) =>

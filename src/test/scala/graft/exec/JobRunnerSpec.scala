@@ -444,4 +444,38 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(results("happy"))
     assert(!results("sad"))
   }
+
+  test("--test-task path: discovers the task from the job and reports per-case results") {
+    val data = tmp()
+    val taskDir = Paths.get(data, "tasks", "checker")
+    Files.createDirectories(taskDir)
+    Files.writeString(taskDir.resolve("manifest.yml"),
+      """name: checker
+        |run:
+        |  interpreter: /bin/sh -c
+        |  script: test -n "$MSG"
+        |env:
+        |  MSG: {type: str}
+        |tests:
+        |  happy:
+        |    env: {msg: hello}
+        |    verify: /bin/true
+        |  sad:
+        |    env: {msg: ""}
+        |    verify: /bin/true
+        |""".stripMargin)
+    val job = Yaml.jobFromString(
+      s"""name: test-task-job
+         |data: $data
+         |tasks:
+         |  - $data/tasks
+         |commands: []
+         |""".stripMargin)
+    val log = scala.collection.mutable.ListBuffer[String]()
+    val results = runner(log).testTask(job, "checker")
+    assert(results == Map("happy" -> true, "sad" -> false))
+    assert(log.exists(_.contains("TEST checker/happy: PASS")))
+    assert(log.exists(_.contains("TEST checker/sad: FAIL")))
+    intercept[SpecError] { runner(log).testTask(job, "no-such-task") }
+  }
 }
