@@ -195,4 +195,20 @@ object Streaming {
       .format("parquet").option("path", path).start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** foreachBatch sink with Trigger.AvailableNow: the operational pattern for
+    * streaming upserts — each micro-batch arrives as an ordinary DataFrame plus a
+    * batch id, and the handler applies any batch write Spark itself doesn't offer
+    * (MERGE into a table, multi-sink fan-out, JDBC). AvailableNow drains whatever
+    * the source currently holds in rate-limited batches, then stops — the
+    * catch-up/backfill trigger. The batch id makes redelivery after a restart
+    * idempotent (handlers keying on it dedupe replays). */
+  def runForeachBatch(df: DataFrame, mode: OutputMode)
+      (handler: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream.outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(handler)
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
 }

@@ -165,4 +165,22 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.read.parquet(s"$out/data")
     assert(rows.columns.toSet == Set("wstart", "event_type", "n", "total"))
   }
+
+  test("foreachBatch sink under Trigger.AvailableNow: upsert handler sees every batch") {
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val batchIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    Streaming.runForeachBatch(
+      Streaming.eventsStream(spark, sf)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      OutputMode.Complete()) { (batch, id) =>
+      batchIds.add(id)
+      // MERGE-style upsert into an external store: complete mode replays the full
+      // aggregate, so put() is the idempotent apply
+      batch.collect().foreach(r => store.put(r.getString(0), r.getLong(1)))
+    }
+    val want = batchEvents.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!batchIds.isEmpty)
+    assert(want.forall { case (k, v) => store.get(k) == v })
+  }
 }
