@@ -162,6 +162,63 @@ object Windows {
              |    ROW_NUMBER() OVER (PARTITION BY o_custkey
              |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders)
-             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Time-interval RANGE frame: 7-day trailing spend per customer. Spark expresses
+    // interval frames as epoch-second arithmetic (rangeBetween over cast-to-long);
+    // the oracle uses the native RANGE BETWEEN INTERVAL bound — identical inclusive
+    // window on second-aligned timestamps. One shuffle on the partition key.
+    Q("win_time_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          // NTZ→TZ cast is the identity under the pinned UTC session; ANSI forbids
+          // a direct TIMESTAMP_NTZ→BIGINT cast
+          .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+          .rangeBetween(-7L * 86400, 0)
+        t(s, dir, "orders")
+          .filter($"o_custkey" < 200)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+            count(lit(1)).over(w).as("n_7d"),
+            sum($"o_totalprice".cast(dec)).over(w).cast("double").as("spend_7d"))
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |  COUNT(*) OVER w AS n_7d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE)
+             |    AS spend_7d
+             |FROM orders WHERE o_custkey < 200
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // lag ... IGNORE NULLS — last non-null preceding value (gap-aware carry-forward,
+    // the LOCF primitive inside a window). Nulls are injected deterministically so
+    // both the skip path and the plain path are exercised on every partition.
+    Q("win_lag_ignore_nulls",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .filter($"o_custkey" < 200)
+          .withColumn("v",
+            when($"o_orderstatus" === "O", lit(null)).otherwise($"o_totalprice"))
+          .select($"o_orderkey", $"o_custkey", $"v",
+            lag($"v", 1).over(w).as("prev_any"),
+            lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_nonnull"))
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""WITH v AS (
+             |  SELECT o_orderkey, o_custkey, o_orderdate,
+             |    CASE WHEN o_orderstatus = 'O' THEN NULL
+             |         ELSE o_totalprice END AS v
+             |  FROM orders WHERE o_custkey < 200)
+             |SELECT o_orderkey, o_custkey, v,
+             |  lag(v, 1) OVER w AS prev_any,
+             |  lag(v, 1 IGNORE NULLS) OVER w AS prev_nonnull
+             |FROM v
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
   )
 }
