@@ -229,8 +229,15 @@ object Scale {
         val d = t(s, dir, "documents").select(
           $"doc_id", substring(lower($"text"), 1, 8).as("band"),
           substring($"text", 1, 120).as("head"))
-        val a = d.toDF("id_a", "band", "head_a")
-        val b = d.toDF("id_b", "band", "head_b")
+        // Boilerplate guard (part of the operator's semantics, mirrored in the
+        // oracle): a band shared by > 64 documents is template/boilerplate text, and
+        // its quadratic pair set would dominate the join at corpus scale — the same
+        // df-cap rule the shared-shingle edge builder uses (ConnectedComponents).
+        val okBands = d.groupBy($"band").agg(count(lit(1)).as("n"))
+          .filter($"n" <= 64).select($"band")
+        val capped = d.join(okBands, "band")
+        val a = capped.toDF("band", "id_a", "head_a")
+        val b = capped.toDF("band", "id_b", "head_b")
         a.join(b, "band")
           .filter($"id_a" < $"id_b")
           // length-delta pre-prune: levenshtein(a,b) >= |len(a)-len(b)|, so pairs
@@ -245,18 +252,15 @@ object Scale {
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH d AS (SELECT doc_id, substring(lower(text), 1, 8) AS band,
-             |                  substring(text, 1, 120) AS head FROM documents)
+             |                  substring(text, 1, 120) AS head FROM documents),
+             |ok AS (SELECT band FROM d GROUP BY band HAVING COUNT(*) <= 64),
+             |c AS (SELECT d.* FROM d JOIN ok ON d.band = ok.band)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  levenshtein(a.head, b.head) AS edit_dist
-             |FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
+             |FROM c a JOIN c b ON a.band = b.band AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.head, b.head) <= 30
              |ORDER BY 1, 2""".stripMargin)),
 
-    // regexp_extract_all as a table-valued extraction primitive (entity/pattern
-    // mining): all ≥8-letter words per document, with positional access and a joined
-    // preview. Map-only, stays in whole-stage codegen. try_element_at (not
-    // element_at) — ANSI mode makes out-of-bounds element_at an error, DuckDB
-    // list[1] on an empty list is NULL.
     // Custom Catalyst Generator (UDTF surface beyond explode): shingle_gen streams
     // (pos, shingle) rows without materializing the per-document shingle array —
     // peak memory per input row is O(shingle width), not O(document length), which
@@ -288,6 +292,11 @@ object Scale {
              |    AS shingle
              |FROM l ORDER BY doc_id, pos""".stripMargin)),
 
+    // regexp_extract_all as a table-valued extraction primitive (entity/pattern
+    // mining): all ≥8-letter words per document, with positional access and a joined
+    // preview. Map-only, stays in whole-stage codegen. try_element_at (not
+    // element_at) — ANSI mode makes out-of-bounds element_at an error, DuckDB
+    // list[1] on an empty list is NULL.
     Q("fn_regexp_extract_all",
       (s, dir) => {
         import s.implicits._
