@@ -216,6 +216,33 @@ object AggregatesExt {
              |  quantile_cont(l_quantity, 0.50) AS q50,
              |  quantile_cont(l_quantity, 0.75) AS q75,
              |  COUNT(*) AS n
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic mode (most frequent value per group): built-in mode() leaves
+    // tie-breaking engine-defined, so this uses the explicit count + row_number
+    // formulation with a total tie order (count desc, then value asc) — same rows in
+    // any engine and under any partitioning. Two key-partitioned shuffles: the
+    // (group, value) count, then a window over the small per-group value set.
+    Q("agg_mode_deterministic",
+      (s, dir) => {
+        import s.implicits._
+        val cnt = t(s, dir, "orders")
+          .groupBy($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"n".desc, $"o_orderpriority")
+        cnt.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_orderstatus", $"o_orderpriority".as("mode_pri"), $"n")
+          .orderBy($"o_orderstatus")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+             |SELECT o_orderstatus, o_orderpriority AS mode_pri, n
+             |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -217,6 +217,47 @@ object EventsQ {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
               |  d.day_value IS NULL AS was_gap
               |FROM spine s LEFT JOIN daily d USING (user_id, day)
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // Gap-based sessionization — the classic batch formulation (lag → boundary flag
+    // → running sum = session id), complementing the session_window operator
+    // (stream_session_batch) with the shape warehouses actually run. Every window is
+    // partitioned by user_id, so the plan is one hash shuffle on user and
+    // per-user-sorted streams — no global ordering anywhere. Gap arithmetic is done
+    // in integer epoch-millis (unix_millis / epoch_ms floor identically in both
+    // engines; double epoch seconds would not hash-match).
+    Q("events_sessionize_gap",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id")
+          .withColumn("prev_ms", unix_millis(lag($"ts", 1).over(w)))
+          .withColumn("new_s",
+            when($"prev_ms".isNull ||
+              unix_millis($"ts") - $"prev_ms" > 1800000L, 1L).otherwise(0L))
+          .withColumn("session_no", sum($"new_s").over(run))
+          .groupBy($"user_id", $"session_no")
+          .agg(min($"ts").as("session_start"), count(lit(1)).as("n_events"),
+            (unix_millis(max($"ts")) - unix_millis(min($"ts"))).as("duration_ms"))
+          .orderBy($"user_id", $"session_no")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+             |  FROM f)
+             |SELECT user_id, session_no, MIN(ts) AS session_start,
+             |  COUNT(*) AS n_events,
+             |  epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryDSL._
 
@@ -177,6 +178,37 @@ object Headline {
              |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') b
              |  ON c.user_id = b.user_id
              | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
-             |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin))
+             |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin)),
+
+    // Type-2 slowly-changing-dimension history build: each key's change events
+    // become [valid_from, valid_to) intervals via lead() over (key, date, tiebreak),
+    // the open version capped at a sentinel high date. One hash shuffle on the key,
+    // per-key sorted windows — the standard warehouse snapshot-to-history operator,
+    // linear at any scale. Ties on the change date produce zero-duration versions
+    // deterministically (orderkey tiebreak), matching the oracle bit-for-bit.
+    Q("scd2_history_build",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+            $"o_orderdate".as("valid_from"),
+            lead($"o_orderdate", 1).over(w).as("next_from"))
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"valid_from",
+            coalesce($"next_from",
+              lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+            $"next_from".isNull.as("is_current"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""WITH h AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus,
+             |    o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS next_from
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
+             |  COALESCE(next_from, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             |  next_from IS NULL AS is_current
+             |FROM h ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

@@ -455,7 +455,79 @@ object Scalars {
              |  p_retailprice / NULLIF(den, 0) AS safe_div,
              |  TRY_CAST(dstr AS TIMESTAMP) AS parsed_ts,
              |  words[99] AS oob_word
-             |FROM v ORDER BY p_partkey""".stripMargin))
+             |FROM v ORDER BY p_partkey""".stripMargin)),
+
+    // Remaining higher-order-function surface beyond fn_array's transform/filter/
+    // aggregate: zip_with (element-wise combine), exists / forall (short-circuit
+    // predicates), reduce with a finish lambda. All arithmetic stays in BIGINT on
+    // both engines (DuckDB range() yields BIGINT lists) so the hash is exact.
+    // Map-only, whole-stage codegen'd — lambda functions compile to loops over the
+    // array, no UDF boundary.
+    Q("fn_hof_extra",
+      (s, dir) => {
+        import s.implicits._
+        val m = (($"p_size" % 7) + 1).cast("long")
+        val sh = ($"p_size" % 5).cast("long")
+        t(s, dir, "part").filter($"p_partkey" <= 300)
+          .select($"p_partkey", m.as("m"), sh.as("sh"),
+            transform(sequence(lit(1L), lit(4L)), i => i * m).as("a"),
+            transform(sequence(lit(1L), lit(4L)), i => i + sh).as("b"))
+          .select($"p_partkey",
+            array_join(zip_with($"a", $"b", (x, y) => x + y), ",").as("zw_str"),
+            exists($"a", x => x > 20).as("has_big"),
+            forall($"b", x => x > 2).as("all_gt2"),
+            reduce($"a", lit(0L), (acc, x) => acc + x, acc => acc * 10).as("red"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH v AS (
+             |  SELECT p_partkey,
+             |    CAST(p_size % 7 + 1 AS BIGINT) AS m,
+             |    CAST(p_size % 5 AS BIGINT) AS sh
+             |  FROM part WHERE p_partkey <= 300),
+             |arr AS (
+             |  SELECT p_partkey,
+             |    list_transform(range(1, 5), i -> i * m) AS a,
+             |    list_transform(range(1, 5), i -> i + sh) AS b
+             |  FROM v)
+             |SELECT p_partkey,
+             |  array_to_string(list_transform(range(1, 5), i -> a[i] + b[i]), ',')
+             |    AS zw_str,
+             |  len(list_filter(a, x -> x > 20)) > 0 AS has_big,
+             |  len(list_filter(b, x -> x <= 2)) = 0 AS all_gt2,
+             |  10 * CAST(list_sum(a) AS BIGINT) AS red
+             |FROM arr ORDER BY p_partkey""".stripMargin)),
+
+    // Map-transform surface: str_to_map parses key:value config strings (the
+    // schema-on-read shape of job/task parameter blobs), transform_keys /
+    // transform_values rewrite entries in place, map_zip_with aligns two maps by
+    // key. Output scalars come from element_at + a sorted entries render, so the
+    // result never depends on map iteration order (maps are unordered; hashing raw
+    // map columns would be engine-dependent). All map lambdas are codegen'd.
+    Q("fn_map_transform",
+      (s, dir) => {
+        import s.implicits._
+        val cfg = concat(lit("status:"), $"o_orderstatus",
+          lit(",pri:"), $"o_orderpriority")
+        t(s, dir, "orders").filter($"o_orderkey" <= 500)
+          .select($"o_orderkey", str_to_map(cfg, lit(","), lit(":")).as("mp"))
+          .select($"o_orderkey", $"mp",
+            transform_values($"mp", (_, v) => lower(v)).as("mlo"))
+          .select($"o_orderkey",
+            array_join(array_sort(transform(map_entries(
+                transform_keys($"mp", (k, _) => concat(k, lit("_k")))),
+              e => concat(e.getItem("key"), lit("="), e.getItem("value")))), ";")
+              .as("entries_str"),
+            element_at($"mlo", "status").as("status_lo"),
+            element_at(map_zip_with($"mp", $"mlo",
+              (_, a, b) => concat(a, lit("|"), b)), "pri").as("pri_zip"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  'pri_k=' || o_orderpriority || ';status_k=' || o_orderstatus
+             |    AS entries_str,
+             |  lower(o_orderstatus) AS status_lo,
+             |  o_orderpriority || '|' || lower(o_orderpriority) AS pri_zip
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

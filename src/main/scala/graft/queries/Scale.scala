@@ -315,6 +315,110 @@ object Scale {
              |SELECT doc_id, len(words) AS n_long,
              |  COALESCE(words[1], '') AS first_long,
              |  COALESCE(array_to_string(words[1:3], '|'), '') AS first3
-             |FROM w ORDER BY doc_id""".stripMargin))
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // Mergeable EXACT distinct counts via fixed-width bitmaps (Spark 3.5+ bitmap_*
+    // family): each (group, bucket) collapses to one 4 KB bitmap whose bits mark the
+    // custkeys seen; per-group counts sum bitmap_count over buckets, and the
+    // corpus-wide distinct count comes from bitmap_or_agg over the SAME partials —
+    // no second scan of orders. This is the exact counterpart of the HLL row
+    // (approx_hll_mergeable): rollups across arbitrary group combinations reuse one
+    // materialized sketch table, the pattern that makes daily→monthly→all-time
+    // distinct-user rollups O(sketches), not O(events), at 100 TB.
+    Q("agg_bitmap_distinct",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(s"""WITH bm AS (
+                 |  SELECT o_orderpriority AS pri,
+                 |         bitmap_bucket_number(o_custkey) AS bkt,
+                 |         bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+                 |  FROM orders GROUP BY 1, 2),
+                 |per_pri AS (
+                 |  SELECT pri, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
+                 |  FROM bm GROUP BY pri),
+                 |merged AS (
+                 |  SELECT CAST(SUM(c) AS BIGINT) AS n_cust FROM (
+                 |    SELECT bitmap_count(bitmap_or_agg(b)) AS c FROM bm GROUP BY bkt))
+                 |SELECT pri, n_cust FROM per_pri
+                 |UNION ALL SELECT 'ALL', n_cust FROM merged
+                 |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY 1
+             |UNION ALL
+             |SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+             |ORDER BY pri""".stripMargin)),
+
+    // Two-level skew-safe aggregation: when one group key carries a hot share of a
+    // 100 TB fact (l_returnflag has 3 values — every row lands on 3 reducers in a
+    // naive plan), aggregate FIRST on (key, salt) so the hot key's rows spread over
+    // 32 reducers, THEN collapse the 32 partials per key (decimal sums re-aggregate
+    // exactly). count distinct gets the same treatment with the value itself as the
+    // spreader: distinct (key, suppkey) pairs hash-partition by pair, then a count
+    // per key — no reducer ever sees more than one group's pair set. Catalyst's
+    // map-side partial aggregation already bounds sum/count skew; the explicit salt
+    // stage is the pattern that also covers collect/distinct aggregates where
+    // partials cannot collapse.
+    Q("agg_skew_twolevel",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val partial = li
+          .groupBy($"l_returnflag",
+            pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(32)).as("salt"))
+          .agg(sum($"l_quantity".cast("decimal(30,4)")).as("p_qty"),
+            count(lit(1)).as("p_n"))
+        val sums = partial.groupBy($"l_returnflag")
+          .agg(sum($"p_qty").cast("double").as("sum_qty"),
+            sum($"p_n").cast("long").as("n_rows"))
+        val dist = li.select($"l_returnflag", $"l_suppkey").distinct()
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("n_supp"))
+        sums.join(dist, "l_returnflag").orderBy($"l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+              |  COUNT(*) AS n_rows, COUNT(DISTINCT l_suppkey) AS n_supp
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Z-order (Morton-curve) clustered layout: interleave the bits of TWO dimensions
+    // (custkey, order day) into one z-value — pure bitwise Column expressions, fully
+    // codegen'd — and range-partition + sort the write by it. Each parquet row group
+    // then covers a small rectangle in (custkey, date) space, so a predicate on
+    // EITHER dimension (or both, as here) prunes via row-group min/max stats.
+    // sorted_layout_scan is the 1-D special case; Morton interleaving is what keeps
+    // multi-tenant 100 TB scans selective on more than one access path at once.
+    // Layout never changes semantics: the read-back aggregate hash-matches an oracle
+    // that scans the unclustered table.
+    Q("zorder_layout_scan",
+      (s, dir) => {
+        import s.implicits._
+        def interleave16(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+            acc.bitwiseOR(shiftleft(x.bitwiseAND(lit(1L << i)), i))
+              .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+          }
+        val out = s"${Sinks.scratchDir}/orders_zorder"
+        t(s, dir, "orders")
+          .withColumn("z", interleave16($"o_custkey",
+            datediff($"o_orderdate", lit("1995-01-01")).cast("long")))
+          .repartitionByRange(16, $"z")
+          .sortWithinPartitions($"z")
+          .drop("z")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter($"o_custkey".between(100, 500) &&
+            $"o_orderdate".between("1996-01-01", "1996-12-31"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE o_custkey BETWEEN 100 AND 500
+              |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              |                      AND TIMESTAMP '1996-12-31 00:00:00'
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

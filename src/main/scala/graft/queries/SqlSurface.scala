@@ -204,6 +204,22 @@ object SqlSurface {
              |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
              |  json_extract_string(props, '$.k') AS k_str,
              |  CAST(NULL AS INTEGER) AS k_missing
-             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
+    // GROUP BY ALL / ORDER BY ALL (modern ANSI-adjacent sugar, Spark 4 + DuckDB):
+    // group keys are inferred as every non-aggregate select item — the exploratory
+    // query shape users reach for first. Plan is identical to the explicit GROUP BY.
+    Q("sql_group_by_all",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                 |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+                 |FROM orders
+                 |GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders
+              |GROUP BY ALL ORDER BY ALL""".stripMargin))
   )
 }
