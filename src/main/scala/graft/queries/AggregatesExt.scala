@@ -122,38 +122,43 @@ object AggregatesExt {
     // Two-pass centered moments: means first (exact decimal sum → one double
     // division), then exact decimal sums of centered products. No end-stage
     // cancellation, so the result is reproducible to the last bit.
+    // Exact ONE-PASS variance/stddev/covariance: accumulate decimal-exact raw
+    // moments (Σx, Σx², Σy, Σxy) in a single grouped aggregation, then finish with
+    // the moment identities in double. Every sum is an associative decimal —
+    // partitioning-independent — and the double finish applies identical IEEE ops to
+    // identical inputs in both engines, so the hash is exact WITHOUT the two-pass
+    // mean-centering join (one scan + one shuffle, vs two scans + join before).
+    // Values are shifted by a constant near each column's mean so the decimal
+    // moments stay far from overflow and the x²-vs-(Σx)²/n subtraction keeps ample
+    // double precision (plain variance-shift identity: Var(x-K) = Var(x)).
     Q("agg_stats_exact",
       (s, dir) => {
         import s.implicits._
-        val li = t(s, dir, "lineitem")
-        val means = li.groupBy($"l_returnflag".as("flag"))
-          .agg(davg($"l_quantity", 8).as("mx"), davg($"l_extendedprice", 8).as("my"))
-        li.join(means, li("l_returnflag") === means("flag"))
+        val x = $"l_quantity" - 25.0d
+        val y = $"l_extendedprice" - 40000.0d
+        t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            dsum(($"l_quantity" - $"mx") * ($"l_quantity" - $"mx"), 2).as("cxx"),
-            dsum(($"l_quantity" - $"mx") * ($"l_extendedprice" - $"my"), 2).as("cxy"))
+            dsum(x, 8).as("sx"), dsum(x * x, 8).as("sxx"),
+            dsum(y, 8).as("sy"), dsum(x * y, 8).as("sxy"))
           .select($"l_returnflag", $"n",
-            ($"cxx" / ($"n" - 1)).as("var_samp_qty"),
-            sqrt($"cxx" / ($"n" - 1)).as("stddev_samp_qty"),
-            ($"cxy" / ($"n" - 1)).as("covar_samp"))
+            (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_samp_qty"),
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("stddev_samp_qty"),
+            (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_samp"))
           .orderBy($"l_returnflag")
       },
-      Some(s"""WITH m AS (
-              |  SELECT l_returnflag AS flag, ${sqlDavg("l_quantity", 8)} AS mx,
-              |    ${sqlDavg("l_extendedprice", 8)} AS my
-              |  FROM lineitem GROUP BY l_returnflag),
-              |c AS (
+      Some(s"""WITH c AS (
               |  SELECT l_returnflag, COUNT(*) AS n,
-              |    ${sqlDsum("(l_quantity - mx) * (l_quantity - mx)", 2)} AS cxx,
-              |    ${sqlDsum("(l_quantity - mx) * (l_extendedprice - my)", 2)} AS cxy
-              |  FROM lineitem JOIN m ON l_returnflag = flag
-              |  GROUP BY l_returnflag)
+              |    ${sqlDsum("l_quantity - 25.0", 8)} AS sx,
+              |    ${sqlDsum("(l_quantity - 25.0) * (l_quantity - 25.0)", 8)} AS sxx,
+              |    ${sqlDsum("l_extendedprice - 40000.0", 8)} AS sy,
+              |    ${sqlDsum("(l_quantity - 25.0) * (l_extendedprice - 40000.0)", 8)} AS sxy
+              |  FROM lineitem GROUP BY l_returnflag)
               |SELECT l_returnflag, n,
-              |  cxx / (n - 1) AS var_samp_qty,
-              |  sqrt(cxx / (n - 1)) AS stddev_samp_qty,
-              |  cxy / (n - 1) AS covar_samp
+              |  (sxx - sx * sx / n) / (n - 1) AS var_samp_qty,
+              |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp_qty,
+              |  (sxy - sx * sy / n) / (n - 1) AS covar_samp
               |FROM c ORDER BY l_returnflag""".stripMargin)),
 
     Q("agg_collect_sorted",
