@@ -630,6 +630,30 @@ object Llm {
              |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 60) AS tail60
              |FROM raw ORDER BY doc_id""".stripMargin)),
 
+    // PII pseudonymization (the counterpart of text_pii_scrub's redaction): replace
+    // each customer name with a deterministic salted-hash token, then run analytics
+    // on the tokenized key. The token is stable (same input → same token, so joins
+    // and aggregations still line up across tables and pipeline runs) but
+    // irreversible without the salt. Map-only tokenization + one key-partitioned
+    // join/agg — at 100 TB the raw PII column never leaves the scan that hashes it.
+    Q("text_pii_pseudonymize",
+      (s, dir) => {
+        import s.implicits._
+        val token = concat(lit("user_"),
+          substring(sha2(concat(lit("salt42:"), $"c_name"), 256), 1, 12))
+        val cust = t(s, dir, "customer").select($"c_custkey", token.as("token"))
+        t(s, dir, "orders")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"token")
+      },
+      Some(s"""SELECT 'user_' || substring(sha256('salt42:' || c_name), 1, 12)
+              |    AS token,
+              |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic stratified sampling (corpus mixing): per-source keep rates via an
     // md5-nibble threshold on the doc id — no RNG, so the sample is reproducible
     // across engines, retries, and partitionings (a seeded Bernoulli sample is not
@@ -812,6 +836,55 @@ object Llm {
               |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
               |  CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
               |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Chunk dedup with DOCUMENT RECONSTRUCTION (the C4 move dedup_chunk_exact only
+    // counts): drop every repeated 32-token chunk corpus-wide (keep first
+    // occurrence), then reassemble each document from its surviving chunks in
+    // original order. The rebuild is a per-doc sorted collect (array_sort on
+    // (chunk_id, chunk) structs — collect_list order is partition-dependent, the
+    // sort restores determinism), so reassembly is one key-partitioned shuffle, no
+    // global ordering. Output carries md5 + head of the rebuilt text, not the full
+    // body.
+    Q("dedup_chunk_rebuild",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val C = 32
+        val chunks = t(s, dir, "documents")
+          .withColumn("toks", TF.tokens($"text"))
+          .where(size($"toks") > 0)
+          .select($"doc_id", posexplode(
+              transform(sequence(lit(0), floor((size($"toks") - 1) / C).cast("int")),
+                i => concat_ws(" ", slice($"toks", i * C + 1, lit(C)))))
+              .as(Seq("chunk_id", "chunk_str")))
+        val rn = row_number().over(
+          Window.partitionBy($"chunk_str").orderBy($"doc_id", $"chunk_id"))
+        chunks.withColumn("rn", rn).filter($"rn" === 1)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct($"chunk_id", $"chunk_str"))),
+              e => e.getItem("chunk_str"))).as("rebuilt"))
+          .select($"doc_id", $"n_kept", md5($"rebuilt").as("rebuilt_md5"),
+            substring($"rebuilt", 1, 40).as("head40"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+              |i AS (SELECT doc_id, w,
+              |  unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id
+              |  FROM t WHERE len(w) > 0),
+              |c AS (SELECT doc_id, chunk_id,
+              |  array_to_string(w[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ')
+              |    AS chunk_str FROM i),
+              |r AS (SELECT doc_id, chunk_id, chunk_str,
+              |  ROW_NUMBER() OVER (PARTITION BY chunk_str ORDER BY doc_id, chunk_id)
+              |    AS rn FROM c),
+              |k AS (SELECT doc_id, chunk_id, chunk_str FROM r WHERE rn = 1)
+              |SELECT doc_id, COUNT(*) AS n_kept,
+              |  md5(string_agg(chunk_str, ' ' ORDER BY chunk_id)) AS rebuilt_md5,
+              |  substring(string_agg(chunk_str, ' ' ORDER BY chunk_id), 1, 40)
+              |    AS head40
+              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("multimodal_binary_meta",
       (s, dir) => {

@@ -419,6 +419,99 @@ object Scale {
               |WHERE o_custkey BETWEEN 100 AND 500
               |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
               |                      AND TIMESTAMP '1996-12-31 00:00:00'
-              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Incremental aggregate maintenance: materialize per-day PARTIAL aggregates
+    // (count + exact decimal sum — both mergeable), then answer the monthly rollup
+    // from the partials alone, never rescanning the fact. This is the incremental-
+    // view pattern: at 100 TB a day's late-arriving partition updates one day-row
+    // and every downstream rollup folds partials, so refresh cost is O(days), not
+    // O(events). Decimal sums make the two-level fold bit-identical to the direct
+    // single-pass oracle.
+    Q("agg_incremental_merge",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/orders_daily_partials"
+        t(s, dir, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,4)")).as("s"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy(trunc($"day", "month").as("month"))
+          .agg(sum($"n").cast("long").as("n_orders"),
+            sum($"s").cast("double").as("sum_price"))
+          .orderBy($"month")
+      },
+      Some(s"""SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+              |    AS month,
+              |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PageRank, 5 synchronous iterations over the customer-nation → supplier-nation
+    // trade graph (edge weight = lineitem count). Each iteration is ONE
+    // key-partitioned join + grouped sum — the Pregel shape in plain DataFrames; no
+    // driver-side state, ranks never leave the cluster. Per-edge contributions are
+    // computed in double (deterministic IEEE ops on identical inputs) but SUMMED in
+    // decimal, so the reduction is associative and partitioning-independent — the
+    // property that lets the same plan run on 32 threads or 1000 executors and
+    // hash-match an unrolled DuckDB oracle bit-for-bit. Complements
+    // dedup_cluster_cc (iterate-to-convergence) with fixed-point-free weighted
+    // iteration.
+    Q("graph_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val ow = e.groupBy($"src".as("osrc")).agg(sum($"w").as("ow"))
+        val ew = e.join(ow, $"src" === $"osrc")
+          .select($"src", $"dst", ($"w" / $"ow").as("frac"))
+          .localCheckpoint() // 25-node edge list: cut the 4-join lineage once
+        val nodes = ew.select($"src".as("node"))
+          .union(ew.select($"dst".as("node"))).distinct().localCheckpoint()
+        var ranks = nodes.withColumn("pr", lit(1.0d))
+        for (_ <- 1 to 5) {
+          val inflow = ew.join(ranks, $"src" === $"node")
+            .select($"dst",
+              ($"pr" * $"frac").cast("decimal(30,12)").as("c"))
+            .groupBy($"dst").agg(sum($"c").cast("double").as("inflow"))
+          ranks = nodes.join(inflow, $"node" === $"dst", "left")
+            .select($"node",
+              (lit(0.15d) + lit(0.85d) * coalesce($"inflow", lit(0.0d))).as("pr"))
+        }
+        ranks.orderBy($"node")
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""r$k AS (SELECT n.node,
+             |  0.15 + 0.85 * COALESCE(i.inflow, 0.0) AS pr
+             |  FROM n LEFT JOIN (
+             |    SELECT ew.dst,
+             |      CAST(SUM(CAST(r.pr * ew.frac AS DECIMAL(30,12))) AS DOUBLE)
+             |        AS inflow
+             |    FROM ew JOIN r${k - 1} r ON ew.src = r.node GROUP BY ew.dst) i
+             |  ON n.node = i.dst)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+           |ew AS (SELECT e.src, e.dst, e.w / ow.ow AS frac
+           |       FROM e JOIN ow ON e.src = ow.src),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT node, pr FROM r5 ORDER BY node""".stripMargin
+      })
   )
 }
