@@ -248,6 +248,41 @@ object AggregatesExt {
              |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
              |    ORDER BY n DESC, o_orderpriority) AS rn FROM c)
              |SELECT o_orderstatus, o_orderpriority AS mode_pri, n
-             |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
+             |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Exact Pearson correlation, same one-pass decimal-raw-moments scheme as
+    // agg_stats_exact (shift → exact decimal Σx, Σx², Σy, Σy², Σxy → double
+    // finish): corr = cov / sqrt(varx · vary). One scan, one shuffle, bit-exact
+    // across engines and partitionings — what corr() can't promise (its double
+    // accumulation is order-dependent).
+    Q("agg_corr_exact",
+      (s, dir) => {
+        import s.implicits._
+        val x = $"l_quantity" - 25.0d
+        val y = $"l_extendedprice" - 40000.0d
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsum(x, 8).as("sx"), dsum(x * x, 8).as("sxx"),
+            dsum(y, 8).as("sy"), dsum(y * y, 8).as("syy"),
+            dsum(x * y, 8).as("sxy"))
+          .select($"l_returnflag", $"n",
+            (($"sxy" - $"sx" * $"sy" / $"n") /
+              sqrt(($"sxx" - $"sx" * $"sx" / $"n") *
+                   ($"syy" - $"sy" * $"sy" / $"n"))).as("corr_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""WITH c AS (
+              |  SELECT l_returnflag, COUNT(*) AS n,
+              |    ${sqlDsum("l_quantity - 25.0", 8)} AS sx,
+              |    ${sqlDsum("(l_quantity - 25.0) * (l_quantity - 25.0)", 8)} AS sxx,
+              |    ${sqlDsum("l_extendedprice - 40000.0", 8)} AS sy,
+              |    ${sqlDsum("(l_extendedprice - 40000.0) * (l_extendedprice - 40000.0)", 8)} AS syy,
+              |    ${sqlDsum("(l_quantity - 25.0) * (l_extendedprice - 40000.0)", 8)} AS sxy
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag, n,
+              |  (sxy - sx * sy / n) /
+              |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+              |FROM c ORDER BY l_returnflag""".stripMargin))
   )
 }

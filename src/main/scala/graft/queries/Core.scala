@@ -120,6 +120,67 @@ object Core {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
              |WHERE l_returnflag = 'A' ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION semantics): the
+    // delta write replaces ONLY the partitions it contains ('O'), leaving sibling
+    // partitions' files untouched — the idempotent daily-reload primitive. In static
+    // mode (the default) the same write would wipe the whole dataset; at 100 TB
+    // dynamic mode is the difference between rewriting one day and rewriting the
+    // table. The conf flip is scoped and restored.
+    Q("partitioned_overwrite_dynamic",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/orders_dyn_overwrite"
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        o.withColumn("src", lit("full"))
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try o.filter($"o_orderstatus" === "O")
+          .withColumn("o_totalprice", $"o_totalprice" * 0.9)
+          .withColumn("src", lit("delta"))
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+        s.read.parquet(out)
+          .groupBy($"o_orderstatus", $"src")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus,
+              |  CASE WHEN o_orderstatus = 'O' THEN 'delta' ELSE 'full' END AS src,
+              |  COUNT(*) AS n,
+              |  ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9 ELSE o_totalprice END")} AS sum_price
+              |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Schema evolution on read (mergeSchema): two writer generations — the second
+    // adds a column — land in one dataset; the merged scan unions the footers'
+    // schemas and null-fills the column where an old file lacks it. This is how a
+    // 100 TB corpus absorbs schema drift without rewriting history; the partition
+    // column (batch=) prunes generation-scoped reads.
+    Q("schema_merge_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/customer_schema_evolve"
+        val c = t(s, dir, "customer")
+        c.select($"c_custkey", $"c_acctbal")
+          .write.mode("overwrite").parquet(s"$out/batch=1")
+        c.select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+          .write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy($"batch",
+            coalesce($"c_mktsegment", lit("<absent>")).as("seg"))
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+          .orderBy($"batch", $"seg")
+      },
+      Some(s"""SELECT 1 AS batch, '<absent>' AS seg, COUNT(*) AS n,
+              |  ${sqlDsum("c_acctbal")} AS sum_bal
+              |FROM customer
+              |UNION ALL
+              |SELECT 2, c_mktsegment, COUNT(*), ${sqlDsum("c_acctbal")}
+              |FROM customer GROUP BY 2
+              |ORDER BY batch, seg""".stripMargin)),
+
     Q("temp_view_sql",
       (s, dir) => {
         graft.Tables.registerAll(s, dir)

@@ -512,6 +512,48 @@ object Scale {
            |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
            |${(1 to 5).map(iter).mkString(",\n")}
            |SELECT node, pr FROM r5 ORDER BY node""".stripMargin
-      })
+      }),
+
+    // Data-quality constraint gate (the validate-before-run discipline of the spec
+    // layer, applied to DATA): primary-key uniqueness, referential integrity,
+    // not-null, and range rules each reduce to one count — a grouped distinct, an
+    // anti-join, two pushed-down filter scans — and the gate is their tiny union.
+    // At 100 TB each rule is a single pruned columnar pass (no row ever leaves the
+    // executors), and a pipeline aborts on `passed = false` before any downstream
+    // stage runs, the same fail-fast hoisting Job.execute applies to parameters.
+    Q("dq_constraint_check",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val pk = o.agg((count(lit(1)) - countDistinct($"o_orderkey")).as("n_violations"))
+          .select(lit("pk_unique_o_orderkey").as("rule"), $"n_violations")
+        val fk = o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("fk_orders_customer").as("rule"), $"n_violations")
+        val nn = o.filter($"o_totalprice".isNull)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("not_null_o_totalprice").as("rule"), $"n_violations")
+        val rng = o.filter($"o_totalprice" <= 0.0)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("range_o_totalprice_pos").as("rule"), $"n_violations")
+        pk.union(fk).union(nn).union(rng)
+          .withColumn("passed", $"n_violations" === 0L)
+          .orderBy($"rule")
+      },
+      Some("""SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+             |  SELECT 'pk_unique_o_orderkey' AS rule,
+             |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+             |  UNION ALL
+             |  SELECT 'fk_orders_customer', COUNT(*) FROM orders o
+             |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                    WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL
+             |  SELECT 'not_null_o_totalprice', COUNT(*) FROM orders
+             |  WHERE o_totalprice IS NULL
+             |  UNION ALL
+             |  SELECT 'range_o_totalprice_pos', COUNT(*) FROM orders
+             |  WHERE o_totalprice <= 0)
+             |ORDER BY rule""".stripMargin))
   )
 }

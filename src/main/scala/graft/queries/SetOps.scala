@@ -114,6 +114,29 @@ object SetOps {
       },
       Some("""SELECT p_partkey, p_name, p_retailprice FROM part
              |ORDER BY p_retailprice DESC, p_partkey
-             |LIMIT 20 OFFSET 10""".stripMargin))
+             |LIMIT 20 OFFSET 10""".stripMargin)),
+
+    // unionByName with allowMissingColumns: schema-drifted branches align by COLUMN
+    // NAME (positional union would silently mis-bind) and the absent column
+    // null-fills — the in-plan counterpart of schema_merge_scan's on-disk merge.
+    Q("setop_union_byname_missing",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val a = c.filter($"c_custkey" <= 750)
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        val b = c.filter($"c_custkey" > 750)
+          .select(($"c_acctbal" * 2.0).as("c_acctbal"), $"c_custkey")
+        a.unionByName(b, allowMissingColumns = true)
+          .select($"c_custkey", $"c_acctbal",
+            coalesce($"c_mktsegment", lit("<none>")).as("seg"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment AS seg FROM customer
+             |WHERE c_custkey <= 750
+             |UNION ALL
+             |SELECT c_custkey, c_acctbal * 2.0, '<none>' FROM customer
+             |WHERE c_custkey > 750
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

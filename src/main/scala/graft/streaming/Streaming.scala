@@ -135,6 +135,32 @@ object Streaming {
       }
   }
 
+  final case class HighWater(user_id: Long, event_id: Long, value: Double)
+
+  /** flatMapGroupsWithState — the zero-to-MANY keyed-state API (mapGroupsWithState
+    * is locked to exactly one output per key per batch): a per-user high-water-mark
+    * stream, emitting only the events that raise the key's running max. State is a
+    * single double per key, bounded forever. Rows are folded in event_id (arrival)
+    * order within each batch so emission is deterministic under any shuffle
+    * partitioning; the batch equivalent is a running-max window filter
+    * (StreamingSpec asserts equality). */
+  def userHighWaterMarks(spark: SparkSession, events: DataFrame): Dataset[HighWater] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, HighWater](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Double]) =>
+          var hwm = state.getOption.getOrElse(Double.NegativeInfinity)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, eid, v) =>
+            if (v > hwm) { hwm = v; Some(HighWater(uid, eid, v)) } else None
+          }
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
   final case class UserPeak(user_id: Long, n: Long, peak: Double)
 
   /** Arbitrary keyed state via the Spark 4 `transformWithState` API: per-user event

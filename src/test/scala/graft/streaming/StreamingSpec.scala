@@ -139,6 +139,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n") =!= col("wn")).isEmpty)
   }
 
+  test("flatMapGroupsWithState high-water marks == batch running-max filter") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Streaming.runToMemory(spark,
+      Streaming.userHighWaterMarks(spark, Streaming.eventsStream(spark, sf)).toDF(),
+      "t_hwm", OutputMode.Append())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = batchEvents.withColumn("pm", max(col("value")).over(w))
+      .filter(col("pm").isNull || col("value") > col("pm"))
+      .select(col("user_id"), col("event_id"), col("value"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("transformWithState running peaks converge to batch aggregates") {
     val got = Streaming.runToMemory(spark,
       Streaming.runningUserPeaks(spark, Streaming.eventsStream(spark, sf)).toDF(),
