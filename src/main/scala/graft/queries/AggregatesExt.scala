@@ -124,42 +124,52 @@ object AggregatesExt {
     // cancellation, so the result is reproducible to the last bit.
     // Exact ONE-PASS variance/stddev/covariance: accumulate decimal-exact raw
     // moments (Σx, Σx², Σy, Σxy) in a single grouped aggregation, then finish with
-    // the moment identities in double. Every sum is an associative decimal —
-    // partitioning-independent — and the double finish applies identical IEEE ops to
-    // identical inputs in both engines, so the hash is exact WITHOUT the two-pass
-    // mean-centering join (one scan + one shuffle, vs two scans + join before).
-    // Values are shifted by a constant near each column's mean so the decimal
-    // moments stay far from overflow and the x²-vs-(Σx)²/n subtraction keeps ample
-    // double precision (plain variance-shift identity: Var(x-K) = Var(x)).
+    // the moment identities in double. The inputs are cast to DECIMAL(18,2) FIRST
+    // (both columns carry ≤2 decimals, so the cast is unambiguous) and the products
+    // are decimal×decimal — EXACT, never a double→decimal rounding of a long binary
+    // expansion, which Spark (shortest-string HALF_UP) and DuckDB (exact-binary)
+    // round differently at boundary values. Every sum is associative decimal —
+    // partitioning-independent — and the double finish applies identical IEEE ops
+    // to identical inputs in both engines, so the hash is exact WITHOUT the
+    // two-pass mean-centering join (one scan + one shuffle). Values are shifted by
+    // a constant near each mean so the x²-vs-(Σx)²/n subtraction keeps ample double
+    // precision (shift identity: Var(x-K) = Var(x)).
     Q("agg_stats_exact",
       (s, dir) => {
         import s.implicits._
-        val x = $"l_quantity" - 25.0d
-        val y = $"l_extendedprice" - 40000.0d
+        val xd = ($"l_quantity" - 25.0d).cast("decimal(18,2)")
+        val yd = ($"l_extendedprice" - 40000.0d).cast("decimal(18,2)")
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            dsum(x, 8).as("sx"), dsum(x * x, 8).as("sxx"),
-            dsum(y, 8).as("sy"), dsum(x * y, 8).as("sxy"))
+            sum(xd).cast("double").as("sx"),
+            sum(xd * xd).cast("double").as("sxx"),
+            sum(yd).cast("double").as("sy"),
+            sum(xd * yd).cast("double").as("sxy"))
           .select($"l_returnflag", $"n",
             (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_samp_qty"),
             sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("stddev_samp_qty"),
             (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_samp"))
           .orderBy($"l_returnflag")
       },
-      Some(s"""WITH c AS (
-              |  SELECT l_returnflag, COUNT(*) AS n,
-              |    ${sqlDsum("l_quantity - 25.0", 8)} AS sx,
-              |    ${sqlDsum("(l_quantity - 25.0) * (l_quantity - 25.0)", 8)} AS sxx,
-              |    ${sqlDsum("l_extendedprice - 40000.0", 8)} AS sy,
-              |    ${sqlDsum("(l_quantity - 25.0) * (l_extendedprice - 40000.0)", 8)} AS sxy
-              |  FROM lineitem GROUP BY l_returnflag)
-              |SELECT l_returnflag, n,
-              |  (sxx - sx * sx / n) / (n - 1) AS var_samp_qty,
-              |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp_qty,
-              |  (sxy - sx * sy / n) / (n - 1) AS covar_samp
-              |FROM c ORDER BY l_returnflag""".stripMargin)),
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    CAST(l_quantity - 25.0 AS DECIMAL(18,2)) AS xd,
+             |    CAST(l_extendedprice - 40000.0 AS DECIMAL(18,2)) AS yd
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(xd) AS DOUBLE) AS sx,
+             |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             |    CAST(SUM(yd) AS DOUBLE) AS sy,
+             |    CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+             |  FROM v GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (sxx - sx * sx / n) / (n - 1) AS var_samp_qty,
+             |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp_qty,
+             |  (sxy - sx * sy / n) / (n - 1) AS covar_samp
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
 
     Q("agg_collect_sorted",
       (s, dir) => {
@@ -251,38 +261,45 @@ object AggregatesExt {
              |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
 
     // Exact Pearson correlation, same one-pass decimal-raw-moments scheme as
-    // agg_stats_exact (shift → exact decimal Σx, Σx², Σy, Σy², Σxy → double
-    // finish): corr = cov / sqrt(varx · vary). One scan, one shuffle, bit-exact
-    // across engines and partitionings — what corr() can't promise (its double
-    // accumulation is order-dependent).
+    // agg_stats_exact (DECIMAL(18,2) inputs → exact decimal products and sums →
+    // double finish): corr = cov / sqrt(varx · vary). One scan, one shuffle,
+    // bit-exact across engines and partitionings — what corr() can't promise (its
+    // double accumulation is order-dependent).
     Q("agg_corr_exact",
       (s, dir) => {
         import s.implicits._
-        val x = $"l_quantity" - 25.0d
-        val y = $"l_extendedprice" - 40000.0d
+        val xd = ($"l_quantity" - 25.0d).cast("decimal(18,2)")
+        val yd = ($"l_extendedprice" - 40000.0d).cast("decimal(18,2)")
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"),
-            dsum(x, 8).as("sx"), dsum(x * x, 8).as("sxx"),
-            dsum(y, 8).as("sy"), dsum(y * y, 8).as("syy"),
-            dsum(x * y, 8).as("sxy"))
+            sum(xd).cast("double").as("sx"),
+            sum(xd * xd).cast("double").as("sxx"),
+            sum(yd).cast("double").as("sy"),
+            sum(yd * yd).cast("double").as("syy"),
+            sum(xd * yd).cast("double").as("sxy"))
           .select($"l_returnflag", $"n",
             (($"sxy" - $"sx" * $"sy" / $"n") /
               sqrt(($"sxx" - $"sx" * $"sx" / $"n") *
                    ($"syy" - $"sy" * $"sy" / $"n"))).as("corr_qty_price"))
           .orderBy($"l_returnflag")
       },
-      Some(s"""WITH c AS (
-              |  SELECT l_returnflag, COUNT(*) AS n,
-              |    ${sqlDsum("l_quantity - 25.0", 8)} AS sx,
-              |    ${sqlDsum("(l_quantity - 25.0) * (l_quantity - 25.0)", 8)} AS sxx,
-              |    ${sqlDsum("l_extendedprice - 40000.0", 8)} AS sy,
-              |    ${sqlDsum("(l_extendedprice - 40000.0) * (l_extendedprice - 40000.0)", 8)} AS syy,
-              |    ${sqlDsum("(l_quantity - 25.0) * (l_extendedprice - 40000.0)", 8)} AS sxy
-              |  FROM lineitem GROUP BY l_returnflag)
-              |SELECT l_returnflag, n,
-              |  (sxy - sx * sy / n) /
-              |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
-              |FROM c ORDER BY l_returnflag""".stripMargin))
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    CAST(l_quantity - 25.0 AS DECIMAL(18,2)) AS xd,
+             |    CAST(l_extendedprice - 40000.0 AS DECIMAL(18,2)) AS yd
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(xd) AS DOUBLE) AS sx,
+             |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             |    CAST(SUM(yd) AS DOUBLE) AS sy,
+             |    CAST(SUM(yd * yd) AS DOUBLE) AS syy,
+             |    CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+             |  FROM v GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (sxy - sx * sy / n) /
+             |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+             |FROM c ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -16,7 +16,15 @@ import org.apache.spark.sql.types.DataTypes
   *    exactly (associative — partitioning-independent, unlike double sums), cast back
   *    to DOUBLE. Both engines then produce identical bits;
   *  - top-level output columns are scalars only (arrays are joined to strings);
-  *  - approximate operators (HLL, percentile_approx, LSH) are BENCH-only, never hashed.
+  *  - approximate operators (HLL, percentile_approx, LSH) are BENCH-only, never hashed;
+  *  - the double→decimal cast inside [[dsum]] is engine-divergent at rounding
+  *    boundaries (Spark rounds the double's SHORTEST-STRING form, DuckDB its exact
+  *    binary expansion). The divergence only materializes when the decimal grid is
+  *    finer than the double's ulp — i.e. |value| ≳ 1e8 at scale 8 — which is why
+  *    plain sums and ~1e5-magnitude revenue products are safe but large SQUARES are
+  *    not. For moments of large-magnitude expressions, cast the (few-decimal)
+  *    inputs to DECIMAL first and multiply in decimal so no product is ever
+  *    double-rounded (see agg_stats_exact / agg_corr_exact).
   */
 object QueryDSL {
   /** (session, scale-factor dir) => result */
