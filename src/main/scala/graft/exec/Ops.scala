@@ -192,6 +192,50 @@ object Ops {
       df.agg(aggs.head, aggs.tail: _*).selectExpr(structs)
         .createOrReplaceTempView(str(env, "OUTPUT"))
     },
+    // Data-quality gate from the spec layer: evaluate declared RULES against a view
+    // and FAIL the job (TaskFailure abort, reference R9 semantics) when any rule has
+    // violations — the fail-fast hoisting Job.execute applies to parameters, applied
+    // to data before downstream stages burn compute. RULES syntax (comma-separated):
+    //   unique:col | not_null:col | min:col:value | max:col:value
+    // Violation counts land in OUTPUT (one row per rule) whether or not the gate
+    // trips, so the failure is diagnosable from the sink.
+    "dq-check" -> { (ctx, env) =>
+      val df = ctx.view(str(env, "INPUT"))
+      val rules = str(env, "RULES").split(",").map(_.trim).filter(_.nonEmpty)
+      if (rules.isEmpty) throw SpecError("op parameter 'RULES' must declare >= 1 rule")
+      val checks = rules.map { r =>
+        val parts = r.split(":")
+        (parts(0), parts.lift(1), parts.lift(2)) match {
+          case ("unique", Some(c), _) =>
+            (r, count(lit(1)) - countDistinct(col(c)))
+          case ("not_null", Some(c), _) =>
+            (r, count(when(col(c).isNull, 1)))
+          case ("min", Some(c), Some(v)) =>
+            val thr = v.toDoubleOption.getOrElse(
+              throw SpecError(s"dq-check: non-numeric bound in '$r'"))
+            (r, count(when(col(c).cast("double") < thr, 1)))
+          case ("max", Some(c), Some(v)) =>
+            val thr = v.toDoubleOption.getOrElse(
+              throw SpecError(s"dq-check: non-numeric bound in '$r'"))
+            (r, count(when(col(c).cast("double") > thr, 1)))
+          case _ => throw SpecError(s"dq-check: unparseable rule '$r'")
+        }
+      }
+      val aggs = checks.zipWithIndex.map { case ((_, e), i) => e.cast("long").as(s"__v$i") }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val structs = checks.zipWithIndex.map { case ((name, _), i) =>
+        s"named_struct('rule', '$name', 'n_violations', `__v$i`)"
+      }.mkString("inline(array(", ", ", "))")
+      val report = wide.selectExpr(structs)
+      report.createOrReplaceTempView(str(env, "OUTPUT"))
+      // driver sees only the <=#rules-row report (bounded), never the data
+      val bad = report.filter(col("n_violations") > 0)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      if (bad.nonEmpty) {
+        ctx.log(s"dq-check FAILED: ${bad.mkString(", ")}")
+        throw TaskFailure("dq-check", 1)
+      }
+    },
     // Nested job (reference R13: a task runs the CLI on an inner manifest,
     // tests/test_end_to_end.py:434-519): pipeline-as-operator on the same session,
     // so inner temp views land in the shared catalog exactly like inner output
@@ -229,6 +273,7 @@ object Ops {
       "DRYRUN" -> TaskInput(required = false, inputType = Some(InputType.TBool))),
     "text-quality" -> Map("INPUT" -> req, "OUTPUT" -> req, "TEXT_COL" -> optIn),
     "profile" -> Map("INPUT" -> req, "COLUMNS" -> req, "OUTPUT" -> req),
+    "dq-check" -> Map("INPUT" -> req, "RULES" -> req, "OUTPUT" -> req),
     "dedup-exact" -> Map("INPUT" -> req, "KEYS" -> req, "ORDER" -> optIn,
       "OUTPUT" -> req),
     "minhash-dedup" -> Map("INPUT" -> req, "OUTPUT" -> req, "ID_COL" -> optIn,

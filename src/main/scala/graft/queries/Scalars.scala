@@ -527,6 +527,31 @@ object Scalars {
              |    AS entries_str,
              |  lower(o_orderstatus) AS status_lo,
              |  o_orderpriority || '|' || lower(o_orderpriority) AS pri_zip
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // Nested-struct column engineering: pack columns into a struct, update one
+    // field and add another IN PLACE (withField — no unpack/repack of siblings),
+    // drop a field (dropFields), then star-expand back to scalars. The nested-row
+    // manipulation surface a document/event data model needs; all of it is
+    // projection-only and codegen'd, and Catalyst prunes unaccessed struct fields
+    // from the scan.
+    Q("fn_struct_field_ops",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 500)
+          .select($"o_orderkey",
+            struct($"o_orderstatus".as("status"), $"o_totalprice".as("price"),
+              $"o_orderpriority".as("pri")).as("rec"))
+          .withColumn("rec", $"rec"
+            .withField("price", $"rec.price" * 2.0)
+            .withField("tier", when($"rec.price" > 100000.0, "high").otherwise("low")))
+          .withColumn("rec", $"rec".dropFields("pri"))
+          .select($"o_orderkey", $"rec.*")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS status,
+             |  o_totalprice * 2.0 AS price,
+             |  CASE WHEN o_totalprice > 100000.0 THEN 'high' ELSE 'low' END AS tier
              |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin))
   )
 

@@ -85,6 +85,40 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(rows.find(_.getString(0) == "o_orderstatus").get.getLong(3) == ndStatus)
   }
 
+  test("dq-check spark-op passes clean rules and aborts the job on violations") {
+    val data = tmp()
+    def job(rules: String, outView: String) = Yaml.jobFromString(
+      s"""name: dq-job
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/orders.parquet
+         |      output: dq_orders
+         |  - name: gate
+         |    task: dq-check
+         |    env:
+         |      input: $${previous.env.OUTPUT}
+         |      rules: $rules
+         |      output: $outView
+         |""".stripMargin)
+    // clean rules: unique PK, no nulls, prices positive
+    runner(scala.collection.mutable.ListBuffer[String]())
+      .execute(job("unique:o_orderkey,not_null:o_totalprice,min:o_totalprice:0", "dq_ok"))
+    val ok = spark.table("dq_ok").collect()
+    assert(ok.length == 3 && ok.forall(_.getLong(1) == 0L))
+    // violated rule (custkey repeats across orders): job aborts with TaskFailure,
+    // and the report view still carries the diagnosable count
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    val ex = intercept[TaskFailure] {
+      runner(buf).execute(job("unique:o_custkey", "dq_bad"))
+    }
+    assert(ex.returncode == 1)
+    assert(spark.table("dq_bad").head().getLong(1) > 0L)
+    assert(buf.exists(_.contains("dq-check FAILED")))
+  }
+
   test("context logger renders nested JOB/COMMAND frames (reference R15)") {
     val data = tmp()
     val job = Yaml.jobFromString(
