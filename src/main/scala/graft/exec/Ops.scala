@@ -193,9 +193,11 @@ object Ops {
         .createOrReplaceTempView(str(env, "OUTPUT"))
     },
     // Data-quality gate from the spec layer: evaluate declared RULES against a view
-    // and FAIL the job (TaskFailure abort, reference R9 semantics) when any rule has
-    // violations — the fail-fast hoisting Job.execute applies to parameters, applied
-    // to data before downstream stages burn compute. RULES syntax (comma-separated):
+    // and FAIL the job (TaskFailure abort, reference R9 semantics —
+    // /root/reference/xetl/models/command.py:85-86 raises TaskFailure on a non-zero
+    // task, aborting the job) when any rule has violations — the fail-fast hoisting
+    // Job.execute applies to parameters (job.py:198-200), applied to data before
+    // downstream stages burn compute. RULES syntax (comma-separated):
     //   unique:col | not_null:col | min:col:value | max:col:value
     // Violation counts land in OUTPUT (one row per rule) whether or not the gate
     // trips, so the failure is diagnosable from the sink.

@@ -328,19 +328,21 @@ object Scale {
     Q("agg_bitmap_distinct",
       (s, dir) => {
         graft.Tables.registerAll(s, dir)
-        s.sql(s"""WITH bm AS (
-                 |  SELECT o_orderpriority AS pri,
-                 |         bitmap_bucket_number(o_custkey) AS bkt,
-                 |         bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
-                 |  FROM orders GROUP BY 1, 2),
-                 |per_pri AS (
-                 |  SELECT pri, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
-                 |  FROM bm GROUP BY pri),
-                 |merged AS (
-                 |  SELECT CAST(SUM(c) AS BIGINT) AS n_cust FROM (
-                 |    SELECT bitmap_count(bitmap_or_agg(b)) AS c FROM bm GROUP BY bkt))
-                 |SELECT pri, n_cust FROM per_pri
-                 |UNION ALL SELECT 'ALL', n_cust FROM merged
+        // materialize the partials ONCE (a WITH would inline into both consumers
+        // and re-scan the fact twice) — this small table of (group, bucket, 4 KB
+        // bitmap) rows IS the reusable sketch artifact downstream rollups fold
+        s.sql("""SELECT o_orderpriority AS pri,
+                |       bitmap_bucket_number(o_custkey) AS bkt,
+                |       bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+                |FROM orders GROUP BY 1, 2""".stripMargin)
+          .localCheckpoint()
+          .createOrReplaceTempView("bitmap_partials")
+        s.sql(s"""SELECT pri, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
+                 |FROM bitmap_partials GROUP BY pri
+                 |UNION ALL
+                 |SELECT 'ALL', CAST(SUM(c) AS BIGINT) FROM (
+                 |  SELECT bitmap_count(bitmap_or_agg(b)) AS c
+                 |  FROM bitmap_partials GROUP BY bkt)
                  |ORDER BY pri""".stripMargin)
       },
       Some("""SELECT o_orderpriority AS pri,
