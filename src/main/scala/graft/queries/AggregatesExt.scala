@@ -300,6 +300,29 @@ object AggregatesExt {
              |SELECT l_returnflag, n,
              |  (sxy - sx * sy / n) /
              |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
-             |FROM c ORDER BY l_returnflag""".stripMargin))
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    // Equi-width histogram (feature binning): map-only bucket assignment + one
+    // grouped count — the output is |buckets| rows regardless of input size, and
+    // the bucket arithmetic stays in whole-stage codegen. The top bucket is capped
+    // (least) so outliers don't mint unbounded bucket ids.
+    Q("agg_histogram_equiwidth",
+      (s, dir) => {
+        import s.implicits._
+        val width = 10000.0d
+        t(s, dir, "orders")
+          .select(least(floor($"o_totalprice" / width), lit(19L)).as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .select($"bucket", ($"bucket" * width).as("lo"),
+            (($"bucket" + 1L) * width).as("hi"), $"n")
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT LEAST(CAST(floor(o_totalprice / 10000) AS BIGINT), 19)
+             |    AS bucket
+             |  FROM orders)
+             |SELECT bucket, bucket * 10000.0 AS lo, (bucket + 1) * 10000.0 AS hi,
+             |  COUNT(*) AS n
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

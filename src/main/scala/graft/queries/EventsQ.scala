@@ -258,6 +258,77 @@ object EventsQ {
              |SELECT user_id, session_no, MIN(ts) AS session_start,
              |  COUNT(*) AS n_events,
              |  epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
-             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered funnel conversion (view → click → purchase): each stage's timestamp is
+    // the user's first qualifying event STRICTLY AFTER the previous stage. Three
+    // conditional min-aggregations, each joined back on user_id — every stage is
+    // key-partitioned on the same key (one co-partitioned shuffle chain, no pair
+    // expansion: the stage tables carry ONE row per user), and the final rollup is
+    // a four-counter global agg. No windows over the global stream.
+    Q("events_funnel_conversion",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.Tables.events(s, dir)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", $"ts", $"event_type")
+        val staged = e.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", $"ts")).as("t_view"))
+        val withClick = e.join(staged, "user_id")
+          .groupBy($"user_id", $"t_view").agg(
+            min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts"))
+              .as("t_click"))
+        val withBuy = e.join(withClick, "user_id")
+          .groupBy($"user_id", $"t_view", $"t_click").agg(
+            min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts"))
+              .as("t_buy"))
+        withBuy.agg(
+            count(lit(1)).as("n_users"),
+            count($"t_view").as("n_view"),
+            count($"t_click").as("n_click"),
+            count($"t_buy").as("n_purchase"))
+          .select($"n_users", $"n_view", $"n_click", $"n_purchase")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type FROM events
+             |          WHERE event_type IN ('view', 'click', 'purchase')),
+             |v AS (SELECT user_id,
+             |        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+             |      FROM e GROUP BY 1),
+             |c AS (SELECT e.user_id, t_view,
+             |        MIN(CASE WHEN event_type = 'click' AND ts > t_view
+             |            THEN ts END) AS t_click
+             |      FROM e JOIN v ON e.user_id = v.user_id GROUP BY 1, 2),
+             |b AS (SELECT e.user_id, t_view, t_click,
+             |        MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+             |            THEN ts END) AS t_buy
+             |      FROM e JOIN c ON e.user_id = c.user_id GROUP BY 1, 2, 3)
+             |SELECT COUNT(*) AS n_users, COUNT(t_view) AS n_view,
+             |  COUNT(t_click) AS n_click, COUNT(t_buy) AS n_purchase
+             |FROM b""".stripMargin)),
+
+    // Markov transition counts (clickstream path analysis): lag the per-user event
+    // sequence by one, count (prev_type → type) pairs. One user-partitioned window
+    // + one pair-keyed rollup; the transition matrix output is |types|² rows
+    // regardless of corpus size.
+    Q("events_markov_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"prev_type", $"event_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type, COUNT(*) AS n
+             |FROM t WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
