@@ -323,6 +323,61 @@ object AggregatesExt {
              |  FROM orders)
              |SELECT bucket, bucket * 10000.0 AS lo, (bucket + 1) * 10000.0 AS hi,
              |  COUNT(*) AS n
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Spearman rank correlation: average-rank transform (rank + (ties-1)/2 — the
+    // standard tie treatment) composed with the exact decimal-moment Pearson of
+    // agg_corr_exact. Ranks carry at most one decimal (.5 from tie averaging), so
+    // DECIMAL(18,1) inputs keep every product exact. The per-group rank windows
+    // need a per-key total order — inherent to rank statistics; the window is
+    // key-partitioned, so each group sorts independently.
+    Q("agg_spearman_corr",
+      (s, dir) => {
+        import s.implicits._
+        def avgRank(c: String) = {
+          val w = Window.partitionBy($"l_returnflag").orderBy(col(c))
+          val ties = Window.partitionBy($"l_returnflag", col(c))
+          (rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0)
+            .cast("decimal(18,1)")
+        }
+        val ranked = t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+          .withColumn("rx", avgRank("l_quantity"))
+          .withColumn("ry", avgRank("l_extendedprice"))
+        ranked.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"rx").cast("double").as("sx"),
+            sum($"rx" * $"rx").cast("double").as("sxx"),
+            sum($"ry").cast("double").as("sy"),
+            sum($"ry" * $"ry").cast("double").as("syy"),
+            sum($"rx" * $"ry").cast("double").as("sxy"))
+          .select($"l_returnflag", $"n",
+            (($"sxy" - $"sx" * $"sy" / $"n") /
+              sqrt(($"sxx" - $"sx" * $"sx" / $"n") *
+                   ($"syy" - $"sy" * $"sy" / $"n"))).as("spearman_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH r AS (
+             |  SELECT l_returnflag,
+             |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+             |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+             |        / 2.0 AS DECIMAL(18,1)) AS rx,
+             |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+             |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+             |        / 2.0 AS DECIMAL(18,1)) AS ry
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(rx) AS DOUBLE) AS sx,
+             |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+             |    CAST(SUM(ry) AS DOUBLE) AS sy,
+             |    CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+             |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+             |  FROM r GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (sxy - sx * sy / n) /
+             |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+             |    AS spearman_qty_price
+             |FROM c ORDER BY l_returnflag""".stripMargin))
   )
 }

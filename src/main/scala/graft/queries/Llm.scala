@@ -654,6 +654,55 @@ object Llm {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // URL/domain curation (the RefinedWeb/C4 source-filtering stage): parse_url
+    // extracts HOST/PATH/QUERY from each document's source URL (synthesized
+    // deterministically, like text_pii_scrub's PII), a BROADCAST anti-join drops
+    // blocklisted domains, and the rollup is per-host. parse_url is a native
+    // codegen'd expression — no UDF; the blocklist side is bounded, so the
+    // anti-join never shuffles the corpus.
+    Q("text_url_domain_filter",
+      (s, dir) => {
+        import s.implicits._
+        val host = element_at(array(
+          lit("en.wikipedia.org"), lit("github.com"), lit("arxiv.org"),
+          lit("spam.example.com"), lit("ads.example.net"),
+          lit("blog.example.org"), lit("news.example.com")),
+          ($"doc_id" % 7 + 1).cast("int"))
+        val urls = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            concat(lit("https://"), host, lit("/p/"), $"doc_id",
+              lit("?src="), $"source", lit("&v=1")).as("url"))
+          .select($"doc_id",
+            parse_url($"url", lit("HOST")).as("host"),
+            parse_url($"url", lit("PATH")).as("path"),
+            parse_url($"url", lit("QUERY"), lit("src")).as("qsrc"))
+        val blocklist = Seq("spam.example.com", "ads.example.net").toDF("bad_host")
+        urls.join(broadcast(blocklist), $"host" === $"bad_host", "left_anti")
+          .groupBy($"host")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"qsrc").as("n_sources"),
+            min($"path").as("first_path"))
+          .orderBy($"host")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source,
+             |    'https://' || (['en.wikipedia.org', 'github.com', 'arxiv.org',
+             |      'spam.example.com', 'ads.example.net', 'blog.example.org',
+             |      'news.example.com'])[CAST(doc_id % 7 + 1 AS INTEGER)]
+             |      || '/p/' || doc_id || '?src=' || source || '&v=1' AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |    regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             |    regexp_extract(url, '[?&]src=([^&]*)', 1) AS qsrc
+             |  FROM u)
+             |SELECT host, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT qsrc) AS n_sources, MIN(path) AS first_path
+             |FROM p
+             |WHERE host NOT IN ('spam.example.com', 'ads.example.net')
+             |GROUP BY host ORDER BY host""".stripMargin)),
+
     // Deterministic stratified sampling (corpus mixing): per-source keep rates via an
     // md5-nibble threshold on the doc id — no RNG, so the sample is reproducible
     // across engines, retries, and partitionings (a seeded Bernoulli sample is not

@@ -220,6 +220,28 @@ object SqlSurface {
       Some(s"""SELECT o_orderstatus, o_orderpriority,
               |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
               |FROM orders
-              |GROUP BY ALL ORDER BY ALL""".stripMargin))
+              |GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // SQL PIVOT clause (the declarative spelling of the DataFrame pivot in
+    // agg_pivot): explicit IN-list values, so the plan is a single grouped
+    // aggregation — no distinct-values discovery pass. The oracle spells it as
+    // conditional aggregation; same plan shape either way.
+    Q("sql_pivot_clause",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT * FROM (
+                |  SELECT o_orderstatus, o_orderpriority FROM orders)
+                |PIVOT (COUNT(*) AS n
+                |       FOR o_orderpriority IN ('1-URGENT' AS urgent,
+                |                               '5-LOW' AS low))
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS urgent,
+             |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS low
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }
