@@ -124,6 +124,48 @@ object Headline {
               |FULL OUTER JOIN changes c ON o.o_orderkey = c.u_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CDC changelog apply — upsert_merge_changeset plus the DELETE leg: one
+    // full-outer join on the key applies I/U/D ops in a single shuffle (deletes
+    // drop the matched row, updates override, inserts survive the outer side).
+    // The batch form of applying a Debezium-style changelog to a snapshot; no
+    // per-row lookups at any scale.
+    Q("cdc_apply_changelog",
+      (s, dir) => {
+        import s.implicits._
+        val snap = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+        val base = t(s, dir, "orders")
+        val mods = base.filter($"o_orderkey" % 100 < 15)
+          .select($"o_orderkey".as("k"),
+            when($"o_orderkey" % 100 < 5, "D").otherwise("U").as("op"),
+            ($"o_totalprice" * 1.2).as("new_price"))
+        val ins = base.filter($"o_orderkey" % 100 >= 95)
+          .select(($"o_orderkey" + 20000000L).as("k"), lit("I").as("op"),
+            $"o_totalprice".as("new_price"))
+        snap.join(mods.union(ins), $"o_orderkey" === $"k", "full_outer")
+          .filter(coalesce($"op", lit("")) =!= "D")
+          .select(coalesce($"op", lit("keep")).as("op"),
+            coalesce($"new_price", $"o_totalprice").as("price"))
+          .groupBy($"op")
+          .agg(count(lit(1)).as("n"), dsum($"price").as("total"))
+          .orderBy($"op")
+      },
+      Some(s"""WITH ch AS (
+              |  SELECT o_orderkey AS k,
+              |    CASE WHEN o_orderkey % 100 < 5 THEN 'D' ELSE 'U' END AS op,
+              |    o_totalprice * 1.2 AS new_price
+              |  FROM orders WHERE o_orderkey % 100 < 15
+              |  UNION ALL
+              |  SELECT o_orderkey + 20000000, 'I', o_totalprice
+              |  FROM orders WHERE o_orderkey % 100 >= 95),
+              |j AS (
+              |  SELECT o.o_orderkey, ch.k, ch.op, ch.new_price, o.o_totalprice
+              |  FROM (SELECT o_orderkey, o_totalprice FROM orders) o
+              |  FULL OUTER JOIN ch ON o.o_orderkey = ch.k)
+              |SELECT COALESCE(op, 'keep') AS op, COUNT(*) AS n,
+              |  ${sqlDsum("COALESCE(new_price, o_totalprice)")} AS total
+              |FROM j WHERE COALESCE(op, '') <> 'D'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stream-stream join, batch-equivalent: click → purchase conversion within
     // 10 minutes per user. The join is EQUI on user_id with a residual time band —
     // a hash-partitioned join whose per-key fanout is bounded by per-user activity,

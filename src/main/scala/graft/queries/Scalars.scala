@@ -552,7 +552,36 @@ object Scalars {
       Some("""SELECT o_orderkey, o_orderstatus AS status,
              |  o_totalprice * 2.0 AS price,
              |  CASE WHEN o_totalprice > 100000.0 THEN 'high' ELSE 'low' END AS tier
-             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // LIKE with a custom ESCAPE character and case-insensitive ILIKE — pattern
+    // matching against data that itself contains wildcards (the '%'-in-data case
+    // every log/URL corpus hits). Patterns are sargable prefixes where possible;
+    // both predicates stay codegen'd.
+    Q("fn_like_escape",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH v AS (
+                |  SELECT p_partkey,
+                |    p_brand || CASE WHEN p_partkey % 3 = 0 THEN '%off'
+                |                    ELSE '-reg' END AS tag,
+                |    p_type
+                |  FROM part WHERE p_partkey <= 400)
+                |SELECT p_partkey, tag,
+                |  tag LIKE '%!%off' ESCAPE '!' AS is_discounted,
+                |  p_type ILIKE '%BRASS%' AS is_brass
+                |FROM v ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT p_partkey,
+             |    p_brand || CASE WHEN p_partkey % 3 = 0 THEN '%off'
+             |                    ELSE '-reg' END AS tag,
+             |    p_type
+             |  FROM part WHERE p_partkey <= 400)
+             |SELECT p_partkey, tag,
+             |  tag LIKE '%!%off' ESCAPE '!' AS is_discounted,
+             |  p_type ILIKE '%BRASS%' AS is_brass
+             |FROM v ORDER BY p_partkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

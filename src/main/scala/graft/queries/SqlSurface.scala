@@ -242,6 +242,49 @@ object SqlSurface {
              |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
              |    AS BIGINT) AS low
              |FROM orders GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // EXISTS as a projected BOOLEAN (not a filter): Catalyst plans an
+    // ExistenceJoin — a semi-join variant that keeps every probe row and adds the
+    // match flag — the join type none of the filter-position subqueries exercise.
+    // One hash-partitioned pass; no conditional re-scan per row.
+    Q("subq_exists_flag",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_mktsegment,
+                |  EXISTS (SELECT 1 FROM orders o
+                |          WHERE o.o_custkey = c.c_custkey
+                |            AND o.o_orderpriority = '1-URGENT') AS has_urgent
+                |FROM customer c WHERE c_custkey <= 500
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  EXISTS (SELECT 1 FROM orders o
+             |          WHERE o.o_custkey = c.c_custkey
+             |            AND o.o_orderpriority = '1-URGENT') AS has_urgent
+             |FROM customer c WHERE c_custkey <= 500
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Join-strategy HINTS from SQL: BROADCAST pins the dim build side (the 100 TB
+    // must-have when statistics under-estimate a small side), MERGE forces
+    // sort-merge where a hash build would not fit. Hints change the PLAN, never the
+    // result — the oracle is hint-free.
+    Q("sql_join_hints",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(s"""SELECT /*+ BROADCAST(nation), MERGE(orders) */
+                 |  n_name, COUNT(*) AS n_orders,
+                 |  ${sqlDsum("o_totalprice")} AS sum_price
+                 |FROM orders
+                 |JOIN customer ON o_custkey = c_custkey
+                 |JOIN nation ON c_nationkey = n_nationkey
+                 |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n_orders,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }
