@@ -82,6 +82,38 @@ object Headline {
               |  AND o_orderdate <  TIMESTAMP '1998-01-01'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // TPC-H Q18 shape (large-volume customers): a HAVING-filtered aggregate drives a
+    // semi-filter back onto the fact — the aggregate over lineitem (one hash shuffle
+    // on l_orderkey) keeps only heavy orders, and that tiny survivor set then joins
+    // customer/orders. At 100 TB the qualifying set is ~1e-4 of orders, so the
+    // re-join is broadcast-sized even though the source is the full fact. Quantity
+    // sums go through decimal so the HAVING boundary (> 180) is engine-exact.
+    Q("tpch_q18_shape",
+      (s, dir) => {
+        import s.implicits._
+        val heavy = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(dsum($"l_quantity").as("sum_qty"))
+          .filter($"sum_qty" > 180.0)
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        heavy.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey",
+            $"o_orderdate", $"o_totalprice", $"sum_qty")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      Some(s"""WITH heavy AS (
+              |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+              |  FROM lineitem GROUP BY l_orderkey
+              |  HAVING ${sqlDsum("l_quantity")} > 180.0)
+              |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+              |FROM heavy
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // MERGE/upsert: apply a changeset (updates for o_orderkey % 100 < 10, inserts
     // with shifted keys) onto the orders snapshot via ONE full-outer join on the key
     // — the scalable batch formulation of MERGE INTO (no per-row lookups; both sides

@@ -581,7 +581,30 @@ object Scalars {
              |SELECT p_partkey, tag,
              |  tag LIKE '%!%off' ESCAPE '!' AS is_discounted,
              |  p_type ILIKE '%BRASS%' AS is_brass
-             |FROM v ORDER BY p_partkey""".stripMargin))
+             |FROM v ORDER BY p_partkey""".stripMargin)),
+
+    // Cryptographic digest family: md5 / sha2-256 over strings — content
+    // fingerprinting, cache keys, PII-safe join keys. Both are codegen'd Catalyst
+    // expressions (no UDF); hex output is engine-portable, unlike seeded
+    // xxhash64/murmur which are Spark-internal (those appear in the salted-join and
+    // LSH operators where only self-consistency matters, never in hashed output).
+    Q("fn_hash_digest",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").filter($"c_custkey" <= 500)
+          .select($"c_custkey",
+            md5($"c_name".cast("binary")).as("md5_hex"),
+            sha2($"c_name".cast("binary"), 256).as("sha256_hex"),
+            substring(md5(concat_ws("|", $"c_custkey", $"c_mktsegment")
+              .cast("binary")), 1, 8).as("composite_key8"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  md5(c_name) AS md5_hex,
+             |  sha256(c_name) AS sha256_hex,
+             |  substring(md5(CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment), 1, 8)
+             |    AS composite_key8
+             |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

@@ -556,6 +556,62 @@ object Scale {
              |  UNION ALL
              |  SELECT 'range_o_totalprice_pos', COUNT(*) FROM orders
              |  WHERE o_totalprice <= 0)
-             |ORDER BY rule""".stripMargin))
+             |ORDER BY rule""".stripMargin)),
+
+    // Dynamic partition pruning: the fact is laid out partitioned by l_returnflag;
+    // joining it to a dim filtered on a NON-key column ("returned") lets Spark prune
+    // fact partitions at RUNTIME from the dim's build side (the plan carries
+    // `dynamicpruningexpression` on the scan). Distinct from partitioned_write_scan,
+    // whose pruning predicate is static. At 100 TB this is the difference between
+    // scanning one partition and scanning the whole fact when the selective filter
+    // lives on the dimension, not the fact.
+    Q("scan_dpp_prune",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/dpp_lineitem"
+        if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+          t(s, dir, "lineitem")
+            .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        }
+        // The dim must be a FILE scan, not a LocalRelation: Catalyst constant-folds
+        // Filter(LocalRelation) into a bare LocalRelation, and with no surviving
+        // selective predicate the PartitionPruning rule declines to inject the
+        // dynamic filter.
+        val dimPath = s"${Sinks.scratchDir}/dpp_flagdim"
+        if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+          Seq(("A", "available"), ("N", "new"), ("R", "returned"))
+            .toDF("flag", "label").coalesce(1)
+            .write.mode("overwrite").parquet(dimPath)
+        }
+        val fact = s.read.parquet(out)
+        val dim = s.read.parquet(dimPath)
+        fact.join(broadcast(dim.filter($"label" === "returned")),
+            $"l_returnflag" === $"flag")
+          .groupBy($"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+          .orderBy($"l_linestatus")
+      },
+      Some(s"""SELECT l_linestatus, COUNT(*) AS n,
+              |  ${sqlDsum("l_extendedprice")} AS total
+              |FROM lineitem WHERE l_returnflag = 'R'
+              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // k-anonymity audit (privacy gate for training-data release): group the
+    // quasi-identifier tuple (nation, market segment) and surface equivalence
+    // classes smaller than k=8 — the rows a release would have to generalize or
+    // suppress. One hash aggregation at any scale; the violating set is tiny by
+    // construction, so the gate's output never strains the driver-side decision.
+    Q("dq_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("class_size"))
+          .filter($"class_size" < 8L)
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+             |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 8
+             |ORDER BY 1, 2""".stripMargin))
   )
 }
