@@ -52,4 +52,41 @@ object AsOfJoin {
       .select(lFields.map(f => col(f.name)).toIndexedSeq ++
         payload.map(p => col(s"__carried.$p").as(p)): _*)
   }
+
+  /** Forward AS-OF: attach the EARLIEST right row with `rightTime >= leftTime`
+    * (inclusive), ties broken by LOWEST `rightTieBreak`. Same union-merge shape as
+    * [[asof]], mirrored: left rows (tag 0) sort before right rows (tag 1) within a
+    * timestamp so a same-time right is visible to the forward window, and `first`
+    * over [currentRow, unboundedFollowing) picks the next right payload. Still one
+    * hash shuffle of |left| + |right| rows — no pair expansion at any scale. */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asof needs at least one payload column")
+    val lFields = left.schema.fields
+    val pType = StructType(payload.map(right.schema(_)).toArray)
+    val tieType = right.schema(rightTieBreak).dataType
+
+    val lLeg = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+        lit(0).as("__tag"), lit(null).cast(tieType).as("__tie"),
+        lit(null).cast(pType).as("__p")) ++
+        lFields.map(f => col(f.name)): _*)
+    val rLeg = right.select(
+      Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+        lit(1).as("__tag"), col(rightTieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__p")) ++
+        lFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"), col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lLeg.unionByName(rLeg)
+      .withColumn("__carried",
+        first(when(col("__tag") === 1, col("__p")), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .select(lFields.map(f => col(f.name)).toIndexedSeq ++
+        payload.map(p => col(s"__carried.$p").as(p)): _*)
+  }
 }

@@ -378,6 +378,30 @@ object AggregatesExt {
              |  (sxy - sx * sy / n) /
              |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
              |    AS spearman_qty_price
-             |FROM c ORDER BY l_returnflag""".stripMargin))
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    // Boolean aggregates: bool_and / bool_or / every / count_if — the predicate
+    // rollups behind data-quality assertions ("ALL rows in the group satisfy X",
+    // "ANY row violates Y") without materializing violating rows. Partial-aggregable
+    // like any min/max, so map-side combine keeps the shuffle one row per group.
+    Q("agg_boolean",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            bool_and($"o_totalprice" > 1000.0).as("all_over_1k"),
+            bool_or($"o_orderstatus" === "F").as("any_finished"),
+            every($"o_custkey" > 0L).as("custkeys_positive"),
+            count_if($"o_totalprice" > 200000.0).as("n_big"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             |  bool_or(o_orderstatus = 'F') AS any_finished,
+             |  bool_and(o_custkey > 0) AS custkeys_positive,
+             |  CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_big
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

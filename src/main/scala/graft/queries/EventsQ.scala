@@ -329,6 +329,47 @@ object EventsQ {
              |  FROM events)
              |SELECT prev_type, event_type, COUNT(*) AS n
              |FROM t WHERE prev_type IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Rolling z-score anomaly flag: per user, compare each value against the
+    // mean/std of its trailing 20-row window. Window moments are accumulated in
+    // DECIMAL (value cast first, squared in decimal — per the QueryDSL boundary
+    // rule) so the sums are partitioning-independent; the final mean/var/flag math
+    // is a fixed sequence of exactly-rounded double ops mirrored verbatim in the
+    // oracle, so the boolean boundary agrees bit-for-bit. One hash shuffle on
+    // user_id at any scale.
+    Q("events_anomaly_zscore",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-19, Window.currentRow)
+        val vdec = $"value".cast("decimal(20,6)")
+        graft.Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .select($"event_id", $"user_id", $"ts", $"value",
+            count(lit(1)).over(w).as("n"),
+            sum(vdec).over(w).cast("double").as("s1"),
+            sum(vdec * vdec).over(w).cast("double").as("s2"))
+          .select($"event_id", $"user_id", $"n",
+            ($"s1" / $"n").as("mean"),
+            (abs($"value" - $"s1" / $"n") >
+              lit(2.0) * sqrt(greatest($"s2" / $"n" -
+                ($"s1" / $"n") * ($"s1" / $"n"), lit(0.0)))).as("is_anomaly"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_id, user_id, value,
+             |    COUNT(*) OVER w AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value AS DECIMAL(20,6)) *
+             |             CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS s2
+             |  FROM events WHERE user_id < 200
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, n, s1 / n AS mean,
+             |  abs(value - s1 / n) >
+             |    2.0 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+             |    AS is_anomaly
+             |FROM m ORDER BY event_id""".stripMargin))
   )
 }

@@ -310,6 +310,34 @@ object Joins {
              |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
              |  FROM events e LEFT JOIN orders o
              |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // Forward AS-OF join: each event attaches the NEXT order (earliest
+    // o_orderdate >= ts) for the same user — "time to next purchase" semantics,
+    // the mirror of join_asof. Same union-merge operator, one hash shuffle of
+    // |events| + |orders|, no pair expansion (the oracle's LEFT JOIN + row_number
+    // materializes the pairs; the engine never does).
+    Q("join_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").select($"event_id", $"ts", $"user_id")
+        val o = t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        graft.ops.AsOfJoin.asofForward(e, o,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightTieBreak = "o_orderkey",
+            payload = Seq("o_orderkey", "o_totalprice"))
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
              |) WHERE rn = 1 ORDER BY event_id""".stripMargin))
   )
 }

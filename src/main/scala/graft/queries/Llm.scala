@@ -953,6 +953,33 @@ object Llm {
              |  source
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
+    // binaryFile source: media corpora arrive as FILES (images, audio), not rows —
+    // this is the ingest leg of the multimodal pipeline. Fixture: each doc_id < 20
+    // becomes one file via a partitioned text write (pure Spark, no driver-side
+    // collect); the binaryFile read recovers doc_id from partition discovery and
+    // hashes raw content bytes. At 100 TB the source parallelizes per-file with
+    // pushed path filters; content never leaves the executors.
+    Q("multimodal_binaryfile_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "binfiles")
+        if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+          t(s, dir, "documents").filter($"doc_id" < 20)
+            .select($"doc_id", $"text")
+            .write.mode("overwrite").partitionBy("doc_id").text(out)
+        }
+        s.read.format("binaryFile").load(out)
+          .select($"doc_id".cast("long").as("doc_id"),
+            $"length".as("n_bytes"),
+            md5($"content").as("content_md5"))
+          .orderBy($"doc_id")
+      },
+      // the text sink appends one '\n' per row, so content = utf8(text) + 0x0a
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) + 1 AS n_bytes,
+             |  md5(text || chr(10)) AS content_md5
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
+
     // Partition-wise feature extraction (stubbed codec) — no SQL oracle (rows-only):
     // the byte-level loop is not SQL-expressible, but output is deterministic.
     Q("multimodal_features",

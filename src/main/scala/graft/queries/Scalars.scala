@@ -604,7 +604,27 @@ object Scalars {
              |  sha256(c_name) AS sha256_hex,
              |  substring(md5(CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment), 1, 8)
              |    AS composite_key8
-             |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin))
+             |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)),
+
+    // stack() generator — wide-to-long as a table function (the SQL spelling of
+    // unpivot; unpivot_melt covers the DataFrame API form). A generator expands
+    // rows inside the scan stage with no shuffle; the ORDER is the only exchange.
+    Q("fn_stack_wide_to_long",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT p_partkey, attr, val
+                |FROM (SELECT p_partkey, p_brand, p_type FROM part
+                |      WHERE p_partkey <= 300)
+                |LATERAL VIEW stack(2, 'brand', p_brand, 'type', p_type)
+                |  AS attr, val
+                |ORDER BY p_partkey, attr""".stripMargin)
+      },
+      Some("""SELECT p_partkey, attr, val FROM (
+             |  SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
+             |  WHERE p_partkey <= 300
+             |  UNION ALL
+             |  SELECT p_partkey, 'type', p_type FROM part WHERE p_partkey <= 300)
+             |ORDER BY p_partkey, attr""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

@@ -568,7 +568,7 @@ object Scale {
     Q("scan_dpp_prune",
       (s, dir) => {
         import s.implicits._
-        val out = s"${Sinks.scratchDir}/dpp_lineitem"
+        val out = Sinks.scoped(dir, "dpp_lineitem")
         if (!new java.io.File(s"$out/_SUCCESS").exists()) {
           t(s, dir, "lineitem")
             .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)

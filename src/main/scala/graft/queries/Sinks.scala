@@ -8,4 +8,13 @@ object Sinks {
     new java.io.File(d).mkdirs()
     d
   }
+
+  /** Scratch path for a fixture DERIVED FROM `dir`'s tables. The sf-dir hash keys the
+    * cache so runs against different scale factors never share a stale fixture (an
+    * exists-guard alone would reuse sf0.01-built data in an sf0.001 run). */
+  def scoped(dir: String, name: String): String = {
+    val suffix = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    s"$scratchDir/${name}_$suffix"
+  }
 }
