@@ -703,6 +703,42 @@ object Llm {
              |WHERE host NOT IN ('spam.example.com', 'ads.example.net')
              |GROUP BY host ORDER BY host""".stripMargin)),
 
+    // Corpus mixture reweighting: given a target of equal representation per source,
+    // compute each source's actual character share and the sampling multiplier
+    // (target/actual) a downstream epoch sampler would apply. One grouped pass over
+    // the corpus; the share arithmetic happens on a |sources|-row aggregate via an
+    // unpartitioned window over THAT (rows = n_sources, never corpus-sized). Shares
+    // divide exact decimal sums, so the doubles agree bit-for-bit with the oracle.
+    Q("sample_mixture_weights",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy()
+        t(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("chars"))
+          .select($"source", $"n_docs",
+            $"chars".cast("double").as("n_chars"),
+            ($"chars".cast("double") /
+              sum($"chars").over(w).cast("double")).as("actual_share"),
+            (lit(1.0) / count(lit(1)).over(w).cast("double") /
+              ($"chars".cast("double") /
+                sum($"chars").over(w).cast("double"))).as("multiplier"))
+          .orderBy($"source")
+      },
+      Some("""WITH a AS (
+             |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_docs,
+             |  CAST(chars AS DOUBLE) AS n_chars,
+             |  CAST(chars AS DOUBLE) / CAST(SUM(chars) OVER () AS DOUBLE)
+             |    AS actual_share,
+             |  1.0 / CAST(COUNT(*) OVER () AS DOUBLE) /
+             |    (CAST(chars AS DOUBLE) / CAST(SUM(chars) OVER () AS DOUBLE))
+             |    AS multiplier
+             |FROM a ORDER BY source""".stripMargin)),
+
     // Deterministic stratified sampling (corpus mixing): per-source keep rates via an
     // md5-nibble threshold on the doc id — no RNG, so the sample is reproducible
     // across engines, retries, and partitionings (a seeded Bernoulli sample is not

@@ -624,7 +624,32 @@ object Scalars {
              |  WHERE p_partkey <= 300
              |  UNION ALL
              |  SELECT p_partkey, 'type', p_type FROM part WHERE p_partkey <= 300)
-             |ORDER BY p_partkey, attr""".stripMargin))
+             |ORDER BY p_partkey, attr""".stripMargin)),
+
+    // printf-style formatting (format_string / DuckDB printf) for stable record
+    // ids, padded codes, percent renders. INTEGER and STRING conversions only:
+    // %f of a double is locale/rounding-mode territory where Java's Formatter
+    // (HALF_UP) and C printf (round-half-even) can disagree at ties — floats are
+    // formatted via explicit round + cast instead.
+    Q("fn_printf_format",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+          .select($"o_orderkey",
+            format_string("ORD-%09d", $"o_orderkey").as("order_code"),
+            format_string("%s/%d", $"o_orderstatus", $"o_custkey").as("status_key"),
+            format_string("%3d%%",
+              floor($"o_totalprice" / 10000.0).cast("int")).as("price_band"),
+            lpad($"o_custkey".cast("string"), 8, "0").as("cust_padded"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  printf('ORD-%09d', o_orderkey) AS order_code,
+             |  printf('%s/%d', o_orderstatus, o_custkey) AS status_key,
+             |  printf('%3d%%', CAST(floor(o_totalprice / 10000.0) AS INT))
+             |    AS price_band,
+             |  lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS cust_padded
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

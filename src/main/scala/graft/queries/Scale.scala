@@ -612,6 +612,48 @@ object Scale {
       },
       Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
              |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 8
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Feature standardization (z-score scaling for model inputs): two-pass — exact
+    // per-group moments (decimal inputs, decimal products, per agg_stats_exact's
+    // boundary rule), then a BROADCAST join back onto the fact (the moment table is
+    // |groups| rows) so the normalize pass is map-side, no second fact shuffle. The
+    // mean/std/z chain is the same exactly-rounded double sequence in both engines.
+    Q("feat_standardize",
+      (s, dir) => {
+        import s.implicits._
+        val xd = ($"l_quantity" - 25.0d).cast("decimal(18,2)")
+        val li = t(s, dir, "lineitem")
+        val moments = li.groupBy($"l_returnflag".as("mf"))
+          .agg(count(lit(1)).as("n"),
+            sum(xd).cast("double").as("sx"),
+            sum(xd * xd).cast("double").as("sxx"))
+          .select($"mf",
+            ($"sx" / $"n" + 25.0d).as("mean_qty"),
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n").as("std_qty"))
+        li.filter($"l_orderkey" <= 2000)
+          .join(broadcast(moments), $"l_returnflag" === $"mf")
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+            $"l_quantity",
+            (($"l_quantity" - $"mean_qty") / $"std_qty").as("qty_z"))
+          // (orderkey, linenumber) is NOT unique in this synthetic data — order by
+          // every output column so ties are exact-duplicate rows (hash-immune)
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS mf, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(18,2)) *
+             |             CAST(l_quantity - 25.0 AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |  FROM lineitem GROUP BY 1),
+             |s AS (
+             |  SELECT mf, sx / n + 25.0 AS mean_qty,
+             |    sqrt((sxx - sx * sx / n) / n) AS std_qty
+             |  FROM m)
+             |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |  (l_quantity - mean_qty) / std_qty AS qty_z
+             |FROM lineitem JOIN s ON l_returnflag = mf
+             |WHERE l_orderkey <= 2000
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin))
   )
 }

@@ -285,6 +285,32 @@ object SqlSurface {
               |FROM orders
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation ON c_nationkey = n_nationkey
-              |GROUP BY n_name ORDER BY n_name""".stripMargin))
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // String collations (Spark 4): grouping under UTF8_LCASE folds case variants
+    // into one equivalence class at the COMPARISON level — no lower() projection,
+    // the collation travels with the type through the shuffle. The representative
+    // key is pinned with a binary-collation MIN so output is deterministic; the
+    // oracle mirrors the classes with lower().
+    Q("sql_collation_group",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH v AS (
+                |  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                |              ELSE lower(p_brand) END AS brand_cased
+                |  FROM part)
+                |SELECT min(brand_cased COLLATE UTF8_BINARY) AS brand_rep,
+                |  COUNT(*) AS n
+                |FROM v
+                |GROUP BY brand_cased COLLATE UTF8_LCASE
+                |ORDER BY brand_rep""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+             |              ELSE lower(p_brand) END AS brand_cased
+             |  FROM part)
+             |SELECT min(brand_cased) AS brand_rep, COUNT(*) AS n
+             |FROM v GROUP BY lower(brand_cased)
+             |ORDER BY brand_rep""".stripMargin))
   )
 }
