@@ -93,5 +93,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

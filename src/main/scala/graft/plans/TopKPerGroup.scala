@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-operator top-k-per-group: logical plan + strategy + physical operator,
+  * the (c)-tier Catalyst extension point (custom `LogicalPlan` → `SparkStrategy` →
+  * `SparkPlan`) for semantics the built-in operators can't express EFFICIENTLY.
+  *
+  * The declarative formulation (`row_number().over(partitionBy(g).orderBy(s)) <= k`,
+  * query `topk_per_group`) must SORT EVERY PARTITION IN FULL before discarding all
+  * but k rows per key — at 100 TB that is a full-data sort (and spill) for a result
+  * that is k·|keys| rows. This operator instead keeps a bounded k-row buffer per key:
+  *
+  *   - a PARTIAL instance runs map-side (no distribution requirement, so it fuses
+  *     into the scan stage) and reduces each input partition to ≤ k rows per key —
+  *     correct because the global top-k is a subset of the union of per-partition
+  *     top-k;
+  *   - a FINAL instance requires `ClusteredDistribution(groupExprs)` (Catalyst's
+  *     EnsureRequirements inserts the hash exchange), so the shuffle carries at most
+  *     k rows per key per map partition instead of the whole table — the same
+  *     partial/final contract as a hash aggregate, applied to row SELECTION.
+  *
+  * Determinism contract (BASELINE.md): callers must make `sortExpr` a TOTAL order
+  * per group (e.g. `struct(value, unique_id)`) — with boundary ties the kept set
+  * would otherwise depend on partitioning. Ordering uses Catalyst's interpreted
+  * ordering, so any orderable type (incl. structs, lexicographic) works.
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    sortExpr: Expression,
+    k: Int,
+    descending: Boolean,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerGroup]] as final(partial(child)) — registered via
+  * `GraftExtensions` (injectPlannerStrategy) or `TopK.perGroup`'s lazy
+  * `experimental.extraStrategies` hook. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, s, k, d, child) =>
+      val partial = TopKPerGroupExec(g, s, k, d, partial = true, planLater(child))
+      TopKPerGroupExec(g, s, k, d, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortExpr: Expression,
+    k: Int,
+    descending: Boolean,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil // global top-k
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  // ≤ k rows per key pass through unchanged; keys stay co-located
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  /** Bounded per-key buffer: the k smallest sort values under `ord` (descending is
+    * encoded by reversing `ord`). Insert is O(k) worst-case via a cached worst
+    * slot — no per-row re-sort. Row copies happen only on retained rows. */
+  private final class Bounded(ord: Ordering[Any]) {
+    private val vals = new Array[Any](k)
+    private val rows = new Array[InternalRow](k)
+    private var size = 0
+    private var worst = -1
+    def insert(v: Any, row: () => InternalRow): Unit = {
+      if (size < k) {
+        vals(size) = v; rows(size) = row()
+        if (worst < 0 || ord.compare(v, vals(worst)) > 0) worst = size
+        size += 1
+      } else if (ord.compare(v, vals(worst)) < 0) {
+        vals(worst) = v; rows(worst) = row()
+        var i = 1; var w = 0
+        while (i < size) { if (ord.compare(vals(i), vals(w)) > 0) w = i; i += 1 }
+        worst = w
+      }
+    }
+    def iterator: Iterator[InternalRow] = rows.iterator.take(size)
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val sortE = sortExpr
+    val childOutput = child.output
+    val desc = descending
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val boundSort = BindReferences.bindReference(sortE, childOutput)
+      val baseOrd =
+        TypeUtils.getInterpretedOrdering(sortE.dataType).asInstanceOf[Ordering[Any]]
+      val ord = if (desc) baseOrd.reverse else baseOrd
+      val buffers = new java.util.HashMap[UnsafeRow, Bounded]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var buf = buffers.get(key)
+        if (buf == null) { buf = new Bounded(ord); buffers.put(key.copy(), buf) }
+        // sort values and rows may be reused buffers — copy only what's retained
+        val v = boundSort.eval(row) match {
+          case r: InternalRow => r.copy()
+          case s: UTF8String  => s.clone()
+          case x              => x
+        }
+        buf.insert(v, () => row.copy())
+      }
+      import scala.jdk.CollectionConverters._
+      buffers.values().iterator().asScala.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override def simpleString(maxFields: Int): String = {
+    val mode = if (partial) "partial" else "final"
+    s"TopKPerGroupExec($mode, k=$k, desc=$descending)"
+  }
+}
+
+/** User API: `TopK.perGroup(df, Seq("dept"), struct($"salary", $"id"), k = 3)` —
+  * the k rows with the highest (lowest with `descending = false`) sort key per
+  * group. Registers [[TopKStrategy]] on the session's experimental strategy hook on
+  * first use, so it works on any session without builder-time extension wiring. */
+object TopK {
+  def perGroup(df: DataFrame, groupCols: Seq[String], sortKey: Column, k: Int,
+      descending: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val child = Bridge.logicalPlan(df)
+    val attrs = child.output
+    val groupExprs = groupCols.map { n =>
+      attrs.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"group column '$n' not in ${attrs.map(_.name).mkString(", ")}"))
+    }
+    // A Column off the public API is an unresolved column-node wrapper (Spark 4) —
+    // run it through the analyzer via a throwaway select and take the resolved
+    // expression (attribute ids match `child.output`, same analyzed source plan).
+    val sortExpr = Bridge.logicalPlan(df.select(sortKey)) match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case e => e
+        }
+      case other => throw new IllegalStateException(s"unexpected plan: $other")
+    }
+    Bridge.ofRows(spark, TopKPerGroup(groupExprs, sortExpr, k, descending, child))
+  }
+
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val exp = Bridge.experimental(spark)
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+  }
+}

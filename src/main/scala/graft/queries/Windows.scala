@@ -164,6 +164,32 @@ object Windows {
              |  FROM orders)
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Same top-3-per-customer as `topk_per_group`, via the NATIVE whole-operator
+    // path (graft.plans.TopKPerGroup: custom LogicalPlan → SparkStrategy →
+    // SparkPlan): a map-side partial keeps ≤ k rows per key per partition, so the
+    // shuffle carries k·|keys| rows, not the table — the window formulation above
+    // must fully sort every partition first. Mixed sort directions encode as
+    // struct(price, -orderkey) descending (price DESC, orderkey ASC); the struct
+    // makes the per-group order TOTAL, so the kept set is partition-independent.
+    Q("topk_per_group_native",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.TopK.perGroup(
+            t(s, dir, "orders")
+              .select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+            groupCols = Seq("o_custkey"),
+            sortKey = struct($"o_totalprice", -$"o_orderkey"),
+            k = 3)
+          .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // Time-interval RANGE frame: 7-day trailing spend per customer. Spark expresses
     // interval frames as epoch-second arithmetic (rangeBetween over cast-to-long);
     // the oracle uses the native RANGE BETWEEN INTERVAL bound — identical inclusive

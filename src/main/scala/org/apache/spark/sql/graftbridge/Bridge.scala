@@ -12,6 +12,23 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame (classic-impl accessor, `private[sql]`). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Build a DataFrame over a (possibly custom) logical plan. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's experimental-methods hook (extraStrategies/extraOptimizations). */
+  def experimental(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+
   /** Observation read with a bounded wait (`getRowOrEmpty` is `private[sql]`).
     * Metric delivery rides the async listener bus, so a read immediately after the
     * action can race it — poll briefly instead of blocking forever (a skipped write,
