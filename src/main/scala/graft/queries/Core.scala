@@ -120,6 +120,50 @@ object Core {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
              |WHERE l_returnflag = 'A' ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Malformed-record routing (PERMISSIVE CSV + corrupt-record column): real feeds
+    // carry broken lines; the scalable pattern parses in PERMISSIVE mode, routes
+    // rows with a populated corrupt column to quarantine, and the pipeline decides
+    // on the counts — no abort, no row leaves the executors. Fixture: every 5th
+    // nation row is emitted with a non-numeric key and a missing field. The gate
+    // must REFERENCE every column it validates: the CSV reader prunes unprojected
+    // columns before conversion (spark.sql.csv.parser.columnPruning.enabled), so a
+    // malformed value in an unreferenced column never populates the corrupt record.
+    Q("csv_malformed_routing",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "csv_malformed")
+        if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+          t(s, dir, "nation")
+            .select(when($"n_nationkey" % 5 === 0,
+                concat(lit("BADKEY,"), $"n_name"))
+              .otherwise(concat_ws(",",
+                $"n_nationkey", $"n_name", $"n_regionkey")).as("line"))
+            .coalesce(1).write.mode("overwrite").text(out)
+        }
+        s.read
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(out)
+          .agg(
+            count(when($"_corrupt".isNull, 1)).as("n_good"),
+            count(when($"_corrupt".isNotNull, 1)).as("n_quarantined"),
+            sum(when($"_corrupt".isNull, $"n_nationkey")).cast("long")
+              .as("sum_key_good"),
+            sum(when($"_corrupt".isNull, $"n_regionkey")).cast("long")
+              .as("sum_region_good"))
+      },
+      Some("""SELECT
+             |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_good,
+             |  CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quarantined,
+             |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END)
+             |    AS BIGINT) AS sum_key_good,
+             |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey END)
+             |    AS BIGINT) AS sum_region_good
+             |FROM nation""".stripMargin)),
+
     // Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION semantics): the
     // delta write replaces ONLY the partitions it contains ('O'), leaving sibling
     // partitions' files untouched — the idempotent daily-reload primitive. In static

@@ -654,6 +654,35 @@ object Scale {
              |  (l_quantity - mean_qty) / std_qty AS qty_z
              |FROM lineitem JOIN s ON l_returnflag = mf
              |WHERE l_orderkey <= 2000
-             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin)),
+
+    // Small-files compaction: the silent 100 TB killer — a table fragmented into
+    // tiny files pays per-file open/footer cost on every scan and floods the driver
+    // with splits. The compaction pass is ONE repartition write (shuffle sized by
+    // target file count, here 4); the gate proves the rewrite is lossless (count +
+    // exact sum) and actually compacted (distinct input_file_name() = 4). Fixture:
+    // the source is deliberately shattered into 64 files.
+    Q("compact_small_files",
+      (s, dir) => {
+        import s.implicits._
+        val src = Sinks.scoped(dir, "smallfiles_src")
+        if (!new java.io.File(s"$src/_SUCCESS").exists()) {
+          t(s, dir, "documents").select($"doc_id", $"n_chars")
+            .repartition(64).write.mode("overwrite").parquet(src)
+        }
+        val out = Sinks.scoped(dir, "smallfiles_compacted")
+        s.read.parquet(src).repartition(4)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          // nondeterministic exprs may not sit INSIDE an aggregate — project first
+          .select($"n_chars", input_file_name().as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"n_chars").cast("long").as("sum_chars"),
+            countDistinct($"f").as("n_files"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(4 AS BIGINT) AS n_files
+             |FROM documents""".stripMargin))
   )
 }
