@@ -370,6 +370,103 @@ object EventsQ {
              |  abs(value - s1 / n) >
              |    2.0 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
              |    AS is_anomaly
-             |FROM m ORDER BY event_id""".stripMargin))
+             |FROM m ORDER BY event_id""".stripMargin)),
+
+    // Peak concurrency (max overlapping 5-minute sessions per event type) via the
+    // +1/−1 sweep: each interval becomes a start(+1) and end(−1) delta, one window
+    // running-sum per type gives instantaneous concurrency, max() the peak. Ends
+    // sort before starts at the same instant (half-open intervals). The sweep is
+    // 2 rows per input — linear at any scale, where the naive interval self-join
+    // is quadratic per hot window.
+    Q("events_peak_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.Tables.events(s, dir)
+          .select($"event_type", $"ts", $"event_id")
+        val deltas = e.select($"event_type", $"ts".as("t"),
+            lit(1).as("delta"), $"event_id")
+          .unionByName(e.select($"event_type",
+            ($"ts" + expr("interval 5 minutes")).as("t"),
+            lit(-1).as("delta"), $"event_id"))
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"t", $"delta", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("conc", sum($"delta").over(w))
+          .groupBy($"event_type")
+          .agg(max($"conc").cast("long").as("peak_concurrent"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+             |  UNION ALL
+             |  SELECT event_type, ts + INTERVAL 5 MINUTE, -1, event_id FROM events),
+             |c AS (
+             |  SELECT event_type,
+             |    SUM(delta) OVER (PARTITION BY event_type
+             |      ORDER BY t, delta, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+             |  FROM d)
+             |SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // RFM segmentation (recency / frequency / monetary quintiles): one grouped pass
+    // builds per-user metrics, three ntile windows over the |users|-row aggregate
+    // (never the raw events) assign quintiles, the segment is a 3-digit code.
+    // Deterministic because every ntile order is made TOTAL with the user id
+    // tiebreak. Monetary sums are decimal-exact.
+    Q("events_rfm_segmentation",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.Tables.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(max($"ts").as("last_ts"),
+            count(lit(1)).as("frequency"),
+            dsum($"value").as("monetary"))
+        m.select($"user_id", $"frequency", $"monetary",
+            ntile(5).over(Window.orderBy($"last_ts", $"user_id")).as("r_score"),
+            ntile(5).over(Window.orderBy($"frequency", $"user_id")).as("f_score"),
+            ntile(5).over(Window.orderBy($"monetary", $"user_id")).as("m_score"))
+          .select($"user_id", $"frequency", $"monetary",
+            ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("rfm"))
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+              |    ${sqlDsum("value")} AS monetary
+              |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+              |SELECT user_id, frequency, monetary,
+              |  NTILE(5) OVER (ORDER BY last_ts, user_id) * 100 +
+              |  NTILE(5) OVER (ORDER BY frequency, user_id) * 10 +
+              |  NTILE(5) OVER (ORDER BY monetary, user_id) AS rfm
+              |FROM m ORDER BY user_id""".stripMargin)),
+
+    // Top event-type trigrams (path mining): two lags per user stream build the
+    // 3-step path, a global rollup ranks them. The path vocabulary is |types|³
+    // regardless of corpus size, so the second shuffle is tiny.
+    Q("events_top_paths",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("p1", lag($"event_type", 2).over(w))
+          .withColumn("p2", lag($"event_type", 1).over(w))
+          .filter($"p1".isNotNull)
+          .select(concat_ws(">", $"p1", $"p2", $"event_type").as("path"))
+          .groupBy($"path")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path")
+          .limit(10)
+      },
+      Some("""WITH t AS (
+             |  SELECT lag(event_type, 2) OVER w AS p1,
+             |    lag(event_type, 1) OVER w AS p2, event_type
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
+             |FROM t WHERE p1 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin))
   )
 }
