@@ -703,6 +703,84 @@ object Llm {
              |WHERE host NOT IN ('spam.example.com', 'ads.example.net')
              |GROUP BY host ORDER BY host""".stripMargin)),
 
+    // URL canonicalization dedup (web-crawl curation): the same page arrives under
+    // utm-tagged / fragment / mixed-case variants; canonicalize (lowercase host,
+    // strip tracking params and fragments, trim trailing slash) BEFORE the dedup
+    // groupBy so variants collapse. Pure codegen'd string expressions — the
+    // canonical form is computed in the scan stage; the only shuffle is the dedup
+    // rollup itself.
+    Q("dedup_url_canonicalize",
+      (s, dir) => {
+        import s.implicits._
+        val host = element_at(array(
+          lit("EN.Wikipedia.org"), lit("github.com"), lit("Arxiv.org")),
+          ($"doc_id" % 3 + 1).cast("int"))
+        val noise = when($"doc_id" % 4 === 0, lit("?utm_source=feed&utm_campaign=x"))
+          .when($"doc_id" % 4 === 1, lit("?utm_medium=mail"))
+          .when($"doc_id" % 4 === 2, lit("#section-2"))
+          .otherwise(lit(""))
+        val raw = concat(lit("https://"), host, lit("/page/"),
+          ($"doc_id" % 50).cast("string"), lit("/"), noise)
+        t(s, dir, "documents")
+          .select($"doc_id", raw.as("url"))
+          .select($"doc_id",
+            regexp_replace(
+              regexp_replace(
+                concat(lower(parse_url($"url", lit("HOST"))),
+                  parse_url($"url", lit("PATH"))),
+                "/$", ""),
+              "\\?.*$|#.*$", "").as("canonical"))
+          .groupBy($"canonical")
+          .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("keep_doc"))
+          .orderBy($"canonical")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' ||
+             |    CASE doc_id % 3 WHEN 0 THEN 'EN.Wikipedia.org'
+             |      WHEN 1 THEN 'github.com' ELSE 'Arxiv.org' END ||
+             |    '/page/' || CAST(doc_id % 50 AS VARCHAR) || '/' ||
+             |    CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+             |      WHEN 1 THEN '?utm_medium=mail'
+             |      WHEN 2 THEN '#section-2' ELSE '' END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        lower(regexp_extract(url, 'https://([^/]+)', 1)) ||
+             |        regexp_replace(regexp_extract(url, 'https://[^/]+([^?#]*)', 1),
+             |          '\?.*$|#.*$', ''),
+             |        '/$', ''),
+             |      '\?.*$|#.*$', '') AS canonical
+             |  FROM u)
+             |SELECT canonical, COUNT(*) AS n_variants, MIN(doc_id) AS keep_doc
+             |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin)),
+
+    // Tokenizer vocabulary build: corpus token counts → rank-stable ids (count
+    // desc, token asc — a TOTAL order, so id assignment is partition-independent).
+    // The id window runs over the |vocab|-row aggregate, never the corpus; at
+    // 100 TB the only corpus-sized stage is the token count shuffle.
+    Q("text_vocab_build",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("token_id",
+            row_number().over(Window.orderBy($"n".desc, $"token")))
+          .filter($"token_id" <= 1000)
+          .orderBy($"token_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(${duckToks("text")}) AS token FROM documents),
+              |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token)
+              |SELECT token, n,
+              |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+              |FROM c QUALIFY token_id <= 1000 ORDER BY token_id""".stripMargin)),
+
     // Corpus mixture reweighting: given a target of equal representation per source,
     // compute each source's actual character share and the sampling multiplier
     // (target/actual) a downstream epoch sampler would apply. One grouped pass over
