@@ -133,6 +133,41 @@ object Extras {
           .select($"qid", $"rank", $"vid", round($"cosine", 6).as("cosine"))
           .orderBy($"qid", $"rank")
       },
-      None)
+      None),
+
+    // Typed Dataset[T] pipeline (case-class Encoder, lambda filter, groupByKey +
+    // mapGroups): the type-safe API leg of the engine. The lambda stages pay a
+    // deserialize/serialize boundary — documented trade-off vs the Column API (use
+    // typed ops where compile-time safety matters, Columns on hot paths). The
+    // per-group fold accumulates in exact BigDecimal (valueOf = shortest-string,
+    // the same double→decimal semantics as Spark's cast — see QueryDSL), so the
+    // result is partitioning-independent and oracle-exact.
+    Q("typed_dataset_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+          .as[Extras.Line]
+          .filter(_.l_quantity > 10.0)
+          .groupByKey(_.l_returnflag)
+          .mapGroups { (flag, it) =>
+            var n = 0L
+            var sum = java.math.BigDecimal.ZERO
+            it.foreach { li =>
+              n += 1
+              sum = sum.add(java.math.BigDecimal.valueOf(li.l_quantity))
+            }
+            (flag, n, sum.doubleValue())
+          }
+          .toDF("l_returnflag", "n", "sum_qty")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 10.0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
+
+  /** Case-class row for the typed Dataset leg. */
+  case class Line(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
 }
