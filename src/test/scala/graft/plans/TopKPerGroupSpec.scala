@@ -63,6 +63,45 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(viaOp.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaOp).isEmpty)
   }
 
+  test("null sort values order last, never displace ranked rows, no NPE") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(9.0)),
+      ("b", 4L, None), ("b", 5L, None)) // all-null group still yields rows
+      .toDF("g", "id", "v")
+    val got = TopK.perGroup(df, Seq("g"), $"v", k = 2)
+      .orderBy($"g", $"id").select($"g", $"id")
+      .as[(String, Long)].collect().toSeq
+    // a: 9.0 and 5.0 beat the null; b: only nulls, both kept
+    assert(got == Seq(("a", 1L), ("a", 3L), ("b", 4L), ("b", 5L)))
+  }
+
+  test("array sort keys are copied correctly (no buffer-reuse corruption)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("g", i.toLong, Seq(i % 7, i)))
+      .toDF("g", "id", "arr").repartition(3)
+    val got = TopK.perGroup(df, Seq("g"), $"arr", k = 3)
+      .orderBy($"id").select($"id").as[Long].collect().toSeq
+    // lexicographic max arrays: [6, x] with the largest x: ids 489, 496, and [5,495]?
+    // compute expected on the driver with the same ordering
+    val expected = (1 to 500).map(i => (Seq(i % 7, i), i.toLong))
+      .sortBy(_._1.toList)(Ordering.Implicits.seqOrdering[List, Int])
+      .takeRight(3).map(_._2).sorted
+    assert(got == expected)
+  }
+
+  test("partial flush cap: exact results beyond MaxPartialKeys distinct keys") {
+    import spark.implicits._
+    val n = TopKPerGroupExec.MaxPartialKeys + 5000
+    val df = spark.range(n.toLong).select($"id".as("g"),
+        ($"id" % 3).as("r"), ($"id" * 2).as("v"))
+      .coalesce(1) // single input partition → one partial sees > cap keys
+    val got = TopK.perGroup(df, Seq("g"), struct($"v", $"r"), k = 1)
+    assert(got.count() == n.toLong) // one row per key survives
+    // spot-check: every kept row is its key's own single row (k=1, unique keys)
+    assert(got.filter($"v" =!= $"g" * 2).count() == 0)
+  }
+
   test("plan: partial below the exchange, final above; no sort of the input") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1.0)).toDF("g", "id", "v")
