@@ -649,7 +649,53 @@ object Scalars {
              |  printf('%3d%%', CAST(floor(o_totalprice / 10000.0) AS INT))
              |    AS price_band,
              |  lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS cust_padded
-             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Struct → JSON → struct roundtrip (to_json / get_json_object): the record
+    // serialization leg for event buses and JSON sinks. Integer/string fields only:
+    // both engines render those byte-identically (compact, insertion order); double
+    // rendering is engine-specific and stays out of hashed output.
+    Q("fn_json_struct_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 800)
+          .select($"o_orderkey",
+            to_json(struct($"o_orderkey".as("k"), $"o_orderstatus".as("st")))
+              .as("js"))
+          .select($"o_orderkey", $"js",
+            get_json_object($"js", "$.k").cast("long").as("k_back"),
+            get_json_object($"js", "$.st").as("st_back"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(to_json(struct_pack(k := o_orderkey, st := o_orderstatus))
+             |    AS VARCHAR) AS js,
+             |  o_orderkey AS k_back, o_orderstatus AS st_back
+             |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin)),
+
+    // Struct → CSV line → struct roundtrip (to_csv / from_csv): the flat-record
+    // serialization pair for interchange with line-oriented tools (the pipe
+    // operator's native format).
+    Q("fn_csv_struct_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val schema = "k BIGINT, st STRING, pri STRING"
+        t(s, dir, "orders").filter($"o_orderkey" <= 800)
+          .select($"o_orderkey",
+            to_csv(struct($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+              $"o_orderpriority".as("pri"))).as("line"))
+          .select($"o_orderkey", $"line",
+            from_csv($"line", lit(schema),
+              new java.util.HashMap[String, String]()).as("rec"))
+          .select($"o_orderkey", $"line",
+            $"rec.k".as("k_back"), $"rec.pri".as("pri_back"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',' ||
+             |    o_orderpriority AS line,
+             |  o_orderkey AS k_back, o_orderpriority AS pri_back
+             |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2b "Streaming"): the same windowing /
@@ -187,6 +188,58 @@ object Streaming {
       peakState.update(peak)
       Iterator.single(UserPeak(key, n, peak))
     }
+  }
+
+  final case class UserTopTypes(user_id: Long, top3: String, n_types: Long)
+
+  /** ListState + MapState legs of the transformWithState API: a BOUNDED top-3
+    * value list per user (the "recent best" pattern — the put() rewrite keeps state
+    * O(k) per key regardless of stream length) and a per-event-type running count
+    * map (sparse keyed sub-state without one state row per (user,type) key
+    * upstream). Both cells live on the RocksDB store like the ValueState ones.
+    * Top-3 is kept ORDER-INSENSITIVELY (a max-k set, not last-k), so results don't
+    * depend on intra-batch row order. */
+  class UserTopTypesProcessor
+      extends StatefulProcessor[Long, (Long, Double, String), UserTopTypes] {
+    @transient private var topState: ListState[Double] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      topState =
+        getHandle.getListState[Double]("top3", Encoders.scalaDouble, TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double, String)],
+        timerValues: TimerValues): Iterator[UserTopTypes] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      topState.get().foreach(buf += _)
+      rows.foreach { case (_, v, tpe) =>
+        buf += v
+        val cur = if (typeCounts.containsKey(tpe)) typeCounts.getValue(tpe) else 0L
+        typeCounts.updateValue(tpe, cur + 1L)
+      }
+      val top3 = buf.sorted(Ordering[Double].reverse).take(3).toArray
+      topState.put(top3)
+      var nTypes = 0L
+      typeCounts.keys().foreach(_ => nTypes += 1)
+      Iterator.single(UserTopTypes(key,
+        top3.map(v => f"$v%.3f").mkString("|"), nTypes))
+    }
+  }
+
+  /** transformWithState over ListState/MapState (see [[UserTopTypesProcessor]]). */
+  def runningUserTopTypes(spark: SparkSession, events: DataFrame)
+      : Dataset[UserTopTypes] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.select(col("user_id"), col("value"), col("event_type"))
+      .as[(Long, Double, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTopTypesProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** transformWithState wiring. NOTE: transformWithState requires the RocksDB state

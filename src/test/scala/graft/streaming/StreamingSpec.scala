@@ -168,6 +168,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.count() == want.count())
   }
 
+  test("transformWithState ListState/MapState converge to batch top-3 + type counts") {
+    val got = Streaming.runToMemory(spark,
+      Streaming.runningUserTopTypes(spark, Streaming.eventsStream(spark, sf)).toDF(),
+      "t_tws_list", OutputMode.Update())
+    // update mode emits one row per key per batch — the LAST row per key carries
+    // the converged state; n_types grows monotonically so max() selects it, and
+    // the matching top3 comes from that same max row
+    val last = got.groupBy("user_id").agg(
+      max(col("n_types")).as("n_types"),
+      max_by(col("top3"), col("n_types")).as("top3"))
+    val wantTypes = batchEvents.groupBy(col("user_id").as("uid"))
+      .agg(countDistinct(col("event_type")).as("wn"))
+    val joined = last.join(wantTypes, last("user_id") === wantTypes("uid"))
+    assert(joined.filter(col("n_types") =!= col("wn")).isEmpty)
+    // top3 must equal the batch top-3 values per user (order-insensitive state)
+    import spark.implicits._
+    val wantTop = batchEvents
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .collect().groupBy(_._1).map { case (u, vs) =>
+        u -> vs.map(_._2).sorted(Ordering[Double].reverse).take(3)
+          .map(v => f"$v%.3f").mkString("|")
+      }
+    val gotTop = last.select(col("user_id"), col("top3")).as[(Long, String)]
+      .collect().toMap
+    assert(gotTop == wantTop)
+  }
+
   test("parquet streaming sink writes append results with checkpoint") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Streaming.runToParquet(
