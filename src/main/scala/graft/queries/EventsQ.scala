@@ -467,6 +467,31 @@ object EventsQ {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
              |FROM t WHERE p1 IS NOT NULL
-             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // Period-over-period growth: weekly purchase value, lag(1) over the |weeks|-row
+    // rollup, ratio vs prior week. The window runs over the tiny aggregate, never
+    // the raw stream; sums are decimal-exact so the growth division is the same
+    // double op in both engines.
+    Q("events_wow_growth",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"week")
+        graft.Tables.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .groupBy(date_trunc("week", $"ts").as("week"))
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+          .withColumn("prev_total", lag($"total", 1).over(w))
+          .select($"week", $"n", $"total",
+            ($"total" / $"prev_total").as("wow_ratio"))
+          .orderBy($"week")
+      },
+      Some(s"""WITH wk AS (
+              |  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+              |    COUNT(*) AS n, ${sqlDsum("value")} AS total
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+              |SELECT week, n, total,
+              |  total / lag(total, 1) OVER (ORDER BY week) AS wow_ratio
+              |FROM wk ORDER BY week""".stripMargin))
   )
 }
