@@ -781,6 +781,46 @@ object Llm {
               |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS token_id
               |FROM c QUALIFY token_id <= 1000 ORDER BY token_id""".stripMargin)),
 
+    // Out-of-vocabulary rate (quality signal tied to the tokenizer): share of each
+    // document's tokens outside the corpus top-20 vocabulary. The vocab is ONE
+    // aggregated row (collect over the tiny count rollup) broadcast to a crossJoin,
+    // so the per-doc scoring is map-side HOF work — no per-token join shuffle.
+    Q("text_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val vocab = t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"token")))
+          .filter($"r" <= 20)
+          .agg(sort_array(collect_list($"token")).as("vocab"))
+        t(s, dir, "documents").filter($"doc_id" < 300)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .crossJoin(broadcast(vocab))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_tok"),
+            size(filter($"toks", x => !array_contains($"vocab", x)))
+              .cast("long").as("n_oov"))
+          .withColumn("oov_rate",
+            $"n_oov".cast("double") / $"n_tok")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT unnest(${duckToks("text")}) AS token FROM documents),
+              |cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+              |v AS (SELECT list(token) AS vocab FROM (
+              |  SELECT token FROM cnt ORDER BY n DESC, token LIMIT 20)),
+              |d AS (SELECT doc_id, ${duckToks("text")} AS toks
+              |      FROM documents WHERE doc_id < 300)
+              |SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS n_tok,
+              |  CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
+              |    AS BIGINT) AS n_oov,
+              |  CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
+              |    AS DOUBLE) / len(toks) AS oov_rate
+              |FROM d CROSS JOIN v ORDER BY doc_id""".stripMargin)),
+
     // Corpus mixture reweighting: given a target of equal representation per source,
     // compute each source's actual character share and the sampling multiplier
     // (target/actual) a downstream epoch sampler would apply. One grouped pass over

@@ -695,7 +695,29 @@ object Scalars {
              |  CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',' ||
              |    o_orderpriority AS line,
              |  o_orderkey AS k_back, o_orderpriority AS pri_back
-             |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin)),
+
+    // Calendar-interval arithmetic: month addition with end-of-month CLAMPING
+    // (Jan 31 + 1 month = Feb 29 in a leap year — both engines clamp, and the gate
+    // pins it), month addition from a forced end-of-month, and fixed-width hour
+    // intervals on timestamps.
+    Q("fn_interval_month_arith",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+          .select($"o_orderkey",
+            add_months($"o_orderdate".cast("date"), 1).as("plus_1m"),
+            add_months(last_day($"o_orderdate".cast("date")), 1).as("eom_plus_1m"),
+            ($"o_orderdate" + expr("interval 36 hours")).as("plus_36h"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+             |    AS plus_1m,
+             |  CAST(last_day(CAST(o_orderdate AS DATE)) + INTERVAL 1 MONTH AS DATE)
+             |    AS eom_plus_1m,
+             |  o_orderdate + INTERVAL 36 HOUR AS plus_36h
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

@@ -52,6 +52,35 @@ object SqlSurface {
              |                      WHERE n_regionkey IN (1, 2))
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // Null-aware anti join — the NOT IN trap: if the subquery produces even one
+    // NULL, three-valued logic makes `x NOT IN (...)` never-true, so the branch
+    // with an injected NULL contributes ZERO rows while the null-free branch
+    // anti-joins normally. Spark plans this as a null-aware anti join (it cannot
+    // use a plain hash anti join); both engines implement the same ANSI rule, which
+    // is exactly what the gate pins down.
+    Q("subq_not_in_null_aware",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT 'clean_subquery' AS leg, COUNT(*) AS n FROM supplier
+                |WHERE s_nationkey NOT IN
+                |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+                |UNION ALL
+                |SELECT 'null_poisoned', COUNT(*) FROM supplier
+                |WHERE s_nationkey NOT IN
+                |  (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_nationkey END
+                |   FROM nation)
+                |ORDER BY leg""".stripMargin)
+      },
+      Some("""SELECT 'clean_subquery' AS leg, COUNT(*) AS n FROM supplier
+             |WHERE s_nationkey NOT IN
+             |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+             |UNION ALL
+             |SELECT 'null_poisoned', COUNT(*) FROM supplier
+             |WHERE s_nationkey NOT IN
+             |  (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_nationkey END
+             |   FROM nation)
+             |ORDER BY leg""".stripMargin)),
+
     // Correlated scalar subquery (per-customer order count): decorrelated into a
     // left outer join against a pre-aggregated orders frame — one shuffle each side,
     // exact BIGINT output.
