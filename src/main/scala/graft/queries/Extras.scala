@@ -135,6 +135,28 @@ object Extras {
       },
       None),
 
+    // Custom DataSource V2 source (graft.sources.FixedWidthSource): fixed-width
+    // text records — the connector extension surface (TableProvider → ScanBuilder →
+    // PartitionReader) with column pruning pushed into the reader. Fixture: nation
+    // rendered as %6d%-16s%4d lines by a plain text write.
+    Q("fixedwidth_source_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_nation")
+        if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+          t(s, dir, "nation")
+            .select(format_string("%6d%-16s%4d",
+              $"n_nationkey", $"n_name", $"n_regionkey").as("line"))
+            .coalesce(1).write.mode("overwrite").text(out)
+        }
+        s.read.format("graft.sources.FixedWidthSource")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .option("widths", "6,16,4")
+          .load(out)
+          .orderBy($"n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
+
     // Typed Dataset[T] pipeline (case-class Encoder, lambda filter, groupByKey +
     // mapGroups): the type-safe API leg of the engine. The lambda stages pay a
     // deserialize/serialize boundary — documented trade-off vs the Column API (use

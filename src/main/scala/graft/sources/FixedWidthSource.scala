@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source for FIXED-WIDTH text records (mainframe extracts, COBOL
+  * copybook dumps, legacy feeds) — the engine's demonstration of Spark's connector
+  * extension surface: `TableProvider` → `Table` → `ScanBuilder` → `Batch` →
+  * `PartitionReader`, with COLUMN PRUNING pushed into the reader (only the byte
+  * ranges of requested columns are sliced and converted; `.explain` shows the
+  * pruned ReadSchema like any built-in format).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.FixedWidthSource")
+  *     .schema("k INT, name STRING, qty DOUBLE")
+  *     .option("widths", "6,12,10")        // one byte width per schema field
+  *     .load(dir)                          // directory of text files, 1 record/line
+  * }}}
+  *
+  * Scale notes: one InputPartition per file (fixed-width feeds arrive as many
+  * shard files; finer intra-file splitting would need line-boundary alignment like
+  * Hadoop's TextInputFormat — out of scope here), readers stream line-by-line with
+  * O(1) memory, and values parse straight from the line slice — no intermediate
+  * row materialization beyond the emitted InternalRow. */
+class FixedWidthSource extends TableProvider {
+
+  // schema must come from the user (no inference pass over the data)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft.sources.FixedWidthSource requires an explicit .schema(...)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val widths = Option(properties.get("widths")).getOrElse(
+      throw new IllegalArgumentException("option 'widths' is required"))
+      .split(",").map(_.trim.toInt)
+    require(widths.length == schema.length,
+      s"widths has ${widths.length} entries for ${schema.length} schema fields")
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("a load path is required"))
+    new FixedWidthTable(schema, widths, path)
+  }
+}
+
+class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"fixedwidth:$path"
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixedWidthScanBuilder(dataSchema, widths, path)
+}
+
+class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new FixedWidthScan(dataSchema, widths, path, required)
+}
+
+class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted
+      else Array(path)
+    files.map(f => FixedWidthPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthReaderFactory(dataSchema, widths, required)
+}
+
+case class FixedWidthPartition(file: String) extends InputPartition
+
+class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FixedWidthReader(partition.asInstanceOf[FixedWidthPartition].file,
+      dataSchema, widths, required)
+}
+
+/** Streams one file line-by-line; for each line slices ONLY the byte ranges of the
+  * pruned columns and converts in place. */
+class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  // (start offset in line, width, target type) per REQUIRED field, in output order
+  private val slices: Array[(Int, Int, DataType)] = {
+    val starts = widths.scanLeft(0)(_ + _)
+    required.fields.map { f =>
+      val i = dataSchema.fieldIndex(f.name)
+      (starts(i), widths(i), f.dataType)
+    }
+  }
+
+  private val p = new Path(file)
+  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private var line: String = _
+
+  override def next(): Boolean = {
+    line = reader.readLine()
+    while (line != null && line.isEmpty) line = reader.readLine()
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(slices.length)
+    var i = 0
+    while (i < slices.length) {
+      val (start, width, dt) = slices(i)
+      val raw =
+        if (start >= line.length) ""
+        else line.substring(start, math.min(start + width, line.length)).trim
+      row.update(i,
+        if (raw.isEmpty) null
+        else dt match {
+          case IntegerType => raw.toInt
+          case LongType    => raw.toLong
+          case DoubleType  => raw.toDouble
+          case StringType  => UTF8String.fromString(raw)
+          case other => throw new UnsupportedOperationException(
+            s"fixed-width: unsupported type $other")
+        })
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}
