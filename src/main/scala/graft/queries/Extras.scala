@@ -157,6 +157,34 @@ object Extras {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
 
+    // The V2 SINK half of the fixed-width connector: supplier flows out through the
+    // DataWriter (task files + commit messages, abort deletes) and back in through
+    // the pruned reader. Doubles stay out of the record (engine-specific rendering);
+    // acctbal rides along as a pre-formatted string and is re-cast on read-back by
+    // the oracle comparison.
+    Q("fixedwidth_sink_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_sink")
+        val d = new java.io.File(out)
+        if (d.exists()) { // append-only sink: clear prior run's files first
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
+        t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name", $"s_nationkey",
+            $"s_acctbal".cast("decimal(18,2)").cast("string").as("bal_str"))
+          .write.format("graft.sources.FixedWidthSource")
+          .option("widths", "8,24,4,14").mode("append").save(out)
+        s.read.format("graft.sources.FixedWidthSource")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, bal_str STRING")
+          .option("widths", "8,24,4,14")
+          .load(out)
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey,
+             |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     // Typed Dataset[T] pipeline (case-class Encoder, lambda filter, groupByKey +
     // mapGroups): the type-safe API leg of the engine. The lambda stages pay a
     // deserialize/serialize boundary — documented trade-off vs the Column API (use

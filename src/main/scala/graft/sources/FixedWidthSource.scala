@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,13 +57,15 @@ class FixedWidthSource extends TableProvider {
 }
 
 class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"fixedwidth:$path"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FixedWidthScanBuilder(dataSchema, widths, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FixedWidthWriteBuilder(info.schema(), widths, path)
 }
 
 class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String)
@@ -102,6 +105,92 @@ class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixedWidthReader(partition.asInstanceOf[FixedWidthPartition].file,
       dataSchema, widths, required)
+}
+
+/** Append-only batch WRITE path (the sink half of the connector surface): each
+  * task streams its partition to `part-<partition>-<task>.txt` under the target
+  * dir — write-then-commit: task files are written directly (names are unique per
+  * task attempt, so a retry never clobbers a committed file), the driver `commit`
+  * is a no-op marker, and `abort` deletes the named files. Values render
+  * right-aligned for numerics, left-aligned for strings; a value wider than its
+  * column fails the task (fail-fast beats silent truncation for fixed-width
+  * interchange). */
+class FixedWidthWriteBuilder(schema: StructType, widths: Array[Int], path: String)
+    extends WriteBuilder {
+  require(widths.length == schema.length,
+    s"widths has ${widths.length} entries for ${schema.length} write fields")
+  override def buildForBatch(): BatchWrite = new FixedWidthBatchWrite(
+    schema, widths, path)
+}
+
+case class FixedWidthCommit(file: String) extends WriterCommitMessage
+
+class FixedWidthBatchWrite(schema: StructType, widths: Array[Int], path: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FixedWidthWriterFactory(schema, widths, path)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    messages.collect { case FixedWidthCommit(f) =>
+      val p = new Path(f); p.getFileSystem(conf).delete(p, false)
+    }
+  }
+}
+
+class FixedWidthWriterFactory(schema: StructType, widths: Array[Int], path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new FixedWidthWriter(schema, widths, path, partitionId, taskId)
+}
+
+class FixedWidthWriter(schema: StructType, widths: Array[Int], path: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val file = new Path(path, f"part-$partitionId%05d-$taskId.txt")
+  private val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(file, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < widths.length) {
+      val w = widths(i)
+      val raw =
+        if (row.isNullAt(i)) ""
+        else schema.fields(i).dataType match {
+          case IntegerType => row.getInt(i).toString
+          case LongType    => row.getLong(i).toString
+          case DoubleType  => row.getDouble(i).toString
+          case StringType  => row.getUTF8String(i).toString
+          case other => throw new UnsupportedOperationException(
+            s"fixed-width: unsupported type $other")
+        }
+      if (raw.length > w) throw new IllegalArgumentException(
+        s"value '$raw' wider than column ${schema.fields(i).name} ($w)")
+      val pad = " " * (w - raw.length)
+      schema.fields(i).dataType match {
+        case StringType => sb.append(raw).append(pad) // left-aligned
+        case _          => sb.append(pad).append(raw) // right-aligned
+      }
+      i += 1
+    }
+    out.write(sb.toString)
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FixedWidthCommit(file.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Streams one file line-by-line; for each line slices ONLY the byte ranges of the

@@ -58,6 +58,38 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(df.count() == 4)
   }
 
+  test("write path: append sink renders aligned records that read back exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-w").toString
+    val df = Seq((7, "Ada", 1.25), (42, "Grace", 99.5), (5, "Edsger", 0.125))
+      .toDF("k", "name", "score")
+    df.repartition(2).write.format("graft.sources.FixedWidthSource")
+      .option("widths", "4,8,8").mode("append").save(dir)
+    val back = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, score DOUBLE")
+      .option("widths", "4,8,8")
+      .load(dir)
+      .orderBy($"k").as[(Int, String, Double)].collect().toSeq
+    assert(back == Seq((5, "Edsger", 0.125), (7, "Ada", 1.25), (42, "Grace", 99.5)))
+    // alignment contract: numerics right-aligned, strings left-aligned
+    val line = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".txt"))
+        .sortBy(_.getName).head).getLines().toSeq.head
+    assert(line.length == 20 && line.takeRight(1) != " ", line)
+  }
+
+  test("write path: over-wide value fails the task instead of truncating") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-e").toString
+    val df = spark.range(1).selectExpr("cast(id as int) k",
+      "'NameTooLongForSlot' name")
+    val e = intercept[Exception] {
+      df.write.format("graft.sources.FixedWidthSource")
+        .option("widths", "4,8").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("wider than column") ||
+      Option(e.getCause).exists(_.getMessage.contains("wider than column")))
+  }
+
   test("missing widths or schema fail fast with a clear message") {
     val dir = writeFixture()
     val e1 = intercept[IllegalArgumentException] {
