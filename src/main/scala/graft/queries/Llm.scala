@@ -351,6 +351,75 @@ object Llm {
 
     // Vector aggregation: exact per-label centroids, then each vector's distance to
     // its label centroid.
+    // K-means (2 Lloyd iterations, k=4, deterministic init = the first k vectors):
+    // iterative ML as declarative joins — each iteration is ONE broadcast join of
+    // the posexploded vectors to the k·dims centroid frame (assignment by
+    // lexicographic min(struct(d2, cid)) — total order, ties to the lowest id)
+    // plus ONE grouped mean (decimal-exact) for the update. The centroid frame
+    // never exceeds k·dims rows, so every iteration broadcast-joins at any corpus
+    // size — the same Pregel-shape loop as graph_pagerank, applied to clustering.
+    Q("sim_kmeans_lloyd",
+      (s, dir) => {
+        import s.implicits._
+        val flat = t(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
+          .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
+          .localCheckpoint() // reused by every iteration: cut the lineage once
+        var cents = flat.filter($"vec_id" < 4)
+          .select($"vec_id".cast("int").as("cid"), $"pos", $"v".as("cval"))
+        var assign = cents.select($"cid".cast("long").as("vec_id"), $"cid") // unused seed
+        for (_ <- 1 to 2) {
+          assign = flat.join(broadcast(cents), Seq("pos"))
+            .select($"vec_id", $"cid",
+              (($"v" - $"cval") * ($"v" - $"cval")).cast("decimal(30,12)").as("sq"))
+            .groupBy($"vec_id", $"cid")
+            .agg(sum($"sq").cast("double").as("d2"))
+            .groupBy($"vec_id")
+            .agg(min(struct($"d2", $"cid")).as("m"))
+            .select($"vec_id", $"m.cid".as("cid"))
+          cents = flat.join(assign, "vec_id")
+            .groupBy($"cid", $"pos")
+            .agg((sum($"v".cast("decimal(30,12)")).cast("double") /
+              count(lit(1))).as("cval"))
+        }
+        val sizes = assign.groupBy($"cid").agg(count(lit(1)).as("n_vecs"))
+        val sums = cents.groupBy($"cid")
+          .agg(round(sum($"cval".cast("decimal(30,12)")).cast("double"), 9)
+            .as("centroid_checksum"))
+        sizes.join(sums, "cid").orderBy($"cid")
+      },
+      Some {
+        val iter = (i: Int) =>
+          s"""d$i AS (
+             |  SELECT f.vec_id, c.cid,
+             |    CAST(SUM(CAST((f.v - c.cval) * (f.v - c.cval) AS DECIMAL(30,12)))
+             |      AS DOUBLE) AS d2
+             |  FROM flat f JOIN c${i - 1} c ON f.pos = c.pos GROUP BY 1, 2),
+             |a$i AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |    FROM d$i) WHERE rn = 1),
+             |c$i AS (
+             |  SELECT a.cid, f.pos,
+             |    CAST(SUM(CAST(f.v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+             |  FROM flat f JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        s"""WITH flat AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, pos, v AS cval
+           |       FROM flat WHERE vec_id < 4),
+           |${(1 to 2).map(iter).mkString(",\n")}
+           |SELECT s.cid, s.n_vecs, c.centroid_checksum FROM
+           |  (SELECT cid, COUNT(*) AS n_vecs FROM a2 GROUP BY cid) s
+           |JOIN
+           |  (SELECT cid, round(CAST(SUM(CAST(cval AS DECIMAL(30,12))) AS DOUBLE), 9)
+           |     AS centroid_checksum
+           |   FROM c2 GROUP BY cid) c
+           |USING (cid) ORDER BY cid""".stripMargin
+      }),
+
     Q("sim_centroid_distance",
       (s, dir) => {
         import s.implicits._
