@@ -380,6 +380,33 @@ object AggregatesExt {
              |    AS spearman_qty_price
              |FROM c ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact weighted average (quantity-weighted unit price): inputs cast to
+    // DECIMAL FIRST and multiplied in decimal (the QueryDSL boundary rule — a
+    // double product decimalized afterwards rounds engine-divergently), both sums
+    // exact, ONE double division at the end — the weighted-mean primitive behind
+    // blended rates and weighted quality scores, immune to partitioning and float
+    // accumulation order.
+    Q("agg_weighted_avg",
+      (s, dir) => {
+        import s.implicits._
+        val pd = $"l_extendedprice".cast("decimal(18,2)")
+        val qd = $"l_quantity".cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            (sum(pd * qd).cast("double") / sum(qd).cast("double"))
+              .as("wavg_price"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS wavg_price,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Boolean aggregates: bool_and / bool_or / every / count_if — the predicate
     // rollups behind data-quality assertions ("ALL rows in the group satisfy X",
     // "ANY row violates Y") without materializing violating rows. Partial-aggregable

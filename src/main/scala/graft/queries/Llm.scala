@@ -139,6 +139,50 @@ object Llm {
               |ORDER BY jacc DESC, c.id1, c.id2 LIMIT 50""".stripMargin)),
 
     // Exact n-gram Jaccard on a bounded same-language pair set (the non-LSH baseline).
+    // Asymmetric CONTAINMENT dedup: |A∩B| / min(|A|,|B|) — catches a short document
+    // embedded inside a longer one, which symmetric Jaccard dilutes toward zero
+    // (quote-inclusion, page-plus-boilerplate, excerpt dups). Same shingle-join
+    // machinery as the Jaccard leg; only the denominator changes.
+    Q("dedup_shingle_containment",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val sub = docs.filter($"doc_id" < 150)
+        val pairs = sub.select($"doc_id".as("id1"), $"lang".as("lang1"))
+          .join(sub.select($"doc_id".as("id2"), $"lang".as("lang2")),
+            col("id1") < col("id2") && col("lang1") === col("lang2"))
+          .select("id1", "id2")
+        Dedup.jaccardPairs(pairs, docs, "doc_id", "text", shingleN = 3)
+          .select($"id1", $"id2",
+            round($"n_shared".cast("double") / least($"sz1", $"sz2"), 6)
+              .as("containment"))
+          .filter($"containment" > 0)
+          .orderBy($"containment".desc, $"id1", $"id2")
+          .limit(100)
+      },
+      Some(s"""WITH $duckShingleBase,
+              |sub AS (SELECT doc_id, lang FROM documents WHERE doc_id < 150),
+              |pairs AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id AND a.lang = b.lang),
+              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.id1, p.id2, COUNT(*) AS n_shared
+              |  FROM pairs p
+              |  JOIN shing s1 ON s1.doc_id = p.id1
+              |  JOIN shing s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+              |  GROUP BY p.id1, p.id2),
+              |c AS (
+              |  SELECT p.id1, p.id2,
+              |    round(CAST(COALESCE(i.n_shared, 0) AS DOUBLE) /
+              |          LEAST(z1.sz, z2.sz), 6) AS containment
+              |  FROM pairs p
+              |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+              |  JOIN sz z1 ON z1.doc_id = p.id1
+              |  JOIN sz z2 ON z2.doc_id = p.id2)
+              |SELECT id1, id2, containment FROM c WHERE containment > 0
+              |ORDER BY containment DESC, id1, id2 LIMIT 100""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
