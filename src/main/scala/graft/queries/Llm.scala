@@ -138,7 +138,6 @@ object Llm {
               |JOIN sz z2 ON z2.doc_id = c.id2
               |ORDER BY jacc DESC, c.id1, c.id2 LIMIT 50""".stripMargin)),
 
-    // Exact n-gram Jaccard on a bounded same-language pair set (the non-LSH baseline).
     // Asymmetric CONTAINMENT dedup: |A∩B| / min(|A|,|B|) — catches a short document
     // embedded inside a longer one, which symmetric Jaccard dilutes toward zero
     // (quote-inclusion, page-plus-boilerplate, excerpt dups). Same shingle-join
@@ -183,6 +182,7 @@ object Llm {
               |SELECT id1, id2, containment FROM c WHERE containment > 0
               |ORDER BY containment DESC, id1, id2 LIMIT 100""".stripMargin)),
 
+    // Exact n-gram Jaccard on a bounded same-language pair set (the non-LSH baseline).
     Q("dedup_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
@@ -409,11 +409,11 @@ object Llm {
           .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
           .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
           .localCheckpoint() // reused by every iteration: cut the lineage once
-        var cents = flat.filter($"vec_id" < 4)
+        val init = flat.filter($"vec_id" < 4)
           .select($"vec_id".cast("int").as("cid"), $"pos", $"v".as("cval"))
-        var assign = cents.select($"cid".cast("long").as("vec_id"), $"cid") // unused seed
-        for (_ <- 1 to 2) {
-          assign = flat.join(broadcast(cents), Seq("pos"))
+        // one Lloyd step: assignment (argmin over broadcast centroids) + update
+        def step(cents: org.apache.spark.sql.DataFrame) = {
+          val assign = flat.join(broadcast(cents), Seq("pos"))
             .select($"vec_id", $"cid",
               (($"v" - $"cval") * ($"v" - $"cval")).cast("decimal(30,12)").as("sq"))
             .groupBy($"vec_id", $"cid")
@@ -421,11 +421,14 @@ object Llm {
             .groupBy($"vec_id")
             .agg(min(struct($"d2", $"cid")).as("m"))
             .select($"vec_id", $"m.cid".as("cid"))
-          cents = flat.join(assign, "vec_id")
+          val next = flat.join(assign, "vec_id")
             .groupBy($"cid", $"pos")
             .agg((sum($"v".cast("decimal(30,12)")).cast("double") /
               count(lit(1))).as("cval"))
+          (assign, next)
         }
+        val (_, c1) = step(init)
+        val (assign, cents) = step(c1)
         val sizes = assign.groupBy($"cid").agg(count(lit(1)).as("n_vecs"))
         val sums = cents.groupBy($"cid")
           .agg(round(sum($"cval".cast("decimal(30,12)")).cast("double"), 9)
@@ -915,8 +918,10 @@ object Llm {
             size($"toks").cast("long").as("n_tok"),
             size(filter($"toks", x => !array_contains($"vocab", x)))
               .cast("long").as("n_oov"))
+          // greatest(...,1): a zero-token doc must score 0.0, not DIVIDE_BY_ZERO
+          // under ANSI mode (same guard as text_quality_features)
           .withColumn("oov_rate",
-            $"n_oov".cast("double") / $"n_tok")
+            $"n_oov".cast("double") / greatest($"n_tok", lit(1L)))
           .orderBy($"doc_id")
       },
       Some(s"""WITH tok AS (
@@ -931,7 +936,7 @@ object Llm {
               |  CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
               |    AS BIGINT) AS n_oov,
               |  CAST(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
-              |    AS DOUBLE) / len(toks) AS oov_rate
+              |    AS DOUBLE) / greatest(len(toks), 1) AS oov_rate
               |FROM d CROSS JOIN v ORDER BY doc_id""".stripMargin)),
 
     // Corpus mixture reweighting: given a target of equal representation per source,

@@ -190,7 +190,8 @@ object Streaming {
     }
   }
 
-  final case class UserTopTypes(user_id: Long, top3: String, n_types: Long)
+  final case class UserTopTypes(user_id: Long, top3: String, n_types: Long,
+    ver: Long)
 
   /** ListState + MapState legs of the transformWithState API: a BOUNDED top-3
     * value list per user (the "recent best" pattern — the put() rewrite keeps state
@@ -203,12 +204,17 @@ object Streaming {
       extends StatefulProcessor[Long, (Long, Double, String), UserTopTypes] {
     @transient private var topState: ListState[Double] = _
     @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var version: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       topState =
         getHandle.getListState[Double]("top3", Encoders.scalaDouble, TTLConfig.NONE)
       typeCounts = getHandle.getMapState[String, Long]("typeCounts",
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      // per-key update counter: consumers can pick the LATEST emitted row
+      // deterministically (n_types alone plateaus while top3 may still change)
+      version =
+        getHandle.getValueState[Long]("ver", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Double, String)],
@@ -224,8 +230,10 @@ object Streaming {
       topState.put(top3)
       var nTypes = 0L
       typeCounts.keys().foreach(_ => nTypes += 1)
+      val ver = (if (version.exists()) version.get() else 0L) + 1L
+      version.update(ver)
       Iterator.single(UserTopTypes(key,
-        top3.map(v => f"$v%.3f").mkString("|"), nTypes))
+        top3.map(v => f"$v%.3f").mkString("|"), nTypes, ver))
     }
   }
 

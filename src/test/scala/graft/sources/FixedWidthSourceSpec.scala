@@ -73,9 +73,24 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(back == Seq((5, "Edsger", 0.125), (7, "Ada", 1.25), (42, "Grace", 99.5)))
     // alignment contract: numerics right-aligned, strings left-aligned
     val line = scala.io.Source.fromFile(
-      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".txt"))
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
         .sortBy(_.getName).head).getLines().toSeq.head
     assert(line.length == 20 && line.takeRight(1) != " ", line)
+  }
+
+  test("reads honor the commit manifest: orphan task files are excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-m").toString
+    Seq((1, "A"), (2, "B")).toDF("k", "name")
+      .coalesce(1).write.format("graft.sources.FixedWidthSource")
+      .option("widths", "4,4").mode("append").save(dir)
+    // simulate a crashed task attempt's leftover: valid-looking but uncommitted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999-666.txt"), "   9Junk".getBytes)
+    val got = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING").option("widths", "4,4")
+      .load(dir).orderBy($"k").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "A"), (2, "B")), got)
   }
 
   test("write path: over-wide value fails the task instead of truncating") {

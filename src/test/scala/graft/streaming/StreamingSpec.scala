@@ -172,12 +172,12 @@ class StreamingSpec extends AnyFunSuite {
     val got = Streaming.runToMemory(spark,
       Streaming.runningUserTopTypes(spark, Streaming.eventsStream(spark, sf)).toDF(),
       "t_tws_list", OutputMode.Update())
-    // update mode emits one row per key per batch — the LAST row per key carries
-    // the converged state; n_types grows monotonically so max() selects it, and
-    // the matching top3 comes from that same max row
+    // update mode emits one row per key per batch — the row with the HIGHEST
+    // state version is the converged one (n_types alone can plateau while top3
+    // still changes across batches, so it is not a safe selector)
     val last = got.groupBy("user_id").agg(
-      max(col("n_types")).as("n_types"),
-      max_by(col("top3"), col("n_types")).as("top3"))
+      max_by(col("n_types"), col("ver")).as("n_types"),
+      max_by(col("top3"), col("ver")).as("top3"))
     val wantTypes = batchEvents.groupBy(col("user_id").as("uid"))
       .agg(countDistinct(col("event_type")).as("wn"))
     val joined = last.join(wantTypes, last("user_id") === wantTypes("uid"))
