@@ -407,6 +407,37 @@ object AggregatesExt {
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // min_by / max_by aggregates — "value of X at the extreme of Y" in ONE grouped
+    // pass (the window-free spelling of agg_argmax). The ordering key is a struct
+    // with the id as tiebreak, so the picked row is total-order deterministic;
+    // the oracle mirrors with ROW_NUMBER because composite arg_max keys are not
+    // portable SQL.
+    Q("agg_min_max_by",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("priciest_order"),
+            min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("cheapest_order"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS priciest_order,
+             |  MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS cheapest_order,
+             |  COUNT(*) AS n
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Boolean aggregates: bool_and / bool_or / every / count_if — the predicate
     // rollups behind data-quality assertions ("ALL rows in the group satisfy X",
     // "ANY row violates Y") without materializing violating rows. Partial-aggregable

@@ -492,6 +492,68 @@ object EventsQ {
               |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
               |SELECT week, n, total,
               |  total / lag(total, 1) OVER (ORDER BY week) AS wow_ratio
-              |FROM wk ORDER BY week""".stripMargin))
+              |FROM wk ORDER BY week""".stripMargin)),
+
+    // DAU/MAU stickiness: exact distinct users per day and per containing month,
+    // joined on the month — two grouped exact-distinct passes plus a broadcast-
+    // sized join on the |months|-row side; the ratio divides exact BIGINTs cast
+    // to double, so the boundary is engine-stable.
+    Q("events_dau_mau",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.Tables.events(s, dir)
+          .select($"user_id", date_trunc("day", $"ts").as("day"),
+            date_trunc("month", $"ts").as("month"))
+        val dau = e.groupBy($"day", $"month")
+          .agg(countDistinct($"user_id").as("dau"))
+        val mau = e.groupBy($"month".as("m"))
+          .agg(countDistinct($"user_id").as("mau"))
+        dau.join(broadcast(mau), $"month" === $"m")
+          .select($"day", $"dau", $"mau",
+            ($"dau".cast("double") / $"mau").as("stickiness"))
+          .orderBy($"day")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |    CAST(date_trunc('month', ts) AS TIMESTAMP) AS month
+             |  FROM events),
+             |dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau
+             |        FROM e GROUP BY 1, 2),
+             |mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau
+             |        FROM e GROUP BY 1)
+             |SELECT day, dau, mau,
+             |  CAST(dau AS DOUBLE) / mau AS stickiness
+             |FROM dau JOIN mau USING (month) ORDER BY day""".stripMargin)),
+
+    // Pareto concentration: how much of total event volume each user DECILE
+    // carries. Deciles assign over the |users|-row aggregate (total order via the
+    // user-id tiebreak), never the raw stream; the share is an exact-BIGINT ratio.
+    Q("events_power_users_pareto",
+      (s, dir) => {
+        import s.implicits._
+        val perUser = graft.Tables.events(s, dir)
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy($"n".desc, $"user_id")
+        perUser
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"))
+          .withColumn("share",
+            $"n_events".cast("double") /
+              sum($"n_events").over(Window.partitionBy()).cast("double"))
+          .orderBy($"decile")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+             |d AS (
+             |  SELECT NTILE(10) OVER (ORDER BY n DESC, user_id) AS decile, n
+             |  FROM u),
+             |g AS (
+             |  SELECT decile, COUNT(*) AS n_users, SUM(n) AS n_events
+             |  FROM d GROUP BY decile)
+             |SELECT decile, n_users, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE)
+             |    AS share
+             |FROM g ORDER BY decile""".stripMargin))
   )
 }

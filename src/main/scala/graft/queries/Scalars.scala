@@ -717,7 +717,43 @@ object Scalars {
              |  CAST(last_day(CAST(o_orderdate AS DATE)) + INTERVAL 1 MONTH AS DATE)
              |    AS eom_plus_1m,
              |  o_orderdate + INTERVAL 36 HOUR AS plus_36h
-             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Array SET algebra (union / intersect / except / overlap): tag-list and
+    // feature-set manipulation without exploding. Spark's operators dedup but keep
+    // first-occurrence order, DuckDB's keep their own — both sides sort before
+    // rendering so the SET (the defined semantics) is what gets hashed.
+    Q("fn_array_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        val a = array($"p_size" % 5, $"p_size" % 7, $"p_size" % 9)
+        val b = array($"p_size" % 5, $"p_size" % 11)
+        t(s, dir, "part").filter($"p_partkey" <= 400)
+          .select($"p_partkey",
+            concat_ws(",", array_sort(array_union(a, b))).as("union_set"),
+            concat_ws(",", array_sort(array_intersect(a, b))).as("intersect_set"),
+            concat_ws(",", array_sort(array_except(a, b))).as("except_set"),
+            arrays_overlap(a, b).as("overlaps"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH v AS (
+             |  SELECT p_partkey,
+             |    [p_size % 5, p_size % 7, p_size % 9] AS a,
+             |    [p_size % 5, p_size % 11] AS b
+             |  FROM part WHERE p_partkey <= 400)
+             |SELECT p_partkey,
+             |  COALESCE(array_to_string(
+             |    list_sort(list_distinct(list_concat(a, b))), ','), '')
+             |    AS union_set,
+             |  COALESCE(array_to_string(list_sort(list_distinct(
+             |    list_filter(a, x -> list_contains(b, x)))), ','), '')
+             |    AS intersect_set,
+             |  -- DuckDB renders an EMPTY list as NULL; Spark concat_ws gives ''
+             |  COALESCE(array_to_string(list_sort(list_distinct(
+             |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+             |    AS except_set,
+             |  len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps
+             |FROM v ORDER BY p_partkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.
