@@ -393,8 +393,75 @@ object Llm {
              |SELECT qid, rank, vid, round(cosine, 9) AS cosine
              |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
-    // Vector aggregation: exact per-label centroids, then each vector's distance to
-    // its label centroid.
+    // k-NN classification eval (the "does my embedding space separate labels"
+    // check run before training on it): each query vector votes its 5 nearest
+    // neighbors' labels (majority, ties to the lowest label), scored against its
+    // own label per class. Neighbor search is the exact brute-force baseline —
+    // the ANN variants (LSH/IVF) are the scale path for the same composition.
+    Q("sim_knn_classify",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val nb = Similarity.bruteForceTopK(e.filter($"vec_id" < 50), e, k = 5)
+        val lbl = e.select($"vec_id".as("lv"), $"label".as("nlabel"))
+        val pred = nb.join(lbl, $"vid" === $"lv")
+          .groupBy($"qid", $"nlabel").agg(count(lit(1)).as("n"))
+          .groupBy($"qid")
+          .agg(max_by($"nlabel", struct($"n", -$"nlabel")).as("predicted"))
+        e.filter($"vec_id" < 50)
+          .select($"vec_id".as("qid"), $"label".as("true_label"))
+          .join(pred, "qid")
+          .groupBy($"true_label")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when($"predicted" === $"true_label", 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("accuracy",
+            $"n_correct".cast("double") / $"n_queries")
+          .orderBy($"true_label")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, unnest(embedding) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY vec_id),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 50
+             |  GROUP BY q.vec_id, c.vec_id),
+             |nb AS (
+             |  SELECT qid, vid FROM (
+             |    SELECT d.qid, d.vid,
+             |      ROW_NUMBER() OVER (PARTITION BY d.qid
+             |        ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |    FROM dots d
+             |    JOIN norms nq ON nq.vec_id = d.qid
+             |    JOIN norms nc ON nc.vec_id = d.vid)
+             |  WHERE rank <= 5),
+             |votes AS (
+             |  SELECT nb.qid, e.label AS nlabel, COUNT(*) AS n
+             |  FROM nb JOIN embeddings e ON e.vec_id = nb.vid GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT qid, nlabel AS predicted FROM (
+             |    SELECT qid, nlabel,
+             |      ROW_NUMBER() OVER (PARTITION BY qid
+             |        ORDER BY n DESC, nlabel ASC) AS rn
+             |    FROM votes) WHERE rn = 1)
+             |SELECT t.label AS true_label, COUNT(*) AS n_queries,
+             |  CAST(SUM(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  CAST(SUM(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*) AS accuracy
+             |FROM embeddings t JOIN pred p ON p.qid = t.vec_id
+             |WHERE t.vec_id < 50
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // K-means (2 Lloyd iterations, k=4, deterministic init = the first k vectors):
     // iterative ML as declarative joins — each iteration is ONE broadcast join of
     // the posexploded vectors to the k·dims centroid frame (assignment by
@@ -467,6 +534,8 @@ object Llm {
            |USING (cid) ORDER BY cid""".stripMargin
       }),
 
+    // Vector aggregation: exact per-label centroids, then each vector's distance to
+    // its label centroid.
     Q("sim_centroid_distance",
       (s, dir) => {
         import s.implicits._
