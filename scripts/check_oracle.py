@@ -36,10 +36,10 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
             print(f"  {name}: NO OUTPUT FILES");  n_fail += 1;  continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        got_sql = f"SELECT * FROM read_parquet({files!r})"
+        got = con.execute(got_sql).fetchdf()
         got = got[sorted(got.columns)]
-        got_types = dtypes(con, f"SELECT * FROM read_parquet({files!r})")
+        got_types = dtypes(con, got_sql)
         if name not in oracle:
             print(f"  {name}: no oracle (rows-only), rows={len(got)}")
             n_noracle += 1
@@ -50,7 +50,9 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {e}");  n_fail += 1;  continue
         want = want[sorted(want.columns)]
-        errs = compare(got, want) + compare_types(got_types, want_types)
+        errs = (compare(got, want) + compare_types(got_types, want_types)
+                + ns_range_errs(con, got_sql, got_types)
+                + ns_range_errs(con, oracle[name], want_types))
         if errs:
             n_fail += 1
             print(f"  {name}: FAIL")
@@ -85,6 +87,25 @@ def kind(duck_type):
 def dtypes(con, sql):
     rows = con.execute(f"DESCRIBE {sql}").fetchall()
     return {r[0]: kind(r[1]) for r in rows}
+
+def ns_range_errs(con, sql, types):
+    """Flag datetime values outside pandas datetime64[ns] range.
+
+    The driver hashes through pyarrow/pandas, where ns-timestamps live in
+    [1677-09-21 .. 2262-04-11]; a value outside (e.g. a year-9999 sentinel —
+    scd2_history_build, round 2) overflows there while this DuckDB-based mimic
+    normalizes both sides and passes. Guard the whole class locally."""
+    errs = []
+    for col, k in types.items():
+        if k != "datetime":
+            continue
+        n = con.execute(
+            f'SELECT count(*) FROM ({sql}) WHERE "{col}" < TIMESTAMP \'1677-09-22\''
+            f' OR "{col}" > TIMESTAMP \'2262-04-10\'').fetchone()[0]
+        if n:
+            errs.append(f"col {col}: {n} values outside pandas datetime64[ns] "
+                        "range — driver hash will diverge")
+    return errs
 
 def compare_types(got_types, want_types):
     errs = []

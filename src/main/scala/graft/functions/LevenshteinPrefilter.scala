@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.IntegerType
 object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def guardFor(e: Expression): Option[Expression] = e match {
-    case LessThanOrEqual(Levenshtein(l, r, _), k @ Literal(_, IntegerType)) =>
+    // Two-argument form ONLY: the thresholded levenshtein(a, b, t) returns -1 when
+    // the distance exceeds t, so `levenshtein(a,b,t) <= k` can be TRUE for rows the
+    // length-delta bound would reject — the guard is unsound there.
+    case LessThanOrEqual(Levenshtein(l, r, None), k @ Literal(_, IntegerType)) =>
       Some(LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), k))
     case _ => None
   }

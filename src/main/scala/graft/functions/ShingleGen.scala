@@ -49,15 +49,24 @@ case class ShingleGen(left: Expression, right: Expression)
     val width = w.asInstanceOf[Int]
     val count = arr.numElements() - width + 1
     if (width <= 0 || count <= 0) return Iterator.empty
-    (0 until count).iterator.map { i =>
-      val sb = new java.lang.StringBuilder
+    // Windows containing a null token are skipped (elementSchema declares shingle
+    // non-nullable; a null element would otherwise NPE the task). Positions still
+    // index the ORIGINAL token array, so surviving shingles stay addressable.
+    (0 until count).iterator.flatMap { i =>
+      var hasNull = false
       var j = 0
-      while (j < width) {
-        if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i + j).toString)
-        j += 1
+      while (j < width && !hasNull) { hasNull = arr.isNullAt(i + j); j += 1 }
+      if (hasNull) Iterator.empty
+      else {
+        val sb = new java.lang.StringBuilder
+        j = 0
+        while (j < width) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        Iterator.single(InternalRow(i, UTF8String.fromString(sb.toString)))
       }
-      InternalRow(i, UTF8String.fromString(sb.toString))
     }
   }
 

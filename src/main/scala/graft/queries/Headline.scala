@@ -255,11 +255,12 @@ object Headline {
              |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin)),
 
     // Type-2 slowly-changing-dimension history build: each key's change events
-    // become [valid_from, valid_to) intervals via lead() over (key, date, tiebreak),
-    // the open version capped at a sentinel high date. One hash shuffle on the key,
-    // per-key sorted windows — the standard warehouse snapshot-to-history operator,
-    // linear at any scale. Ties on the change date produce zero-duration versions
-    // deterministically (orderkey tiebreak), matching the oracle bit-for-bit.
+    // become [valid_from, valid_to) intervals via lead() over (key, date, tiebreak).
+    // The open version carries NULL valid_to (is_current already marks it); a
+    // year-9999 sentinel would overflow datetime64[ns] consumers downstream. One
+    // hash shuffle on the key, per-key sorted windows — the standard warehouse
+    // snapshot-to-history operator, linear at any scale. Ties on the change date
+    // produce zero-duration versions deterministically (orderkey tiebreak).
     Q("scd2_history_build",
       (s, dir) => {
         import s.implicits._
@@ -269,8 +270,7 @@ object Headline {
             $"o_orderdate".as("valid_from"),
             lead($"o_orderdate", 1).over(w).as("next_from"))
           .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"valid_from",
-            coalesce($"next_from",
-              lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+            $"next_from".as("valid_to"),
             $"next_from".isNull.as("is_current"))
           .orderBy($"o_custkey", $"o_orderkey")
       },
@@ -281,7 +281,7 @@ object Headline {
              |      ORDER BY o_orderdate, o_orderkey) AS next_from
              |  FROM orders)
              |SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
-             |  COALESCE(next_from, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             |  next_from AS valid_to,
              |  next_from IS NULL AS is_current
              |FROM h ORDER BY o_custkey, o_orderkey""".stripMargin))
   )

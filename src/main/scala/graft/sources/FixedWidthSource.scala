@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `PartitionReader` on the read side, `WriteBuilder` → `BatchWrite` →
   * `DataWriter` with a real commit protocol on the write side. COLUMN PRUNING is
   * pushed into the reader: only the requested columns' slices are cut and
-  * converted, and the scan's output schema shrinks accordingly.
+  * converted, and the scan's output schema shrinks accordingly. FILTER PUSHDOWN
+  * (comparison/In/IsNull/StartsWith on any column) evaluates on the raw line
+  * before row construction; all filters are also left as Spark-side residuals,
+  * so the pushdown only saves work, never owns correctness.
   *
   * Widths are CHARACTER widths over UTF-8-decoded lines (ASCII feeds: same as
   * bytes; a byte-aligned reader for multi-byte encodings would slice the raw
@@ -94,22 +98,38 @@ class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FixedWidthScanBuilder(dataSchema, widths, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FixedWidthWriteBuilder(info.schema(), widths, path)
+    new FixedWidthWriteBuilder(info.schema(), widths, path, info.queryId())
 }
 
 class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = dataSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Supported filters are evaluated INSIDE the reader, on slices cut straight
+    * from the raw line (independent of column pruning), so non-matching records
+    * are dropped before any InternalRow is built. Conservatively, every filter is
+    * also returned as residual for Spark to re-check post-scan — the pushdown is
+    * an I/O/alloc saving, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FixedWidthFilters.supported(dataSchema, _))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new FixedWidthScan(dataSchema, widths, path, required)
+    new FixedWidthScan(dataSchema, widths, path, required, pushed)
 }
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
-    required: StructType) extends Scan with Batch {
+    required: StructType, val pushedFilters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surfaces in .explain via BatchScanExec.simpleString, like built-in FileScans
+  override def description(): String =
+    s"FixedWidth PushedFilters: [${pushedFilters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val confBag = FixedWidthConf.capture()
@@ -139,41 +159,53 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(dataSchema, widths, required,
+    new FixedWidthReaderFactory(dataSchema, widths, required, pushedFilters,
       FixedWidthConf.capture())
 }
 
 case class FixedWidthPartition(file: String) extends InputPartition
 
 class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
-    required: StructType, confBag: Array[(String, String)])
-    extends PartitionReaderFactory {
+    required: StructType, filters: Array[Filter],
+    confBag: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixedWidthReader(partition.asInstanceOf[FixedWidthPartition].file,
-      dataSchema, widths, required, confBag)
+      dataSchema, widths, required, filters, confBag)
 }
 
 /** Append-only batch WRITE path: each task streams its partition to
-  * `part-<partition>-<task>.txt` (names unique per task attempt, so a retry never
-  * clobbers another attempt's file), reports the file in its commit message, and
-  * the driver `commit` records the committed set in a manifest the reader honors.
-  * `abort` deletes the named files. Values render right-aligned for numerics,
-  * left-aligned for strings; a value wider than its column fails the task
-  * (fail-fast beats silent truncation for fixed-width interchange). */
-class FixedWidthWriteBuilder(schema: StructType, widths: Array[Int], path: String)
-    extends WriteBuilder {
+  * `part-<partition>-<task>-<queryId>.txt` — the queryId token (from
+  * `LogicalWriteInfo`) makes names unique PER JOB, not just per task attempt:
+  * Spark task ids restart per application, so without it a second application
+  * appending to the same directory could silently clobber an earlier run's
+  * committed file. Files are additionally created with overwrite=false, so any
+  * residual collision fails the task instead of losing data. Each task reports
+  * its file in its commit message, and the driver `commit` records the committed
+  * set in a manifest the reader honors. `abort` deletes the named files. Values
+  * render right-aligned for numerics, left-aligned for strings; a value wider
+  * than its column fails the task (fail-fast beats silent truncation for
+  * fixed-width interchange).
+  *
+  * Round-trip caveat (by design of the format, stated here): the reader trims
+  * each slice, and the writer renders NULL and the empty string identically as
+  * all spaces — so NULL, `""`, whitespace-only strings, and leading/trailing
+  * spaces all read back as NULL / trimmed values. Fixed-width interchange has no
+  * NULL rendering; feeds that need the distinction should carry an explicit
+  * indicator column. */
+class FixedWidthWriteBuilder(schema: StructType, widths: Array[Int], path: String,
+    queryId: String) extends WriteBuilder {
   require(widths.length == schema.length,
     s"widths has ${widths.length} entries for ${schema.length} write fields")
   override def buildForBatch(): BatchWrite = new FixedWidthBatchWrite(
-    schema, widths, path, FixedWidthConf.capture())
+    schema, widths, path, queryId, FixedWidthConf.capture())
 }
 
 case class FixedWidthCommit(file: String) extends WriterCommitMessage
 
 class FixedWidthBatchWrite(schema: StructType, widths: Array[Int], path: String,
-    confBag: Array[(String, String)]) extends BatchWrite {
+    queryId: String, confBag: Array[(String, String)]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FixedWidthWriterFactory(schema, widths, path, confBag)
+    new FixedWidthWriterFactory(schema, widths, path, queryId, confBag)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val names = messages.collect { case FixedWidthCommit(f) => new Path(f).getName }
@@ -198,19 +230,21 @@ class FixedWidthBatchWrite(schema: StructType, widths: Array[Int], path: String,
 }
 
 class FixedWidthWriterFactory(schema: StructType, widths: Array[Int], path: String,
-    confBag: Array[(String, String)]) extends DataWriterFactory {
+    queryId: String, confBag: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new FixedWidthWriter(schema, widths, path, partitionId, taskId, confBag)
+    new FixedWidthWriter(schema, widths, path, partitionId, taskId, queryId, confBag)
 }
 
 class FixedWidthWriter(schema: StructType, widths: Array[Int], path: String,
-    partitionId: Int, taskId: Long, confBag: Array[(String, String)])
-    extends DataWriter[InternalRow] {
-  private val file = new Path(path, f"part-$partitionId%05d-$taskId.txt")
+    partitionId: Int, taskId: Long, queryId: String,
+    confBag: Array[(String, String)]) extends DataWriter[InternalRow] {
+  private val file = new Path(path, f"part-$partitionId%05d-$taskId-$queryId.txt")
   private val fs = file.getFileSystem(FixedWidthConf.restore(confBag))
+  // overwrite=false: a name collision (same job, same task, same attempt — should
+  // be impossible) fails the task rather than silently clobbering committed data
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    fs.create(file, true), java.nio.charset.StandardCharsets.UTF_8))
+    fs.create(file, false), java.nio.charset.StandardCharsets.UTF_8))
 
   override def write(row: InternalRow): Unit = {
     val sb = new java.lang.StringBuilder()
@@ -254,10 +288,22 @@ class FixedWidthWriter(schema: StructType, widths: Array[Int], path: String,
 }
 
 /** Streams one file line-by-line; for each line slices ONLY the character ranges
-  * of the pruned columns and converts in place. */
+  * of the pruned columns and converts in place. Pushed filters run on the raw
+  * line BEFORE row construction, so filtered-out records cost a slice + compare,
+  * not an InternalRow. */
 class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
-    required: StructType, confBag: Array[(String, String)])
+    required: StructType, filters: Array[Filter],
+    confBag: Array[(String, String)])
     extends PartitionReader[InternalRow] {
+
+  private val preds: Array[String => Boolean] =
+    filters.map(FixedWidthFilters.compile(dataSchema, widths, _))
+
+  private def passes(l: String): Boolean = {
+    var i = 0
+    while (i < preds.length) { if (!preds(i)(l)) return false; i += 1 }
+    true
+  }
 
   // (start offset in line, width, target type) per REQUIRED field, in output order
   private val slices: Array[(Int, Int, DataType)] = {
@@ -276,7 +322,7 @@ class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
 
   override def next(): Boolean = {
     line = reader.readLine()
-    while (line != null && line.isEmpty) line = reader.readLine()
+    while (line != null && (line.isEmpty || !passes(line))) line = reader.readLine()
     line != null
   }
 
@@ -304,4 +350,91 @@ class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Translation + interpretation of the v1 `Filter` subset the fixed-width reader
+  * can evaluate on raw lines. Exactness rule: integral columns compare as Long,
+  * double columns as Double, strings as trimmed String — a filter whose literal
+  * can't be represented exactly in the column's comparison domain is simply not
+  * pushed (Spark's post-scan residual still applies it). Null semantics match
+  * SQL: any comparison against a NULL slice is false; IsNull/IsNotNull test the
+  * all-spaces rendering. */
+private[sources] object FixedWidthFilters {
+
+  private def fieldType(schema: StructType, a: String): Option[DataType] =
+    schema.fields.find(_.name == a).map(_.dataType)
+
+  /** literal representable exactly in the column's comparison domain? */
+  private def litOk(dt: DataType, v: Any): Boolean = (dt, v) match {
+    case (IntegerType | LongType, (_: java.lang.Byte | _: java.lang.Short |
+      _: java.lang.Integer | _: java.lang.Long)) => true
+    case (DoubleType, _: java.lang.Number) => true
+    case (StringType, _: String) => true
+    case _ => false
+  }
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => fieldType(schema, a).exists(litOk(_, v))
+    case GreaterThan(a, v)        => fieldType(schema, a).exists(litOk(_, v))
+    case GreaterThanOrEqual(a, v) => fieldType(schema, a).exists(litOk(_, v))
+    case LessThan(a, v)           => fieldType(schema, a).exists(litOk(_, v))
+    case LessThanOrEqual(a, v)    => fieldType(schema, a).exists(litOk(_, v))
+    case In(a, vs) => vs.nonEmpty &&
+      fieldType(schema, a).exists(dt => vs.forall(litOk(dt, _)))
+    case IsNull(a)    => fieldType(schema, a).isDefined
+    case IsNotNull(a) => fieldType(schema, a).isDefined
+    case StringStartsWith(a, _) => fieldType(schema, a).contains(StringType)
+    case _ => false
+  }
+
+  /** Compile one supported filter to a raw-line predicate. */
+  def compile(schema: StructType, widths: Array[Int], f: Filter)
+      : String => Boolean = {
+    val starts = widths.scanLeft(0)(_ + _)
+    def sliceOf(a: String): (Int, Int, DataType) = {
+      val i = schema.fieldIndex(a)
+      (starts(i), widths(i), schema.fields(i).dataType)
+    }
+    // trimmed raw slice; null for the all-spaces (NULL) rendering
+    def raw(line: String, start: Int, width: Int): String = {
+      if (start >= line.length) return null
+      val r = line.substring(start, math.min(start + width, line.length)).trim
+      if (r.isEmpty) null else r
+    }
+    // three-valued compare: Some(sign) or None for NULL
+    def cmpFn(a: String, v: Any): String => Option[Int] = {
+      val (start, width, dt) = sliceOf(a)
+      dt match {
+        case IntegerType | LongType =>
+          val lit = v.asInstanceOf[java.lang.Number].longValue()
+          l => Option(raw(l, start, width)).map(s => java.lang.Long.compare(s.toLong, lit))
+        case DoubleType =>
+          val lit = v.asInstanceOf[java.lang.Number].doubleValue()
+          l => Option(raw(l, start, width)).map(s => java.lang.Double.compare(s.toDouble, lit))
+        case StringType =>
+          val lit = v.asInstanceOf[String]
+          l => Option(raw(l, start, width)).map(_.compareTo(lit))
+        case other => throw new UnsupportedOperationException(
+          s"fixed-width: unsupported type $other")
+      }
+    }
+    f match {
+      case EqualTo(a, v)            => val c = cmpFn(a, v); l => c(l).contains(0)
+      case GreaterThan(a, v)        => val c = cmpFn(a, v); l => c(l).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => val c = cmpFn(a, v); l => c(l).exists(_ >= 0)
+      case LessThan(a, v)           => val c = cmpFn(a, v); l => c(l).exists(_ < 0)
+      case LessThanOrEqual(a, v)    => val c = cmpFn(a, v); l => c(l).exists(_ <= 0)
+      case In(a, vs) =>
+        val cs = vs.map(cmpFn(a, _)); l => cs.exists(_(l).contains(0))
+      case IsNull(a) =>
+        val (start, width, _) = sliceOf(a); l => raw(l, start, width) == null
+      case IsNotNull(a) =>
+        val (start, width, _) = sliceOf(a); l => raw(l, start, width) != null
+      case StringStartsWith(a, p) =>
+        val (start, width, _) = sliceOf(a)
+        l => { val s = raw(l, start, width); s != null && s.startsWith(p) }
+      case other => throw new IllegalArgumentException(
+        s"unsupported pushed filter $other") // unreachable: gated by supported()
+    }
+  }
 }

@@ -53,4 +53,20 @@ class LevenshteinPrefilterSpec extends AnyFunSuite {
     val twice = LevenshteinPrefilter(once)
     assert(once == twice)
   }
+
+  test("thresholded 3-arg levenshtein is NOT rewritten (returns -1 over threshold)") {
+    import spark.implicits._
+    // levenshtein(l, r, 3) = -1 for the wide pairs, and -1 <= 10 is TRUE: vanilla
+    // Spark keeps all rows. A length-delta <= 10 guard would wrongly drop
+    // ("a", 21×"a") — so the rule must not touch the thresholded form.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(substring($"text", 1, 4).as("l"),
+        concat(substring($"text", 1, 1), lit("x" * 20)).as("r"))
+    val df = docs.filter(expr("levenshtein(l, r, 3) <= 10"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!optimized.contains("abs((length("),
+      s"unsound guard injected on thresholded form:\n$optimized")
+    val got = pairs.filter(expr("levenshtein(l, r, 3) <= 10")).count()
+    assert(got == pairs.count()) // every row: distance <= 3 or -1, both <= 10
+  }
 }

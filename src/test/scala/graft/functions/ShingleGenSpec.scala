@@ -52,6 +52,18 @@ class ShingleGenSpec extends AnyFunSuite {
       Seq((3L, 0, "x y z")))
   }
 
+  test("null ELEMENTS are skipped, not NPE'd; positions keep original indexing") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Some("a"), None, Some("b"), Some("c"), Some("d"))))
+      .toDF("id", "tk")
+    df.createOrReplaceTempView("sg_nullelem")
+    val rows = spark.sql(
+      "SELECT pos, shingle FROM sg_nullelem LATERAL VIEW shingle_gen(tk, 3) g AS pos, shingle")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // windows at pos 0 and 1 contain the null token and are skipped
+    assert(rows == Seq((2, "b c d")))
+  }
+
   test("null token array generates no rows (outer view yields the null row)") {
     import spark.implicits._
     val df = Seq((1L, Option(Seq("a", "b", "c", "d"))), (2L, None))

@@ -93,6 +93,53 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(got == Seq((1, "A"), (2, "B")), got)
   }
 
+  test("filter pushdown reaches the reader; residual re-check keeps semantics") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .filter($"k" >= 2 && $"name".startsWith("G") && $"qty".isNull)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val pushed = scan.scan.asInstanceOf[FixedWidthScan].pushedFilters.map(_.toString)
+    assert(pushed.exists(_.contains("GreaterThanOrEqual")) &&
+      pushed.exists(_.contains("StringStartsWith")) &&
+      pushed.exists(_.contains("IsNull")), pushed.toSeq)
+    assert(scan.toString.contains("PushedFilters: ["), scan.toString)
+    val got = df.as[(Integer, String, Option[Double])].collect().toSeq
+    assert(got == Seq((10: Integer, "Gizmo", None)), got)
+    // NULL comparison semantics: k > 0 must NOT return the short-line row's
+    // missing qty as a match under qty < 100 (SQL: NULL < 100 is not true)
+    val nullCmp = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .filter($"qty" < 100.0)
+    assert(nullCmp.count() == 3)
+  }
+
+  test("two appends from distinct jobs never collide (queryId in file names)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-2j").toString
+    // same partitioning → same (partitionId, taskId-ish) shape across both jobs;
+    // only the per-job queryId token keeps the names distinct
+    Seq((1, "A")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.FixedWidthSource")
+      .option("widths", "4,4").mode("append").save(dir)
+    Seq((2, "B")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.FixedWidthSource")
+      .option("widths", "4,4").mode("append").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSeq
+    assert(parts.size == 2 && parts.distinct.size == 2, parts)
+    val got = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING").option("widths", "4,4")
+      .load(dir).orderBy($"k").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "A"), (2, "B")), got)
+  }
+
   test("write path: over-wide value fails the task instead of truncating") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fw-e").toString
     val df = spark.range(1).selectExpr("cast(id as int) k",
