@@ -27,7 +27,8 @@ object SparkEntry {
     Llm.queries,
     SpecQ.queries,
     Scale.queries,
-    Extras.queries
+    Extras.queries,
+    Analytics.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -65,11 +65,108 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: DECIMAL-EXACT dot product of two `array<float>`
+  * columns — the oracle-hashable counterpart of [[FloatVecDot]]. Reproduces the
+  * HOF formulation `aggregate(zip_with(a, b, (x,y) => (x*y).cast(decimal(30,12))),
+  * 0, (acc,x) => acc+x)` bit-for-bit: each IEEE double product is rounded HALF_UP
+  * at scale 12 of its SHORTEST-STRING decimal form (what Spark's double→decimal
+  * cast does), and the rounded terms are summed exactly — associative, so the
+  * result is partitioning-independent and matches a DuckDB `SUM(CAST(... AS
+  * DECIMAL(30,12)))` over the same pairs in any order.
+  *
+  * Why not the HOF: Spark's higher-order functions are CodegenFallback — per pair
+  * they allocate an intermediate decimal array and dispatch a lambda per element.
+  * This expression runs the whole loop inside whole-stage codegen with a scaled
+  * LONG accumulator (exact for |term| sums < 9.2e6 at scale 12; overflow falls
+  * back to BigDecimal accumulation — same values, just slower), which makes exact
+  * brute-force similarity usable as a real baseline, not just an oracle.
+  *
+  * Null semantics mirror the HOF chain: null array, null element, or length
+  * mismatch (zip_with pads with null) all yield NULL. */
+case class FloatVecDotExact(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_exact"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatVecDotExact.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = graft.functions.FloatVecDotExact.compute($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDotExact {
+  /** Σᵢ roundHalfUp₁₂(xᵢ · yᵢ), exactly; null on length mismatch / null element. */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L // unscaled at scale 12
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val u = java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue() // scale-12 units; NOT the numeric value
+      try acc = java.lang.Math.addExact(acc, u.longValueExact())
+      catch { case _: ArithmeticException => return computeBig(x, y) }
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(acc, 12).doubleValue())
+  }
+
+  /** Unbounded-magnitude fallback: same per-term rounding, BigDecimal sum. */
+  private def computeBig(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc = acc.add(java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    java.lang.Double.valueOf(acc.doubleValue())
+  }
+}
+
 /** Column-API + SQL-registry surface for the native vector expressions. */
 object VectorFunctions {
 
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Decimal-exact, codegen'd — drop-in for the HOF dotExact formulation. */
+  def vec_dot_exact(a: Column, b: Column): Column =
+    Bridge.column(FloatVecDotExact(Bridge.expression(a), Bridge.expression(b)))
 
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

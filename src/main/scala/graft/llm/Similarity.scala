@@ -16,8 +16,17 @@ object Similarity {
   private val DEC = DataTypes.createDecimalType(30, 12)
 
   /** Exact dot product of two float arrays, accumulated in decimal (associative →
-    * partitioning-independent) and returned as double. */
+    * partitioning-independent) and returned as double. Computed by the codegen'd
+    * [[graft.functions.FloatVecDotExact]] — bit-identical to [[dotExactHof]]
+    * (spec-enforced) but without the CodegenFallback HOF overhead, which is what
+    * makes exact brute-force similarity a usable baseline at BENCH scale. */
   def dotExact(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vec_dot_exact(a, b)
+
+  /** The declarative HOF formulation of [[dotExact]] — kept as the semantic
+    * specification (zip→round-to-decimal(30,12)→exact sum) the native expression
+    * must match, and as the fallback if the extension isn't on the classpath. */
+  def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
       lit(0).cast(DEC),

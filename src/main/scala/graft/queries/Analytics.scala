@@ -1,0 +1,447 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDSL._
+
+/** Statistical / graph / experimentation analytics — the operator families an
+  * analytics engine needs beyond the relational core: closed-form regression,
+  * distribution diagnostics, graph motifs, marketing attribution, and A/B
+  * evaluation. Every query follows the determinism rules in [[QueryDSL]]
+  * (decimal-exact moments, identical double expression trees on both engines,
+  * total ORDER BY).
+  *
+  * Reference anchor: the reference's task archetypes end at opaque subprocess
+  * transforms (`/root/reference/xetl/models/task.py:319-328`); these are the
+  * engine-native analyses users would otherwise shell out for.
+  */
+object Analytics {
+
+  val queries: Seq[Q] = Seq(
+
+    // Group-wise OLS regression (closed-form): slope/intercept/r² of price on
+    // quantity per return flag, from ONE grouped pass of decimal-exact moments —
+    // the agg_corr_exact machinery extended to the full regression readout. At
+    // 100 TB this is a single map-side-combined shuffle on the group key; no
+    // second pass, no driver math. Moments are centered decimals (exact,
+    // associative, partitioning-independent); slope/intercept/r² are identical
+    // IEEE double expression trees on both engines.
+    Q("agg_regression_ols",
+      (s, dir) => {
+        import s.implicits._
+        val xd = ($"l_quantity" - 25.0d).cast("decimal(18,2)")
+        val yd = ($"l_extendedprice" - 40000.0d).cast("decimal(18,2)")
+        val slope = ($"sxy" - $"sx" * $"sy" / $"n") /
+          ($"sxx" - $"sx" * $"sx" / $"n")
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(xd).cast("double").as("sx"),
+            sum(xd * xd).cast("double").as("sxx"),
+            sum(yd).cast("double").as("sy"),
+            sum(yd * yd).cast("double").as("syy"),
+            sum(xd * yd).cast("double").as("sxy"))
+          .select($"l_returnflag", $"n",
+            slope.as("slope"),
+            ((lit(40000.0d) + $"sy" / $"n") -
+              slope * (lit(25.0d) + $"sx" / $"n")).as("intercept"),
+            ((($"sxy" - $"sx" * $"sy" / $"n") * ($"sxy" - $"sx" * $"sy" / $"n")) /
+              (($"sxx" - $"sx" * $"sx" / $"n") *
+               ($"syy" - $"sy" * $"sy" / $"n"))).as("r2"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    CAST(l_quantity - 25.0 AS DECIMAL(18,2)) AS xd,
+             |    CAST(l_extendedprice - 40000.0 AS DECIMAL(18,2)) AS yd
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(xd) AS DOUBLE) AS sx,
+             |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             |    CAST(SUM(yd) AS DOUBLE) AS sy,
+             |    CAST(SUM(yd * yd) AS DOUBLE) AS syy,
+             |    CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+             |  FROM v GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+             |  (40000.0 + sy / n) -
+             |    ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (25.0 + sx / n)
+             |    AS intercept,
+             |  ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+             |    ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    // Equi-depth histogram WITHOUT a global row-number over the raw table: the
+    // scalable formulation first collapses to the value histogram (one grouped
+    // count — at 100 TB the only full-data pass), then computes the cumulative
+    // distribution over that compressed frame and derives each value's bucket
+    // from its own cumulative start position with pure integer arithmetic
+    // (`div` — no doubles, no engine-specific rounding). Values never split
+    // across buckets (all duplicates of a value share its start position), which
+    // is what makes the result partitioning- and engine-independent.
+    Q("agg_histogram_equidepth",
+      (s, dir) => {
+        import s.implicits._
+        val tot = Window.partitionBy()
+        t(s, dir, "lineitem")
+          .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum($"c").over(Window.orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"c").over(tot))
+          .withColumn("bucket", expr("(((cum - c) * 8) div n) + 1"))
+          .groupBy($"bucket")
+          .agg(sum($"c").cast("bigint").as("cnt"),
+            min($"v").as("lo"), max($"v").as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH h AS (
+             |  SELECT l_extendedprice AS v, COUNT(*) AS c
+             |  FROM lineitem GROUP BY 1),
+             |cd AS (
+             |  SELECT v, c,
+             |    CAST(SUM(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum,
+             |    CAST(SUM(c) OVER () AS BIGINT) AS n
+             |  FROM h)
+             |SELECT (((cum - c) * 8) // n) + 1 AS bucket,
+             |  CAST(SUM(c) AS BIGINT) AS cnt, MIN(v) AS lo, MAX(v) AS hi
+             |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Median absolute deviation per group (robust spread): positional low-median
+    // of |x − median| with the same total tie order as agg_median_positional.
+    // Two window families on the SAME partition key (one shuffle reused across
+    // both passes under AQE); the 3-row median frame broadcasts back onto the
+    // fact. Quantities are integer-valued so every deviation is exact.
+    Q("agg_mad",
+      (s, dir) => {
+        import s.implicits._
+        val w1 = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+        val med = t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w1))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+          .filter($"rn" === floor(($"cnt" + 1) / 2).cast("long"))
+          .select($"l_returnflag".as("mf"), $"l_quantity".as("med"))
+        val dev = t(s, dir, "lineitem")
+          .join(broadcast(med), $"l_returnflag" === $"mf")
+          .withColumn("dev", abs($"l_quantity" - $"med"))
+        val w2 = Window.partitionBy($"l_returnflag")
+          .orderBy($"dev", $"l_orderkey", $"l_linenumber")
+        dev
+          .withColumn("rn", row_number().over(w2))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+          .filter($"rn" === floor(($"cnt" + 1) / 2).cast("long"))
+          .select($"l_returnflag", $"med".as("median_low"), $"dev".as("mad_low"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH med AS (
+             |  SELECT l_returnflag AS mf, l_quantity AS med FROM (
+             |    SELECT l_returnflag, l_quantity,
+             |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |        ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             |      COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+             |    FROM lineitem)
+             |  WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)),
+             |dev AS (
+             |  SELECT l_returnflag, med, abs(l_quantity - med) AS dev,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem JOIN med ON l_returnflag = mf)
+             |SELECT l_returnflag, med AS median_low, dev AS mad_low FROM (
+             |  SELECT l_returnflag, med, dev,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+             |  FROM dev)
+             |WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Triangle counting on the nation-level trade graph. The undirected edge set
+    // is stored ORIENTED (src < dst), so each triangle is counted exactly once by
+    // the canonical a<b<c wedge-close join — the standard trick that bounds the
+    // join fan-out by the smaller-degree endpoint instead of counting every
+    // triangle 6×. All three legs are equi-joins (hash-partitionable at any
+    // scale); the graph itself is the output of one grouped fact pass.
+    Q("graph_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"c_nationkey".as("x"), $"s_nationkey".as("y"))
+          .filter($"x" =!= $"y")
+        val ue = raw.select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+          .distinct()
+        val e1 = ue.select($"a".as("a1"), $"b".as("b1"))
+        val e2 = ue.select($"a".as("a2"), $"b".as("b2"))
+        val e3 = ue.select($"a".as("a3"), $"b".as("b3"))
+        e1.join(e2, $"b1" === $"a2")
+          .join(e3, $"a1" === $"a3" && $"b2" === $"b3")
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT c_nationkey AS x, s_nationkey AS y
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey),
+             |ue AS (
+             |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw)
+             |SELECT COUNT(*) AS n_triangles
+             |FROM ue e1 JOIN ue e2 ON e1.b = e2.a
+             |  JOIN ue e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin)),
+
+    // BFS hop counts from nation 0 over the DIRECTED trade graph: four rounds of
+    // frontier-expand (equi-join) + min-hop collapse — Pregel-by-joins, like
+    // graph_pagerank but for reachability. Each round shuffles only the frontier
+    // (≤ |V| rows after the distinct), never the fact table. The oracle is the
+    // textbook bounded recursive CTE.
+    Q("graph_bfs_hops",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .filter($"src" =!= $"dst")
+          .distinct()
+          .localCheckpoint() // small edge list; cut the 4-join lineage once
+        var frontier = e.filter($"src" === 0)
+          .select($"src".as("node")).distinct()
+          .withColumn("hops", lit(0))
+        var reached = frontier
+        for (h <- 1 to 4) {
+          frontier = frontier.join(e, $"node" === $"src")
+            .select($"dst".as("node")).distinct()
+            .withColumn("hops", lit(h))
+          reached = reached.union(frontier)
+        }
+        reached.groupBy($"node").agg(min($"hops").as("hops")).orderBy($"node")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey),
+             |r AS (
+             |  SELECT DISTINCT src AS node, 0 AS hops FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+             |  WHERE r.hops < 4)
+             |SELECT node, MIN(hops) AS hops FROM r GROUP BY node
+             |ORDER BY node""".stripMargin)),
+
+    // Last-touch marketing attribution: each purchase is credited to the user's
+    // most recent preceding click/view ('direct' when none). One key-partitioned
+    // window (last over a 1-preceding frame, ignoreNulls) carries the touch
+    // forward — the classic "attach latest qualifying prior event" shape, done
+    // with zero self-joins; then one grouped rollup of count + exact revenue.
+    Q("events_attribution_last_touch",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events")
+          .withColumn("last_touch",
+            last(when($"event_type".isin("click", "view"), $"event_type"),
+              ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .groupBy(coalesce($"last_touch", lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("revenue"))
+          .orderBy($"channel")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT event_type, value,
+              |    last_value(CASE WHEN event_type IN ('click','view')
+              |                    THEN event_type END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS last_touch
+              |  FROM events)
+              |SELECT COALESCE(last_touch, 'direct') AS channel,
+              |  COUNT(*) AS n_purchases, ${sqlDsum("value")} AS revenue
+              |FROM t WHERE event_type = 'purchase'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Join-key skew diagnostic: the distribution of per-key group sizes
+    // (max / positional p50 / positional p99 / mean / skew ratio) in one pass
+    // over the COMPRESSED key histogram — the report that decides between a
+    // plain shuffle join and the salted variant (join_skew_salted /
+    // agg_skew_twolevel) before burning a 100 TB shuffle. The global window runs
+    // over |distinct keys| rows, not the fact table; positional percentiles use
+    // pure integer positions (no interpolation, engine-independent).
+    Q("dq_skew_report",
+      (s, dir) => {
+        import s.implicits._
+        val sizes = t(s, dir, "lineitem")
+          .groupBy($"l_suppkey").agg(count(lit(1)).as("sz"))
+        sizes
+          .withColumn("rn", row_number().over(Window.orderBy($"sz", $"l_suppkey")))
+          .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum($"sz").cast("bigint").as("n_rows"),
+            max($"sz").as("max_sz"),
+            min(when($"rn" === floor(($"k" + 1) / 2).cast("long"), $"sz"))
+              .as("p50_sz"),
+            min(when($"rn" === expr("(99 * k + 99) div 100"), $"sz"))
+              .as("p99_sz"))
+          .select($"n_keys", $"n_rows", $"max_sz", $"p50_sz", $"p99_sz",
+            ($"n_rows".cast("double") / $"n_keys").as("avg_sz"),
+            ($"max_sz" / ($"n_rows".cast("double") / $"n_keys")).as("skew_ratio"))
+      },
+      Some("""WITH sizes AS (
+             |  SELECT l_suppkey, COUNT(*) AS sz FROM lineitem GROUP BY 1),
+             |r AS (
+             |  SELECT sz,
+             |    ROW_NUMBER() OVER (ORDER BY sz, l_suppkey) AS rn,
+             |    COUNT(*) OVER () AS k
+             |  FROM sizes),
+             |a AS (
+             |  SELECT COUNT(*) AS n_keys,
+             |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+             |    MAX(sz) AS max_sz,
+             |    MIN(CASE WHEN rn = CAST(floor((k + 1) / 2) AS BIGINT)
+             |             THEN sz END) AS p50_sz,
+             |    MIN(CASE WHEN rn = (99 * k + 99) // 100 THEN sz END) AS p99_sz
+             |  FROM r)
+             |SELECT n_keys, n_rows, max_sz, p50_sz, p99_sz,
+             |  CAST(n_rows AS DOUBLE) / n_keys AS avg_sz,
+             |  max_sz / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio
+             |FROM a""".stripMargin)),
+
+    // Quantile-rank feature normalization: percent_rank of account balance
+    // WITHIN nation plus an integer decile — the rank-based transform that makes
+    // heavy-tailed features comparable across segments. percent_rank is
+    // (rank−1)/(n−1) in both engines (ties share a rank, so the value is
+    // determined by the data alone); the decile derives from the same two
+    // integers, floored after exact small-integer double division.
+    Q("feat_quantile_rank",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal")
+        t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+            percent_rank().over(w).as("pr"),
+            (least(lit(9L),
+              floor((rank().over(w) - 1) * 10 /
+                greatest(count(lit(1)).over(Window.partitionBy($"c_nationkey")) - 1,
+                  lit(1L)))
+                .cast("long")) + 1).as("decile"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             |  percent_rank() OVER w AS pr,
+             |  least(9, CAST(floor(
+             |    (rank() OVER w - 1) * 10 /
+             |    greatest(COUNT(*) OVER (PARTITION BY c_nationkey) - 1, 1))
+             |    AS BIGINT)) + 1 AS decile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Calendar date-dimension generation: a sequence generator (not a driver
+    // loop) spans the fact table's own [min, max] date range; every attribute is
+    // a pure column function. The ISO weekday is spelled out arithmetically on
+    // the Spark side ((dayofweek+5) % 7 + 1) to pin the Monday=1 convention the
+    // oracle's isodow uses — cross-engine weekday numbering is convention, not
+    // math, so the query declares it.
+    Q("gen_date_dim",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .agg(min(to_date($"o_orderdate")).as("d0"),
+            max(to_date($"o_orderdate")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+          .select($"d",
+            year($"d").as("y"), quarter($"d").as("q"),
+            month($"d").as("m"), dayofmonth($"d").as("dom"),
+            (((dayofweek($"d") + 5) % 7) + 1).as("isodow"),
+            ($"d" === last_day($"d")).as("is_month_end"),
+            (((dayofweek($"d") + 5) % 7) + 1 >= 6).as("is_weekend"))
+          .orderBy($"d")
+      },
+      Some("""WITH span AS (
+             |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             |    CAST(MAX(o_orderdate) AS DATE) AS d1
+             |  FROM orders),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+             |    AS d
+             |  FROM span)
+             |SELECT d, year(d) AS y, quarter(d) AS q, month(d) AS m,
+             |  dayofmonth(d) AS dom, isodow(d) AS isodow,
+             |  d = last_day(d) AS is_month_end,
+             |  isodow(d) >= 6 AS is_weekend
+             |FROM spine ORDER BY d""".stripMargin)),
+
+    // A/B experiment readout with Welch's t statistic: deterministic arm
+    // assignment from an md5 nibble of the user id (the sample_stratified_hash
+    // bucketing — portable across engines, stable across reruns), then ONE
+    // global aggregate of conditional decimal-exact moments for both arms, and
+    // the t statistic as an identical double expression tree. No per-arm
+    // subqueries, no second pass — the 100 TB shape is a single map-side-combined
+    // reduction to one row.
+    Q("events_ab_welch",
+      (s, dir) => {
+        import s.implicits._
+        val nibble =
+          conv(substring(md5($"user_id".cast("string")), 1, 1), 16, 10).cast("int")
+        val vd = ($"value" - 100.0d).cast("decimal(18,4)")
+        t(s, dir, "events")
+          .withColumn("in_a", nibble < 8)
+          .agg(
+            sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+            sum(when(!$"in_a", 1L).otherwise(0L)).as("n_b"),
+            sum(when($"in_a", vd)).cast("double").as("sa"),
+            sum(when($"in_a", vd * vd)).cast("double").as("saa"),
+            sum(when(!$"in_a", vd)).cast("double").as("sb"),
+            sum(when(!$"in_a", vd * vd)).cast("double").as("sbb"))
+          .select($"n_a", $"n_b",
+            (lit(100.0d) + $"sa" / $"n_a").as("mean_a"),
+            (lit(100.0d) + $"sb" / $"n_b").as("mean_b"),
+            ($"sa" / $"n_a" - $"sb" / $"n_b").as("lift"),
+            (($"sa" / $"n_a" - $"sb" / $"n_b") /
+              sqrt((($"saa" - $"sa" * $"sa" / $"n_a") / ($"n_a" - 1)) / $"n_a" +
+                   (($"sbb" - $"sb" * $"sb" / $"n_b") / ($"n_b" - 1)) / $"n_b"))
+              .as("t_welch"))
+      },
+      Some("""WITH v AS (
+             |  SELECT
+             |    instr('0123456789abcdef',
+             |          substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+             |      AS in_a,
+             |    CAST(value - 100.0 AS DECIMAL(18,4)) AS vd
+             |  FROM events),
+             |c AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN in_a THEN vd END) AS DOUBLE) AS sa,
+             |    CAST(SUM(CASE WHEN in_a THEN vd * vd END) AS DOUBLE) AS saa,
+             |    CAST(SUM(CASE WHEN NOT in_a THEN vd END) AS DOUBLE) AS sb,
+             |    CAST(SUM(CASE WHEN NOT in_a THEN vd * vd END) AS DOUBLE) AS sbb
+             |  FROM v)
+             |SELECT n_a, n_b,
+             |  100.0 + sa / n_a AS mean_a,
+             |  100.0 + sb / n_b AS mean_b,
+             |  sa / n_a - sb / n_b AS lift,
+             |  (sa / n_a - sb / n_b) /
+             |    sqrt(((saa - sa * sa / n_a) / (n_a - 1)) / n_a +
+             |         ((sbb - sb * sb / n_b) / (n_b - 1)) / n_b) AS t_welch
+             |FROM c""".stripMargin))
+  )
+}

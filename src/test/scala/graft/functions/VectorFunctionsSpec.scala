@@ -34,6 +34,55 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(maxDiff < 1e-9, s"maxDiff=$maxDiff")
   }
 
+  test("vec_dot_exact is BIT-IDENTICAL to the decimal HOF formulation") {
+    import spark.implicits._
+    // real embeddings: every pair must match exactly, not to a tolerance —
+    // the oracle gate hashes these doubles
+    val e = graft.Tables.embeddings(spark, sf).limit(80).cache()
+    val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+    val bad = a.join(b, $"id1" < $"id2")
+      .select(
+        graft.llm.Similarity.dotExact($"e1", $"e2").as("native"),
+        graft.llm.Similarity.dotExactHof($"e1", $"e2").as("hof"))
+      .filter(!($"native" === $"hof")) // bitwise: NaN-free doubles
+      .count()
+    assert(bad == 0, s"$bad pairs diverge from the HOF formulation")
+  }
+
+  test("vec_dot_exact adversarial values: negatives, tiny, large, rounding edges") {
+    import spark.implicits._
+    val vs = Seq(
+      (Array(-1.5f, 2.25f, -3.125f), Array(4.0f, -5.5f, 6.75f)),
+      (Array(1e-8f, -1e-8f, 1e8f), Array(1e-8f, 1e-8f, 1e8f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.7f, 0.8f, 0.9f)),
+      (Array(Float.MinPositiveValue, 1f), Array(Float.MinPositiveValue, 1f)))
+    val df = vs.toDF("a", "b")
+    val rows = df.select(
+      graft.llm.Similarity.dotExact($"a", $"b").as("native"),
+      graft.llm.Similarity.dotExactHof($"a", $"b").as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
+  test("vec_dot_exact null semantics: null array, null element, length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f)))), // length mismatch
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(3.0f), Some(4.0f)))), // null elem
+      (None, Some(Seq(Some(1.0f)))) // null array
+    ).toDF("a", "b")
+      .select($"a".cast("array<float>"), $"b".cast("array<float>"))
+    val got = df.select(
+      graft.llm.Similarity.dotExact($"a", $"b").as("native"),
+      graft.llm.Similarity.dotExactHof($"a", $"b").as("hof")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+    }
+  }
+
   test("vec_dot interpreted eval (no codegen) agrees with codegen") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
