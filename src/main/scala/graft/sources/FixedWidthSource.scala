@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -123,7 +123,8 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
 }
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
-    required: StructType, val pushedFilters: Array[Filter]) extends Scan with Batch {
+    required: StructType, val pushedFilters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaces in .explain via BatchScanExec.simpleString, like built-in FileScans
@@ -131,31 +132,55 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     s"FixedWidth PushedFilters: [${pushedFilters.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Committed (path, length) pairs — listed once, shared by partition planning
+    * and statistics. */
+  private lazy val files: Array[(String, Long)] = {
     val confBag = FixedWidthConf.capture()
     val p = new Path(path)
     val fs = p.getFileSystem(FixedWidthConf.restore(confBag))
-    val all =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath)
-      else Array(p)
-    val manifests = all.filter(_.getName.startsWith("_graft_manifest"))
-    val files =
-      if (manifests.nonEmpty) {
-        // committed writes: read exactly the manifested files (orphans from
-        // crashed task attempts are excluded by construction)
-        manifests.flatMap { m =>
-          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-            fs.open(m), java.nio.charset.StandardCharsets.UTF_8))
-          try Iterator.continually(in.readLine()).takeWhile(_ != null)
-            .filter(_.nonEmpty).map(new Path(p, _).toString).toArray
-          finally in.close()
-        }.distinct.sorted
-      } else all.collect {
-        case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") =>
-          f.toString
-      }.sorted
-    files.map(f => FixedWidthPartition(f): InputPartition)
+    val st = fs.getFileStatus(p)
+    val all = if (st.isDirectory) fs.listStatus(p).filter(_.isFile) else Array(st)
+    val manifests = all.filter(_.getPath.getName.startsWith("_graft_manifest"))
+    if (manifests.nonEmpty) {
+      // committed writes: read exactly the manifested files (orphans from
+      // crashed task attempts are excluded by construction)
+      val byName = all.map(s => s.getPath.getName -> s).toMap
+      manifests.flatMap { m =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(m.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).toArray
+        finally in.close()
+      }.distinct.sorted.map { name =>
+        byName.get(name) match {
+          case Some(s) => (s.getPath.toString, s.getLen)
+          case None => // manifested file outside the listing (shouldn't happen)
+            val fp = new Path(p, name); (fp.toString, fs.getFileStatus(fp).getLen)
+        }
+      }
+    } else all.collect {
+      case s if !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => (s.getPath.toString, s.getLen)
+    }.sortBy(_._1)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => FixedWidthPartition(f._1): InputPartition)
+
+  /** Real size/row statistics from the file listing: fixed-width records make
+    * the row count a straight division (total bytes / line width incl. '\n').
+    * Reporting true sizeInBytes is what lets Spark auto-broadcast a small
+    * fixed-width dimension in a join — without it a DSv2 relation defaults to
+    * "unknown/huge" and every join against this source becomes a shuffle. */
+  override def estimateStatistics(): Statistics = {
+    val bytes = files.map(_._2).sum
+    val lineWidth = widths.sum + 1 // records are '\n'-terminated lines
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes / math.max(1, lineWidth))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -140,6 +140,28 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(got == Seq((1, "A"), (2, "B")), got)
   }
 
+  test("reported statistics drive auto-broadcast of a small fixed-width dim") {
+    import spark.implicits._
+    val dim = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+    // stats are real (tiny file => tiny sizeInBytes), so the planner should pick
+    // a broadcast join without any hint
+    val fact = spark.range(1000).select(($"id" % 5).cast("int").as("k"))
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() > 0)
+    // and the scan reports both estimates
+    val scan = joined.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[FixedWidthScan]
+    }.head
+    val st = scan.estimateStatistics()
+    assert(st.sizeInBytes().getAsLong > 0 && st.numRows().getAsLong > 0)
+  }
+
   test("write path: over-wide value fails the task instead of truncating") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fw-e").toString
     val df = spark.range(1).selectExpr("cast(id as int) k",
