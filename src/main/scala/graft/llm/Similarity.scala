@@ -41,14 +41,24 @@ object Similarity {
   /** Brute-force cosine top-k: every query row against every corpus row, windowed
     * pick of the k best. Exact — the correctness baseline for ANN variants. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // A small query set (the eval shape: tens of probes against the corpus) often
+    // arrives in ONE file partition, which would serialize the whole |Q|·|C|
+    // decimal-dot loop onto a single task — round-robin the stream side across
+    // the configured parallelism first. At production |Q| this is a no-op cost.
+    val para = queries.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // precompute norms once per vector (vs per pair): 3x less decimal work, same bits
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-      normExact(col("embedding")).as("qnorm"))
+    val q = queries.repartition(para)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        normExact(col("embedding")).as("qnorm"))
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cvec"),
       normExact(col("embedding")).as("cnorm"))
     val scored = q.join(c, col("qid") =!= col("vid"))
       .withColumn("cosine", dotExact(col("qvec"), col("cvec")) /
         (col("qnorm") * col("cnorm")))
+      // project the vectors away BEFORE the top-k window: the rank shuffle+sort
+      // then carries 3 scalars per pair, not two embedding arrays — at |Q|·|C|
+      // pair counts the arrays are the dominant exchange volume by ~50×
+      .select(col("qid"), col("vid"), col("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "vid", "cosine")

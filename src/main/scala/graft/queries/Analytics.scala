@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryDSL._
+import graft.llm.{TextFunctions => TF}
 
 /** Statistical / graph / experimentation analytics — the operator families an
   * analytics engine needs beyond the relational core: closed-form regression,
@@ -442,6 +443,179 @@ object Analytics {
              |  (sa / n_a - sb / n_b) /
              |    sqrt(((saa - sa * sa / n_a) / (n_a - 1)) / n_a +
              |         ((sbb - sb * sb / n_b) / (n_b - 1)) / n_b) AS t_welch
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Lexical rarity scoring: each document's mean corpus-frequency rank of its
+    // tokens — the rank-based cousin of perplexity filtering that needs NO
+    // transcendental math (log-probabilities don't hash across engines; integer
+    // ranks do). The vocab rank window runs over the compressed token histogram
+    // (|vocab| rows); the per-doc score is one equi-join + one grouped exact sum.
+    Q("text_rarity_score",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .withColumn("r",
+            row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
+          .select($"token".as("vt"), $"r")
+        t(s, dir, "documents").filter($"doc_id" < 300)
+          .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+          .join(vocab, $"token" === $"vt")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum($"r").cast("bigint").as("rank_sum"))
+          .select($"doc_id", $"n_tok", $"rank_sum",
+            ($"rank_sum".cast("double") / $"n_tok").as("avg_rank"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT unnest(${duckToks("text")}) AS token FROM documents),
+              |vocab AS (
+              |  SELECT token AS vt,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS BIGINT)
+              |      AS r
+              |  FROM tok GROUP BY token),
+              |d AS (
+              |  SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents WHERE doc_id < 300)
+              |SELECT doc_id, COUNT(*) AS n_tok,
+              |  CAST(SUM(r) AS BIGINT) AS rank_sum,
+              |  CAST(SUM(r) AS DOUBLE) / COUNT(*) AS avg_rank
+              |FROM d JOIN vocab ON token = vt
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Incremental SCD2 maintenance: yesterday's history (built from the old
+    // partition) + today's changeset, WITHOUT rebuilding — close each key's open
+    // version at the key's first new change date, append the changeset's own
+    // intervals. The oracle is the FULL-table rebuild: the query asserts the
+    // warehouse invariant incremental-apply ≡ rebuild, which is what makes the
+    // daily O(Δ) merge trustworthy at a 100 TB history the full rebuild couldn't
+    // touch. Shapes: two partitioned window passes + one broadcast-size join of
+    // per-key first-new dates.
+    Q("scd2_incremental_apply",
+      (s, dir) => {
+        import s.implicits._
+        val split = lit("1998-01-01 00:00:00").cast("timestamp")
+        val o = t(s, dir, "orders")
+        val old = o.filter($"o_orderdate" < split)
+        val nw = o.filter($"o_orderdate" >= split)
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val oldh = old
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+            $"o_orderdate".as("valid_from"),
+            lead($"o_orderdate", 1).over(w).as("vt_old"))
+        val firstNew = nw.groupBy($"o_custkey".as("fk"))
+          .agg(min($"o_orderdate").as("first_new"))
+        val closed = oldh.join(firstNew, $"o_custkey" === $"fk", "left")
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"valid_from",
+            coalesce($"vt_old", $"first_new").as("valid_to"),
+            ($"vt_old".isNull && $"first_new".isNull).as("is_current"))
+        val newh = nw
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+            $"o_orderdate".as("valid_from"),
+            lead($"o_orderdate", 1).over(w).as("valid_to"))
+          .withColumn("is_current", $"valid_to".isNull)
+        closed.unionByName(newh).orderBy($"o_custkey", $"o_orderkey")
+      },
+      // oracle = the full-history rebuild; equality IS the invariant under test
+      Some("""WITH h AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus,
+             |    o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS next_from
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
+             |  next_from AS valid_to,
+             |  next_from IS NULL AS is_current
+             |FROM h ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Snapshot reconciliation audit: classify every key across two table versions
+    // as added / removed / changed / unchanged in ONE full-outer equi-join — the
+    // nightly "what moved" report that replaces per-row lookups with a single
+    // key-partitioned pass. The two versions are derived deterministically from
+    // the same table (drop-mod-97 simulates late rows, drop-mod-89 simulates
+    // deletions, the mod-100 price bump simulates updates).
+    Q("dq_table_diff",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val prev = o.filter($"o_orderkey" % 89 =!= 7)
+          .select($"o_orderkey".as("pk"),
+            when($"o_orderkey" % 100 === 0, $"o_totalprice" - 1.0d)
+              .otherwise($"o_totalprice").as("pprice"))
+        val cur = o.filter($"o_orderkey" % 97 =!= 3)
+          .select($"o_orderkey".as("ck"), $"o_totalprice".as("cprice"))
+        prev.join(cur, $"pk" === $"ck", "full_outer")
+          .agg(
+            sum(when($"pk".isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when($"ck".isNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when($"pk".isNotNull && $"ck".isNotNull &&
+              !($"pprice" === $"cprice"), 1L).otherwise(0L)).as("n_changed"),
+            sum(when($"pk".isNotNull && $"ck".isNotNull &&
+              ($"pprice" === $"cprice"), 1L).otherwise(0L)).as("n_unchanged"))
+      },
+      Some("""WITH prev AS (
+             |  SELECT o_orderkey AS pk,
+             |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice - 1.0
+             |         ELSE o_totalprice END AS pprice
+             |  FROM orders WHERE o_orderkey % 89 <> 7),
+             |cur AS (
+             |  SELECT o_orderkey AS ck, o_totalprice AS cprice
+             |  FROM orders WHERE o_orderkey % 97 <> 3)
+             |SELECT
+             |  CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_added,
+             |  CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed,
+             |  CAST(SUM(CASE WHEN pk IS NOT NULL AND ck IS NOT NULL
+             |    AND pprice <> cprice THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(SUM(CASE WHEN pk IS NOT NULL AND ck IS NOT NULL
+             |    AND pprice = cprice THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+             |FROM prev FULL OUTER JOIN cur ON pk = ck""".stripMargin)),
+
+    // Gini concentration of order value per priority class: the inequality
+    // readout (revenue concentration, usage skew) via the rank formulation
+    // G = (2·Σ rᵢxᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ). Σ rᵢxᵢ is invariant under
+    // permuting equal values, so the unique (value, orderkey) tie order makes it
+    // engine-independent; sums stay decimal-exact and both operands are rounded
+    // to integer decimals BEFORE the one double division (large-decimal → double
+    // casts are the known cross-engine rounding hazard).
+    Q("agg_gini_concentration",
+      (s, dir) => {
+        import s.implicits._
+        val xd = $"o_totalprice".cast("decimal(18,2)")
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_orderpriority", xd.as("xd"),
+            row_number().over(w).cast("long").as("rn"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"xd").as("sd"),
+            sum($"rn" * $"xd").as("wd"))
+          .select($"o_orderpriority", $"n",
+            (round(lit(2) * $"wd" - ($"n" + 1) * $"sd", 0).cast("double") /
+              round($"n" * $"sd", 0).cast("double")).as("gini"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders),
+             |c AS (
+             |  SELECT o_orderpriority, COUNT(*) AS n,
+             |    SUM(xd) AS sd, SUM(rn * xd) AS wd
+             |  FROM r GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, n,
+             |  CAST(ROUND(2 * wd - (n + 1) * sd, 0) AS DOUBLE) /
+             |    CAST(ROUND(n * sd, 0) AS DOUBLE) AS gini
+             |FROM c ORDER BY o_orderpriority""".stripMargin))
   )
+
+  /** DuckDB tokenizer mirror of [[TF.tokens]] (same regex class, same filter). */
+  private def duckToks(textExpr: String) =
+    s"list_filter(regexp_split_to_array(lower($textExpr), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 }
