@@ -612,7 +612,80 @@ object Analytics {
              |SELECT o_orderpriority, n,
              |  CAST(ROUND(2 * wd - (n + 1) * sd, 0) AS DOUBLE) /
              |    CAST(ROUND(n * sd, 0) AS DOUBLE) AS gini
-             |FROM c ORDER BY o_orderpriority""".stripMargin))
+             |FROM c ORDER BY o_orderpriority""".stripMargin)),
+
+    // 7-day rolling distinct users — EXACT, via fixed-width bitmaps as WINDOW
+    // aggregates: per (day, bucket) bitmaps from one grouped pass (the only
+    // full-data shuffle), then bitmap_or_agg over a 6-preceding RANGE frame per
+    // bucket and a per-day sum of bucket counts. The window state is 7 bitmaps
+    // of 4 KB per bucket — constant memory regardless of user count — where the
+    // naive rolling COUNT(DISTINCT) re-expands every event 7×. The oracle IS
+    // that naive 7× range join, which is exactly the plan this operator replaces
+    // at scale. Ids are shifted +1: bitmap_bit_position is 1-based, so id 0 would
+    // collide with id 1 (found as an off-by-one undercount against the oracle).
+    Q("events_rolling_distinct_users",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("ev_rolling")
+        s.sql("""WITH daily AS (
+                |  SELECT CAST(ts AS DATE) AS day,
+                |    datediff(CAST(ts AS DATE), DATE '1995-01-01') AS dnum,
+                |    bitmap_bucket_number(user_id + 1) AS bkt,
+                |    bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+                |  FROM ev_rolling GROUP BY 1, 2, 3),
+                |rolled AS (
+                |  SELECT day, bitmap_count(
+                |    bitmap_or_agg(b) OVER (PARTITION BY bkt ORDER BY dnum
+                |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS c
+                |  FROM daily)
+                |SELECT day, CAST(SUM(c) AS BIGINT) AS users_7d
+                |FROM rolled GROUP BY day ORDER BY day""".stripMargin)
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |SELECT d.day, COUNT(DISTINCT e.user_id) AS users_7d
+             |FROM days d JOIN events e
+             |  ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+             |GROUP BY d.day ORDER BY d.day""".stripMargin)),
+
+    // Hashing-trick featurization: tokens hashed into 64 buckets via two md5
+    // nibbles (portable across engines — never xxhash/murmur, whose seeds are
+    // Spark-internal), per-doc sparse counts rendered as a sorted "bucket:count"
+    // string. Map-side explode + one (doc, bucket) count shuffle; the vocabulary
+    // never materializes anywhere — the point of the hashing trick at corpus
+    // scale.
+    Q("feat_hashing_trick",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = (
+          (conv(substring(md5($"token"), 1, 1), 16, 10).cast("int") * 16) +
+            conv(substring(md5($"token"), 2, 1), 16, 10).cast("int")) % 64
+        t(s, dir, "documents").filter($"doc_id" < 300)
+          .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+          .select($"doc_id", bucket.as("bucket"))
+          .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").cast("bigint").as("n_tok"),
+            concat_ws(" ",
+              transform(sort_array(collect_list(struct($"bucket", $"c"))),
+                s0 => concat(s0("bucket").cast("string"), lit(":"),
+                  s0("c").cast("string")))).as("features"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents WHERE doc_id < 300),
+              |b AS (
+              |  SELECT doc_id,
+              |    ((instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1)
+              |      * 16
+              |     + instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1)
+              |      % 64 AS bucket
+              |  FROM tok),
+              |c AS (
+              |  SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2)
+              |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+              |  string_agg(bucket || ':' || c, ' ' ORDER BY bucket) AS features
+              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB tokenizer mirror of [[TF.tokens]] (same regex class, same filter). */
