@@ -77,20 +77,32 @@ object Analytics {
     // Equi-depth histogram WITHOUT a global row-number over the raw table: the
     // scalable formulation first collapses to the value histogram (one grouped
     // count — at 100 TB the only full-data pass), then computes the cumulative
-    // distribution over that compressed frame and derives each value's bucket
-    // from its own cumulative start position with pure integer arithmetic
-    // (`div` — no doubles, no engine-specific rounding). Values never split
-    // across buckets (all duplicates of a value share its start position), which
-    // is what makes the result partitioning- and engine-independent.
+    // distribution with a TWO-LEVEL prefix sum — range-bucket the values, window
+    // only within each range bucket, and carry cross-bucket offsets on the tiny
+    // per-bucket frame (the text_token_budget_pack pattern). No stage ever sorts
+    // more than one range-bucket's distinct values on one reducer. Each value's
+    // equi-depth bucket then derives from its cumulative start position with
+    // pure integer arithmetic (`div` — no doubles, no engine-specific rounding);
+    // duplicates of a value share a start position, so values never split across
+    // buckets — partitioning- and engine-independent.
     Q("agg_histogram_equidepth",
       (s, dir) => {
         import s.implicits._
-        val tot = Window.partitionBy()
-        t(s, dir, "lineitem")
+        // range bucket: any deterministic ORDER-PRESERVING coarsening works
+        // (Spark-side only — the oracle computes the same cum another way)
+        val h = t(s, dir, "lineitem")
           .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum($"c").over(Window.orderBy($"v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum($"c").over(tot))
+          .withColumn("rb", floor($"v" / 1000.0d))
+        val offsets = h.groupBy($"rb").agg(sum($"c").as("rb_c"))
+          .withColumn("offset", coalesce(
+            sum($"rb_c").over(Window.orderBy($"rb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum($"rb_c").over(Window.partitionBy()))
+          .select($"rb", $"offset", $"n")
+        h.join(broadcast(offsets), Seq("rb"))
+          .withColumn("cum", $"offset" + sum($"c").over(
+            Window.partitionBy($"rb").orderBy($"v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("bucket", expr("(((cum - c) * 8) div n) + 1"))
           .groupBy($"bucket")
           .agg(sum($"c").cast("bigint").as("cnt"),
@@ -112,30 +124,37 @@ object Analytics {
              |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Median absolute deviation per group (robust spread): positional low-median
-    // of |x − median| with the same total tie order as agg_median_positional.
-    // Two window families on the SAME partition key (one shuffle reused across
-    // both passes under AQE); the 3-row median frame broadcasts back onto the
-    // fact. Quantities are integer-valued so every deviation is exact.
+    // of |x − median|, computed from the VALUE HISTOGRAM rather than row-level
+    // windows — quantity has ~50 distinct values, so after one grouped count the
+    // median and MAD both come from cumulative sums over tiny per-group frames
+    // (the positional median at floor((n+1)/2) is the smallest value whose
+    // cumulative count reaches that position — identical to the oracle's
+    // row_number formulation, at a fraction of the sort). The full-table work is
+    // ONE map-side-combined count; everything after runs on |groups|·|values|
+    // rows.
     Q("agg_mad",
       (s, dir) => {
         import s.implicits._
-        val w1 = Window.partitionBy($"l_returnflag")
-          .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
-        val med = t(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w1))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-          .filter($"rn" === floor(($"cnt" + 1) / 2).cast("long"))
-          .select($"l_returnflag".as("mf"), $"l_quantity".as("med"))
-        val dev = t(s, dir, "lineitem")
-          .join(broadcast(med), $"l_returnflag" === $"mf")
+        def posMedian(h: org.apache.spark.sql.DataFrame, valueCol: String) = {
+          // h: (l_returnflag, <valueCol>, c) → (l_returnflag, median of value)
+          val cw = Window.partitionBy($"l_returnflag").orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          h.withColumn("cum", sum($"c").over(cw))
+            .withColumn("tot", sum($"c").over(Window.partitionBy($"l_returnflag")))
+            .filter($"cum" >= floor(($"tot" + 1) / 2).cast("long"))
+            .groupBy($"l_returnflag")
+            .agg(min(col(valueCol)).as("m"))
+        }
+        val h = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+        val med = posMedian(h, "l_quantity")
+          .select($"l_returnflag".as("mf"), $"m".as("med"))
+        val devH = h.join(broadcast(med), $"l_returnflag" === $"mf")
           .withColumn("dev", abs($"l_quantity" - $"med"))
-        val w2 = Window.partitionBy($"l_returnflag")
-          .orderBy($"dev", $"l_orderkey", $"l_linenumber")
-        dev
-          .withColumn("rn", row_number().over(w2))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-          .filter($"rn" === floor(($"cnt" + 1) / 2).cast("long"))
-          .select($"l_returnflag", $"med".as("median_low"), $"dev".as("mad_low"))
+          .groupBy($"l_returnflag", $"med", $"dev").agg(sum($"c").as("c"))
+        val mad = posMedian(devH.drop("med"), "dev")
+        med.join(mad, $"mf" === $"l_returnflag")
+          .select($"l_returnflag", $"med".as("median_low"), $"m".as("mad_low"))
           .orderBy($"l_returnflag")
       },
       Some("""WITH med AS (
