@@ -3,9 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2b "Streaming"): the same windowing /
@@ -235,6 +235,77 @@ object Streaming {
       Iterator.single(UserTopTypes(key,
         top3.map(v => f"$v%.3f").mkString("|"), nTypes, ver))
     }
+  }
+
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n: Long)
+
+  /** EVENT-TIME TIMERS on transformWithState — the streaming-native gap
+    * sessionization: sessions that close INSIDE a batch (a later event arrives
+    * more than `gap` after the last one) emit immediately; the final open session
+    * per key registers a timer at `last + gap`, and `handleExpiredTimer` emits it
+    * when the WATERMARK crosses that point — the state cannot linger forever and
+    * no session is emitted before it provably cannot be extended. This is the
+    * timeout pattern GroupStateTimeout provided, on the typed-state API.
+    *
+    * Intra-batch rows are buffered and sorted by (ts, then order of arrival is
+    * irrelevant after the sort) per key — bounded by a key's events per batch. */
+  class UserSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
+    @transient private var startState: ValueState[Long] = _
+    @transient private var lastState: ValueState[Long] = _
+    @transient private var nState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      startState =
+        getHandle.getValueState[Long]("start", Encoders.scalaLong, TTLConfig.NONE)
+      lastState =
+        getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val ts = rows.map(_._2.getTime).toArray.sorted
+      if (ts.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var (start, last, n) =
+        if (startState.exists()) (startState.get(), lastState.get(), nState.get())
+        else (ts(0), ts(0), 0L)
+      // an open session from a previous batch had a pending timer — replace it
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      ts.foreach { t =>
+        if (n > 0L && t - last > gapMs) {
+          out += SessionOut(key, start, last, n)
+          start = t; n = 0L
+        }
+        last = t; n += 1L
+      }
+      startState.update(start); lastState.update(last); nState.update(n)
+      getHandle.registerTimer(last + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!startState.exists()) return Iterator.empty
+      val out = SessionOut(key, startState.get(), lastState.get(), nState.get())
+      startState.clear(); lastState.clear(); nState.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** transformWithState with event-time timers (see [[UserSessionProcessor]]). */
+  def timerSessions(spark: SparkSession, events: DataFrame, gapMs: Long,
+      watermark: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new UserSessionProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** transformWithState over ListState/MapState (see [[UserTopTypesProcessor]]). */

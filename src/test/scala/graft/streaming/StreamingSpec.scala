@@ -207,6 +207,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.columns.toSet == Set("wstart", "event_type", "n", "total"))
   }
 
+  test("transformWithState event-time timers: sessions emit on close or watermark") {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    val got = Streaming.runToMemory(spark,
+      Streaming.timerSessions(spark, Streaming.eventsStream(spark, sf), gapMs,
+        "0 seconds").toDF(),
+      "t_timer_sessions", OutputMode.Append())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch mimic: gap-sessionize the same events in-memory (sf0.001 is small)
+    val ev = batchEvents.select($"user_id", unix_millis($"ts").as("ms"))
+      .as[(Long, Long)].collect()
+    val maxTs = ev.map(_._2).max
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 0L
+      ts.foreach { t =>
+        if (n > 0 && t - last > gapMs) { out += ((uid, start, last, n)); start = t; n = 0 }
+        last = t; n += 1
+      }
+      out += ((uid, start, last, n))
+      out
+    }.toSet
+    val provablyClosed = sessions.filter { case (_, _, end, _) => end + gapMs < maxTs }
+    assert(got.subsetOf(sessions),
+      s"emitted a session the batch mimic doesn't have: ${got.diff(sessions).take(3)}")
+    assert(provablyClosed.subsetOf(got),
+      s"missed provably-closed sessions: ${provablyClosed.diff(got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("checkpoint restart: exactly-once across stop, new data, resume") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
