@@ -74,6 +74,34 @@ object Scale {
       },
       None),
 
+    // Mergeable QUANTILE sketches (custom TypedImperativeAggregate over the
+    // DataSketches KLL sketch in Spark's own jars — graft.functions.KllSketchAgg):
+    // per-group p50/p90/p99 from a few-KB bounded-error summary, plus the 'ALL'
+    // row folded from the PER-GROUP SKETCHES via kll_merge_agg — the store-daily-
+    // artifacts / roll-up-on-demand pattern for percentiles, which Spark's
+    // percentile_approx cannot do (its summaries aren't exposed or mergeable).
+    // Approximate ⇒ BENCH/rows-only, like the HLL twin above.
+    Q("approx_kll_quantiles",
+      (s, dir) => {
+        graft.functions.KllFunctions.register(s)
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH sk AS (
+                |  SELECT l_returnflag AS grp,
+                |    kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk,
+                |    COUNT(*) AS n
+                |  FROM lineitem GROUP BY 1)
+                |SELECT grp, kll_quantile(sk, 0.5D) AS p50,
+                |  kll_quantile(sk, 0.9D) AS p90, kll_quantile(sk, 0.99D) AS p99, n
+                |FROM sk
+                |UNION ALL
+                |SELECT 'ALL', kll_quantile(kll_merge_agg(sk), 0.5D),
+                |  kll_quantile(kll_merge_agg(sk), 0.9D),
+                |  kll_quantile(kll_merge_agg(sk), 0.99D), SUM(n)
+                |FROM sk
+                |ORDER BY grp""".stripMargin)
+      },
+      None),
+
     // One-pass column profiler (data-quality stats collection): row count, null
     // count, distinct count, min/max for four columns in a SINGLE aggregation over
     // the table, unpivoted to one row per column with `inline`. The multi-distinct

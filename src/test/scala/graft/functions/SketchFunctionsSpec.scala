@@ -55,4 +55,38 @@ class SketchFunctionsSpec extends AnyFunSuite {
     // 100 true keys; a healthy bloom at these parameters keeps well under 5%.
     assert(kept >= 100 && kept < 500, s"bloom kept $kept of 10000")
   }
+
+  test("KLL sketch quantiles land within the sketch's rank-error bound") {
+    KllFunctions.register(spark)
+    spark.range(0, 20000).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kll_vals")
+    val r = spark.sql(
+      """SELECT kll_quantile(kll_sketch_agg(v), 0.5D) AS p50,
+        |       kll_quantile(kll_sketch_agg(v), 0.99D) AS p99
+        |FROM kll_vals""".stripMargin).head()
+    // k=200 → normalized rank error ~1.65%; allow 2.5% of the 20k range
+    assert(math.abs(r.getDouble(0) - 10000.0) < 500, r.toString)
+    assert(math.abs(r.getDouble(1) - 19800.0) < 500, r.toString)
+  }
+
+  test("KLL merge of per-part sketches agrees with the whole-data sketch") {
+    KllFunctions.register(spark)
+    spark.range(0, 20000).selectExpr("CAST(id AS DOUBLE) AS v", "id % 4 AS part")
+      .createOrReplaceTempView("kll_parts")
+    val merged = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5D) AS p50 FROM (
+        |  SELECT kll_sketch_agg(v) AS sk FROM kll_parts GROUP BY part)""".stripMargin)
+      .head().getDouble(0)
+    // merged per-part sketches must estimate the same median as one global pass
+    assert(math.abs(merged - 10000.0) < 600, s"merged p50=$merged")
+  }
+
+  test("KLL sketch is null-safe and empty-safe") {
+    KllFunctions.register(spark)
+    spark.sql("SELECT CAST(NULL AS DOUBLE) AS v WHERE 1=0")
+      .createOrReplaceTempView("kll_empty")
+    val r = spark.sql(
+      "SELECT kll_sketch_agg(v) AS sk FROM kll_empty").head()
+    assert(r.isNullAt(0)) // empty input → null sketch, not a crash
+  }
 }
