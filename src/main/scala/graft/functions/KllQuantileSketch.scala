@@ -29,43 +29,60 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * Approximate by design ⇒ BENCH/rows-only surface, never oracle-hashed
   * (BASELINE.md determinism rules).
   */
-case class KllSketchAgg(child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+/** Shared KLL buffer lifecycle — both aggregates differ only in what update()
+  * feeds the sketch (raw doubles vs serialized sub-sketches) and the input type
+  * they accept. */
+abstract class KllAggBase extends TypedImperativeAggregate[KllDoublesSketch]
+    with UnaryLike[Expression] {
+  def k: Int
+  protected def inputType: DataType
+  /** Fold one non-null input value into the sketch. */
+  protected def updateOne(buffer: KllDoublesSketch, value: Any): Unit
 
-  def this(child: Expression) = this(child, 200)
+  final override def dataType: DataType = BinaryType
+  final override def nullable: Boolean = true
 
-  override def prettyName: String = "kll_sketch_agg"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
+  final override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == inputType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${inputType.simpleString}, got " +
+        child.dataType.simpleString)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case DoubleType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a double argument, got ${other.simpleString}")
-  }
-
-  override def createAggregationBuffer(): KllDoublesSketch =
+  final override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
-  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+  final override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[Double])
+    if (v != null) updateOne(buffer, v)
     buffer
   }
 
-  override def merge(buffer: KllDoublesSketch,
+  final override def merge(buffer: KllDoublesSketch,
       other: KllDoublesSketch): KllDoublesSketch = {
     buffer.merge(other)
     buffer
   }
 
-  override def eval(buffer: KllDoublesSketch): Any =
+  final override def eval(buffer: KllDoublesSketch): Any =
     if (buffer.isEmpty) null else buffer.toByteArray
 
-  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+  final override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+  final override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
+}
+
+case class KllSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KllAggBase {
+
+  def this(child: Expression) = this(child, 200)
+
+  override def prettyName: String = "kll_sketch_agg"
+  override protected def inputType: DataType = DoubleType
+  override protected def updateOne(buffer: KllDoublesSketch, value: Any): Unit =
+    buffer.update(value.asInstanceOf[Double])
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -79,43 +96,15 @@ case class KllSketchAgg(child: Expression, k: Int,
   * leg: fold previously-stored sketch artifacts without touching raw data. */
 case class KllMergeAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+    extends KllAggBase {
 
   def this(child: Expression) = this(child, 200)
 
   override def prettyName: String = "kll_merge_agg"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a binary (serialized KLL sketch) argument, got " +
-        other.simpleString)
-  }
-
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
-
-  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
-    val v = child.eval(input)
-    if (v != null) buffer.merge(
-      KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
-    buffer
-  }
-
-  override def merge(buffer: KllDoublesSketch,
-      other: KllDoublesSketch): KllDoublesSketch = {
-    buffer.merge(other)
-    buffer
-  }
-
-  override def eval(buffer: KllDoublesSketch): Any =
-    if (buffer.isEmpty) null else buffer.toByteArray
-
-  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override protected def inputType: DataType = BinaryType
+  override protected def updateOne(buffer: KllDoublesSketch, value: Any): Unit =
+    buffer.merge(
+      KllDoublesSketch.heapify(Memory.wrap(value.asInstanceOf[Array[Byte]])))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

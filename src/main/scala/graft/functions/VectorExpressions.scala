@@ -77,9 +77,10 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   * Why not the HOF: Spark's higher-order functions are CodegenFallback — per pair
   * they allocate an intermediate decimal array and dispatch a lambda per element.
   * This expression runs the whole loop inside whole-stage codegen with a scaled
-  * LONG accumulator (exact for |term| sums < 9.2e6 at scale 12; overflow falls
-  * back to BigDecimal accumulation — same values, just slower), which makes exact
-  * brute-force similarity usable as a real baseline, not just an oracle.
+  * LONG accumulator (exact for |term| sums < 9.2e6 at scale 12; larger magnitudes
+  * fall back to BigInteger accumulation with the HOF's decimal(30,12) capacity
+  * enforced — values that would overflow the HOF's casts yield NULL), which makes
+  * exact brute-force similarity usable as a real baseline, not just an oracle.
   *
   * Null semantics mirror the HOF chain: null array, null element, or length
   * mismatch (zip_with pads with null) all yield NULL. */
@@ -122,7 +123,14 @@ case class FloatVecDotExact(left: Expression, right: Expression)
 }
 
 object FloatVecDotExact {
-  /** Σᵢ roundHalfUp₁₂(xᵢ · yᵢ), exactly; null on length mismatch / null element. */
+  // decimal(30,12) capacity: |unscaled| must stay below 10^30, like the HOF's
+  // casts. Values past it have no defined decimal(30,12) representation (the
+  // HOF overflows there — an error under ANSI, null otherwise): return NULL
+  // rather than inventing a number the spec formulation cannot produce.
+  private val MaxUnscaled = java.math.BigInteger.TEN.pow(30)
+
+  /** Σᵢ roundHalfUp₁₂(xᵢ · yᵢ), exactly; null on length mismatch / null element
+    * / decimal(30,12) overflow. */
   def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null
@@ -142,19 +150,23 @@ object FloatVecDotExact {
       java.math.BigDecimal.valueOf(acc, 12).doubleValue())
   }
 
-  /** Unbounded-magnitude fallback: same per-term rounding, BigDecimal sum. */
+  /** Long-overflow fallback: same per-term rounding, BigInteger sum, with the
+    * HOF's decimal(30,12) capacity enforced on every term and partial sum. */
   private def computeBig(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
-    var acc = java.math.BigDecimal.ZERO
+    var acc = java.math.BigInteger.ZERO // unscaled at scale 12
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      acc = acc.add(java.math.BigDecimal.valueOf(p)
-        .setScale(12, java.math.RoundingMode.HALF_UP))
+      val u = java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue()
+      if (u.abs.compareTo(MaxUnscaled) >= 0) return null // term overflows cast
+      acc = acc.add(u)
+      if (acc.abs.compareTo(MaxUnscaled) >= 0) return null // sum overflows cast
       i += 1
     }
-    java.lang.Double.valueOf(acc.doubleValue())
+    java.lang.Double.valueOf(new java.math.BigDecimal(acc, 12).doubleValue())
   }
 }
 

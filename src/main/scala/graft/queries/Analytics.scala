@@ -645,19 +645,7 @@ object Analytics {
     Q("events_rolling_distinct_users",
       (s, dir) => {
         t(s, dir, "events").createOrReplaceTempView("ev_rolling")
-        s.sql("""WITH daily AS (
-                |  SELECT CAST(ts AS DATE) AS day,
-                |    datediff(CAST(ts AS DATE), DATE '1995-01-01') AS dnum,
-                |    bitmap_bucket_number(user_id + 1) AS bkt,
-                |    bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
-                |  FROM ev_rolling GROUP BY 1, 2, 3),
-                |rolled AS (
-                |  SELECT day, bitmap_count(
-                |    bitmap_or_agg(b) OVER (PARTITION BY bkt ORDER BY dnum
-                |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS c
-                |  FROM daily)
-                |SELECT day, CAST(SUM(c) AS BIGINT) AS users_7d
-                |FROM rolled GROUP BY day ORDER BY day""".stripMargin)
+        s.sql(rollingDistinctSql("ev_rolling"))
       },
       Some("""WITH days AS (
              |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
@@ -706,6 +694,40 @@ object Analytics {
               |  string_agg(bucket || ':' || c, ' ' ORDER BY bucket) AS features
               |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
+
+  /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).
+    *
+    * The window frame only evaluates at EXISTING (bkt, day) rows, so a bucket
+    * with no events on day d would silently drop its earlier-in-window users
+    * from d's total (latent locally where all ids share one 32768-wide bucket;
+    * guaranteed wrong at scale). Densify to the full (bucket × active-day) grid
+    * first — |buckets|·|days| rows, trivially small — via a constant-key
+    * equi-join (not a cross join: keeps the plan BNLJ-free); bitmap_or_agg
+    * skips the grid's null bitmaps. Spec-covered with multi-bucket ids in
+    * RollingDistinctSpec. */
+  def rollingDistinctSql(view: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    datediff(CAST(ts AS DATE), DATE '1995-01-01') AS dnum,
+       |    bitmap_bucket_number(user_id + 1) AS bkt,
+       |    bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+       |  FROM $view GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT d.day, d.dnum, k.bkt FROM
+       |    (SELECT DISTINCT day, dnum, 1 AS one FROM daily) d
+       |    JOIN (SELECT DISTINCT bkt, 1 AS one FROM daily) k
+       |    ON d.one = k.one),
+       |dense AS (
+       |  SELECT g.day, g.dnum, g.bkt, daily.b
+       |  FROM grid g LEFT JOIN daily
+       |    ON g.day = daily.day AND g.bkt = daily.bkt),
+       |rolled AS (
+       |  SELECT day, bitmap_count(
+       |    bitmap_or_agg(b) OVER (PARTITION BY bkt ORDER BY dnum
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS c
+       |  FROM dense)
+       |SELECT day, CAST(SUM(c) AS BIGINT) AS users_7d
+       |FROM rolled GROUP BY day ORDER BY day""".stripMargin
 
   /** DuckDB tokenizer mirror of [[TF.tokens]] (same regex class, same filter). */
   private def duckToks(textExpr: String) =

@@ -426,7 +426,14 @@ private[sources] object FixedWidthFilters {
       val r = line.substring(start, math.min(start + width, line.length)).trim
       if (r.isEmpty) null else r
     }
-    // three-valued compare: Some(sign) or None for NULL
+    // three-valued compare: Some(sign) or None for NULL.
+    // Ordering must MATCH SPARK's, or the reader drops rows the residual filter
+    // would keep (it can re-check surviving rows, never resurrect dropped ones):
+    //  - doubles: Spark treats -0.0 = 0.0 while Double.compare orders them —
+    //    normalize both sides (+NaN semantics of Double.compare match Spark's);
+    //  - strings: Spark compares UTF-8 BYTES (code-point order); String.compareTo
+    //    is UTF-16 code-unit order, which disagrees above the BMP — compare as
+    //    UTF8String on both sides.
     def cmpFn(a: String, v: Any): String => Option[Int] = {
       val (start, width, dt) = sliceOf(a)
       dt match {
@@ -434,11 +441,14 @@ private[sources] object FixedWidthFilters {
           val lit = v.asInstanceOf[java.lang.Number].longValue()
           l => Option(raw(l, start, width)).map(s => java.lang.Long.compare(s.toLong, lit))
         case DoubleType =>
-          val lit = v.asInstanceOf[java.lang.Number].doubleValue()
-          l => Option(raw(l, start, width)).map(s => java.lang.Double.compare(s.toDouble, lit))
+          def norm(d: Double): Double = if (d == 0.0d) 0.0d else d
+          val lit = norm(v.asInstanceOf[java.lang.Number].doubleValue())
+          l => Option(raw(l, start, width))
+            .map(s => java.lang.Double.compare(norm(s.toDouble), lit))
         case StringType =>
-          val lit = v.asInstanceOf[String]
-          l => Option(raw(l, start, width)).map(_.compareTo(lit))
+          val lit = UTF8String.fromString(v.asInstanceOf[String])
+          l => Option(raw(l, start, width))
+            .map(s => UTF8String.fromString(s).compareTo(lit))
         case other => throw new UnsupportedOperationException(
           s"fixed-width: unsupported type $other")
       }

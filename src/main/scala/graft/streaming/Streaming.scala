@@ -240,57 +240,57 @@ object Streaming {
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n: Long)
 
   /** EVENT-TIME TIMERS on transformWithState — the streaming-native gap
-    * sessionization: sessions that close INSIDE a batch (a later event arrives
-    * more than `gap` after the last one) emit immediately; the final open session
-    * per key registers a timer at `last + gap`, and `handleExpiredTimer` emits it
-    * when the WATERMARK crosses that point — the state cannot linger forever and
-    * no session is emitted before it provably cannot be extended. This is the
-    * timeout pattern GroupStateTimeout provided, on the typed-state API.
-    *
-    * Intra-batch rows are buffered and sorted by (ts, then order of arrival is
-    * irrelevant after the sort) per key — bounded by a key's events per batch. */
+    * sessionization. A session is only FINAL once the watermark passes its
+    * `end + gap`: any earlier emission could be invalidated by a late-but-legal
+    * event (≥ watermark) that extends, splits, or bridges it. So the processor
+    * keeps each key's not-yet-final event times in a `ListState`, re-sessionizes
+    * them with every batch's arrivals (sorted — intra-batch order is
+    * irrelevant), emits exactly the sessions whose `end + gap ≤ watermark`,
+    * retains the rest, and keeps ONE timer at the earliest retained session's
+    * `end + gap` so `handleExpiredTimer` finalizes state when the watermark
+    * crosses it even if no further events arrive. State is bounded: an event is
+    * retained only while its session can still change, i.e. while `end + gap`
+    * is ahead of the watermark — the watermark evicts everything older. */
   class UserSessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
-    @transient private var startState: ValueState[Long] = _
-    @transient private var lastState: ValueState[Long] = _
-    @transient private var nState: ValueState[Long] = _
+    @transient private var pending: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      startState =
-        getHandle.getValueState[Long]("start", Encoders.scalaLong, TTLConfig.NONE)
-      lastState =
-        getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
-      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      pending =
+        getHandle.getListState[Long]("pending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Sessionize sorted times; emit final sessions, retain + re-arm the rest. */
+    private def flush(key: Long, ts: Array[Long],
+        watermarkMs: Long): Iterator[SessionOut] = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (ts.isEmpty) { pending.clear(); return Iterator.empty }
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = ts(0); var last = ts(0); var n = 0L
+      ts.foreach { t =>
+        if (n > 0L && t - last > gapMs) { sessions += ((start, last, n)); start = t; n = 0L }
+        last = t; n += 1L
+      }
+      sessions += ((start, last, n))
+      val (fin, open) = sessions.partition { case (_, end, _) => end + gapMs <= watermarkMs }
+      if (open.isEmpty) pending.clear()
+      else {
+        pending.put(ts.filter(_ >= open.head._1))
+        getHandle.registerTimer(open.head._2 + gapMs)
+      }
+      fin.iterator.map { case (s0, e0, n0) => SessionOut(key, s0, e0, n0) }
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      val ts = rows.map(_._2.getTime).toArray.sorted
-      if (ts.isEmpty) return Iterator.empty
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var (start, last, n) =
-        if (startState.exists()) (startState.get(), lastState.get(), nState.get())
-        else (ts(0), ts(0), 0L)
-      // an open session from a previous batch had a pending timer — replace it
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      ts.foreach { t =>
-        if (n > 0L && t - last > gapMs) {
-          out += SessionOut(key, start, last, n)
-          start = t; n = 0L
-        }
-        last = t; n += 1L
-      }
-      startState.update(start); lastState.update(last); nState.update(n)
-      getHandle.registerTimer(last + gapMs)
-      out.iterator
+      val merged = (pending.get() ++ rows.map(_._2.getTime)).toArray.sorted
+      flush(key, merged, timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (!startState.exists()) return Iterator.empty
-      val out = SessionOut(key, startState.get(), lastState.get(), nState.get())
-      startState.clear(); lastState.clear(); nState.clear()
-      Iterator.single(out)
+      flush(key, pending.get().toArray.sorted,
+        timerValues.getCurrentWatermarkInMs())
     }
   }
 

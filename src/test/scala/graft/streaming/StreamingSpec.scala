@@ -238,6 +238,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("timer sessions: late events inside the watermark merge, split, and bridge") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2020-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = Streaming.timerSessions(spark,
+      in.toDF().toDF("user_id", "ts"), gapMs = 30L * 60 * 1000, "1 hour").toDF()
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_late_sessions").start()
+    try {
+      // batch 1: 10:00 and 10:45 look like TWO sessions (gap 45 min > 30 min) —
+      // but the watermark is far behind, so nothing may be emitted yet
+      in.addData((1L, ts("10:00")), (1L, ts("10:45")))
+      q.processAllAvailable()
+      assert(spark.table("t_late_sessions").count() == 0,
+        "emitted before the watermark could rule out late extensions")
+      // batch 2: a LATE 10:20 event (legal: above watermark) BRIDGES them into
+      // one session; 14:00 advances the watermark to 13:00, finalizing it
+      in.addData((1L, ts("10:20")), (1L, ts("14:00")))
+      q.processAllAvailable()
+      val got = spark.table("t_late_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, ts("10:00").getTime, ts("10:45").getTime, 3L)), got)
+    } finally q.stop()
+  }
+
   test("checkpoint restart: exactly-once across stop, new data, resume") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
