@@ -19,7 +19,10 @@ import graft.llm.{TextFunctions => TF}
   */
 object Analytics {
 
-  val queries: Seq[Q] = Seq(
+  // lazy: forces AFTER object init so the later-defined moreQueries val is set
+  lazy val queries: Seq[Q] = baseQueries ++ moreQueries
+
+  private val baseQueries: Seq[Q] = Seq(
 
     // Group-wise OLS regression (closed-form): slope/intercept/r² of price on
     // quantity per return flag, from ONE grouped pass of decimal-exact moments —
@@ -695,14 +698,104 @@ object Analytics {
               |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
+  private val moreQueries: Seq[Q] = Seq(
+
+    // Benford first-digit audit (fraud / synthetic-data detection): the digit
+    // comes from the DECIMAL STRING rendering (decimal→string is identical
+    // across engines; a log10-based extraction would hash-diverge on
+    // transcendental rounding). Map-only digit extraction + one 9-row rollup;
+    // the share is a single double division per output row.
+    Q("dq_benford_first_digit",
+      (s, dir) => {
+        import s.implicits._
+        val d = substring($"o_totalprice".cast("decimal(18,2)").cast("string"), 1, 1)
+        t(s, dir, "orders")
+          .filter($"o_totalprice" > 0)
+          .groupBy(d.cast("int").as("digit"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            $"n".cast("double") / sum($"n").over(Window.partitionBy()))
+          .orderBy($"digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |    AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders WHERE o_totalprice > 0)
+             |SELECT digit, COUNT(*) AS n,
+             |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+             |FROM d GROUP BY digit ORDER BY digit""".stripMargin)),
+
+    // Islands-and-gaps over an id sequence (completeness audit: "which ranges
+    // of orderkeys are missing?"): the classic lead-minus-current formulation on
+    // the DISTINCT key frame — one shuffle for distinct, one ordered window over
+    // keys only. Emits each gap's [from, to] and width; total ORDER BY start.
+    Q("dq_sequence_gaps",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"k")
+        t(s, dir, "orders")
+          // a sparse slice so real gaps exist at every scale factor
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
+          .select(($"o_orderkey" % 1000).as("k")).distinct()
+          .withColumn("nxt", lead($"k", 1).over(w))
+          .filter($"nxt" - $"k" > 1)
+          .select(($"k" + 1).as("gap_from"), ($"nxt" - 1).as("gap_to"),
+            ($"nxt" - $"k" - 1).as("gap_width"))
+          .orderBy($"gap_from")
+      },
+      Some("""WITH ks AS (
+             |  SELECT DISTINCT o_orderkey % 1000 AS k FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'),
+             |g AS (
+             |  SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM ks)
+             |SELECT k + 1 AS gap_from, nxt - 1 AS gap_to,
+             |  nxt - k - 1 AS gap_width
+             |FROM g WHERE nxt - k > 1 ORDER BY gap_from""".stripMargin)),
+
+    // Burst detection: each day's event count against its own trailing-7-day
+    // mean (exact integer counts; the ratio is ONE double division). The window
+    // runs over the tiny per-day aggregate — the fact table is touched once.
+    // Flag = integer cross-multiplication (n * 2 > trailing_sum), so the boolean
+    // is never at the mercy of double rounding.
+    Q("events_burst_days",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"day").rowsBetween(-7, -1)
+        t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+          .withColumn("trail_n", sum($"n").over(w))
+          .withColumn("trail_days", count($"n").over(w))
+          .filter($"trail_days" >= 3)
+          .select($"day", $"n",
+            ($"n".cast("double") * $"trail_days" / $"trail_n").as("burst_ratio"),
+            ($"n" * $"trail_days" > $"trail_n" * 2).as("is_burst"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |tr AS (
+             |  SELECT day, n,
+             |    SUM(n) OVER (ORDER BY day
+             |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n,
+             |    COUNT(n) OVER (ORDER BY day
+             |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days
+             |  FROM daily)
+             |SELECT day, n,
+             |  CAST(n AS DOUBLE) * trail_days / trail_n AS burst_ratio,
+             |  n * trail_days > trail_n * 2 AS is_burst
+             |FROM tr WHERE trail_days >= 3 ORDER BY day""".stripMargin))
+  )
+
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).
     *
     * The window frame only evaluates at EXISTING (bkt, day) rows, so a bucket
     * with no events on day d would silently drop its earlier-in-window users
     * from d's total (latent locally where all ids share one 32768-wide bucket;
     * guaranteed wrong at scale). Densify to the full (bucket × active-day) grid
-    * first — |buckets|·|days| rows, trivially small — via a constant-key
-    * equi-join (not a cross join: keeps the plan BNLJ-free); bitmap_or_agg
+    * first: an explicit CROSS JOIN of the two tiny AGGREGATED frames —
+    * |days| × |user-space/32768| rows, exactly the frame the window evaluates
+    * anyway (PLANS.md sanctions this bounded densification cross). bitmap_or_agg
     * skips the grid's null bitmaps. Spec-covered with multi-bucket ids in
     * RollingDistinctSpec. */
   def rollingDistinctSql(view: String): String =
@@ -714,9 +807,8 @@ object Analytics {
        |  FROM $view GROUP BY 1, 2, 3),
        |grid AS (
        |  SELECT d.day, d.dnum, k.bkt FROM
-       |    (SELECT DISTINCT day, dnum, 1 AS one FROM daily) d
-       |    JOIN (SELECT DISTINCT bkt, 1 AS one FROM daily) k
-       |    ON d.one = k.one),
+       |    (SELECT DISTINCT day, dnum FROM daily) d
+       |    CROSS JOIN (SELECT DISTINCT bkt FROM daily) k),
        |dense AS (
        |  SELECT g.day, g.dnum, g.bkt, daily.b
        |  FROM grid g LEFT JOIN daily
