@@ -1,7 +1,12 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 /** Isolated per-query timing: runs the named queries N times each, prints seconds.
-  * Usage: runMain graft.tools.Time q1,q2 [sfDir] [reps] */
+  * Usage: runMain graft.tools.Time q1,q2 [sfDir] [reps]
+  *
+  * Consumes with the SAME all-column hash action as graft.Bench — a bare count()
+  * lets Catalyst prune the projection (and eliminate sorts), timing a different,
+  * cheaper plan than the one the bench measures. */
 object Time {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -13,11 +18,15 @@ object Time {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.lineitem(spark, sfDir).count() // warm-up
+    def consume(df: DataFrame): Unit =
+      try df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      catch { case _: Throwable => df.count() }
     args(0).split(",").foreach { q =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
-        println(f"TIME $q rep$r n=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        consume(graft.SparkEntry.queries(q)(spark, sfDir))
+        println(f"TIME $q rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()
