@@ -135,6 +135,48 @@ object Extras {
       },
       None),
 
+    // ANN quality report: recall@5 of the two approximate paths against the exact
+    // brute-force ground truth on a bounded probe set (vec_id < 100) — the
+    // approximate operators carry a measured quality number, not just a row
+    // count. One output row per method. Approximate inputs → BENCH-only,
+    // rows-only (float-vs-decimal tie ordering may flip a boundary neighbor).
+    //
+    // Measured at sf0.01: IVF(nlist=16, nprobe=2) ≈ 0.43, banded LSH ≈ 0.04. The
+    // LSH number is the honest sign-LSH theory on this corpus, not a bug: the
+    // synthetic embeddings are near-uniform (exact top-5 cosines ≈ 0.33, θ≈70°),
+    // so per-plane sign agreement is ~1−θ/π ≈ 0.6 and an 8-bit band keeps a true
+    // neighbor with p ≈ 0.6^8 ≈ 2% — weak-similarity corpora need many short
+    // bands (candidate volume n²/2^bits per band: the recall/cost knob) or the
+    // IVF path, whose nprobe knob buys recall linearly in probe cost.
+    Q("sim_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        val k = 5
+        val vecs = t(s, dir, "embeddings")
+        val exact = graft.llm.Similarity
+          .bruteForceTopK(vecs.filter($"vec_id" < 100), vecs, k)
+          .select($"qid", $"vid").localCheckpoint(true) // reused per method
+        def recallOf(method: String, ann: DataFrame): DataFrame =
+          // recall = hit fraction over exact's n_queries×k ground-truth pairs;
+          // a left-join hit marker keeps the plan broadcast/hash-join only
+          exact.join(
+              ann.filter($"qid" < 100).select($"qid", $"vid", lit(1).as("hit")),
+              Seq("qid", "vid"), "left")
+            .agg(
+              (count(lit(1)) / k).cast("bigint").as("n_queries"),
+              round(sum(coalesce($"hit", lit(0))).cast("double") / count(lit(1)),
+                4).as("recall_at_5"))
+            .select(lit(method).as("method"), $"n_queries", $"recall_at_5")
+        val lsh = graft.llm.Similarity.lshBandedTopK(vecs, k,
+          numPlanes = 16, bands = 2, dims = 64)
+        val ivf = graft.llm.Similarity.ivfTopK(vecs, k, nlist = 16, nprobe = 2)
+        recallOf("ivf_nlist16_nprobe2", ivf)
+          .unionAll(recallOf("lsh_16planes_2bands", lsh))
+          .orderBy($"method")
+      },
+      None),
+
     // Custom DataSource V2 source (graft.sources.FixedWidthSource): fixed-width
     // text records — the connector extension surface (TableProvider → ScanBuilder →
     // PartitionReader) with column pruning pushed into the reader. Fixture: nation
