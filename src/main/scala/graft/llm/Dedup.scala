@@ -45,10 +45,21 @@ object Dedup {
 
   /** One pass over the shingles: all `numHashes` salted minima as parallel aggregates
     * (map-side partial agg, no salt cross-join — 1/numHashes-th the shuffle volume).
-    * Returns the wide signature frame (id, mh0..mh{n-1}) — one shuffle total. */
+    * Returns the wide signature frame (id, mh0..mh{n-1}) — one shuffle total.
+    *
+    * Hash family: ONE md5 per shingle, split into two 28-bit halves (h1, h2); hash i
+    * is the affine combination h1 + i·h2 (the classic 2-universal construction).
+    * That replaces numHashes md5 evaluations per row with one digest plus numHashes
+    * integer multiply-adds, and the shuffle partials carry BIGINTs instead of
+    * 32-char hex strings. Values stay < 2^28·(numHashes+1) — no overflow under
+    * ANSI long arithmetic, and the identical expression is portable to the DuckDB
+    * oracle (positional nibble sums, see queries.QueryDSL.sqlHexInt). */
   def minhashWide(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh$s"))
+    val h = md5(col("shingle"))
+    val h1 = conv(substring(h, 1, 7), 16, 10).cast("long")
+    val h2 = conv(substring(h, 8, 7), 16, 10).cast("long")
+    val aggs = (0 until numHashes).map(i =>
+      min(h1 + lit(i.toLong) * h2).as(s"mh$i"))
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -65,9 +76,11 @@ object Dedup {
   def bandedCandidatesWide(wide: DataFrame, id: String, numHashes: Int,
       bandSize: Int): DataFrame = {
     val nBands = numHashes / bandSize
+    // '|' separator: integer minhashes render variable-width, so a bare concat
+    // would alias ("1"+"23" == "12"+"3") and over-merge buckets
     val sigExpr = (0 until nBands).map { b =>
       val c = (0 until bandSize).map(s => s"mh${b * bandSize + s}").mkString(", ")
-      s"$b, concat($c)"
+      s"$b, concat_ws('|', $c)"
     }.mkString(", ")
     val banded = wide.select(col(id),
       expr(s"stack($nBands, $sigExpr) as (band, sig)"))
@@ -84,9 +97,9 @@ object Dedup {
     val banded = sigs
       .withColumn("band", floor(col("salt") / bandSize).cast("int"))
       .groupBy(col(id), col("band"))
-      .agg(concat_ws("",
+      .agg(array_join(
         transform(array_sort(collect_list(struct(col("salt"), col("minhash")))),
-          x => x.getField("minhash"))).as("sig"))
+          x => x.getField("minhash").cast("string")), "|").as("sig"))
     val a = banded.select(col(id).as("id1"), col("band"), col("sig"))
     val b = banded.select(col(id).as("id2"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))

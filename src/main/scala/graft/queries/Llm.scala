@@ -109,14 +109,18 @@ object Llm {
         res
       },
       Some(s"""WITH $duckShingleBase,
+              |hs AS (
+              |  SELECT doc_id,
+              |    ${sqlHexInt("md5(shingle)", 1, 7)} AS h1,
+              |    ${sqlHexInt("md5(shingle)", 8, 7)} AS h2
+              |  FROM shing),
               |mh AS (
-              |  SELECT doc_id, salt,
-              |    min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
-              |  FROM shing CROSS JOIN (SELECT unnest(range(0, 8)) AS salt)
+              |  SELECT doc_id, salt, min(h1 + salt * h2) AS minhash
+              |  FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS salt)
               |  GROUP BY doc_id, salt),
               |banded AS (
               |  SELECT doc_id, CAST(floor(salt / 2) AS INT) AS band,
-              |    string_agg(minhash, '' ORDER BY salt) AS sig
+              |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY salt) AS sig
               |  FROM mh GROUP BY doc_id, CAST(floor(salt / 2) AS INT)),
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

@@ -46,5 +46,15 @@ object QueryDSL {
   /** DuckDB-side equivalent of [[davg]]. */
   def sqlDavg(e: String, scale: Int = 4): String = s"${sqlDsum(e, scale)} / COUNT(*)"
 
+  /** DuckDB: integer value of `len` hex nibbles of a hex-string expression starting
+    * at 1-based `start` — the oracle mirror of Spark's
+    * `conv(substring(hex, start, len), 16, 10)`. DuckDB has no hex-string→integer
+    * cast, so the nibbles are summed positionally. Keep len ≤ 15 (fits BIGINT). */
+  def sqlHexInt(hex: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val place = math.pow(16, len - 1 - i).toLong
+      s"(instr('0123456789abcdef', substring($hex, ${start + i}, 1)) - 1) * CAST($place AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = graft.Tables(s, dir, name)
 }
