@@ -14,6 +14,42 @@ import QueryDSL._
   */
 object Joins {
 
+  /** Bucketed copies of lineitem/orders for the co-located join and bucket-pruned
+    * scan. The bucketed layout is a one-time investment (the 100 TB pattern: pay
+    * the bucketed write once, join/prune shuffle-free forever after), so each
+    * table is built only if this session doesn't already have it. Table names
+    * carry a hash of the source dir, so sessions/tests reading different SF dirs
+    * never share a table, and re-running a query times the read, not the writes.
+    * NOTE: building the tables is a construction-time side effect on first use
+    * (plan-only tools pay it once per session/dir). */
+  private def ensureBucketedTables(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val suffix = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    val liTbl = s"li_bucketed_$suffix"
+    val oTbl = s"o_bucketed_$suffix"
+    def ensure(tbl: String)(build: => Unit): Unit =
+      if (!s.catalog.tableExists(tbl)) {
+        // a fresh session's in-memory catalog doesn't know about managed-table
+        // dirs left by previous JVMs — clear any stale dir before writing
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        build
+      }
+    ensure(liTbl) {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liTbl)
+    }
+    ensure(oTbl) {
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(oTbl)
+    }
+    (liTbl, oTbl)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("join_inner_agg",
       (s, dir) => {
@@ -218,36 +254,7 @@ object Joins {
     Q("join_bucketed_colocated",
       (s, dir) => {
         import s.implicits._
-        // The bucketed layout is a one-time investment (the 100 TB pattern: pay the
-        // bucketed write once, join shuffle-free forever after), so build each table
-        // only if this session doesn't already have it. Table names carry a hash of
-        // the source dir, so sessions/tests reading different SF dirs never share a
-        // table, and re-running the query times the JOIN, not two table writes.
-        // NOTE: building the tables is a construction-time side effect on first use
-        // (plan-only tools pay it once per session/dir).
-        val suffix = java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
-        val liTbl = s"li_bucketed_$suffix"
-        val oTbl = s"o_bucketed_$suffix"
-        def ensure(tbl: String)(build: => Unit): Unit =
-          if (!s.catalog.tableExists(tbl)) {
-            // a fresh session's in-memory catalog doesn't know about managed-table
-            // dirs left by previous JVMs — clear any stale dir before writing
-            val p = new org.apache.hadoop.fs.Path(
-              s.conf.get("spark.sql.warehouse.dir"), tbl)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-            build
-          }
-        ensure(liTbl) {
-          t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
-            .write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
-            .mode("overwrite").saveAsTable(liTbl)
-        }
-        ensure(oTbl) {
-          t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
-            .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
-            .mode("overwrite").saveAsTable(oTbl)
-        }
+        val (liTbl, oTbl) = ensureBucketedTables(s, dir)
         // MERGE hint: at small SF the dim side fits the broadcast threshold, which
         // would hide the point — force the sort-merge path to demonstrate that the
         // bucket layout joins with no Exchange under the join (the 100 TB fact-fact
@@ -338,6 +345,26 @@ object Joins {
              |                       ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
              |  FROM events e LEFT JOIN orders o
              |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-             |) WHERE rn = 1 ORDER BY event_id""".stripMargin))
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // Bucket-pruned point read: an equality/IN filter on the bucket column hashes
+    // the literals to their buckets and reads ONLY those files
+    // (SelectedBucketsCount in the scan — here 7 keys ⇒ ≤7 of 32 buckets). The
+    // storage-layout sibling of partition pruning (scan_dpp_prune) and range/
+    // Z-order stats pruning (sorted_layout_scan, zorder_layout_scan): at 100 TB a
+    // keyed lookup touches 1/32nd of the fact table without any index structure.
+    Q("scan_bucket_prune",
+      (s, dir) => {
+        import s.implicits._
+        val (liTbl, _) = ensureBucketedTables(s, dir)
+        s.table(liTbl)
+          .filter($"l_orderkey".isin(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+          .orderBy($"l_orderkey")
+      },
+      Some(s"""SELECT l_orderkey, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+              |FROM lineitem WHERE l_orderkey IN (1, 2, 3, 4, 5, 6, 7)
+              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
   )
 }

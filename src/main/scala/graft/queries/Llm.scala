@@ -1291,6 +1291,60 @@ object Llm {
               |    AS head40
               |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Corpus boilerplate strip (the OTHER half of C4-style line filtering:
+    // dedup_chunk_* keeps the FIRST occurrence; boilerplate chunks — navigation,
+    // license headers, templates — must be removed from EVERY document, including
+    // the first). A chunk is boilerplate when its digest appears in >= 3 distinct
+    // documents. Plan shape: chunk digests shuffle once for the frequency count
+    // (16-byte keys, map-side partial), the boilerplate set is the frequency
+    // tail (tiny at any scale — join back by digest), and per-doc before/after
+    // aggregates join on doc_id. No row ever carries more than one chunk.
+    Q("text_boilerplate_strip",
+      (s, dir) => {
+        import s.implicits._
+        val C = 32
+        val chunks = t(s, dir, "documents")
+          .withColumn("toks", TF.tokens($"text"))
+          .where(size($"toks") > 0)
+          .select($"doc_id", posexplode(
+              transform(sequence(lit(0), floor((size($"toks") - 1) / C).cast("int")),
+                i => slice($"toks", i * C + 1, lit(C))))
+              .as(Seq("chunk_id", "chunk_toks")))
+          .select($"doc_id", $"chunk_id",
+            md5(concat_ws(" ", $"chunk_toks")).as("h"),
+            size($"chunk_toks").cast("long").as("n_tok"))
+        val boiler = chunks.groupBy($"h")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 3).select($"h")
+        val kept = chunks.join(boiler, Seq("h"), "left_anti")
+        val perDocAll = chunks.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"))
+        val perDocKept = kept.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("n_tokens_kept"))
+        perDocAll.join(perDocKept, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_chunks",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+              |i AS (SELECT doc_id, w,
+              |  unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id
+              |  FROM t WHERE len(w) > 0),
+              |c AS (SELECT doc_id, chunk_id,
+              |  md5(array_to_string(w[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ')) AS h,
+              |  len(w[chunk_id * 32 + 1 : chunk_id * 32 + 32]) AS n_tok FROM i),
+              |f AS (SELECT h FROM c GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+              |k AS (SELECT c.* FROM c ANTI JOIN f ON c.h = f.h),
+              |pa AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id),
+              |pk AS (SELECT doc_id, COUNT(*) AS n_kept,
+              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept FROM k GROUP BY doc_id)
+              |SELECT pa.doc_id, pa.n_chunks,
+              |  COALESCE(pk.n_kept, 0) AS n_kept,
+              |  COALESCE(pk.n_tokens_kept, 0) AS n_tokens_kept
+              |FROM pa LEFT JOIN pk ON pa.doc_id = pk.doc_id
+              |ORDER BY pa.doc_id""".stripMargin)),
+
     Q("multimodal_binary_meta",
       (s, dir) => {
         import s.implicits._

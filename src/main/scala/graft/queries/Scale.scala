@@ -711,6 +711,42 @@ object Scale {
       Some("""SELECT COUNT(*) AS n_rows,
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(4 AS BIGINT) AS n_files
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Deterministic corpus permutation + sharding (training-data prep: the corpus
+    // must be "shuffled" so each shard is an unbiased sample, yet reproducibly —
+    // retries and backfills must produce byte-identical shards). Shard = md5(doc_id)
+    // mod 8: a cryptographic permutation needs no RNG state, and any subset of
+    // shards is a uniform sample. One hash-partition shuffle writes all shards in
+    // parallel (partitionBy directory layout + maxRecordsPerFile bounds file
+    // sizes); the read-back rollup proves the assignment round-trips losslessly.
+    Q("shard_shuffle_write",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"${Sinks.scratchDir}/doc_shards"
+        val sh = pmod(
+          conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10).cast("long"),
+          lit(8L))
+        t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", sh.as("shard"))
+          .repartition(8, $"shard")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 100000)
+          .partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy($"shard".cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").cast("long").as("sum_chars"),
+            min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+          .orderBy($"shard")
+      },
+      Some(s"""WITH a AS (
+              |  SELECT doc_id, n_chars,
+              |    ${duckHex6("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+              |  FROM documents)
+              |SELECT shard, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+              |FROM a GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }
