@@ -554,6 +554,43 @@ object EventsQ {
              |SELECT decile, n_users, CAST(n_events AS BIGINT) AS n_events,
              |  CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE)
              |    AS share
-             |FROM g ORDER BY decile""".stripMargin))
+             |FROM g ORDER BY decile""".stripMargin)),
+
+    // Time-weighted average (telemetry semantics: a reading holds until the next
+    // one, so each value is weighted by how long it was current). Weights are
+    // integer epoch-millis gaps and values are exact integer cents (the column is
+    // 2-decimal), so numerator and denominator are exact BIGINT sums — one double
+    // division per user at the end, immune to partitioning and float order. One
+    // hash shuffle on user_id, per-user sorted lead — linear at any scale.
+    Q("events_time_weighted_avg",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .withColumn("dur_ms", unix_millis(lead($"ts", 1).over(w)) - unix_millis($"ts"))
+          .filter($"dur_ms".isNotNull)
+          .withColumn("cents", round($"value" * 100, 0).cast("long"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum($"dur_ms").as("total_ms"),
+            (sum($"cents" * $"dur_ms").cast("double") /
+              (sum($"dur_ms") * 100).cast("double")).as("time_weighted_value"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, value,
+             |    epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             |      - epoch_ms(ts) AS dur_ms
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, dur_ms,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM o WHERE dur_ms IS NOT NULL)
+             |SELECT user_id, COUNT(*) AS n_intervals,
+             |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+             |  CAST(SUM(cents * dur_ms) AS DOUBLE) /
+             |    CAST(SUM(dur_ms) * 100 AS DOUBLE) AS time_weighted_value
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

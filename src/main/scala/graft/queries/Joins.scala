@@ -365,6 +365,38 @@ object Joins {
       },
       Some(s"""SELECT l_orderkey, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
               |FROM lineitem WHERE l_orderkey IN (1, 2, 3, 4, 5, 6, 7)
-              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
+              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // Null-key skew split: in an outer join, NULL keys never match but still hash
+    // to ONE reducer — at 100 TB a 30%-null foreign key serializes a third of the
+    // table through a single task. The fix is structural: route null-key rows
+    // AROUND the join (they keep a NULL payload by definition) and union them
+    // back, so the shuffle only carries matchable keys. Here a derived key is
+    // NULL for every third lineitem; the oracle is the plain LEFT JOIN — the
+    // split is pure plan surgery, never a semantic change.
+    Q("join_null_skew_split",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity",
+            when($"l_orderkey" % 3 === 0, lit(null)).otherwise($"l_orderkey").as("k"))
+        val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        val matched = li.filter($"k".isNotNull)
+          .join(o, $"k" === $"o_orderkey", "left")
+          .select($"l_quantity", $"o_orderpriority")
+        val bypass = li.filter($"k".isNull)
+          .select($"l_quantity", lit(null).cast("string").as("o_orderpriority"))
+        matched.unionAll(bypass)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+          .orderBy($"o_orderpriority".asc_nulls_first)
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+              |FROM (SELECT l_quantity,
+              |        CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_orderkey END AS k
+              |      FROM lineitem) li
+              |LEFT JOIN orders ON li.k = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin))
   )
 }

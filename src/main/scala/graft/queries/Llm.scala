@@ -1074,6 +1074,31 @@ object Llm {
              |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Per-group fixed-k deterministic sample (per-source caps: "at most 20 docs
+    // from each source", the corpus-mixing complement of rate-based
+    // sample_stratified_hash). Order within a group is the md5 of the doc id —
+    // a reproducible pseudo-random permutation, so the k kept are an unbiased
+    // sample yet identical across engines, retries, and partitionings. One
+    // key-partitioned window (group cardinality bounds the sort), no RNG.
+    Q("sample_per_group_topk",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"source")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 20)
+          .select($"source", $"rn", $"doc_id", $"n_chars")
+          .orderBy($"source", $"rn")
+      },
+      Some("""SELECT source, rn, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY source, rn""".stripMargin)),
+
     // Token-budget shard packing (sequence packing for training shards): assign each
     // doc to shard floor(cum_tokens_before / 2000) in doc_id order. A naive global
     // running-sum window is a SINGLE reducer at 100 TB, so this uses the scalable
@@ -1121,8 +1146,8 @@ object Llm {
     // cross-multiplied thresholds (unique words >= 40%, top 2-gram <= 20%) so the
     // hashed columns are ints/booleans, never cross-engine doubles. Entirely map-only
     // per-document HOFs — no shuffle at all before the final presentation sort, so it
-    // scales as a pure scan at 100 TB (per-doc cost is O(words * distinct) with
-    // document-bounded arrays; no explode row blowup, stays in whole-stage codegen).
+    // scales as a pure scan at 100 TB (per-doc cost is O(n log n) via the sorted
+    // run-length fold below; no explode row blowup).
     Q("text_repetition_gopher",
       (s, dir) => {
         import s.implicits._
