@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * converted, and the scan's output schema shrinks accordingly. FILTER PUSHDOWN
   * (comparison/In/IsNull/StartsWith on any column) evaluates on the raw line
   * before row construction; all filters are also left as Spark-side residuals,
-  * so the pushdown only saves work, never owns correctness.
+  * so the pushdown only saves work, never owns correctness. LIMIT pushdown
+  * stops each partition reader after the first N surviving records (partial —
+  * Spark still applies the global limit).
   *
   * Widths are CHARACTER widths over UTF-8-decoded lines (ASCII feeds: same as
   * bytes; a byte-aligned reader for multi-byte encodings would slice the raw
@@ -103,11 +105,18 @@ class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String)
 
 class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** LIMIT pushdown: each partition reader stops after `l` surviving records, so
+    * a `df.limit(5)` over a terabyte feed reads ~5 lines per file instead of
+    * streaming every file to the end. Partial by contract (the default
+    * `isPartiallyPushed` stays true): Spark still applies the global limit on
+    * top, the reader-side stop is purely an I/O saving. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
   /** Supported filters are evaluated INSIDE the reader, on slices cut straight
     * from the raw line (independent of column pruning), so non-matching records
     * are dropped before any InternalRow is built. Conservatively, every filter is
@@ -119,17 +128,18 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new FixedWidthScan(dataSchema, widths, path, required, pushed)
+    new FixedWidthScan(dataSchema, widths, path, required, pushed, limit)
 }
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
-    required: StructType, val pushedFilters: Array[Filter])
+    required: StructType, val pushedFilters: Array[Filter], limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaces in .explain via BatchScanExec.simpleString, like built-in FileScans
   override def description(): String =
     s"FixedWidth PushedFilters: [${pushedFilters.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.catalogString}"
 
   /** Committed (path, length) pairs — listed once, shared by partition planning
@@ -185,17 +195,17 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(dataSchema, widths, required, pushedFilters,
-      FixedWidthConf.capture())
+      limit, FixedWidthConf.capture())
 }
 
 case class FixedWidthPartition(file: String) extends InputPartition
 
 class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
-    required: StructType, filters: Array[Filter],
+    required: StructType, filters: Array[Filter], limit: Int,
     confBag: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixedWidthReader(partition.asInstanceOf[FixedWidthPartition].file,
-      dataSchema, widths, required, filters, confBag)
+      dataSchema, widths, required, filters, limit, confBag)
 }
 
 /** Append-only batch WRITE path: each task streams its partition to
@@ -317,7 +327,7 @@ class FixedWidthWriter(schema: StructType, widths: Array[Int], path: String,
   * line BEFORE row construction, so filtered-out records cost a slice + compare,
   * not an InternalRow. */
 class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
-    required: StructType, filters: Array[Filter],
+    required: StructType, filters: Array[Filter], limit: Int,
     confBag: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
@@ -345,9 +355,13 @@ class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var line: String = _
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) { line = null; return false }
     line = reader.readLine()
     while (line != null && (line.isEmpty || !passes(line))) line = reader.readLine()
+    if (line != null) emitted += 1
     line != null
   }
 

@@ -120,6 +120,27 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(nullCmp.count() == 3)
   }
 
+  test("limit pushdown stops the reader; global limit semantics are kept") {
+    val df = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .limit(2)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.toString.contains("PushedLimit: 2"), scan.toString)
+    assert(df.count() == 2)
+    // limit composes with pushed filters: the reader counts SURVIVING records
+    import spark.implicits._
+    val filtered = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .filter($"k" >= 2).limit(1)
+    assert(filtered.count() == 1)
+  }
+
   test("two appends from distinct jobs never collide (queryId in file names)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fw-2j").toString
