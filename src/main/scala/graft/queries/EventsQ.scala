@@ -591,6 +591,100 @@ object EventsQ {
              |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
              |  CAST(SUM(cents * dur_ms) AS DOUBLE) /
              |    CAST(SUM(dur_ms) * 100 AS DOUBLE) AS time_weighted_value
-             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Overlapping-interval merge (coalesce per-user activity windows into
+    // maximal islands — session stitching, availability math, on-call coverage).
+    // Each event opens an interval [ts, ts + value·1000 ms]; an island starts
+    // where start exceeds the running max end of all predecessors (the classic
+    // sort + running-max formulation — one hash shuffle on user, per-user sorted
+    // windows, no self-join pair expansion). All arithmetic in integer epoch-ms,
+    // so island boundaries and coverage sums are exact on both engines.
+    Q("events_interval_merge",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"start_ms", $"end_ms")
+        val prevMax = w.rowsBetween(Window.unboundedPreceding, -1)
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.Tables.events(s, dir)
+          .select($"user_id", unix_millis($"ts").as("start_ms"),
+            (unix_millis($"ts") + round($"value" * 1000, 0).cast("long")).as("end_ms"))
+          .withColumn("prev_end", max($"end_ms").over(prevMax))
+          .withColumn("new_island",
+            when($"prev_end".isNull || $"start_ms" > $"prev_end", 1L).otherwise(0L))
+          .withColumn("island", sum($"new_island").over(run))
+          .groupBy($"user_id", $"island")
+          .agg(count(lit(1)).as("n_merged"),
+            min($"start_ms").as("island_start_ms"),
+            max($"end_ms").as("island_end_ms"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum($"n_merged").as("n_intervals"),
+            sum($"island_end_ms" - $"island_start_ms").as("covered_ms"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, epoch_ms(ts) AS start_ms,
+             |    epoch_ms(ts) + CAST(round(value * 1000, 0) AS BIGINT) AS end_ms
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, start_ms, end_ms,
+             |    CASE WHEN max(end_ms) OVER (PARTITION BY user_id
+             |        ORDER BY start_ms, end_ms
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR start_ms > max(end_ms) OVER (PARTITION BY user_id
+             |        ORDER BY start_ms, end_ms
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS new_island
+             |  FROM iv),
+             |g AS (
+             |  SELECT user_id, start_ms, end_ms,
+             |    CAST(SUM(new_island) OVER (PARTITION BY user_id
+             |      ORDER BY start_ms, end_ms ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS island
+             |  FROM f),
+             |i AS (
+             |  SELECT user_id, island, COUNT(*) AS n_merged,
+             |    MIN(start_ms) AS island_start_ms, MAX(end_ms) AS island_end_ms
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_islands,
+             |  CAST(SUM(n_merged) AS BIGINT) AS n_intervals,
+             |  CAST(SUM(island_end_ms - island_start_ms) AS BIGINT) AS covered_ms
+             |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Inactivity churn: users bucketed by days since their last event, measured
+    // against the CORPUS horizon (max ts). The horizon comes from a global
+    // window over the PER-USER aggregate — a |users|-row frame, so the
+    // single-partition window is bounded (never the raw stream); the fact table
+    // is touched once by the keyed rollup. Day arithmetic stays in integer
+    // epoch-days, the churn flag is an integer comparison.
+    Q("events_inactivity_churn",
+      (s, dir) => {
+        import s.implicits._
+        val perUser = graft.Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(max(unix_millis($"ts")).as("last_ms"), count(lit(1)).as("n_events"))
+        perUser
+          .withColumn("horizon_ms", max($"last_ms").over(Window.partitionBy()))
+          .withColumn("days_inactive",
+            floor(($"horizon_ms" - $"last_ms") / 86400000L).cast("long"))
+          .withColumn("churned", $"days_inactive" >= 1)
+          .groupBy($"churned")
+          .agg(count(lit(1)).as("n_users"), sum($"n_events").as("n_events"),
+            min($"days_inactive").as("min_days"), max($"days_inactive").as("max_days"))
+          .orderBy($"churned")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, MAX(epoch_ms(ts)) AS last_ms, COUNT(*) AS n_events
+             |  FROM events GROUP BY user_id),
+             |h AS (SELECT MAX(last_ms) AS horizon_ms FROM u)
+             |SELECT (CAST(floor((horizon_ms - last_ms) / 86400000) AS BIGINT) >= 1)
+             |    AS churned,
+             |  COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events,
+             |  MIN(CAST(floor((horizon_ms - last_ms) / 86400000) AS BIGINT))
+             |    AS min_days,
+             |  MAX(CAST(floor((horizon_ms - last_ms) / 86400000) AS BIGINT))
+             |    AS max_days
+             |FROM u, h GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -606,6 +606,31 @@ object Scalars {
              |    AS composite_key8
              |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)),
 
+    // Binary codec family (base64 / hex / unhex / byte length): the interchange
+    // primitives for shipping binary payloads through text formats (JSON/CSV
+    // sinks, HTTP APIs). Pure map-only projections; both directions are
+    // roundtripped so the oracle pins encode AND decode.
+    Q("fn_binary_codecs",
+      (s, dir) => {
+        import s.implicits._
+        val b = $"c_name".cast("binary")
+        t(s, dir, "customer").filter($"c_custkey" <= 500)
+          .select($"c_custkey",
+            base64(b).as("b64"),
+            unbase64(base64(b)).cast("string").as("b64_roundtrip"),
+            upper(hex(b)).as("hexed"),
+            unhex(upper(hex(b))).cast("string").as("hex_roundtrip"),
+            length(b).cast("bigint").as("n_bytes"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  to_base64(encode(c_name)) AS b64,
+             |  decode(from_base64(to_base64(encode(c_name)))) AS b64_roundtrip,
+             |  upper(hex(encode(c_name))) AS hexed,
+             |  decode(unhex(upper(hex(encode(c_name))))) AS hex_roundtrip,
+             |  CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes
+             |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)),
+
     // stack() generator — wide-to-long as a table function (the SQL spelling of
     // unpivot; unpivot_melt covers the DataFrame API form). A generator expands
     // rows inside the scan stage with no shuffle; the ORDER is the only exchange.
