@@ -283,6 +283,156 @@ object Headline {
              |SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
              |  next_from AS valid_to,
              |  next_from IS NULL AS is_current
-             |FROM h ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |FROM h ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Point-in-time (temporal) join: attach to each fact row the dimension VERSION
+    // that was active at the fact's event time — the standard warehouse join against
+    // an SCD2 dimension. The dim here is built from the facts themselves (per-user
+    // daily status = first event_type of the day, versioned by lead(day)), then the
+    // join is an EQUI join on the key with the interval predicate as a residual:
+    // shuffle partitions by user_id only, and since versions-per-key is bounded
+    // (dims are small relative to facts), the per-key version probe is O(versions)
+    // — no range-join pair explosion, no broadcast of the fact. This is the plan
+    // that survives 100 TB of facts against a million-row dimension history.
+    Q("join_point_in_time",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables(s, dir, "events")
+        val firstW = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+        val verW = Window.partitionBy($"user_id").orderBy($"day")
+        val dim = ev
+          .select($"user_id", date_trunc("day", $"ts").as("day"),
+            $"ts", $"event_id", $"event_type")
+          .withColumn("rn", row_number().over(firstW))
+          .filter($"rn" === 1)
+          .select($"user_id", $"day".as("valid_from"),
+            lead($"day", 1).over(verW).as("valid_to"),
+            $"event_type".as("status"))
+        ev.as("f")
+          .join(dim.as("d"),
+            $"f.user_id" === $"d.user_id" &&
+              $"f.ts" >= $"valid_from" &&
+              ($"valid_to".isNull || $"f.ts" < $"valid_to"))
+          .select($"event_id", $"f.user_id".as("user_id"), $"status")
+          .orderBy($"event_id")
+      },
+      Some("""WITH firsts AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |dim AS (
+             |  SELECT user_id, day AS valid_from,
+             |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+             |    event_type AS status
+             |  FROM firsts WHERE rn = 1)
+             |SELECT f.event_id, f.user_id, d.status
+             |FROM events f
+             |JOIN dim d ON f.user_id = d.user_id
+             |  AND f.ts >= d.valid_from
+             |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+             |ORDER BY f.event_id""".stripMargin)),
+
+    // TPC-H Q10 shape (returned-item revenue): which customers returned goods in a
+    // quarter, by lost revenue. Selective predicates (one quarter of orders, R-flag
+    // lines) are pushed into both fact scans; nation broadcasts; the aggregate
+    // carries customer attributes in the key so no second customer join is needed.
+    Q("tpch_q10_shape",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+                  $"o_orderdate" <  lit("1997-04-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name", $"c_mktsegment")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 8).as("revenue"))
+          .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal",
+            $"n_name", $"c_mktsegment")
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 8)} AS revenue,
+              |  c_acctbal, n_name, c_mktsegment
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+              |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship): supplier variety per part
+    // profile, EXCLUDING a blocklisted supplier set via NOT IN. The distinct
+    // (partkey, suppkey) pairs come from the fact; the blocklist is a scalar-
+    // subquery-sized set so Spark plans the NOT IN as a broadcast null-aware anti
+    // join — the only NOT IN plan that is safe at scale. count(DISTINCT) runs as
+    // two-phase partial aggregation on (brand, type, size).
+    Q("tpch_q16_shape",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey").distinct()
+        val p = t(s, dir, "part")
+          .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" && $"p_size" <= 30)
+        val bad = t(s, dir, "supplier").filter($"s_acctbal" < 0).select($"s_suppkey")
+        pairs.join(p, $"l_partkey" === $"p_partkey")
+          .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+          .limit(50)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM pairs
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 30
+             |  AND l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""".stripMargin)),
+
+    // TPC-H Q20 shape (excess inventory): suppliers who shipped a LOT of a targeted
+    // part family — a nested semi-join chain. The inner aggregate runs on the
+    // (partkey, suppkey) grain AFTER a broadcast semi-filter on the part prefix
+    // (the selective predicate prunes the fact aggregation's input, not its
+    // output), and only the qualifying supplier-key set — tiny by construction —
+    // joins back to supplier. Quantity sums are decimal so the > 90 boundary is
+    // engine-exact.
+    Q("tpch_q20_shape",
+      (s, dir) => {
+        import s.implicits._
+        val redParts = t(s, dir, "part")
+          .filter($"p_name".startsWith("red")).select($"p_partkey")
+        val heavy = t(s, dir, "lineitem")
+          .join(broadcast(redParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(dsum($"l_quantity").as("sum_qty"))
+          .filter($"sum_qty" > 90.0)
+          .select($"l_suppkey").distinct()
+        t(s, dir, "supplier")
+          .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
+          .filter($"s_nationkey" < 13)
+          .select($"s_suppkey", $"s_name", $"s_nationkey")
+          .orderBy($"s_name")
+      },
+      Some(s"""SELECT s_suppkey, s_name, s_nationkey
+              |FROM supplier
+              |WHERE s_suppkey IN (
+              |  SELECT l_suppkey FROM lineitem
+              |  WHERE l_partkey IN (
+              |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              |  GROUP BY l_partkey, l_suppkey
+              |  HAVING ${sqlDsum("l_quantity")} > 90.0)
+              |  AND s_nationkey < 13
+              |ORDER BY s_name""".stripMargin))
   )
 }
