@@ -28,7 +28,8 @@ object SparkEntry {
     SpecQ.queries,
     Scale.queries,
     Extras.queries,
-    Analytics.queries
+    Analytics.queries,
+    Retrieval.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
