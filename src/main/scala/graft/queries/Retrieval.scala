@@ -161,6 +161,41 @@ object Retrieval {
              |  FROM u)
              |SELECT CAST(p.level AS INTEGER) AS level, p.prefix AS prefix,
              |  count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM e GROUP BY p.level, p.prefix ORDER BY level, prefix""".stripMargin))
+             |FROM e GROUP BY p.level, p.prefix ORDER BY level, prefix""".stripMargin)),
+
+    // Jaro-Winkler record linkage over the part-name vocabulary via the NATIVE
+    // graft expressions (graft.functions.JaroWinklerSimilarity — codegen'd, no
+    // UDF). Candidate pairs are BANDED by first word before scoring (an equi-join
+    // on the band key), so the pair space is per-band quadratic in DISTINCT names
+    // — bounded by vocabulary, not corpus size; the full-corpus analogue would
+    // band by prefix/length exactly like the fuzzy-edit dedup path. Scores round
+    // to 9 digits (shared double formula, same policy as tf-idf) and the
+    // threshold compares the ROUNDED value so the keep/drop boundary is
+    // engine-exact.
+    Q("dedup_jaro_names",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.StringSimFunctions.{jaro_similarity, jaro_winkler_similarity}
+        val names = t(s, dir, "part").select($"p_name").distinct()
+          .select($"p_name", substring_index($"p_name", " ", 1).as("band"))
+        val a = names.select($"band", $"p_name".as("name1"))
+        val b = names.select($"band", $"p_name".as("name2"))
+        a.join(b, Seq("band"))
+          .filter($"name1" < $"name2")
+          .select($"name1", $"name2",
+            round(jaro_similarity($"name1", $"name2"), 9).as("jaro"),
+            round(jaro_winkler_similarity($"name1", $"name2"), 9).as("jw"))
+          .filter($"jw" >= 0.5)
+          .orderBy($"name1", $"name2")
+      },
+      Some("""WITH names AS (
+             |  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS band FROM part)
+             |SELECT a.p_name AS name1, b.p_name AS name2,
+             |  round(jaro_similarity(a.p_name, b.p_name), 9) AS jaro,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+             |FROM names a JOIN names b
+             |  ON a.band = b.band AND a.p_name < b.p_name
+             |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.5
+             |ORDER BY name1, name2""".stripMargin))
   )
 }
