@@ -747,6 +747,141 @@ object Scale {
               |SELECT shard, COUNT(*) AS n_docs,
               |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
               |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-              |FROM a GROUP BY shard ORDER BY shard""".stripMargin))
+              |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Frequent-items via a mergeable Misra-Gries sketch (native
+    // TypedImperativeAggregate, graft.functions.MisraGriesAgg) + EXACT
+    // verification: the sketch pass produces a ≤k candidate set (bounded-memory
+    // partials, associative merges), and only candidate rows enter the exact
+    // count pass (broadcast semi-filter) — so the expensive exact aggregation
+    // never materializes the full key space. Deterministic despite merge-order-
+    // dependent candidates: every term with true share ≥ 1/30 is GUARANTEED in a
+    // 60-counter summary (MG bound: freq > n/61), and the output thresholds on
+    // exact counts (integer cross-multiply — no division at the boundary).
+    Q("agg_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MisraGriesFunctions.mg_topk_candidates
+        val terms = t(s, dir, "documents")
+          .select(explode(graft.llm.TextFunctions.tokens($"text")).as("term"))
+        val cands = terms
+          .agg(mg_topk_candidates($"term", 60).as("cands"))
+          .select(explode($"cands").as("term"))
+        val total = terms.agg(count(lit(1)).as("total"))
+        terms.join(broadcast(cands), Seq("term"), "left_semi")
+          .groupBy($"term").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter($"cnt" * 30 >= $"total")
+          .select($"term", $"cnt", ($"cnt" * lit(1.0) / $"total").as("share"))
+          .orderBy($"term")
+      },
+      Some("""WITH terms AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |         x -> x <> '')) AS term
+             |  FROM documents),
+             |c AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
+             |SELECT term, cnt, cnt * 1.0 / total AS share
+             |FROM c CROSS JOIN tot
+             |WHERE cnt * 30 >= total ORDER BY term""".stripMargin)),
+
+    // Distributed global row-id assignment — zipWithIndex without a single-
+    // partition window: (1) bucket rows by a fixed key range (the deterministic
+    // stand-in for sampled range-partition boundaries), (2) count per bucket and
+    // prefix-sum the offsets on the TINY bucket frame, (3) rank within each
+    // bucket in parallel and add the broadcast offset. The only global sort ever
+    // materialized is over #buckets rows; the classic "row_number() OVER ()" —
+    // which moves the whole table through one reducer — never happens.
+    Q("scan_global_row_ids",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = t(s, dir, "orders")
+          .select($"o_orderkey", floor($"o_orderkey" / 2000).cast("long").as("bucket"))
+        val offsets = keyed.groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum($"cnt").over(
+              Window.orderBy($"bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"bucket", $"offset")
+        keyed.join(broadcast(offsets), Seq("bucket"))
+          .select($"o_orderkey",
+            ($"offset" +
+              row_number().over(
+                Window.partitionBy($"bucket").orderBy($"o_orderkey")).cast("long")
+              - lit(1L)).as("row_id"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT o_orderkey,
+             |    CAST(floor(o_orderkey / 2000) AS BIGINT) AS bucket
+             |  FROM orders),
+             |offs AS (
+             |  SELECT bucket,
+             |    COALESCE(SUM(cnt) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+             |  FROM (SELECT bucket, count(*) AS cnt FROM keyed GROUP BY bucket))
+             |SELECT k.o_orderkey,
+             |  CAST(o.offset + row_number() OVER (PARTITION BY k.bucket
+             |    ORDER BY k.o_orderkey) - 1 AS BIGINT) AS row_id
+             |FROM keyed k JOIN offs o ON k.bucket = o.bucket
+             |ORDER BY k.o_orderkey""".stripMargin)),
+
+    // l-diversity audit — the companion of the k-anonymity gate: for each
+    // quasi-identifier equivalence class, how many DISTINCT sensitive values
+    // (account-balance band) does it contain? Classes with low l leak the
+    // sensitive attribute even when k-anonymous. One grouped pass; the sensitive
+    // band uses an exact integer floor so the class boundary is engine-exact.
+    Q("dq_l_diversity",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(floor($"c_acctbal" / 1000.0).cast("long")).as("l_distinct"))
+          .withColumn("diverse_ok", $"l_distinct" >= 3)
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  count(*) AS class_size,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+             |    AS diverse_ok
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // Privacy-style noise injection with SEEDED reproducible noise: per-day event
+    // counts perturbed by approximate-Gaussian noise built as an Irwin-Hall sum
+    // of 12 md5-derived uniforms — pure arithmetic (no transcendental inverse
+    // CDF), so the noisy values are bit-reproducible across engines and reruns,
+    // which is what makes a privacy perturbation auditable. Map-side combine on
+    // the day key; the 12 hashes are per GROUP, not per row.
+    Q("agg_noise_injection",
+      (s, dir) => {
+        import s.implicits._
+        val dayStr = date_format($"day", "yyyy-MM-dd")
+        val us = (1 to 12).map { i =>
+          (conv(substring(md5(concat(dayStr, lit(s":$i"))), 1, 6), 16, 10)
+            .cast("double") + lit(1.0)) / lit(16777217.0)
+        }
+        val noise = us.reduceLeft(_ + _) - lit(6.0)
+        graft.Tables(s, dir, "events")
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select($"day", $"n",
+            round($"n" + noise * lit(5.0), 6).as("n_noisy"))
+          .orderBy($"day")
+      },
+      Some {
+        val us = (1 to 12).map { i =>
+          s"((${duckHex6(s"strftime(day, '%Y-%m-%d') || ':$i'")}) + 1.0) / 16777217.0"
+        }
+        val noise = us.reduceLeft((a, b) => s"($a + $b)")
+        s"""WITH d AS (
+           |  SELECT date_trunc('day', ts) AS day, count(*) AS n
+           |  FROM events GROUP BY 1)
+           |SELECT day, n,
+           |  round(n + ($noise - 6.0) * 5.0, 6) AS n_noisy
+           |FROM d ORDER BY day""".stripMargin
+      })
   )
 }
