@@ -784,7 +784,150 @@ object Analytics {
              |SELECT day, n,
              |  CAST(n AS DOUBLE) * trail_days / trail_n AS burst_ratio,
              |  n * trail_days > trail_n * 2 AS is_burst
-             |FROM tr WHERE trail_days >= 3 ORDER BY day""".stripMargin))
+             |FROM tr WHERE trail_days >= 3 ORDER BY day""".stripMargin)),
+
+    // EWMA smoothing over the per-user daily series: a FIXED 8-tap exponential
+    // kernel (α = 0.5) written as explicit lag() taps with a left-associated
+    // weighted sum, normalized by the weight mass of the taps actually present.
+    // The recursive EWMA definition cannot run distributed (each row depends on
+    // the previous result); the windowed-kernel form is the standard scale-out
+    // approximation — per-key parallel, one shuffle on user_id, identical IEEE
+    // expression trees on both engines. Daily sums go through decimal first.
+    Q("events_ewma_smooth",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables(s, dir, "events")
+          .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+          .agg(dsum($"value").as("v"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val weights = (0 to 7).map(j => math.pow(0.5, j))
+        val taps = (0 to 7).map(j => lag($"v", j).over(w))
+        val num = taps.zip(weights).map { case (x, wt) =>
+          coalesce(x, lit(0.0d)) * lit(wt) }.reduceLeft(_ + _)
+        val den = taps.zip(weights).map { case (x, wt) =>
+          when(x.isNotNull, lit(wt)).otherwise(lit(0.0d)) }.reduceLeft(_ + _)
+        daily.select($"user_id", $"day", $"v",
+            round((num / den), 6).as("ewma"))
+          .orderBy($"user_id", $"day")
+      },
+      Some {
+        val weights = (0 to 7).map(j => math.pow(0.5, j))
+        val num = weights.zipWithIndex.map { case (wt, j) =>
+          s"COALESCE(lag(v, $j) OVER w, 0.0) * $wt" }
+          .reduceLeft((a, b) => s"($a + $b)")
+        val den = weights.zipWithIndex.map { case (wt, j) =>
+          s"CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN $wt ELSE 0.0 END" }
+          .reduceLeft((a, b) => s"($a + $b)")
+        s"""WITH daily AS (
+           |  SELECT user_id, date_trunc('day', ts) AS day,
+           |    ${sqlDsum("value")} AS v
+           |  FROM events GROUP BY 1, 2)
+           |SELECT user_id, day, v, round(($num) / ($den), 6) AS ewma
+           |FROM daily
+           |WINDOW w AS (PARTITION BY user_id ORDER BY day)
+           |ORDER BY user_id, day""".stripMargin
+      }),
+
+    // Winsorization (outlier clamping at exact p05/p95): thresholds come from the
+    // exact interpolated percentile (quantile_cont semantics, as in
+    // agg_percentile_cont), broadcast back onto the rows, and the clamped mean is
+    // decimal-exact. Two passes over the grouped column — the unavoidable shape
+    // for EXACT thresholds; the 100 TB variant swaps in the mergeable KLL sketch
+    // thresholds (approx_kll_quantiles) with the same join structure.
+    Q("feat_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        val th = t(s, dir, "orders")
+          .groupBy($"o_orderstatus".as("st"))
+          .agg(expr("percentile(o_totalprice, array(0.05D, 0.95D))").as("qs"))
+          .select($"st", element_at($"qs", 1).as("p05"),
+            element_at($"qs", 2).as("p95"))
+        t(s, dir, "orders")
+          .join(broadcast(th), $"o_orderstatus" === $"st")
+          .select($"o_orderstatus",
+            $"o_totalprice",
+            least(greatest($"o_totalprice", $"p05"), $"p95").as("wv"),
+            ($"o_totalprice" < $"p05").as("lo"),
+            ($"o_totalprice" > $"p95").as("hi"),
+            $"p05", $"p95")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"lo".cast("long")).as("n_clamped_low"),
+            sum($"hi".cast("long")).as("n_clamped_high"),
+            min($"p05").as("p05"), max($"p95").as("p95"),
+            davg($"o_totalprice").as("mean_raw"),
+            davg($"wv").as("mean_winsorized"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""WITH th AS (
+              |  SELECT o_orderstatus AS st,
+              |    quantile_cont(o_totalprice, 0.05) AS p05,
+              |    quantile_cont(o_totalprice, 0.95) AS p95
+              |  FROM orders GROUP BY 1),
+              |j AS (
+              |  SELECT o_orderstatus, o_totalprice,
+              |    least(greatest(o_totalprice, p05), p95) AS wv,
+              |    o_totalprice < p05 AS lo, o_totalprice > p95 AS hi, p05, p95
+              |  FROM orders JOIN th ON o_orderstatus = st)
+              |SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(SUM(CAST(lo AS BIGINT)) AS BIGINT) AS n_clamped_low,
+              |  CAST(SUM(CAST(hi AS BIGINT)) AS BIGINT) AS n_clamped_high,
+              |  MIN(p05) AS p05, MAX(p95) AS p95,
+              |  ${sqlDavg("o_totalprice")} AS mean_raw,
+              |  ${sqlDavg("wv")} AS mean_winsorized
+              |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Chi-square independence test (event_type × user cohort): the contingency
+    // table INCLUDING empty cells (full cross of the two tiny margins — a
+    // PLANS.md-style bounded densification), expected counts from exact integer
+    // margin products, per-cell contributions summed through DECIMAL so the
+    // statistic is partitioning-independent. The margins/cells are aggregates;
+    // nothing driver-side.
+    Q("events_chi_square",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables(s, dir, "events")
+          .select($"event_type", ($"user_id" % 3).as("cohort"))
+        val cells = ev.groupBy($"event_type", $"cohort").agg(count(lit(1)).as("o"))
+        val rowM = ev.groupBy($"event_type").agg(count(lit(1)).as("rt"))
+        val colM = ev.groupBy($"cohort").agg(count(lit(1)).as("ct"))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        val grid = rowM.crossJoin(colM).crossJoin(tot)
+          .join(cells, Seq("event_type", "cohort"), "left")
+          .select($"event_type", $"cohort", $"rt", $"ct", $"n",
+            coalesce($"o", lit(0L)).as("o"))
+        val e = ($"rt" * $"ct").cast("double") / $"n"
+        val contrib = (($"o" - e) * ($"o" - e)) / e
+        grid.agg(
+            sum(contrib.cast("decimal(30,12)")).cast("double").as("chi2"),
+            countDistinct($"event_type").as("nr"),
+            countDistinct($"cohort").as("nc"),
+            count(lit(1)).as("n_cells"))
+          .select(round($"chi2", 6).as("chi2"),
+            (($"nr" - 1) * ($"nc" - 1)).as("dof"),
+            $"n_cells")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id % 3 AS cohort FROM events),
+             |cells AS (SELECT event_type, cohort, count(*) AS o
+             |          FROM ev GROUP BY 1, 2),
+             |rm AS (SELECT event_type, count(*) AS rt FROM ev GROUP BY 1),
+             |cm AS (SELECT cohort, count(*) AS ct FROM ev GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM ev),
+             |grid AS (
+             |  SELECT rm.event_type, cm.cohort, rt, ct, n,
+             |    COALESCE(cells.o, 0) AS o
+             |  FROM rm CROSS JOIN cm CROSS JOIN tot
+             |  LEFT JOIN cells ON cells.event_type = rm.event_type
+             |                 AND cells.cohort = cm.cohort)
+             |SELECT
+             |  round(CAST(SUM(CAST(
+             |    ((o - CAST(rt * ct AS DOUBLE) / n) *
+             |     (o - CAST(rt * ct AS DOUBLE) / n)) /
+             |      (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(30,12))) AS DOUBLE), 6)
+             |    AS chi2,
+             |  (count(DISTINCT event_type) - 1) * (count(DISTINCT cohort) - 1) AS dof,
+             |  count(*) AS n_cells
+             |FROM grid""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).
