@@ -927,7 +927,132 @@ object Analytics {
              |    AS chi2,
              |  (count(DISTINCT event_type) - 1) * (count(DISTINCT cohort) - 1) AS dof,
              |  count(*) AS n_cells
-             |FROM grid""".stripMargin))
+             |FROM grid""".stripMargin)),
+
+    // CUPED variance reduction (controlled-experiment metric adjustment): the
+    // pre-period covariate x (first half of the month) adjusts the post-period
+    // metric y via θ = cov(x,y)/var(x), computed from decimal-exact global
+    // moments (the agg_regression_ols machinery); the per-arm CUPED mean is then
+    // mean(y) − θ·(mean(x) − x̄). Two aggregations (per-user, then per-arm) plus
+    // one broadcast of the 1-row moment frame — nothing driver-side, nothing
+    // quadratic; identical IEEE finish trees on both engines.
+    Q("events_ab_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val users = graft.Tables(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(
+            dsum(when(dayofmonth($"ts") <= 15, $"value").otherwise(lit(0.0d))).as("x"),
+            dsum(when(dayofmonth($"ts") > 15, $"value").otherwise(lit(0.0d))).as("y"))
+          .select($"user_id", ($"user_id" % 2).as("arm"),
+            $"x".cast("decimal(18,4)").as("xd"), $"y".cast("decimal(18,4)").as("yd"))
+        val mom = users.agg(count(lit(1)).as("n"),
+          sum($"xd").cast("double").as("sx"),
+          sum($"xd" * $"xd").cast("double").as("sxx"),
+          sum($"yd").cast("double").as("sy"),
+          sum($"xd" * $"yd").cast("double").as("sxy"))
+        val theta = ($"sxy" - $"sx" * $"sy" / $"n") /
+          ($"sxx" - $"sx" * $"sx" / $"n")
+        users.groupBy($"arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"xd").cast("double").as("ax"),
+            sum($"yd").cast("double").as("ay"))
+          .crossJoin(broadcast(mom))
+          .select($"arm", $"n_users",
+            round($"ay" / $"n_users", 6).as("mean_raw"),
+            round($"ay" / $"n_users" -
+              theta * ($"ax" / $"n_users" - $"sx" / $"n"), 6).as("mean_cuped"),
+            round(theta, 6).as("theta"))
+          .orderBy($"arm")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, user_id % 2 AS arm,
+             |    CAST(CAST(SUM(CAST(CASE WHEN dayofmonth(ts) <= 15 THEN value
+             |      ELSE 0.0 END AS DECIMAL(30,4))) AS DOUBLE) AS DECIMAL(18,4)) AS xd,
+             |    CAST(CAST(SUM(CAST(CASE WHEN dayofmonth(ts) > 15 THEN value
+             |      ELSE 0.0 END AS DECIMAL(30,4))) AS DOUBLE) AS DECIMAL(18,4)) AS yd
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             |    CAST(SUM(yd) AS DOUBLE) AS sy, CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+             |  FROM u),
+             |a AS (
+             |  SELECT arm, COUNT(*) AS n_users,
+             |    CAST(SUM(xd) AS DOUBLE) AS ax, CAST(SUM(yd) AS DOUBLE) AS ay
+             |  FROM u GROUP BY arm)
+             |SELECT arm, n_users,
+             |  round(ay / n_users, 6) AS mean_raw,
+             |  round(ay / n_users -
+             |    ((sxy - sx * sy / n) / (sxx - sx * sx / n)) *
+             |      (ax / n_users - sx / n), 6) AS mean_cuped,
+             |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta
+             |FROM a CROSS JOIN m ORDER BY arm""".stripMargin)),
+
+    // Quantile normalization across sources (batch-effect removal): each value is
+    // replaced by the POOLED distribution's value at its within-source percentile.
+    // The pooled quantile grid is 101 exact interpolated quantiles (one bounded
+    // aggregate, broadcast back), the within-source rank is a per-source window —
+    // so the whole transform is one window + one broadcast join; no global sort
+    // of the corpus.
+    Q("feat_quantile_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+        val pr = percent_rank().over(
+          Window.partitionBy($"source").orderBy($"n_chars", $"doc_id"))
+        val ranked = docs.select($"doc_id", $"source", $"n_chars",
+          round(pr * 100, 0).cast("int").as("centile"))
+        val gridArr = (0 to 100).map(i => s"${i / 100.0}D").mkString(", ")
+        val grid = docs
+          .agg(expr(s"percentile(n_chars, array($gridArr))").as("qs"))
+          .select(posexplode($"qs").as(Seq("centile", "qval")))
+        ranked.join(broadcast(grid), Seq("centile"))
+          .select($"doc_id", $"source", $"n_chars", round($"qval", 6).as("normalized"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(round(percent_rank() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) * 100, 0) AS INTEGER) AS centile
+             |  FROM d),
+             |qs AS (
+             |  SELECT quantile_cont(n_chars,
+             |    list_transform(generate_series(0, 100), i -> i / 100.0)) AS q
+             |  FROM d),
+             |g AS (
+             |  SELECT i - 1 AS centile, q[i] AS qval
+             |  FROM qs, generate_series(1, 101) t(i))
+             |SELECT doc_id, source, n_chars, round(qval, 6) AS normalized
+             |FROM r JOIN g USING (centile)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ISO-week calendar rollup: ISO week number plus the ISO WEEK-YEAR (the year
+    // of that week's Thursday — weeks 52/53/1 straddle January 1, so the plain
+    // calendar year mislabels boundary weeks). Spark has no isoyear(); the
+    // Thursday trick derives it from arithmetic only, so both engines agree
+    // exactly. One map-side-combined rollup on (iso_year, iso_week).
+    Q("events_iso_week_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val d = $"o_orderdate".cast("date")
+        val isoDow = ((dayofweek(d) + lit(5)) % 7) + 1
+        val thursday = date_add(d, lit(4) - isoDow)
+        t(s, dir, "orders")
+          .groupBy(year(thursday).as("iso_year"), weekofyear(d).as("iso_week"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice").as("sum_price"),
+            min(d).as("first_day"))
+          .orderBy($"iso_year", $"iso_week")
+      },
+      Some(s"""SELECT
+              |  CAST(isoyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_year,
+              |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+              |  COUNT(*) AS n_orders,
+              |  ${sqlDsum("o_totalprice")} AS sum_price,
+              |  MIN(CAST(o_orderdate AS DATE)) AS first_day
+              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).

@@ -685,6 +685,40 @@ object EventsQ {
              |    AS min_days,
              |  MAX(CAST(floor((horizon_ms - last_ms) / 86400000) AS BIGINT))
              |    AS max_days
-             |FROM u, h GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM u, h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Batch equivalent of the CHAINED stateful streaming query
+    // (Streaming.chainedClickBuyWindowCounts): watermarked stream-stream join
+    // feeding a downstream tumbling-window aggregation — two stateful operators
+    // in one plan (Spark 3.5+ multiple-stateful-operator support). In batch the
+    // same plan is a key-partitioned join plus a windowed rollup; the streaming
+    // wiring is equivalence-tested in StreamingSpec.
+    Q("stream_chained_agg_batch",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.Tables(s, dir, "events")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("click_ts"))
+        val buys = e.filter($"event_type" === "purchase")
+          .select($"user_id".as("b_user"), $"ts".as("buy_ts"))
+        clicks.join(buys,
+            $"user_id" === $"b_user" &&
+            $"buy_ts" >= $"click_ts" &&
+            $"buy_ts" <= $"click_ts" + expr("interval 10 minutes"))
+          .groupBy(window($"click_ts", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n_conv"))
+          .select($"w.start".as("wstart"), $"n_conv")
+          .orderBy($"wstart")
+      },
+      Some("""WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+             |b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |j AS (
+             |  SELECT c.ts AS click_ts
+             |  FROM c JOIN b ON c.user_id = b.user_id
+             |   AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE)
+             |SELECT make_timestamp(CAST(floor(epoch(click_ts)/900) AS BIGINT)
+             |         * 900 * 1000000) AS wstart,
+             |  COUNT(*) AS n_conv
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -117,6 +117,34 @@ object Streaming {
       .select(col("user_id"), col("click_id"), col("click_ts"), col("buy_id"))
   }
 
+  /** CHAINED stateful operators in ONE streaming query (the multiple-stateful-
+    * operator support added in Spark 3.5): the watermarked stream-stream
+    * click→buy join feeds a DOWNSTREAM tumbling-window conversion count — two
+    * stateful exec nodes (join state, then window state) in a single append-mode
+    * plan. Both stages key-partition (user_id, then window), so state and
+    * parallelism scale exactly like the standalone join/agg. In a finite run only
+    * windows whose end the final global watermark passed emit; StreamingSpec
+    * compares that mature region against the batch equivalent
+    * (`stream_chained_agg_batch` in queries.EventsQ). */
+  def chainedClickBuyWindowCounts(events: DataFrame, joinWindow: String,
+      watermark: String, aggWindow: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermark)
+    clicks.join(buys,
+        col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"interval $joinWindow"))
+      .groupBy(window(col("click_ts"), aggWindow).as("w"))
+      .agg(count(lit(1)).as("n_conv"))
+      .select(col("w.start").as("wstart"), col("n_conv"))
+  }
+
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals (update

@@ -126,6 +126,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("chained stateful operators: join → windowed agg matches batch on mature region") {
+    val got = Streaming.runToMemory(spark,
+      Streaming.chainedClickBuyWindowCounts(Streaming.eventsStream(spark, sf),
+        "10 minutes", "1 minute", "15 minutes"),
+      "t_chained", OutputMode.Append())
+    val e = batchEvents
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+    val want = clicks.join(buys,
+        col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 10 minutes"))
+      .groupBy(window(col("click_ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n_conv"))
+      .select(col("window.start").as("wstart"), col("n_conv"))
+    // every emitted window must equal its batch twin exactly...
+    val matched = got.as("g").join(want.as("w"), Seq("wstart"))
+      .filter(col("g.n_conv") === col("w.n_conv"))
+    assert(got.count() > 0)
+    assert(matched.count() == got.count())
+    // ...and most of the batch windows must have matured past the final watermark
+    // (only the tail windows the final watermark hasn't passed may be withheld)
+    assert(got.count() >= want.count() - 3)
+  }
+
   test("mapGroupsWithState running totals converge to batch totals") {
     val got = Streaming.runToMemory(spark,
       Streaming.runningUserTotals(spark, Streaming.eventsStream(spark, sf)).toDF(),
