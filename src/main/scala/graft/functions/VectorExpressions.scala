@@ -201,7 +201,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_similarity"),
+      new ExpressionInfo(classOf[JaroSimilarity].getName, "jaro_similarity"),
+      (exprs: Seq[Expression]) => JaroSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler_similarity"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "jaro_winkler_similarity"),
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
+    e.injectOptimizerRule(_ => JaroWinklerPrefilter)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

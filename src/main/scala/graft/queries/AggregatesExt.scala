@@ -30,6 +30,90 @@ object AggregatesExt {
               |  ${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
               |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    // Pivot with MULTIPLE measures per cell (count + decimal-exact amount): Spark
+    // suffixes the agg aliases onto the pivot values; both measures compute in the
+    // SAME grouped pass (one shuffle, cells as conditional aggregates — no
+    // re-scan per measure). Absent cells: count coalesces to 0, amount stays NULL
+    // — mirroring the conditional-aggregate oracle exactly.
+    Q("agg_pivot_multi",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("amt"))
+          .select($"o_orderstatus",
+            coalesce(col("1-URGENT_n"), lit(0L)).as("urgent_n"),
+            col("1-URGENT_amt").as("urgent_amt"),
+            coalesce(col("5-LOW_n"), lit(0L)).as("low_n"),
+            col("5-LOW_amt").as("low_amt"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus,
+              |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
+              |  ${sqlDsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")}
+              |    AS urgent_amt,
+              |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+              |  ${sqlDsum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")}
+              |    AS low_amt
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ABC (Pareto) classification of parts by revenue WITHOUT a global single-
+    // reducer window over the part frame: fixed revenue bands give a coarse
+    // global order, per-band totals prefix-sum into offsets on the tiny band
+    // frame, and the fine cumulative sum runs within each band in parallel —
+    // the scan_global_row_ids scheme, descending. Cumulative sums stay DECIMAL
+    // until the final share division; the A/B/C boundary compares the ROUNDED
+    // share so the class is engine-exact.
+    Q("agg_abc_classification",
+      (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum($"l_extendedprice".cast("decimal(30,4)")).as("revd"))
+          .withColumn("band", floor($"revd" / 10000).cast("long"))
+        val offs = rev.groupBy($"band").agg(sum($"revd").as("band_sum"))
+          .withColumn("boffset",
+            coalesce(sum($"band_sum").over(
+              Window.orderBy($"band".desc)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(BigDecimal(0)).cast("decimal(38,4)")))
+          .select($"band", $"boffset")
+        val tot = rev.agg(sum($"revd").as("totd"))
+        val wIn = Window.partitionBy($"band")
+          .orderBy($"revd".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val share = round(
+          (($"boffset" + sum($"revd").over(wIn)).cast("double")) /
+            $"totd".cast("double"), 9)
+        rev.join(broadcast(offs), Seq("band"))
+          .crossJoin(broadcast(tot))
+          .select($"l_partkey", $"revd".cast("double").as("revenue"),
+            share.as("cum_share"))
+          .withColumn("abc_class",
+            when($"cum_share" <= 0.5, "A")
+              .when($"cum_share" <= 0.8, "B").otherwise("C"))
+          .orderBy($"revenue".desc, $"l_partkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS revd
+             |  FROM lineitem GROUP BY l_partkey),
+             |t AS (SELECT SUM(revd) AS totd FROM rev),
+             |c AS (
+             |  SELECT l_partkey, revd,
+             |    SUM(revd) OVER (ORDER BY revd DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM rev)
+             |SELECT l_partkey, CAST(revd AS DOUBLE) AS revenue,
+             |  round(CAST(cum AS DOUBLE) / CAST(totd AS DOUBLE), 9) AS cum_share,
+             |  CASE
+             |    WHEN round(CAST(cum AS DOUBLE) / CAST(totd AS DOUBLE), 9) <= 0.5 THEN 'A'
+             |    WHEN round(CAST(cum AS DOUBLE) / CAST(totd AS DOUBLE), 9) <= 0.8 THEN 'B'
+             |    ELSE 'C' END AS abc_class
+             |FROM c CROSS JOIN t
+             |ORDER BY revenue DESC, l_partkey""".stripMargin)),
+
     // Unpivot/melt (wide → long): ids stay, value columns become (metric, val) rows.
     Q("unpivot_melt",
       (s, dir) => {

@@ -245,6 +245,26 @@ object Windows {
              |  lag(v, 1 IGNORE NULLS) OVER w AS prev_nonnull
              |FROM v
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // ratio_to_report: each row's share of its partition total — the unordered
+    // window aggregate (no frame, whole-partition sum broadcast to every row).
+    // The denominator is a DECIMAL sum so it is partitioning-independent; one
+    // double division per row, key-partitioned and parallel.
+    Q("win_ratio_to_report",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            round($"o_totalprice" /
+              sum($"o_totalprice".cast("decimal(30,4)")).over(w).cast("double"),
+              9).as("share"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+             |    OVER (PARTITION BY o_orderstatus) AS DOUBLE), 9) AS share
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }
