@@ -1052,7 +1052,131 @@ object Analytics {
               |  COUNT(*) AS n_orders,
               |  ${sqlDsum("o_totalprice")} AS sum_price,
               |  MIN(CAST(o_orderdate AS DATE)) AS first_day
-              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Weighted single-source shortest path (Bellman-Ford relaxations as joins):
+    // the Pregel-style companion of graph_bfs_hops for WEIGHTED edges — each
+    // round joins the current distance frame to the edge list, takes the per-node
+    // MIN candidate, and folds it in; localCheckpoint cuts the growing lineage
+    // exactly like graph_pagerank. Distances stay DECIMAL throughout, so min()
+    // comparisons and the final values are engine-exact (no float-accumulation
+    // order sensitivity). 4 rounds bound the plan; the oracle unrolls the same
+    // 4 relaxations as chained CTEs.
+    Q("graph_shortest_path_weighted",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_quantity")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(min($"l_quantity".cast("decimal(18,2)")).as("w"))
+          .localCheckpoint()
+        val nodes = edges.select($"src".as("node"))
+          .union(edges.select($"dst".as("node"))).distinct()
+        var dist = nodes.withColumn("d",
+          when($"node" === 0, lit(BigDecimal(0)).cast("decimal(18,2)")))
+        for (_ <- 1 to 4) {
+          val best = dist.filter($"d".isNotNull)
+            .join(edges, $"node" === $"src")
+            .groupBy($"dst".as("bnode")).agg(min($"d" + $"w").as("best"))
+          dist = dist.join(best, $"node" === $"bnode", "left")
+            .select($"node",
+              when($"d".isNull, $"best")
+                .when($"best".isNull, $"d")
+                .when($"best" < $"d", $"best")
+                .otherwise($"d").as("d"))
+            .localCheckpoint()
+        }
+        dist.select($"node", $"d".cast("double").as("dist")).orderBy($"node")
+      },
+      Some {
+        def relax(prev: String, i: Int): String =
+          s"""r$i AS (
+             |  SELECT e.dst AS bnode, MIN($prev.d + e.w) AS best
+             |  FROM $prev JOIN e ON e.src = $prev.node
+             |  WHERE $prev.d IS NOT NULL GROUP BY 1),
+             |d$i AS (
+             |  SELECT p.node,
+             |    CASE WHEN p.d IS NULL THEN r.best
+             |         WHEN r.best IS NULL THEN p.d
+             |         WHEN r.best < p.d THEN r.best ELSE p.d END AS d
+             |  FROM $prev p LEFT JOIN r$i r ON p.node = r.bnode)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT c_nationkey AS src, s_nationkey AS dst,
+           |    MIN(CAST(l_quantity AS DECIMAL(18,2))) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  WHERE c_nationkey <> s_nationkey GROUP BY 1, 2),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |d0 AS (SELECT node,
+           |  CASE WHEN node = 0 THEN CAST(0 AS DECIMAL(18,2)) END AS d FROM n),
+           |${relax("d0", 1)},
+           |${relax("d1", 2)},
+           |${relax("d2", 3)},
+           |${relax("d3", 4)}
+           |SELECT node, CAST(d AS DOUBLE) AS dist FROM d4 ORDER BY node""".stripMargin
+      }),
+
+    // Event-type co-occurrence / association mining (support + lift): the "market
+    // basket" is a (user, hour) cell; pair candidates come from a SELF-JOIN on
+    // the basket key (equi — per-basket fanout is bounded by the type vocabulary,
+    // never corpus-quadratic), margins and the basket total from two cheap
+    // rollups. Lift's integer cross-products stay exact; the final ratio is one
+    // double division, rounded.
+    Q("events_type_cooccurrence",
+      (s, dir) => {
+        import s.implicits._
+        val baskets = graft.Tables(s, dir, "events")
+          .select($"user_id", date_trunc("hour", $"ts").as("minute"), $"event_type")
+          .distinct()
+        val pairs = baskets.as("a")
+          .join(baskets.as("b"),
+            $"a.user_id" === $"b.user_id" && $"a.minute" === $"b.minute" &&
+              $"a.event_type" < $"b.event_type")
+          .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+          .agg(count(lit(1)).as("n_pair"))
+        val margins = baskets.groupBy($"event_type").agg(count(lit(1)).as("n_type"))
+        val total = baskets.select($"user_id", $"minute").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        pairs
+          .join(broadcast(margins.select($"event_type".as("type_a"), $"n_type".as("na"))),
+            Seq("type_a"))
+          .join(broadcast(margins.select($"event_type".as("type_b"), $"n_type".as("nb"))),
+            Seq("type_b"))
+          .crossJoin(broadcast(total))
+          .select($"type_a", $"type_b", $"n_pair",
+            round(($"n_pair" * $"n_baskets").cast("double") / ($"na" * $"nb"), 6)
+              .as("lift"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""WITH baskets AS (
+             |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS minute, event_type
+             |  FROM events),
+             |pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS n_pair
+             |  FROM baskets a JOIN baskets b
+             |    ON a.user_id = b.user_id AND a.minute = b.minute
+             |   AND a.event_type < b.event_type
+             |  GROUP BY 1, 2),
+             |m AS (SELECT event_type, count(*) AS n_type FROM baskets GROUP BY 1),
+             |tot AS (SELECT count(*) AS n_baskets FROM
+             |        (SELECT DISTINCT user_id, minute FROM baskets))
+             |SELECT type_a, type_b, n_pair,
+             |  round(CAST(n_pair * n_baskets AS DOUBLE) / (ma.n_type * mb.n_type), 6)
+             |    AS lift
+             |FROM pairs
+             |JOIN m ma ON ma.event_type = type_a
+             |JOIN m mb ON mb.event_type = type_b
+             |CROSS JOIN tot
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).

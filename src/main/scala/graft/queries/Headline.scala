@@ -433,6 +433,53 @@ object Headline {
               |  GROUP BY l_partkey, l_suppkey
               |  HAVING ${sqlDsum("l_quantity")} > 90.0)
               |  AND s_nationkey < 13
-              |ORDER BY s_name""".stripMargin))
+              |ORDER BY s_name""".stripMargin)),
+
+    // Changelog EMISSION (the inverse of cdc_apply_changelog): diff two table
+    // snapshots into an I/U/D change feed with ONE full-outer join on the key —
+    // the scalable snapshot-compare (both sides hash-partition on the key; no
+    // per-row lookups, no driver diffing). Unchanged rows drop out before the
+    // sink, so the emitted feed is proportional to the drift, not the table.
+    Q("cdc_emit_changelog",
+      (s, dir) => {
+        import s.implicits._
+        val cur = t(s, dir, "orders")
+          .select($"o_orderkey".as("k"), $"o_totalprice".as("old_price"))
+        val nxt = t(s, dir, "orders")
+          .filter($"o_orderkey" % 97 =!= 0) // deletes
+          .select($"o_orderkey".as("k"),
+            when($"o_orderkey" % 10 === 3, $"o_totalprice" + 100.0)
+              .otherwise($"o_totalprice").as("new_price"))
+          .unionByName(
+            t(s, dir, "orders").filter($"o_orderkey" % 500 === 0) // inserts
+              .select(($"o_orderkey" + 10000000L).as("k"),
+                $"o_totalprice".as("new_price")))
+        cur.join(nxt, Seq("k"), "full_outer")
+          .select($"k".as("o_orderkey"),
+            when($"old_price".isNull, "I")
+              .when($"new_price".isNull, "D")
+              .when($"old_price" =!= $"new_price", "U").as("op"),
+            $"old_price", $"new_price")
+          .filter($"op".isNotNull)
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH cur AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS old_price FROM orders),
+             |nxt AS (
+             |  SELECT o_orderkey AS k,
+             |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100.0
+             |         ELSE o_totalprice END AS new_price
+             |  FROM orders WHERE o_orderkey % 97 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000 AS k, o_totalprice AS new_price
+             |  FROM orders WHERE o_orderkey % 500 = 0),
+             |d AS (
+             |  SELECT COALESCE(cur.k, nxt.k) AS o_orderkey,
+             |    CASE WHEN cur.old_price IS NULL THEN 'I'
+             |         WHEN nxt.new_price IS NULL THEN 'D'
+             |         WHEN cur.old_price <> nxt.new_price THEN 'U' END AS op,
+             |    cur.old_price, nxt.new_price
+             |  FROM cur FULL OUTER JOIN nxt ON cur.k = nxt.k)
+             |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin))
   )
 }

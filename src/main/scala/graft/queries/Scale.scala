@@ -882,6 +882,60 @@ object Scale {
            |SELECT day, n,
            |  round(n + ($noise - 6.0) * 5.0, 6) AS n_noisy
            |FROM d ORDER BY day""".stripMargin
+      }),
+
+    // Bucketed table checksums (anti-entropy replica compare): each side reduces
+    // to |buckets| order-independent digest SUMS — comparing two 100 TB replicas
+    // then costs one scan per side plus a |buckets|-row join, and a mismatched
+    // bucket pinpoints where to drill (the dq_table_diff full diff runs only on
+    // the flagged bucket). Digest sums accumulate in DECIMAL(38,0) so they cannot
+    // overflow at any row count; the row rendering pins formats (decimal string,
+    // yyyy-MM-dd) so both engines hash identical bytes. Replica B carries one
+    // deliberately corrupted row — exactly one bucket flags.
+    Q("dq_table_checksum_buckets",
+      (s, dir) => {
+        import s.implicits._
+        def digestOf(price: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat_ws("|",
+            $"o_orderkey".cast("string"), $"o_orderstatus",
+            price.cast("decimal(18,2)").cast("string"),
+            date_format($"o_orderdate", "yyyy-MM-dd"))), 1, 12), 16, 10)
+            .cast("decimal(38,0)")
+        val a = t(s, dir, "orders")
+          .groupBy(pmod($"o_orderkey", lit(16)).as("bucket"))
+          .agg(sum(digestOf($"o_totalprice")).as("sum_a"), count(lit(1)).as("n_a"))
+        val b = t(s, dir, "orders")
+          .groupBy(pmod($"o_orderkey", lit(16)).as("bucket"))
+          .agg(sum(digestOf(
+            when($"o_orderkey" === 42, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))).as("sum_b"),
+            count(lit(1)).as("n_b"))
+        a.join(b, Seq("bucket"))
+          .select($"bucket", $"n_a", $"n_b",
+            ($"sum_a" === $"sum_b" && $"n_a" === $"n_b").as("matches"))
+          .orderBy($"bucket")
+      },
+      Some {
+        def digest(price: String) = QueryDSL.sqlHexInt(
+          s"md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || " +
+            s"CAST(CAST($price AS DECIMAL(18,2)) AS VARCHAR) || '|' || " +
+            "strftime(o_orderdate, '%Y-%m-%d'))", 1, 12)
+        s"""WITH a AS (
+           |  SELECT o_orderkey % 16 AS bucket,
+           |    SUM(CAST(${digest("o_totalprice")} AS DECIMAL(38,0))) AS sum_a,
+           |    count(*) AS n_a
+           |  FROM orders GROUP BY 1),
+           |b AS (
+           |  SELECT o_orderkey % 16 AS bucket,
+           |    SUM(CAST(${digest(
+            "CASE WHEN o_orderkey = 42 THEN o_totalprice + 1.0 ELSE o_totalprice END")}
+           |      AS DECIMAL(38,0))) AS sum_b,
+           |    count(*) AS n_b
+           |  FROM orders GROUP BY 1)
+           |SELECT a.bucket, n_a, n_b,
+           |  (sum_a = sum_b AND n_a = n_b) AS matches
+           |FROM a JOIN b ON a.bucket = b.bucket
+           |ORDER BY a.bucket""".stripMargin
       })
   )
 }
