@@ -719,6 +719,65 @@ object EventsQ {
              |SELECT make_timestamp(CAST(floor(epoch(click_ts)/900) AS BIGINT)
              |         * 900 * 1000000) AS wstart,
              |  COUNT(*) AS n_conv
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Daily proration (revenue-recognition allocation): each synthesized usage
+    // interval [ts, ts + minutes) splits its value across the calendar days it
+    // overlaps, weighted by exact per-day overlap seconds — the day spine comes
+    // from a per-row sequence() generator (fan-out bounded by interval length,
+    // never a range join against a global calendar), and per-slice allocations
+    // are rounded BEFORE the decimal day rollup so the daily totals are
+    // partitioning-independent. All boundary arithmetic is integer epoch math.
+    Q("events_prorate_daily",
+      (s, dir) => {
+        import s.implicits._
+        val durS = (greatest(floor($"value" * 10).cast("long") % 2880L, lit(1L)) * 60L)
+          .as("dur_s")
+        val iv = graft.Tables(s, dir, "events")
+          .select($"event_id", $"value", $"ts".as("start_ts"), durS)
+          .withColumn("end_ts",
+            timestamp_micros(unix_micros($"start_ts") + $"dur_s" * 1000000L))
+        val sliced = iv
+          .select($"event_id", $"value", $"start_ts", $"end_ts", $"dur_s",
+            explode(sequence($"start_ts".cast("date"), $"end_ts".cast("date")))
+              .as("day"))
+          .withColumn("ov_us",
+            least(unix_micros($"end_ts"),
+              unix_micros(date_add($"day", 1).cast("timestamp"))) -
+            greatest(unix_micros($"start_ts"),
+              unix_micros($"day".cast("timestamp"))))
+          .filter($"ov_us" > 0)
+          .withColumn("alloc",
+            round($"value" * ($"ov_us".cast("double") / ($"dur_s" * 1000000L)), 6))
+        sliced.groupBy($"day")
+          .agg(count(lit(1)).as("n_slices"),
+            sum($"alloc".cast("decimal(30,6)")).cast("double").as("allocated"))
+          .orderBy($"day")
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_id, value, ts AS start_ts,
+             |    greatest(CAST(floor(value * 10) AS BIGINT) % 2880, 1) * 60 AS dur_s
+             |  FROM events),
+             |iv2 AS (
+             |  SELECT *, make_timestamp(epoch_us(start_ts) + dur_s * 1000000)
+             |    AS end_ts
+             |  FROM iv),
+             |sliced AS (
+             |  SELECT event_id, value, start_ts, end_ts, dur_s,
+             |    CAST(unnest(generate_series(CAST(start_ts AS DATE),
+             |      CAST(end_ts AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM iv2),
+             |ov AS (
+             |  SELECT *,
+             |    least(epoch_us(end_ts), epoch_us(CAST(day + 1 AS TIMESTAMP))) -
+             |    greatest(epoch_us(start_ts), epoch_us(CAST(day AS TIMESTAMP))) AS ov_us
+             |  FROM sliced),
+             |a AS (
+             |  SELECT day,
+             |    round(value * (CAST(ov_us AS DOUBLE) / (dur_s * 1000000)), 6) AS alloc
+             |  FROM ov WHERE ov_us > 0)
+             |SELECT day, count(*) AS n_slices,
+             |  CAST(SUM(CAST(alloc AS DECIMAL(30,6))) AS DOUBLE) AS allocated
+             |FROM a GROUP BY day ORDER BY day""".stripMargin))
   )
 }

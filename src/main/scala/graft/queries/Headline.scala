@@ -378,11 +378,16 @@ object Headline {
     Q("tpch_q16_shape",
       (s, dir) => {
         import s.implicits._
-        val pairs = t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey").distinct()
         val p = t(s, dir, "part")
           .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" && $"p_size" <= 30)
+        // broadcast semi BEFORE the pair-distinct: the selective part predicate
+        // prunes the fact rows feeding the expensive distinct shuffle
+        val pairs = t(s, dir, "lineitem")
+          .join(broadcast(p.select($"p_partkey".as("pk"))),
+            $"l_partkey" === $"pk", "left_semi")
+          .select($"l_partkey", $"l_suppkey").distinct()
         val bad = t(s, dir, "supplier").filter($"s_acctbal" < 0).select($"s_suppkey")
-        pairs.join(p, $"l_partkey" === $"p_partkey")
+        pairs.join(broadcast(p), $"l_partkey" === $"p_partkey")
           .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
           .groupBy($"p_brand", $"p_type", $"p_size")
           .agg(countDistinct($"l_suppkey").as("supplier_cnt"))

@@ -196,6 +196,56 @@ object Retrieval {
              |FROM names a JOIN names b
              |  ON a.band = b.band AND a.p_name < b.p_name
              |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.5
-             |ORDER BY name1, name2""".stripMargin))
+             |ORDER BY name1, name2""".stripMargin)),
+
+    // Bigram language-model surprisal (perplexity-style quality scoring — the
+    // classic LM-based corpus filter): add-1-smoothed bigram probabilities
+    // p(w2|w1) = (c(w1w2)+1)/(c(w1)+V) are exact integer ratios; each bigram's
+    // −ln p goes through DECIMAL before the per-document sum, so the mean
+    // surprisal is partitioning-independent (a raw double SUM over an unordered
+    // group is not). Counts shuffle on the bigram key; the unigram/vocab side is
+    // a broadcast (vocabulary ≪ corpus — the standard LM-scoring join shape).
+    Q("text_bigram_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val bg = docs.select($"doc_id", explode(TF.ngrams($"toks", 2)).as("bg"))
+        val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+        val uni = docs.select(explode($"toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+          .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+        val surpr = -log(($"c2" + 1).cast("double") / ($"c1" + $"v"))
+        bg.join(c2, Seq("bg"))
+          .join(broadcast(uni), substring_index($"bg", " ", 1) === $"w")
+          .select($"doc_id", surpr.cast("decimal(30,12)").as("s"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round((sum($"s").cast("double") / count(lit(1))), 6).as("mean_surprisal"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+             |  FROM docs WHERE len(toks) >= 2),
+             |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+             |u0 AS (SELECT unnest(toks) AS w FROM docs),
+             |uni AS (SELECT w, count(*) AS c1 FROM u0 GROUP BY w),
+             |uni2 AS (SELECT w, c1, count(*) OVER () AS v FROM uni),
+             |j AS (
+             |  SELECT bg.doc_id,
+             |    CAST(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (uni2.c1 + uni2.v))
+             |      AS DECIMAL(30,12)) AS s
+             |  FROM bg JOIN c2 USING (bg)
+             |  JOIN uni2 ON split_part(bg.bg, ' ', 1) = uni2.w)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(CAST(SUM(s) AS DOUBLE) / count(*), 6) AS mean_surprisal
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -778,7 +778,45 @@ object Scalars {
              |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
              |    AS except_set,
              |  len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps
-             |FROM v ORDER BY p_partkey""".stripMargin))
+             |FROM v ORDER BY p_partkey""".stripMargin)),
+
+    // Remaining string-manipulation surface: translate / initcap / reverse /
+    // repeat / lpad / rpad / word extraction, plus deterministic UUID-shaped id
+    // minting from an md5 digest (the content-derived stable identifier pattern —
+    // uuid() itself is nondeterministic and banned from hashed output). DuckDB
+    // has no initcap, so the oracle mirrors it with a per-word transform.
+    Q("fn_string_extra",
+      (s, dir) => {
+        import s.implicits._
+        val h = md5($"p_name")
+        t(s, dir, "part").filter($"p_partkey" < 500)
+          .select($"p_partkey", $"p_name",
+            translate($"p_name", "aeiou", "AEIOU").as("t_translate"),
+            initcap($"p_name").as("t_initcap"),
+            reverse($"p_name").as("t_reverse"),
+            repeat(substring($"p_name", 1, 2), 3).as("t_repeat"),
+            lpad($"p_partkey".cast("string"), 8, "0").as("t_lpad"),
+            rpad($"p_brand", 12, ".").as("t_rpad"),
+            element_at(split($"p_name", " "), 2).as("t_second_word"),
+            concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+              substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+              substring(h, 21, 12)).as("t_uuid5_like"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS t_translate,
+             |  array_to_string(list_transform(string_split(p_name, ' '),
+             |    w -> upper(w[1]) || lower(w[2:])), ' ') AS t_initcap,
+             |  reverse(p_name) AS t_reverse,
+             |  repeat(substring(p_name, 1, 2), 3) AS t_repeat,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS t_lpad,
+             |  rpad(p_brand, 12, '.') AS t_rpad,
+             |  string_split(p_name, ' ')[2] AS t_second_word,
+             |  substring(md5(p_name), 1, 8) || '-' || substring(md5(p_name), 9, 4)
+             |    || '-' || substring(md5(p_name), 13, 4) || '-'
+             |    || substring(md5(p_name), 17, 4) || '-'
+             |    || substring(md5(p_name), 21, 12) AS t_uuid5_like
+             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.
