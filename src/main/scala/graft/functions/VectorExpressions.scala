@@ -213,5 +213,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
     e.injectOptimizerRule(_ => JaroWinklerPrefilter)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -319,6 +319,31 @@ object Joins {
              |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
              |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // NATIVE as-of join (graft.plans.AsOfJoinExec): the same backward-inclusive
+    // semantics as join_asof, executed by the custom whole-operator plan — co-
+    // partition on the key, sort (key, time[, tie]), ONE streaming merge pass
+    // with O(1) state per partition. No union-merge payload widening, no window
+    // machinery, no pair expansion; hash-checked against the identical oracle.
+    Q("join_asof_native",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").select($"event_id", $"ts", $"user_id")
+        val o = t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        graft.plans.AsOfNative.join(e, o,
+            $"user_id", $"o_custkey", $"ts", $"o_orderdate", $"o_orderkey")
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
     // Forward AS-OF join: each event attaches the NEXT order (earliest
     // o_orderdate >= ts) for the same user — "time to next purchase" semantics,
     // the mirror of join_asof. Same union-merge operator, one hash shuffle of
