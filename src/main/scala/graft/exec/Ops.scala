@@ -159,6 +159,18 @@ object Ops {
         dims = opt(env, "DIMS").map(_.toInt).getOrElse(64))
         .createOrReplaceTempView(str(env, "OUTPUT"))
     },
+    // Native as-of join from the spec layer: attach the latest right row at or
+    // before each left row's time, per key (graft.plans.AsOfJoinExec — the
+    // co-partitioned one-pass merge operator; no pair expansion at any scale).
+    "asof-join" -> { (ctx, env) =>
+      val l = ctx.view(str(env, "LEFT"))
+      val r = ctx.view(str(env, "RIGHT"))
+      graft.plans.AsOfNative.join(l, r,
+          l(str(env, "LEFT_KEY")), r(str(env, "RIGHT_KEY")),
+          l(str(env, "LEFT_TIME")), r(str(env, "RIGHT_TIME")),
+          r(opt(env, "RIGHT_TIE").getOrElse(str(env, "RIGHT_TIME"))))
+        .createOrReplaceTempView(str(env, "OUTPUT"))
+    },
     // Multimodal frame sampling from the spec layer: binary attach -> resize ->
     // fixed-frame split keeping every k-th (codec stubbed; partition-wise).
     "media-frames" -> { (ctx, env) =>
@@ -288,6 +300,9 @@ object Ops {
       "PLANES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
       "BANDS" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
       "DIMS" -> TaskInput(required = false, inputType = Some(InputType.TInt))),
+    "asof-join" -> Map("LEFT" -> req, "RIGHT" -> req, "LEFT_KEY" -> req,
+      "RIGHT_KEY" -> req, "LEFT_TIME" -> req, "RIGHT_TIME" -> req,
+      "RIGHT_TIE" -> optIn, "OUTPUT" -> req),
     "media-frames" -> Map("INPUT" -> req, "OUTPUT" -> req,
       "TARGET_BYTES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),
       "FRAME_BYTES" -> TaskInput(required = false, inputType = Some(InputType.TInt)),

@@ -778,6 +778,27 @@ object EventsQ {
              |  FROM ov WHERE ov_us > 0)
              |SELECT day, count(*) AS n_slices,
              |  CAST(SUM(CAST(alloc AS DECIMAL(30,6))) AS DOUBLE) AS allocated
-             |FROM a GROUP BY day ORDER BY day""".stripMargin))
+             |FROM a GROUP BY day ORDER BY day""".stripMargin)),
+
+    // 2-D activity histogram (hour-of-day × event type) with within-hour shares —
+    // the heatmap rollup behind ops dashboards: one grouped pass, then a window
+    // share over the 24×|types| AGGREGATED grid (never the fact table).
+    Q("events_histogram_2d",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"hh")
+        graft.Tables(s, dir, "events")
+          .groupBy(hour($"ts").as("hh"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"hh", $"event_type", $"n",
+            round($"n" / sum($"n").over(w), 9).as("hour_share"))
+          .orderBy($"hh", $"event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(hour(ts) AS INTEGER) AS hh, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT hh, event_type, n,
+             |  round(n / SUM(n) OVER (PARTITION BY hh), 9) AS hour_share
+             |FROM g ORDER BY hh, event_type""".stripMargin))
   )
 }

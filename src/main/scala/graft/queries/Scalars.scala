@@ -816,7 +816,38 @@ object Scalars {
              |    || '-' || substring(md5(p_name), 13, 4) || '-'
              |    || substring(md5(p_name), 17, 4) || '-'
              |    || substring(md5(p_name), 21, 12) AS t_uuid5_like
-             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin))
+             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)),
+
+    // Remaining calendar surface: quarter, month-end, locale day/month names,
+    // epoch-anchored day offsets, week truncation, backward month arithmetic
+    // (end-of-month clamped, like fn_interval_month_arith forward). All pure
+    // per-row functions — codegen'd, map-only.
+    Q("fn_datetime_extra",
+      (s, dir) => {
+        import s.implicits._
+        val d = $"o_orderdate".cast("date")
+        t(s, dir, "orders").filter($"o_orderkey" < 1000)
+          .select($"o_orderkey",
+            quarter(d).as("qtr"),
+            last_day(d).as("month_end"),
+            date_format(d, "EEEE").as("day_name"),
+            date_format(d, "MMMM").as("month_name"),
+            datediff(d, lit("1995-01-01").cast("date")).as("days_since"),
+            date_trunc("week", d).cast("date").as("week_start"),
+            add_months(d, -3).as("minus_3m"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  dayname(CAST(o_orderdate AS DATE)) AS day_name,
+             |  monthname(CAST(o_orderdate AS DATE)) AS month_name,
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             |    AS INTEGER) AS days_since,
+             |  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+             |    AS week_start,
+             |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH AS DATE) AS minus_3m
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** DuckDB token list (mirror of TextFunctions.tokens) for the lambda-sort oracle.

@@ -85,6 +85,56 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(rows.find(_.getString(0) == "o_orderstatus").get.getLong(3) == ndStatus)
   }
 
+  test("asof-join spark-op attaches the latest prior right row per key") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: asof-job
+         |data: $data
+         |commands:
+         |  - name: load
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/orders.parquet
+         |      output: aj_orders
+         |  - name: right-view
+         |    task: sql
+         |    env:
+         |      query: >-
+         |        SELECT o_custkey AS rk, o_orderkey AS r_order,
+         |        o_orderdate AS rt FROM aj_orders
+         |      output: aj_right
+         |  - name: attach
+         |    task: asof-join
+         |    env:
+         |      left: aj_orders
+         |      right: aj_right
+         |      left_key: o_custkey
+         |      right_key: rk
+         |      left_time: o_orderdate
+         |      right_time: rt
+         |      right_tie: r_order
+         |      output: aj_out
+         |""".stripMargin)
+    runner(scala.collection.mutable.ListBuffer[String]()).execute(job)
+    import org.apache.spark.sql.functions._
+    val got = spark.table("aj_out")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(got.count() == orders.count())
+    // every attached right row is at-or-before the left row's time, same key
+    assert(got.filter(col("rt").isNotNull &&
+      (col("rt") > col("o_orderdate") || col("rk") =!= col("o_custkey"))).isEmpty)
+    // self-as-of always matches (the row itself qualifies) with the HIGHEST
+    // order key among same-date orders of that customer
+    assert(got.filter(col("r_order").isNull).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"), col("o_orderdate"))
+    val expectTop = orders
+      .withColumn("top_same_ts", max(col("o_orderkey")).over(w))
+    val joined = got.select(col("o_orderkey"), col("r_order"))
+      .join(expectTop.select(col("o_orderkey"), col("top_same_ts")), Seq("o_orderkey"))
+    assert(joined.filter(col("r_order") < col("top_same_ts")).isEmpty)
+  }
+
   test("dq-check spark-op passes clean rules and aborts the job on violations") {
     val data = tmp()
     def job(rules: String, outView: String) = Yaml.jobFromString(
