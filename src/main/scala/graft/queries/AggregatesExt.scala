@@ -218,6 +218,96 @@ object AggregatesExt {
     // two-pass mean-centering join (one scan + one shuffle). Values are shifted by
     // a constant near each mean so the x²-vs-(Σx)²/n subtraction keeps ample double
     // precision (shift identity: Var(x-K) = Var(x)).
+    // Skewness and excess kurtosis from EXACT raw decimal moments — the 3rd/4th-
+    // moment extension of agg_stats_exact. Each power is recast to a tight exact
+    // decimal between multiplies (the products are exact rationals, so the casts
+    // never round — they just keep precision within DECIMAL(38) while the sums
+    // stay associative); the double finish uses one shared expression tree.
+    Q("agg_skew_kurtosis",
+      (s, dir) => {
+        import s.implicits._
+        val xd = ($"l_quantity" - 25.0d).cast("decimal(9,2)")
+        val x2 = (xd * xd).cast("decimal(9,4)")
+        val x3 = (x2 * xd).cast("decimal(12,6)")
+        val x4 = x2 * x2
+        val mean = $"s1" / $"n"
+        val m2 = $"s2" / $"n" - mean * mean
+        val m3 = $"s3" / $"n" - lit(3.0) * mean * ($"s2" / $"n") +
+          lit(2.0) * mean * mean * mean
+        val m4 = $"s4" / $"n" - lit(4.0) * mean * ($"s3" / $"n") +
+          lit(6.0) * mean * mean * ($"s2" / $"n") -
+          lit(3.0) * mean * mean * mean * mean
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(xd).cast("double").as("s1"),
+            sum(x2).cast("double").as("s2"),
+            sum(x3).cast("double").as("s3"),
+            sum(x4).cast("double").as("s4"))
+          .select($"l_returnflag", $"n",
+            round(m3 / (m2 * sqrt(m2)), 9).as("skewness"),
+            round(m4 / (m2 * m2) - lit(3.0), 9).as("kurtosis_excess"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    CAST(l_quantity - 25.0 AS DECIMAL(9,2)) AS xd
+             |  FROM lineitem),
+             |p AS (
+             |  SELECT l_returnflag, xd,
+             |    CAST(xd * xd AS DECIMAL(9,4)) AS x2
+             |  FROM v),
+             |q AS (
+             |  SELECT l_returnflag, xd, x2,
+             |    CAST(x2 * xd AS DECIMAL(12,6)) AS x3,
+             |    x2 * x2 AS x4
+             |  FROM p),
+             |c AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(xd) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+             |    CAST(SUM(x3) AS DOUBLE) AS s3, CAST(SUM(x4) AS DOUBLE) AS s4
+             |  FROM q GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n) +
+             |         2.0 * (s1 / n) * (s1 / n) * (s1 / n)) /
+             |    ((s2 / n - (s1 / n) * (s1 / n)) *
+             |     sqrt(s2 / n - (s1 / n) * (s1 / n))), 9) AS skewness,
+             |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n) +
+             |         6.0 * (s1 / n) * (s1 / n) * (s2 / n) -
+             |         3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+             |    ((s2 / n - (s1 / n) * (s1 / n)) *
+             |     (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 9) AS kurtosis_excess
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    // Geometric and harmonic means: both need a transcendental or reciprocal per
+    // row, so each per-row term is cast to DECIMAL before the sum — the sums are
+    // then associative/partitioning-independent, and the single exp()/division
+    // finish matches across engines (ln/exp precedent: tf-idf), pinned by the
+    // 6-digit rounding.
+    Q("agg_geo_harmonic_mean",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(log($"o_totalprice").cast("decimal(30,12)")).cast("double").as("sl"),
+            sum((lit(1.0) / $"o_totalprice").cast("decimal(30,12)"))
+              .cast("double").as("sr"))
+          .select($"o_orderstatus", $"n",
+            round(exp($"sl" / $"n"), 6).as("geo_mean"),
+            round($"n" / $"sr", 6).as("harmonic_mean"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus, COUNT(*) AS n,
+             |    CAST(SUM(CAST(ln(o_totalprice) AS DECIMAL(30,12))) AS DOUBLE) AS sl,
+             |    CAST(SUM(CAST(1.0 / o_totalprice AS DECIMAL(30,12))) AS DOUBLE) AS sr
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, n,
+             |  round(exp(sl / n), 6) AS geo_mean,
+             |  round(n / sr, 6) AS harmonic_mean
+             |FROM c ORDER BY o_orderstatus""".stripMargin)),
+
     Q("agg_stats_exact",
       (s, dir) => {
         import s.implicits._

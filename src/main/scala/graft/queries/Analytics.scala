@@ -1176,7 +1176,80 @@ object Analytics {
              |JOIN m ma ON ma.event_type = type_a
              |JOIN m mb ON mb.event_type = type_b
              |CROSS JOIN tot
-             |ORDER BY type_a, type_b""".stripMargin))
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // Longest consecutive-day streak per user — the gaps-and-islands MAX-run
+    // readout (sessionize finds the islands; this ranks them). The island id is
+    // the classic day_number − row_number difference: constant within a
+    // consecutive run, strictly increasing across gaps. Two key-partitioned
+    // aggregations; no self-joins.
+    Q("events_streak_longest",
+      (s, dir) => {
+        import s.implicits._
+        val days = graft.Tables(s, dir, "events")
+          .select($"user_id", $"ts".cast("date").as("day")).distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val runs = days
+          .withColumn("grp",
+            datediff($"day", lit("2024-01-01").cast("date")) -
+              row_number().over(w))
+          .groupBy($"user_id", $"grp")
+          .agg(count(lit(1)).as("run_len"), min($"day").as("run_start"))
+        runs.groupBy($"user_id")
+          .agg(max($"run_len").as("longest_streak"),
+            sum($"run_len").as("active_days"),
+            count(lit(1)).as("n_runs"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |runs AS (
+             |  SELECT user_id,
+             |    datediff('day', DATE '2024-01-01', day) -
+             |      row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+             |    day
+             |  FROM days),
+             |r2 AS (
+             |  SELECT user_id, grp, count(*) AS run_len FROM runs
+             |  GROUP BY user_id, grp)
+             |SELECT user_id, MAX(run_len) AS longest_streak,
+             |  CAST(SUM(run_len) AS BIGINT) AS active_days,
+             |  count(*) AS n_runs
+             |FROM r2 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Shannon-entropy behavioral diversity per user: −Σ p·ln p over the user's
+    // event-type distribution. Each type's contribution goes through DECIMAL
+    // before the per-user sum (an unordered double sum would be partitioning-
+    // dependent); p is an exact integer ratio. High entropy = diversified usage;
+    // 0 = single-type users.
+    Q("events_entropy_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val cnt = graft.Tables(s, dir, "events")
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy($"user_id").agg(sum($"c").as("n"))
+        val p = $"c".cast("double") / $"n"
+        cnt.join(tot, Seq("user_id"))
+          .select($"user_id", $"n",
+            (-(p * log(p))).cast("decimal(30,12)").as("e"))
+          .groupBy($"user_id")
+          .agg(max($"n").as("n_events"),
+            round(sum($"e").cast("double"), 9).as("entropy"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT user_id, event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n
+             |        FROM cnt GROUP BY 1),
+             |e AS (
+             |  SELECT cnt.user_id, n,
+             |    CAST(-((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+             |      AS DECIMAL(30,12)) AS e
+             |  FROM cnt JOIN tot ON cnt.user_id = tot.user_id)
+             |SELECT user_id, MAX(n) AS n_events,
+             |  round(CAST(SUM(e) AS DOUBLE), 9) AS entropy
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).
