@@ -279,6 +279,44 @@ object AggregatesExt {
              |     (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 9) AS kurtosis_excess
              |FROM c ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact WEIGHTED percentile (weighted median of quantity by revenue weight):
+    // collapse to the (group, value) grain with decimal weight sums, cumulate
+    // over the per-group sorted value frame, and pick the first value whose
+    // cumulative weight clears half the total — all comparisons in DECIMAL
+    // (doubled, to avoid a division at the boundary). Windows run over the
+    // AGGREGATED frame, never the fact.
+    Q("agg_weighted_median",
+      (s, dir) => {
+        import s.implicits._
+        val g = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_quantity")
+          .agg(sum($"l_extendedprice".cast("decimal(30,4)")).as("wsum"))
+        val wOrd = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy($"l_returnflag")
+        g.withColumn("cum", sum($"wsum").over(wOrd))
+          .withColumn("tot", sum($"wsum").over(wAll))
+          .filter($"cum" * 2 >= $"tot")
+          .groupBy($"l_returnflag")
+          .agg(min($"l_quantity").as("weighted_median"),
+            max($"tot").cast("double").as("total_weight"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS wsum
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(wsum) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM g)
+             |SELECT l_returnflag, MIN(l_quantity) AS weighted_median,
+             |  CAST(MAX(tot) AS DOUBLE) AS total_weight
+             |FROM c WHERE cum * 2 >= tot
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Geometric and harmonic means: both need a transcendental or reciprocal per
     // row, so each per-row term is cast to DECIMAL before the sum — the sums are
     // then associative/partitioning-independent, and the single exp()/division

@@ -1249,7 +1249,73 @@ object Analytics {
              |  FROM cnt JOIN tot ON cnt.user_id = tot.user_id)
              |SELECT user_id, MAX(n) AS n_events,
              |  round(CAST(SUM(e) AS DOUBLE), 9) AS entropy
-             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Growth accounting (daily user lifecycle states): each active user-day is
+    // NEW (first ever), RETAINED (active the day before) or RESURRECTED (gap
+    // > 1 day); a user CHURNS on the day after an activity run ends (bounded to
+    // the observed horizon). Two per-user windows (lag + lead over distinct
+    // active days), one day-level rollup — the standard DAU decomposition, no
+    // self-joins, no calendar cross.
+    Q("events_lifecycle_states",
+      (s, dir) => {
+        import s.implicits._
+        val days = graft.Tables(s, dir, "events")
+          .select($"user_id", $"ts".cast("date").as("day")).distinct()
+        val horizon = days.agg(max($"day").as("max_day"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val marked = days
+          .withColumn("prev", lag($"day", 1).over(w))
+          .withColumn("next", lead($"day", 1).over(w))
+        val active = marked.select($"day",
+          when($"prev".isNull, "new")
+            .when(datediff($"day", $"prev") === 1, "retained")
+            .otherwise("resurrected").as("state"))
+        val churn = marked
+          .filter($"next".isNull || datediff($"next", $"day") > 1)
+          .select(date_add($"day", 1).as("day"), lit("churned").as("state"))
+          .crossJoin(broadcast(horizon))
+          .filter($"day" <= $"max_day")
+          .select($"day", $"state")
+        active.unionByName(churn)
+          .groupBy($"day")
+          .agg(
+            sum(when($"state" === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when($"state" === "retained", 1L).otherwise(0L)).as("n_retained"),
+            sum(when($"state" === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+            sum(when($"state" === "churned", 1L).otherwise(0L)).as("n_churned"))
+          .orderBy($"day")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |h AS (SELECT MAX(day) AS max_day FROM days),
+             |m AS (
+             |  SELECT user_id, day,
+             |    lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev,
+             |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+             |  FROM days),
+             |active AS (
+             |  SELECT day,
+             |    CASE WHEN prev IS NULL THEN 'new'
+             |         WHEN datediff('day', prev, day) = 1 THEN 'retained'
+             |         ELSE 'resurrected' END AS state
+             |  FROM m),
+             |churn AS (
+             |  SELECT day + 1 AS day, 'churned' AS state
+             |  FROM m CROSS JOIN h
+             |  WHERE (next IS NULL OR datediff('day', day, next) > 1)
+             |    AND day + 1 <= max_day),
+             |u AS (SELECT * FROM active UNION ALL SELECT * FROM churn)
+             |SELECT day,
+             |  CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_new,
+             |  CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_retained,
+             |  CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_resurrected,
+             |  CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_churned
+             |FROM u GROUP BY day ORDER BY day""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).

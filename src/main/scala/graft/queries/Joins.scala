@@ -319,6 +319,65 @@ object Joins {
              |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
              |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // Banded nearest-value 1-D join: each part attaches its closest-priced OTHER
+    // part within a ±1 price band (the value-axis analogue of the as-of join's
+    // time axis). Candidates come from an EQUI join on exploded band keys —
+    // 3 bands per probe row, so the pair space is band-local, never quadratic;
+    // the min-|diff| pick is a per-key window with a total tie order. Isolated
+    // prices (empty ±1 band) keep null — the bounded-radius contract, same as
+    // the banded fuzzy-dedup path.
+    Q("join_nearest_value",
+      (s, dir) => {
+        import s.implicits._
+        val parts = t(s, dir, "part")
+          .select($"p_partkey", $"p_retailprice".cast("decimal(12,2)").as("price"))
+        val probe = parts.select($"p_partkey", $"price",
+            explode(array(
+              (floor($"price" / 50) - 1).cast("long"),
+              floor($"price" / 50).cast("long"),
+              (floor($"price" / 50) + 1).cast("long"))).as("band"))
+        val cand = parts
+          .select($"p_partkey".as("c_key"), $"price".as("c_price"),
+            floor($"price" / 50).cast("long").as("band"))
+        // an empty band-row yields a NULL candidate; it must never outrank a
+        // real one (Spark sorts nulls FIRST asc, DuckDB LAST — pin both)
+        val w = Window.partitionBy($"p_partkey")
+          .orderBy(abs($"price" - $"c_price").asc_nulls_last,
+            $"c_key".asc_nulls_last)
+        probe.join(cand,
+            probe("band") === cand("band") && $"p_partkey" =!= $"c_key",
+            "left")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"p_partkey", $"price".cast("double").as("price"),
+            $"c_key".as("nearest_key"),
+            abs($"price" - $"c_price").cast("double").as("price_diff"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH parts AS (
+             |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+             |  FROM part),
+             |probe AS (
+             |  SELECT p_partkey, price,
+             |    unnest([CAST(floor(price / 50) AS BIGINT) - 1,
+             |            CAST(floor(price / 50) AS BIGINT),
+             |            CAST(floor(price / 50) AS BIGINT) + 1]) AS band
+             |  FROM parts),
+             |cand AS (
+             |  SELECT p_partkey AS c_key, price AS c_price,
+             |    CAST(floor(price / 50) AS BIGINT) AS band
+             |  FROM parts),
+             |j AS (
+             |  SELECT probe.p_partkey, probe.price, cand.c_key, cand.c_price,
+             |    row_number() OVER (PARTITION BY probe.p_partkey
+             |      ORDER BY abs(probe.price - cand.c_price) NULLS LAST,
+             |               cand.c_key NULLS LAST) AS rn
+             |  FROM probe LEFT JOIN cand
+             |    ON probe.band = cand.band AND probe.p_partkey <> cand.c_key)
+             |SELECT p_partkey, CAST(price AS DOUBLE) AS price, c_key AS nearest_key,
+             |  CAST(abs(price - c_price) AS DOUBLE) AS price_diff
+             |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
+
     // NATIVE as-of join (graft.plans.AsOfJoinExec): the same backward-inclusive
     // semantics as join_asof, executed by the custom whole-operator plan — co-
     // partition on the key, sort (key, time[, tie]), ONE streaming merge pass
