@@ -782,6 +782,96 @@ object Llm {
               |WHERE doc_id >= 10
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Fractional contamination score (the graded companion of the binary
+    // decontaminate gate): share of each document's distinct shingles that
+    // appear in the held-out probe set — partial-overlap documents get a
+    // 0 < score < 1 instead of a drop/keep bit, which is what an eval-
+    // contamination report needs. Same broadcast-probe shape; one extra
+    // per-doc total.
+    Q("text_contamination_score",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.shingleFrame(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3)
+        val probe = sh.filter($"doc_id" < 10).select($"shingle").distinct()
+        val corpus = sh.filter($"doc_id" >= 10)
+        val tot = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+        val hits = corpus.join(broadcast(probe), Seq("shingle"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("h"))
+        tot.join(hits, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_shingles",
+            coalesce($"h", lit(0L)).as("n_hits"),
+            round(coalesce($"h", lit(0L)) * lit(1.0) / $"n_shingles", 9)
+              .as("contamination"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $duckShingleBase,
+              |probe AS (SELECT DISTINCT shingle FROM shing WHERE doc_id < 10),
+              |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shing
+              |        WHERE doc_id >= 10 GROUP BY doc_id),
+              |hits AS (
+              |  SELECT doc_id, COUNT(*) AS h
+              |  FROM shing JOIN probe USING (shingle)
+              |  WHERE doc_id >= 10 GROUP BY doc_id)
+              |SELECT tot.doc_id, n_shingles,
+              |  COALESCE(h, 0) AS n_hits,
+              |  round(COALESCE(h, 0) * 1.0 / n_shingles, 9) AS contamination
+              |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+              |ORDER BY tot.doc_id""".stripMargin)),
+
+    // Temperature-scaled source mixture (the multinomial upsampling weights of
+    // multilingual-corpus training): w_s ∝ p_s^α with α = 0.7, spelled
+    // exp(α·ln p) identically on both engines; the weight normalizer sums
+    // through DECIMAL (unordered double sums are partitioning-dependent).
+    // Everything runs on the |sources| aggregate frame.
+    Q("sample_temperature_weights",
+      (s, dir) => {
+        import s.implicits._
+        val counts = t(s, dir, "documents")
+          .groupBy($"source").agg(count(lit(1)).as("n"))
+          .withColumn("ntot", sum($"n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        val p = $"n" * lit(1.0) / $"ntot"
+        val w = exp(lit(0.7) * log(p))
+        val scaled = counts.select($"source", $"n", w.as("w"))
+          .withColumn("wsum",
+            sum($"w".cast("decimal(30,12)")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy())
+              .cast("double"))
+        scaled.select($"source", $"n",
+            round($"w" / $"wsum", 9).as("mix_weight"))
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |c2 AS (SELECT source, n, SUM(n) OVER () AS ntot FROM c),
+             |s AS (
+             |  SELECT source, n, exp(0.7 * ln(n * 1.0 / ntot)) AS w FROM c2),
+             |s2 AS (
+             |  SELECT source, n, w,
+             |    CAST(SUM(CAST(w AS DECIMAL(30,12))) OVER () AS DOUBLE) AS wsum
+             |  FROM s)
+             |SELECT source, n, round(w / wsum, 9) AS mix_weight
+             |FROM s2 ORDER BY source""".stripMargin)),
+
+    // Log₂-binned document-length histogram WITHOUT transcendentals: the bin is
+    // the binary-representation length (⌊log₂ n⌋ + 1) — exact integer both
+    // engines, no floor(log(x)/log(2)) boundary hazard at powers of two.
+    Q("text_length_log_bins",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", length(bin($"n_chars")).as("log_bin"))
+          .groupBy($"log_bin")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+          .orderBy($"log_bin")
+      },
+      Some("""SELECT CAST(length(bin(n_chars)) AS INTEGER) AS log_bin,
+             |  count(*) AS n_docs,
+             |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // PII scrubbing: inject a deterministic synthetic email+phone per document (the
     // corpus is synthetic word-soup with no real PII), then redact both with
     // regexp_replace. Pure codegen'd projection — scales as a map-only stage.
