@@ -71,8 +71,16 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression) extends Ja
 
 object JaroWinklerImpl {
 
+  /** Code-point array view: lengths then agree with Spark's `length()` (which
+    * counts code points), so the [[JaroWinklerPrefilter]] length-ratio guard is
+    * sound on supplementary characters too (UTF-16 `charAt` would count
+    * surrogate pairs as two units and diverge). */
+  private def codePoints(s: String): Array[Int] = s.codePoints().toArray
+
   /** Jaro similarity; 0.0 when either side is empty or no characters match. */
-  def jaro(s1: String, s2: String): Double = {
+  def jaro(a: String, b: String): Double = jaroCp(codePoints(a), codePoints(b))
+
+  private def jaroCp(s1: Array[Int], s2: Array[Int]): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -87,7 +95,7 @@ object JaroWinklerImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -102,7 +110,7 @@ object JaroWinklerImpl {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -112,12 +120,14 @@ object JaroWinklerImpl {
   }
 
   /** Winkler variant: prefix boost (≤4 chars, weight 0.1) only above 0.7. */
-  def jaroWinkler(s1: String, s2: String): Double = {
-    val sim = jaro(s1, s2)
+  def jaroWinkler(a: String, b: String): Double = {
+    val s1 = codePoints(a)
+    val s2 = codePoints(b)
+    val sim = jaroCp(s1, s2)
     if (sim <= 0.7) return sim
     val maxPrefix = math.min(4, math.min(s1.length, s2.length))
     var p = 0
-    while (p < maxPrefix && s1.charAt(p) == s2.charAt(p)) p += 1
+    while (p < maxPrefix && s1(p) == s2(p)) p += 1
     sim + p * 0.1 * (1.0 - sim)
   }
 }

@@ -85,11 +85,17 @@ case class MisraGriesAgg(child: Expression, k: Int,
     ArrayData.toArrayData(
       buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_)))
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF caps keys at 65535 bytes and
+  // would crash the partial-aggregate shuffle on long keys (whole-document or
+  // large-JSON key columns)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (ky, c) => out.writeUTF(ky); out.writeLong(c) }
+    buf.foreach { case (ky, c) =>
+      val b = ky.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -99,7 +105,14 @@ case class MisraGriesAgg(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

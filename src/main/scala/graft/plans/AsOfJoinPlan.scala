@@ -112,7 +112,16 @@ case class AsOfJoinExec(
               val ht = rTimeB.eval(h)
               if (ht == null) rBuf.next() // null time sorts first; unmatched
               else if (timeOrd.compare(ht, lt) <= 0) {
-                lastVal = h.copy(); lastKey = lk
+                lastVal = h.copy()
+                // lk may alias the left iterator's reused row buffer — copy
+                // buffer-backed values or a later row mutates our stored key
+                lastKey = lk match {
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                  case r: InternalRow => r.copy()
+                  case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+                  case b: Array[Byte] => b.clone()
+                  case x => x
+                }
                 rBuf.next()
               } else done = true
             }
@@ -137,10 +146,20 @@ object AsOfNative {
       leftTime: Column, rightTime: Column, rightTie: Column): DataFrame = {
     val spark = leftDf.sparkSession
     ensureStrategy(spark)
+    val (lk, rk) = (resolve(leftDf, leftKey), resolve(rightDf, rightKey))
+    val (lt, rt) = (resolve(leftDf, leftTime), resolve(rightDf, rightTime))
+    // orderings are built from the LEFT types; a mismatch (e.g. date vs
+    // timestamp = Int vs Long internally) would otherwise surface as an
+    // executor-side ClassCastException mid-job. Compare PHYSICAL types so
+    // representation-equal pairs (timestamp vs timestamp_ntz) still pass.
+    def phys(dt: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.catalyst.types.PhysicalDataType(dt)
+    require(phys(lk.dataType) == phys(rk.dataType),
+      s"as-of key types differ: ${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
+    require(phys(lt.dataType) == phys(rt.dataType),
+      s"as-of time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
     Bridge.ofRows(spark, AsOfJoin(
-      resolve(leftDf, leftKey), resolve(rightDf, rightKey),
-      resolve(leftDf, leftTime), resolve(rightDf, rightTime),
-      resolve(rightDf, rightTie),
+      lk, rk, lt, rt, resolve(rightDf, rightTie),
       Bridge.logicalPlan(leftDf), Bridge.logicalPlan(rightDf)))
   }
 

@@ -25,26 +25,27 @@ object Retrieval {
   val queries: Seq[Q] = Seq(
 
     // Inverted index build: term → (document frequency, total term frequency,
-    // bounded posting-list head). One explode, one aggregation keyed by term —
-    // at 100 TB the posting lists are the textbook skew risk (stopword terms),
-    // which is why the rendered posting is HEAD-BOUNDED (top-20 doc ids) while
-    // df/tf stay exact aggregates: the full list never materializes on one node
-    // beyond the capped slice. (A production index would write postings as
-    // bucketed parquet runs — the shard_shuffle_write query covers that layout.)
+    // bounded posting-list head). df/tf are plain aggregates; the top-20 posting
+    // head goes through the native TopKPerGroup operator, whose map-side k-row
+    // partials keep every buffer O(20) — a collect_set-then-slice would
+    // accumulate a stopword term's ENTIRE posting list in one aggregation
+    // buffer before slicing, exactly the skew OOM a 100 TB index build must
+    // avoid. (A production index would write full postings as bucketed parquet
+    // runs — the shard_shuffle_write query covers that layout.)
     Q("text_inverted_index",
       (s, dir) => {
         import s.implicits._
         val terms = t(s, dir, "documents")
           .select($"doc_id", explode(TF.tokens($"text")).as("term"))
-        terms.groupBy($"term")
-          .agg(
-            countDistinct($"doc_id").as("df"),
-            count(lit(1)).as("tf_total"),
-            concat_ws(",",
-              transform(
-                slice(array_sort(collect_set($"doc_id")), 1, 20),
-                x => x.cast("string"))).as("posting_head"))
-          .orderBy($"term")
+        val stats = terms.groupBy($"term")
+          .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf_total"))
+        val heads = graft.plans.TopK.perGroup(
+            terms.distinct(), Seq("term"), $"doc_id", k = 20, descending = false)
+          .groupBy($"term")
+          .agg(concat_ws(",",
+            transform(array_sort(collect_list($"doc_id")),
+              x => x.cast("string"))).as("posting_head"))
+        stats.join(heads, Seq("term")).orderBy($"term")
       },
       Some("""WITH terms AS (
              |  SELECT doc_id,
