@@ -936,6 +936,67 @@ object Scale {
            |  (sum_a = sum_b AND n_a = n_b) AS matches
            |FROM a JOIN b ON a.bucket = b.bucket
            |ORDER BY a.bucket""".stripMargin
-      })
+      }),
+
+    // Snapshot versioning / time travel (lakehouse-lite): immutable version
+    // directories plus a tiny JSON manifest mapping version → path; reading
+    // "@v1" resolves ONE manifest row (bounded driver read, like the IVF seed
+    // fetch) and scans only that snapshot's files. This is the mechanism behind
+    // table-format time travel, reduced to its scalable core: the data of old
+    // versions is never rewritten, and version resolution never touches data.
+    Q("table_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val base = Sinks.scoped(dir, "tt_orders")
+        t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        t(s, dir, "orders").write.mode("overwrite").parquet(s"$base/v2")
+        Seq((1L, s"$base/v1"), (2L, s"$base/v2")).toDF("version", "path")
+          .coalesce(1).write.mode("overwrite").json(s"$base/_manifest")
+        val v1Path = s.read.json(s"$base/_manifest")
+          .filter($"version" === 1).select($"path").head().getString(0)
+        s.read.parquet(v1Path)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Data-freshness SLA monitor: per-source last-event lag against the global
+    // horizon, in exact integer minutes (µs arithmetic — no fractional-epoch
+    // divergence), with the breach flag computed on the integer. One rollup plus
+    // a window over the |sources| frame.
+    Q("dq_freshness_sla",
+      (s, dir) => {
+        import s.implicits._
+        val per = graft.Tables(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(max(unix_micros($"ts")).as("last_us"), count(lit(1)).as("n_events"))
+        per
+          .withColumn("horizon_us",
+            max($"last_us").over(Window.partitionBy()))
+          .select($"event_type", $"n_events",
+            timestamp_micros($"last_us").as("last_event"),
+            floor(($"horizon_us" - $"last_us") / 60000000L).cast("long")
+              .as("lag_minutes"))
+          .withColumn("fresh_ok", $"lag_minutes" <= 120)
+          .orderBy($"event_type")
+      },
+      Some("""WITH per AS (
+             |  SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+             |    COUNT(*) AS n_events
+             |  FROM events GROUP BY event_type),
+             |h AS (SELECT per.*, MAX(last_us) OVER () AS horizon_us FROM per)
+             |SELECT event_type, n_events,
+             |  make_timestamp(last_us) AS last_event,
+             |  CAST(floor((horizon_us - last_us) / 60000000) AS BIGINT) AS lag_minutes,
+             |  CAST(floor((horizon_us - last_us) / 60000000) AS BIGINT) <= 120
+             |    AS fresh_ok
+             |FROM h ORDER BY event_type""".stripMargin))
   )
 }

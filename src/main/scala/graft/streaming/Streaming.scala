@@ -145,6 +145,19 @@ object Streaming {
       .select(col("w.start").as("wstart"), col("n_conv"))
   }
 
+  /** foreachBatch sink with IDEMPOTENT batch writes — the exactly-once recipe
+    * for sinks without transactional commit: each micro-batch lands in a
+    * `batch=<id>` directory with mode=overwrite, so a replayed batch (failure
+    * between sink write and offset commit) overwrites its own previous attempt
+    * instead of duplicating rows. Union-of-directories == the input exactly
+    * once; StreamingSpec asserts it against the batch frame. */
+  def foreachBatchIdempotent(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals (update

@@ -153,6 +153,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= want.count() - 3)
   }
 
+  test("foreachBatch idempotent sink: union of batch dirs == input exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("fb_sink").toString
+    val q = Streaming.foreachBatchIdempotent(
+        Streaming.eventsStream(spark, sf).select(
+          col("event_id"), col("user_id"), col("value")),
+        out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/batch=*")
+    val want = batchEvents.select(col("event_id"), col("user_id"), col("value"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("mapGroupsWithState running totals converge to batch totals") {
     val got = Streaming.runToMemory(spark,
       Streaming.runningUserTotals(spark, Streaming.eventsStream(spark, sf)).toDF(),
