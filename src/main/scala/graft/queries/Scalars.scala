@@ -818,6 +818,45 @@ object Scalars {
              |    || substring(md5(p_name), 21, 12) AS t_uuid5_like
              |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)),
 
+    // Advanced array surface: position lookup, element removal, repetition,
+    // null compaction, extrema, append — each rendered to a string (top-level
+    // output columns stay scalar per the determinism rules). DuckDB spells most
+    // of these as list_* or a lambda; the mirrors are exact because the arrays
+    // are built from the same deterministic fixture.
+    Q("fn_array_advanced",
+      (s, dir) => {
+        import s.implicits._
+        val arr = array($"p_brand", lit(null).cast("string"), $"p_type", $"p_brand")
+        t(s, dir, "part").filter($"p_partkey" < 400)
+          .select($"p_partkey", arr.as("a"))
+          .select($"p_partkey",
+            array_position($"a", $"a".getItem(2)).as("pos_type"),
+            array_join(array_remove($"a", element_at($"a", 1)), ",")
+              .as("removed_brand"),
+            array_join(array_repeat(substring(element_at($"a", 3), 1, 2), 3), ",")
+              .as("repeated"),
+            array_join(array_compact($"a"), ",").as("compacted"),
+            array_max($"a").as("amax"),
+            array_min($"a").as("amin"),
+            array_join(concat($"a", array(lit("zzz"))), ",").as("appended"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH v AS (
+             |  SELECT p_partkey,
+             |    [p_brand, NULL, p_type, p_brand] AS a
+             |  FROM part WHERE p_partkey < 400)
+             |SELECT p_partkey,
+             |  CAST(coalesce(list_position(a, a[3]), 0) AS BIGINT) AS pos_type,
+             |  array_to_string(list_filter(a, x -> x IS DISTINCT FROM a[1]), ',')
+             |    AS removed_brand,
+             |  array_to_string(list_transform(generate_series(1, 3),
+             |    i -> substring(a[3], 1, 2)), ',') AS repeated,
+             |  array_to_string(list_filter(a, x -> x IS NOT NULL), ',') AS compacted,
+             |  list_aggregate(a, 'max') AS amax,
+             |  list_aggregate(a, 'min') AS amin,
+             |  array_to_string(list_append(a, 'zzz'), ',') AS appended
+             |FROM v ORDER BY p_partkey""".stripMargin)),
+
     // Remaining calendar surface: quarter, month-end, locale day/month names,
     // epoch-anchored day offsets, week truncation, backward month arithmetic
     // (end-of-month clamped, like fn_interval_month_arith forward). All pure
