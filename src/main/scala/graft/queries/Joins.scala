@@ -319,64 +319,73 @@ object Joins {
              |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
              |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
-    // Banded nearest-value 1-D join: each part attaches its closest-priced OTHER
-    // part within a ±1 price band (the value-axis analogue of the as-of join's
-    // time axis). Candidates come from an EQUI join on exploded band keys —
-    // 3 bands per probe row, so the pair space is band-local, never quadratic;
-    // the min-|diff| pick is a per-key window with a total tie order. Isolated
-    // prices (empty ±1 band) keep null — the bounded-radius contract, same as
-    // the banded fuzzy-dedup path.
+    // Nearest-value 1-D join WITHOUT pair materialization: in one dimension the
+    // nearest neighbor is ADJACENT in sorted order, so the operator is lag/lead
+    // over a price sort — O(n log n), no self-join (a band self-join goes
+    // quadratic in dense bands: measured 339 s at sf0.1 before this rewrite).
+    // The sort runs per price band in parallel; only each band's FIRST/LAST row
+    // needs its neighbor from the adjacent band, supplied by a |bands|-row edge
+    // frame (the scan_global_row_ids decomposition, applied to adjacency).
+    // Prices are tie-broken into a total order by a key-derived decimal epsilon;
+    // the nearest pick (closer of the two neighbors, ties to the smaller key)
+    // is the same rule in the oracle's single global window.
     Q("join_nearest_value",
       (s, dir) => {
         import s.implicits._
         val parts = t(s, dir, "part")
-          .select($"p_partkey", $"p_retailprice".cast("decimal(12,2)").as("price"))
-        val probe = parts.select($"p_partkey", $"price",
-            explode(array(
-              (floor($"price" / 50) - 1).cast("long"),
-              floor($"price" / 50).cast("long"),
-              (floor($"price" / 50) + 1).cast("long"))).as("band"))
-        val cand = parts
-          .select($"p_partkey".as("c_key"), $"price".as("c_price"),
-            floor($"price" / 50).cast("long").as("band"))
-        // an empty band-row yields a NULL candidate; it must never outrank a
-        // real one (Spark sorts nulls FIRST asc, DuckDB LAST — pin both)
-        val w = Window.partitionBy($"p_partkey")
-          .orderBy(abs($"price" - $"c_price").asc_nulls_last,
-            $"c_key".asc_nulls_last)
-        probe.join(cand,
-            probe("band") === cand("band") && $"p_partkey" =!= $"c_key",
-            "left")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .select($"p_partkey", $"price".cast("double").as("price"),
-            $"c_key".as("nearest_key"),
-            abs($"price" - $"c_price").cast("double").as("price_diff"))
+          .select($"p_partkey",
+            ($"p_retailprice" + $"p_partkey" * 0.0001)
+              .cast("decimal(14,4)").as("p"))
+          .withColumn("band", floor($"p" / 50).cast("long"))
+        val w = Window.partitionBy($"band").orderBy($"p", $"p_partkey")
+        val withNb = parts
+          .withColumn("pv", lag(struct($"p", $"p_partkey"), 1).over(w))
+          .withColumn("nx", lead(struct($"p", $"p_partkey"), 1).over(w))
+        val bandW = Window.orderBy($"band")
+        val edges = parts.groupBy($"band")
+          .agg(min(struct($"p", $"p_partkey")).as("bfirst"),
+            max(struct($"p", $"p_partkey")).as("blast"))
+          .select($"band",
+            lag($"blast", 1).over(bandW).as("prev_last"),
+            lead($"bfirst", 1).over(bandW).as("next_first"))
+        val full = withNb.join(broadcast(edges), Seq("band"))
+          .withColumn("cp", coalesce($"pv", $"prev_last"))
+          .withColumn("cn", coalesce($"nx", $"next_first"))
+        val dPrev = abs($"p" - $"cp.p")
+        val dNext = abs($"p" - $"cn.p")
+        val pickPrev = $"cn".isNull ||
+          ($"cp".isNotNull && (dPrev < dNext ||
+            (dPrev === dNext && $"cp.p_partkey" < $"cn.p_partkey")))
+        full.select($"p_partkey", $"p".cast("double").as("price"),
+            when(pickPrev, $"cp.p_partkey").otherwise($"cn.p_partkey")
+              .as("nearest_key"),
+            when(pickPrev, dPrev).otherwise(dNext).cast("double").as("price_diff"))
           .orderBy($"p_partkey")
       },
       Some("""WITH parts AS (
-             |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+             |  SELECT p_partkey,
+             |    CAST(p_retailprice + p_partkey * 0.0001 AS DECIMAL(14,4)) AS p
              |  FROM part),
-             |probe AS (
-             |  SELECT p_partkey, price,
-             |    unnest([CAST(floor(price / 50) AS BIGINT) - 1,
-             |            CAST(floor(price / 50) AS BIGINT),
-             |            CAST(floor(price / 50) AS BIGINT) + 1]) AS band
-             |  FROM parts),
-             |cand AS (
-             |  SELECT p_partkey AS c_key, price AS c_price,
-             |    CAST(floor(price / 50) AS BIGINT) AS band
-             |  FROM parts),
-             |j AS (
-             |  SELECT probe.p_partkey, probe.price, cand.c_key, cand.c_price,
-             |    row_number() OVER (PARTITION BY probe.p_partkey
-             |      ORDER BY abs(probe.price - cand.c_price) NULLS LAST,
-             |               cand.c_key NULLS LAST) AS rn
-             |  FROM probe LEFT JOIN cand
-             |    ON probe.band = cand.band AND probe.p_partkey <> cand.c_key)
-             |SELECT p_partkey, CAST(price AS DOUBLE) AS price, c_key AS nearest_key,
-             |  CAST(abs(price - c_price) AS DOUBLE) AS price_diff
-             |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
+             |w AS (
+             |  SELECT p_partkey, p,
+             |    lag(p)          OVER o AS pv_p,
+             |    lag(p_partkey)  OVER o AS pv_k,
+             |    lead(p)         OVER o AS nx_p,
+             |    lead(p_partkey) OVER o AS nx_k
+             |  FROM parts
+             |  WINDOW o AS (ORDER BY p, p_partkey)),
+             |pick AS (
+             |  SELECT p_partkey, p, pv_p, pv_k, nx_p, nx_k,
+             |    (nx_p IS NULL OR (pv_p IS NOT NULL AND
+             |      (abs(p - pv_p) < abs(p - nx_p) OR
+             |       (abs(p - pv_p) = abs(p - nx_p) AND pv_k < nx_k))))
+             |      AS pick_prev
+             |  FROM w)
+             |SELECT p_partkey, CAST(p AS DOUBLE) AS price,
+             |  CASE WHEN pick_prev THEN pv_k ELSE nx_k END AS nearest_key,
+             |  CAST(CASE WHEN pick_prev THEN abs(p - pv_p)
+             |            ELSE abs(p - nx_p) END AS DOUBLE) AS price_diff
+             |FROM pick ORDER BY p_partkey""".stripMargin)),
 
     // NATIVE as-of join (graft.plans.AsOfJoinExec): the same backward-inclusive
     // semantics as join_asof, executed by the custom whole-operator plan — co-
