@@ -229,7 +229,12 @@ object Analytics {
     Q("graph_bfs_hops",
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        // one shipping week only — the full-period graph is complete (every
+        // nation trades with every nation) and its histogram is a single row
+        val e = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1997-03-08").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
           .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
             $"l_orderkey" === $"o_orderkey")
           .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
@@ -1315,7 +1320,82 @@ object Analytics {
              |    AS n_resurrected,
              |  CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_churned
-             |FROM u GROUP BY day ORDER BY day""".stripMargin))
+             |FROM u GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Day-of-week seasonality index: each weekday's event rate relative to the
+    // overall daily mean (index 1.0 = flat). Counts stay integers until a single
+    // cross-multiplied double ratio — daily means never materialize separately,
+    // so the index is engine-exact before rounding. ISO weekday via arithmetic
+    // (Spark has no isodow; same trick as the ISO-week rollup).
+    Q("events_seasonality_dow",
+      (s, dir) => {
+        import s.implicits._
+        val d = $"ts".cast("date")
+        val daily = graft.Tables(s, dir, "events")
+          .groupBy(d.as("day")).agg(count(lit(1)).as("n"))
+          .select($"day", $"n", (((dayofweek($"day") + lit(5)) % 7) + 1).as("dow"))
+        val byDow = daily.groupBy($"dow")
+          .agg(sum($"n").as("events"), count(lit(1)).as("days"))
+        val tot = daily.agg(sum($"n").as("tot_events"), count(lit(1)).as("tot_days"))
+        byDow.crossJoin(broadcast(tot))
+          .select($"dow", $"events", $"days",
+            round(($"events" * $"tot_days").cast("double") /
+              ($"days" * $"tot_events"), 9).as("seasonality_index"))
+          .orderBy($"dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |byDow AS (
+             |  SELECT isodow(day) AS dow, CAST(SUM(n) AS BIGINT) AS events,
+             |    count(*) AS days
+             |  FROM daily GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_events,
+             |               count(*) AS tot_days FROM daily)
+             |SELECT CAST(dow AS INTEGER) AS dow, events, days,
+             |  round(CAST(events * tot_days AS DOUBLE) / (days * tot_events), 9)
+             |    AS seasonality_index
+             |FROM byDow CROSS JOIN tot ORDER BY dow""".stripMargin)),
+
+    // Degree distribution of the nation trade graph: out/in degrees per node
+    // from one aggregation each, then the degree histogram (how many nodes have
+    // degree k) — the first diagnostic of any graph workload's skew before
+    // running pagerank/BFS on it.
+    Q("graph_degree_distribution",
+      (s, dir) => {
+        import s.implicits._
+        // one shipping week only — the full-period graph is complete (every
+        // nation trades with every nation) and its histogram is a single row
+        val e = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1997-03-08").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .filter($"src" =!= $"dst")
+          .distinct()
+        val outDeg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        outDeg.groupBy($"deg")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy($"deg")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey
+             |    AND l_shipdate >= TIMESTAMP '1997-03-01'
+             |    AND l_shipdate <  TIMESTAMP '1997-03-08'),
+             |d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src)
+             |SELECT deg, count(*) AS n_nodes
+             |FROM d GROUP BY deg ORDER BY deg""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).

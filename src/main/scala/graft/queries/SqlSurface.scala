@@ -340,6 +340,27 @@ object SqlSurface {
              |  FROM part)
              |SELECT min(brand_cased) AS brand_rep, COUNT(*) AS n
              |FROM v GROUP BY lower(brand_cased)
-             |ORDER BY brand_rep""".stripMargin))
+             |ORDER BY brand_rep""".stripMargin)),
+
+    // SQL UNPIVOT clause (the standard spelling of wide→long; the API twin is
+    // unpivot_melt, the generator twin fn_stack_wide_to_long). Values are
+    // pre-cast to one type — UNPIVOT requires a common value column type, and
+    // DOUBLE keeps both engines' output schemas identical.
+    Q("sql_unpivot_clause",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, metric, val FROM (
+                |  SELECT o_orderkey, o_totalprice AS price,
+                |    CAST(o_custkey AS DOUBLE) AS cust
+                |  FROM orders WHERE o_orderkey < 500)
+                |UNPIVOT (val FOR metric IN (price, cust))
+                |ORDER BY o_orderkey, metric""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, metric, val FROM (
+             |  SELECT o_orderkey, o_totalprice AS price,
+             |    CAST(o_custkey AS DOUBLE) AS cust
+             |  FROM orders WHERE o_orderkey < 500)
+             |UNPIVOT (val FOR metric IN (price, cust))
+             |ORDER BY o_orderkey, metric""".stripMargin))
   )
 }

@@ -265,6 +265,45 @@ object Windows {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
              |  round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
              |    OVER (PARTITION BY o_orderstatus) AS DOUBLE), 9) AS share
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // EXACT rolling median over a bounded 7-row frame: the frame's values are
+    // collected per row (bounded — 7 elements max, safe in any engine) and the
+    // median read positionally with even/odd interpolation. The positional pick
+    // is over an array_sort'd copy, so the result is frame-content-deterministic
+    // regardless of input partitioning; a percentile sketch replaces this shape
+    // when the frame is unbounded.
+    Q("win_rolling_median",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(-6, Window.currentRow)
+        // floor() the positional indexes explicitly: a bare int/2 division is
+        // double in Spark (cast truncates) but CAST in DuckDB ROUNDS
+        val lo = element_at($"win_vals", floor(($"n" + 1) / 2).cast("int"))
+        val hi = element_at($"win_vals", (floor($"n" / 2) + 1).cast("int"))
+        t(s, dir, "orders").filter($"o_custkey" < 300)
+          .withColumn("win_vals", array_sort(collect_list($"o_totalprice").over(w)))
+          .withColumn("n", size($"win_vals"))
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+            round((lo + hi) / 2.0, 6).as("rolling_median7"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""WITH w AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    list_sort(list(o_totalprice) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win_vals
+             |  FROM orders WHERE o_custkey < 300),
+             |p AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice, win_vals,
+             |    len(win_vals) AS n
+             |  FROM w)
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |  round((win_vals[CAST(floor((n + 1) / 2) AS INTEGER)] +
+             |         win_vals[CAST(floor(n / 2) AS INTEGER) + 1]) / 2.0, 6)
+             |    AS rolling_median7
+             |FROM p ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }
