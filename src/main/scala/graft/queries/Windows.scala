@@ -164,6 +164,32 @@ object Windows {
              |  FROM orders)
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // The OPTIMIZER-REWRITE path to the same native operator: the query is the
+    // vanilla row_number()-filter-drop idiom, and the opt-in TopKRewrite rule
+    // (graft.plans.TopKRewrite) swaps in TopKPerGroup automatically — the user
+    // writes declarative intent, the engine picks the bounded-buffer physical
+    // operator. Hash-checked, so the rewrite's CORRECTNESS rides the oracle
+    // gate, not just the plan-shape spec.
+    Q("topk_per_group_rewrite",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.TopKRewriteSupport.enableRewrite(s)
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc_nulls_last, $"o_orderkey".desc_nulls_last)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey".desc)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey DESC""".stripMargin)),
+
     // Same top-3-per-customer as `topk_per_group`, via the NATIVE whole-operator
     // path (graft.plans.TopKPerGroup: custom LogicalPlan → SparkStrategy →
     // SparkPlan): a map-side partial keeps ≤ k rows per key per partition, so the
