@@ -229,12 +229,7 @@ object Analytics {
     Q("graph_bfs_hops",
       (s, dir) => {
         import s.implicits._
-        // one shipping week only — the full-period graph is complete (every
-        // nation trades with every nation) and its histogram is a single row
-        val e = t(s, dir, "lineitem")
-          .filter($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
-                  $"l_shipdate" <  lit("1997-03-08").cast("timestamp"))
-          .select($"l_orderkey", $"l_suppkey")
+        val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
           .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
             $"l_orderkey" === $"o_orderkey")
           .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
