@@ -799,6 +799,36 @@ object EventsQ {
              |  FROM events GROUP BY 1, 2)
              |SELECT hh, event_type, n,
              |  round(n / SUM(n) OVER (PARTITION BY hh), 9) AS hour_share
-             |FROM g ORDER BY hh, event_type""".stripMargin))
+             |FROM g ORDER BY hh, event_type""".stripMargin)),
+
+    // Sequence-pattern matching, MATCH_RECOGNIZE-lite: render each user-day's
+    // ordered event path as ONE string (ordered listagg — a single grouped pass,
+    // no self-joins) and match the funnel as a regexp subsequence. Day paths are
+    // bounded (a user-day's events fit a string), so the per-group state is O(day
+    // events) regardless of corpus size; the regexp is a codegen'd RLIKE over the
+    // collapsed per-day grain, not the raw event table. This is the general form
+    // of events_funnel_conversion: arbitrary ordered patterns (alternation,
+    // repetition) without new operator code.
+    Q("events_pattern_regexp",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH paths AS (
+                |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+                |    listagg(event_type, '>')
+                |      WITHIN GROUP (ORDER BY ts, event_id) AS path
+                |  FROM events GROUP BY 1, 2)
+                |SELECT user_id, count(*) AS n_days,
+                |  CAST(sum(CASE WHEN path RLIKE 'view.*click.*purchase'
+                |                THEN 1 ELSE 0 END) AS BIGINT) AS converting_days
+                |FROM paths GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH paths AS (
+             |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+             |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_days,
+             |  CAST(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS converting_days
+             |FROM paths GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -485,6 +485,87 @@ object Headline {
              |         WHEN cur.old_price <> nxt.new_price THEN 'U' END AS op,
              |    cur.old_price, nxt.new_price
              |  FROM cur FULL OUTER JOIN nxt ON cur.k = nxt.k)
-             |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin))
+             |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar aggregate
+    // — each line compares against 0.2 × avg quantity OF ITS OWN PART — decorrelated
+    // into one grouped pass + a broadcast join back. The selective part-family
+    // predicate is applied as a broadcast semi BEFORE the per-part aggregate, so at
+    // 100 TB the fact is scanned once and only the targeted family's rows feed the
+    // aggregation; the per-part threshold frame is |family| rows and broadcasts.
+    // The threshold (exact decimal mean × 0.2) is the identical IEEE double tree on
+    // both engines, so the < boundary cannot diverge.
+    Q("tpch_q17_shape",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part")
+          .filter($"p_type" === "STANDARD" && $"p_size" <= 25)
+          .select($"p_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        val thresh = li.groupBy($"l_partkey")
+          .agg((davg($"l_quantity") * 0.2d).as("qty_cap"))
+        li.join(broadcast(thresh), Seq("l_partkey"))
+          .filter($"l_quantity" < $"qty_cap")
+          .agg((dsum($"l_extendedprice") / 7.0d).as("avg_yearly"),
+            count(lit(1)).as("n_small_lines"))
+      },
+      Some(s"""WITH li AS (
+              |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+              |  WHERE l_partkey IN (SELECT p_partkey FROM part
+              |    WHERE p_type = 'STANDARD' AND p_size <= 25)),
+              |th AS (
+              |  SELECT l_partkey, ${sqlDavg("l_quantity")} * 0.2 AS qty_cap
+              |  FROM li GROUP BY l_partkey)
+              |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+              |  COUNT(*) AS n_small_lines
+              |FROM li JOIN th USING (l_partkey)
+              |WHERE l_quantity < qty_cap""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest classic
+    // decorrelation — EXISTS plus NOT EXISTS against the same fact, here spelled
+    // as one semi-join (another supplier was on the order) and one anti-join
+    // (…but no OTHER supplier was late) over a deduped (order, supplier) pair set.
+    // The reference schema has no commit/receipt dates, so "late" is shipping
+    // > 60 days after order placement on a finished order. Both probe sides are
+    // pair-distinct BEFORE the self-joins — at 100 TB the semi/anti operate on the
+    // collapsed pair grain, never on raw line rows.
+    Q("tpch_q21_shape",
+      (s, dir) => {
+        import s.implicits._
+        val ordF = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate")
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        val late = li.join(ordF, $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL '60' DAY"))
+          .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+        val pairs = li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
+          .distinct()
+        late
+          .join(pairs, $"ok" === $"ok2" && $"sk" =!= $"sk2", "left_semi")
+          .join(late.select($"ok".as("ok3"), $"sk".as("sk3")),
+            $"ok" === $"ok3" && $"sk" =!= $"sk3", "left_anti")
+          .join(t(s, dir, "supplier"), $"sk" === $"s_suppkey")
+          .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"s_name").limit(25)
+      },
+      Some("""WITH late AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+             |pairs AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+             |sole AS (
+             |  SELECT late.ok, late.sk FROM late
+             |  WHERE EXISTS (SELECT 1 FROM pairs p
+             |                WHERE p.ok = late.ok AND p.sk <> late.sk)
+             |    AND NOT EXISTS (SELECT 1 FROM late l2
+             |                    WHERE l2.ok = late.ok AND l2.sk <> late.sk))
+             |SELECT s_name, COUNT(*) AS numwait
+             |FROM sole JOIN supplier ON sk = s_suppkey
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin))
   )
 }
