@@ -1390,7 +1390,170 @@ object Analytics {
              |    AND l_shipdate <  TIMESTAMP '1997-03-08'),
              |d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src)
              |SELECT deg, count(*) AS n_nodes
-             |FROM d GROUP BY deg ORDER BY deg""".stripMargin))
+             |FROM d GROUP BY deg ORDER BY deg""".stripMargin)),
+
+    // 30-day ROLLING Pearson correlation between two daily series (count vs
+    // quantity): the windowed form of agg_corr_exact. The raw table collapses to
+    // the daily grain first (the only full-data pass — map-side combinable), so
+    // the unpartitioned ordered window only ever sees |days| rows regardless of
+    // corpus size; moments are decimal window sums (exact, associative) and the
+    // correlation readout is the identical IEEE double tree on both engines.
+    // Partial leading windows are skipped (n = 30) so every emitted row has a
+    // full frame — no 0/0 NaN boundary to diverge on.
+    Q("win_rolling_corr",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "lineitem")
+          .groupBy(to_date($"l_shipdate").as("day"))
+          .agg(count(lit(1)).cast("decimal(18,2)").as("x"),
+            sum($"l_quantity".cast("decimal(18,2)")).as("y"))
+        val w = Window.orderBy($"day").rowsBetween(-29, 0)
+        val n = count(lit(1)).over(w).cast("double")
+        daily.select($"day", n.as("n"),
+            sum($"x").over(w).cast("double").as("sx"),
+            sum($"x" * $"x").over(w).cast("double").as("sxx"),
+            sum($"y").over(w).cast("double").as("sy"),
+            sum($"y" * $"y").over(w).cast("double").as("syy"),
+            sum($"x" * $"y").over(w).cast("double").as("sxy"))
+          .filter($"n" === 30.0d)
+          .select($"day",
+            (($"n" * $"sxy" - $"sx" * $"sy") /
+              sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+                   ($"n" * $"syy" - $"sy" * $"sy"))).as("corr30"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS day,
+             |    CAST(COUNT(*) AS DECIMAL(18,2)) AS x,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS y
+             |  FROM lineitem GROUP BY 1),
+             |w AS (
+             |  SELECT day,
+             |    CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+             |    CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+             |    CAST(SUM(x*x) OVER win AS DOUBLE) AS sxx,
+             |    CAST(SUM(y) OVER win AS DOUBLE) AS sy,
+             |    CAST(SUM(y*y) OVER win AS DOUBLE) AS syy,
+             |    CAST(SUM(x*y) OVER win AS DOUBLE) AS sxy
+             |  FROM daily
+             |  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING
+             |                 AND CURRENT ROW))
+             |SELECT day,
+             |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) AS corr30
+             |FROM w WHERE n = 30.0 ORDER BY day""".stripMargin)),
+
+    // Autocorrelation function of the daily event-count series at lags 1..7 —
+    // the time-series diagnostic behind seasonality detection. The series is the
+    // aggregated daily frame (|days| rows); each lag pairs via an equi-join on
+    // the shifted date against a 7-row broadcast lag spine — no window reshuffle
+    // per lag, one shuffle total for the grouped moments. Decimal-exact sums,
+    // identical double readout (the agg_corr_exact discipline).
+    Q("events_autocorr_lag",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).cast("decimal(18,2)").as("c"))
+        val lags = s.range(1, 8).select($"id".cast("int").as("k"))
+        val nD = $"n_pairs".cast("double")
+        daily.crossJoin(broadcast(lags))
+          .join(daily.select($"day".as("pday"), $"c".as("pc")),
+            date_sub($"day", $"k") === $"pday")
+          .select($"k", $"c".as("x"), $"pc".as("y"))
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"x").cast("double").as("sx"),
+            sum($"x" * $"x").cast("double").as("sxx"),
+            sum($"y").cast("double").as("sy"),
+            sum($"y" * $"y").cast("double").as("syy"),
+            sum($"x" * $"y").cast("double").as("sxy"))
+          .select($"k", $"n_pairs",
+            ((nD * $"sxy" - $"sx" * $"sy") /
+              sqrt((nD * $"sxx" - $"sx" * $"sx") *
+                   (nD * $"syy" - $"sy" * $"sy"))).as("autocorr"))
+          .orderBy($"k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS DECIMAL(18,2)) AS c
+             |  FROM events GROUP BY 1),
+             |lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7))
+             |         AS t(k)),
+             |pairs AS (
+             |  SELECT l.k, d.c AS x, p.c AS y
+             |  FROM daily d CROSS JOIN lags l
+             |  JOIN daily p ON p.day = d.day - l.k),
+             |g AS (
+             |  SELECT k, COUNT(*) AS n_pairs,
+             |    CAST(SUM(x) AS DOUBLE) AS sx,
+             |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             |    CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(y*y) AS DOUBLE) AS syy,
+             |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+             |  FROM pairs GROUP BY k)
+             |SELECT k, n_pairs,
+             |  (CAST(n_pairs AS DOUBLE)*sxy - sx*sy) /
+             |    sqrt((CAST(n_pairs AS DOUBLE)*sxx - sx*sx) *
+             |         (CAST(n_pairs AS DOUBLE)*syy - sy*sy)) AS autocorr
+             |FROM g ORDER BY k""".stripMargin)),
+
+    // Zipf-law fit over the corpus vocabulary: OLS of ln(frequency) on ln(rank)
+    // for the top-200 tokens — the standard corpus-health diagnostic (natural
+    // text slopes ≈ −1; generated/templated text diverges). Reuses the
+    // text_vocab_build rank pipeline (one token-count shuffle; the top-200 frame
+    // is tiny), then one closed-form regression readout — ln() and the double
+    // combination are identical expression trees on both engines, sums go
+    // through decimal at scale 9 (|ln| ≤ 12, far under the rounding-divergence
+    // threshold).
+    Q("text_zipf_fit",
+      (s, dir) => {
+        import s.implicits._
+        val nD = $"n_ranks".cast("double")
+        val slope = (nD * $"sxy" - $"sx" * $"sy") /
+          (nD * $"sxx" - $"sx" * $"sx")
+        t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"token")))
+          .filter($"r" <= 200)
+          .select(log($"r".cast("double")).as("x"),
+            log($"n".cast("double")).as("y"))
+          .agg(count(lit(1)).as("n_ranks"),
+            dsum($"x", 9).as("sx"), dsum($"x" * $"x", 9).as("sxx"),
+            dsum($"y", 9).as("sy"), dsum($"y" * $"y", 9).as("syy"),
+            dsum($"x" * $"y", 9).as("sxy"))
+          .select($"n_ranks", slope.as("slope"),
+            (($"sy" - slope * $"sx") / nD).as("intercept"),
+            (((nD * $"sxy" - $"sx" * $"sy") * (nD * $"sxy" - $"sx" * $"sy")) /
+              ((nD * $"sxx" - $"sx" * $"sx") *
+               (nD * $"syy" - $"sy" * $"sy"))).as("r2"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(${duckToks("text")}) AS token FROM documents),
+              |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+              |rk AS (
+              |  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token)
+              |              AS DOUBLE)) AS x,
+              |    ln(CAST(n AS DOUBLE)) AS y
+              |  FROM c
+              |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, token) <= 200),
+              |g AS (
+              |  SELECT COUNT(*) AS n_ranks,
+              |    ${sqlDsum("x", 9)} AS sx, ${sqlDsum("x*x", 9)} AS sxx,
+              |    ${sqlDsum("y", 9)} AS sy, ${sqlDsum("y*y", 9)} AS syy,
+              |    ${sqlDsum("x*y", 9)} AS sxy
+              |  FROM rk)
+              |SELECT n_ranks,
+              |  (CAST(n_ranks AS DOUBLE)*sxy - sx*sy) /
+              |    (CAST(n_ranks AS DOUBLE)*sxx - sx*sx) AS slope,
+              |  (sy - ((CAST(n_ranks AS DOUBLE)*sxy - sx*sy) /
+              |         (CAST(n_ranks AS DOUBLE)*sxx - sx*sx)) * sx) /
+              |    CAST(n_ranks AS DOUBLE) AS intercept,
+              |  ((CAST(n_ranks AS DOUBLE)*sxy - sx*sy) *
+              |   (CAST(n_ranks AS DOUBLE)*sxy - sx*sy)) /
+              |    ((CAST(n_ranks AS DOUBLE)*sxx - sx*sx) *
+              |     (CAST(n_ranks AS DOUBLE)*syy - sy*sy)) AS r2
+              |FROM g""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).
