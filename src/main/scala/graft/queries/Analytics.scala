@@ -1553,7 +1553,78 @@ object Analytics {
               |   (CAST(n_ranks AS DOUBLE)*sxy - sx*sy)) /
               |    ((CAST(n_ranks AS DOUBLE)*sxx - sx*sx) *
               |     (CAST(n_ranks AS DOUBLE)*syy - sy*sy)) AS r2
-              |FROM g""".stripMargin))
+              |FROM g""".stripMargin)),
+
+    // Common-neighbor link prediction over the undirected trade graph: for every
+    // NON-adjacent node pair, count shared neighbors and score Jaccard overlap
+    // of the neighborhoods — the classic "who should be connected" graph query.
+    // Candidate pairs come from an equi-join of the adjacency list with itself
+    // ON THE SHARED NEIGHBOR (never an all-pairs cross); existing edges drop via
+    // an anti-join; degrees broadcast back. At 100 TB the shared-neighbor join
+    // is the standard scalable shape, with hub skew bounded by degree-capping
+    // the adjacency list first (not needed at this graph's size).
+    Q("graph_link_prediction",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-06-08").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"c_nationkey".as("x"), $"s_nationkey".as("y"))
+          .filter($"x" =!= $"y")
+        val ue = raw.select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+          .distinct().localCheckpoint()
+        val nbrs = ue.select($"a".as("u"), $"b".as("v"))
+          .unionByName(ue.select($"b".as("u"), $"a".as("v")))
+        val deg = nbrs.groupBy($"u").agg(count(lit(1)).as("d"))
+        val cand = nbrs.select($"u".as("u1"), $"v".as("w"))
+          .join(nbrs.select($"u".as("u2"), $"v".as("w2")),
+            $"w" === $"w2" && $"u1" < $"u2")
+          .groupBy($"u1", $"u2").agg(count(lit(1)).as("common_cnt"))
+          .join(ue, $"u1" === $"a" && $"u2" === $"b", "left_anti")
+        cand
+          .join(broadcast(deg.select($"u".as("u1"), $"d".as("d1"))), Seq("u1"))
+          .join(broadcast(deg.select($"u".as("u2"), $"d".as("d2"))), Seq("u2"))
+          .select($"u1", $"u2", $"common_cnt",
+            ($"common_cnt".cast("double") /
+              ($"d1" + $"d2" - $"common_cnt")).as("jaccard"))
+          .orderBy($"common_cnt".desc, $"u1", $"u2").limit(20)
+      },
+      Some("""WITH raw AS (
+             |  SELECT c_nationkey AS x, s_nationkey AS y
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey
+             |    AND l_shipdate >= TIMESTAMP '1997-06-01'
+             |    AND l_shipdate <  TIMESTAMP '1997-06-08'),
+             |ue AS (
+             |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw),
+             |nbrs AS (
+             |  SELECT a AS u, b AS v FROM ue
+             |  UNION ALL SELECT b AS u, a AS v FROM ue),
+             |deg AS (SELECT u, count(*) AS d FROM nbrs GROUP BY u),
+             |cand AS (
+             |  SELECT n1.u AS u1, n2.u AS u2, count(*) AS common_cnt
+             |  FROM nbrs n1 JOIN nbrs n2 ON n1.v = n2.v AND n1.u < n2.u
+             |  GROUP BY n1.u, n2.u),
+             |nonadj AS (
+             |  SELECT c.* FROM cand c
+             |  WHERE NOT EXISTS (SELECT 1 FROM ue
+             |                    WHERE ue.a = c.u1 AND ue.b = c.u2))
+             |SELECT u1, u2, common_cnt,
+             |  CAST(common_cnt AS DOUBLE) / (d1.d + d2.d - common_cnt) AS jaccard
+             |FROM nonadj
+             |JOIN deg d1 ON d1.u = u1
+             |JOIN deg d2 ON d2.u = u2
+             |ORDER BY common_cnt DESC, u1, u2 LIMIT 20""".stripMargin))
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).

@@ -361,6 +361,47 @@ object SqlSurface {
              |    CAST(o_custkey AS DOUBLE) AS cust
              |  FROM orders WHERE o_orderkey < 500)
              |UNPIVOT (val FOR metric IN (price, cust))
-             |ORDER BY o_orderkey, metric""".stripMargin))
+             |ORDER BY o_orderkey, metric""".stripMargin)),
+
+    // Hive-style script transform: SELECT TRANSFORM ... USING pipes each
+    // partition's rows through an external process (tab-separated in/out, no
+    // serde) — the SQL-surface spelling of the reference's subprocess task
+    // archetype (task.py:321-328; the API twin is pipe_subprocess_filter).
+    // The child runs per partition in parallel with streamed stdin/stdout, so
+    // at 100 TB the subprocess cost scales out with the executors. Output
+    // columns come back as strings; the query re-aggregates AFTER the pipe, so
+    // the result is partitioning-independent. Quantities are floored to BIGINT
+    // before crossing the boundary — the pipe compares integers, never
+    // engine-rendered doubles.
+    // Boundary contract, learned the hard way: (1) the no-serde default field
+    // delimiter is Hive's '', which awk does not treat as whitespace —
+    // declare ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t' on BOTH sides;
+    // (2) feeding the pipe straight off the vectorized parquet scan NPEs the
+    // feed thread (column batch freed under the writer thread), so the input
+    // goes through one DISTRIBUTE BY first — row-materialized, and the natural
+    // placement anyway when the pipe follows a shuffle at scale.
+    Q("sql_script_transform",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH src AS (
+                |  SELECT l_returnflag AS f,
+                |    CAST(floor(l_quantity) AS BIGINT) AS q
+                |  FROM lineitem DISTRIBUTE BY f),
+                |fed AS (
+                |  SELECT TRANSFORM(f, q)
+                |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+                |    USING 'awk \'$2 > 25\'' AS (flag STRING, fq STRING)
+                |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+                |  FROM src)
+                |SELECT flag, count(*) AS n,
+                |  sum(CAST(fq AS BIGINT)) AS sum_fq
+                |FROM fed GROUP BY flag ORDER BY flag""".stripMargin)
+      },
+      Some("""WITH f AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(FLOOR(l_quantity) AS BIGINT) AS fq
+             |  FROM lineitem)
+             |SELECT flag, COUNT(*) AS n, CAST(SUM(fq) AS BIGINT) AS sum_fq
+             |FROM f WHERE fq > 25 GROUP BY flag ORDER BY flag""".stripMargin))
   )
 }
