@@ -402,6 +402,106 @@ object SqlSurface {
              |    CAST(FLOOR(l_quantity) AS BIGINT) AS fq
              |  FROM lineitem)
              |SELECT flag, COUNT(*) AS n, CAST(SUM(fq) AS BIGINT) AS sum_fq
-             |FROM f WHERE fq > 25 GROUP BY flag ORDER BY flag""".stripMargin))
+             |FROM f WHERE fq > 25 GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // SQL pipe syntax (Spark 4): the linear |> spelling of scan → filter →
+    // aggregate → project → sort. Same Catalyst plan as the nested form — the
+    // pipes are pure parser surface, so pushdown/pruning/AQE all apply
+    // unchanged; the oracle is the classic nested SQL for the same plan.
+    Q("sql_pipe_syntax",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(s"""FROM lineitem
+                 ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 ||> AGGREGATE count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+                 |   GROUP BY l_returnflag, l_linestatus
+                 ||> SELECT l_returnflag, l_linestatus, n, sum_qty
+                 ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  ${sqlDsum("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN expr):
+    // a catalog-registered expression macro, not a UDF — the body inlines into
+    // the plan at resolution, so it stays inside whole-stage codegen with zero
+    // serialization cost (verified: the plan is identical to writing the
+    // expression by hand). OR REPLACE keeps re-registration idempotent within
+    // a session. The oracle inlines the same body.
+    Q("sql_create_function",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE,
+                |  d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+        s.sql(s"""SELECT l_returnflag,
+                 |  CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                 |    AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+                 |  count(*) AS n
+                 |FROM lineitem GROUP BY l_returnflag
+                 |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+             |    AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // SQL session variables (Spark 4 DECLARE / SET VAR): computed state carried
+    // between statements — here a corpus-derived threshold (exact decimal mean,
+    // so the value is engine-identical) set once, then referenced by a second
+    // query. The oracle spells the same threshold as a scalar subquery.
+    Q("sql_session_variables",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("DECLARE OR REPLACE VARIABLE qty_floor DOUBLE DEFAULT 0.0")
+        s.sql(s"""SET VAR qty_floor = (SELECT ${sqlDavg("l_quantity")}
+                 |                     FROM lineitem)""".stripMargin)
+        s.sql("""SELECT l_returnflag, count(*) AS n_above
+                |FROM lineitem WHERE l_quantity > qty_floor
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_above
+              |FROM lineitem
+              |WHERE l_quantity > (SELECT ${sqlDavg("l_quantity")}
+              |                    FROM lineitem)
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // IDENTIFIER() clause (Spark 4): table and column names resolved from
+    // constant-foldable string expressions — the injection-safe spelling of
+    // dynamic SQL (templated jobs pick tables per run without string-splicing
+    // the query). Resolution happens at analysis, so the executed plan is the
+    // static one.
+    Q("sql_identifier_clause",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT IDENTIFIER('l_' || 'returnflag') AS flag, count(*) AS n
+                |FROM IDENTIFIER('line' || 'item')
+                |GROUP BY IDENTIFIER('l_' || 'returnflag')
+                |ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag, count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
+
+    // Named parameter markers (Spark 4 spark.sql(query, args)): typed
+    // parameterized SQL — values bind as literals at parse time (visible to
+    // constant folding and parquet pushdown), never string-spliced. The oracle
+    // inlines the same constants.
+    Q("sql_named_parameters",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT l_linestatus, count(*) AS n, max(l_quantity) AS max_qty
+            |FROM lineitem
+            |WHERE l_quantity < :maxq AND l_returnflag = :flag
+            |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+          Map("maxq" -> 10, "flag" -> "R"))
+      },
+      Some("""SELECT l_linestatus, count(*) AS n, max(l_quantity) AS max_qty
+             |FROM lineitem
+             |WHERE l_quantity < 10 AND l_returnflag = 'R'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
   )
 }
