@@ -1444,9 +1444,9 @@ object Analytics {
 
     // Autocorrelation function of the daily event-count series at lags 1..7 —
     // the time-series diagnostic behind seasonality detection. The series is the
-    // aggregated daily frame (|days| rows); each lag pairs via an equi-join on
-    // the shifted date against a 7-row broadcast lag spine — no window reshuffle
-    // per lag, one shuffle total for the grouped moments. Decimal-exact sums,
+    // aggregated daily frame (|days| rows); the 7 lags come from a map-side
+    // generator (explode of a literal array — no join, no BNLJ), then each lag
+    // pairs via ONE equi-join on the shifted date. Decimal-exact sums,
     // identical double readout (the agg_corr_exact discipline).
     Q("events_autocorr_lag",
       (s, dir) => {
@@ -1454,9 +1454,9 @@ object Analytics {
         val daily = t(s, dir, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).cast("decimal(18,2)").as("c"))
-        val lags = s.range(1, 8).select($"id".cast("int").as("k"))
         val nD = $"n_pairs".cast("double")
-        daily.crossJoin(broadcast(lags))
+        daily.select($"day", $"c",
+            explode(array((1 to 7).map(lit): _*)).as("k"))
           .join(daily.select($"day".as("pday"), $"c".as("pc")),
             date_sub($"day", $"k") === $"pday")
           .select($"k", $"c".as("x"), $"pc".as("y"))
@@ -1477,12 +1477,11 @@ object Analytics {
              |  SELECT CAST(ts AS DATE) AS day,
              |    CAST(COUNT(*) AS DECIMAL(18,2)) AS c
              |  FROM events GROUP BY 1),
-             |lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7))
-             |         AS t(k)),
+             |lagged AS (
+             |  SELECT day, c, unnest([1, 2, 3, 4, 5, 6, 7]) AS k FROM daily),
              |pairs AS (
-             |  SELECT l.k, d.c AS x, p.c AS y
-             |  FROM daily d CROSS JOIN lags l
-             |  JOIN daily p ON p.day = d.day - l.k),
+             |  SELECT l.k, l.c AS x, p.c AS y
+             |  FROM lagged l JOIN daily p ON p.day = l.day - l.k),
              |g AS (
              |  SELECT k, COUNT(*) AS n_pairs,
              |    CAST(SUM(x) AS DOUBLE) AS sx,
