@@ -110,39 +110,31 @@ object Scale {
     Q("profile_columns",
       (s, dir) => {
         import s.implicits._
-        val stats = t(s, dir, "orders").agg(
-          count(lit(1)).as("n_rows"),
-          count($"o_orderstatus").as("nn_status"),
-          countDistinct($"o_orderstatus").as("nd_status"),
-          min($"o_orderstatus").as("lo_status"), max($"o_orderstatus").as("hi_status"),
-          count($"o_orderpriority").as("nn_prio"),
-          countDistinct($"o_orderpriority").as("nd_prio"),
-          min($"o_orderpriority").as("lo_prio"), max($"o_orderpriority").as("hi_prio"),
-          count($"o_custkey").as("nn_cust"),
-          countDistinct($"o_custkey").as("nd_cust"),
-          min($"o_custkey").cast("double").as("lo_cust"),
-          max($"o_custkey").cast("double").as("hi_cust"),
-          count($"o_totalprice").as("nn_price"),
-          countDistinct($"o_totalprice").as("nd_price"),
-          min($"o_totalprice").as("lo_price"), max($"o_totalprice").as("hi_price"))
-        stats.selectExpr(
-          """inline(array(
-            |  named_struct('column', 'o_custkey', 'n_rows', n_rows,
-            |    'n_null', n_rows - nn_cust, 'n_distinct', nd_cust,
-            |    'min_str', CAST(NULL AS STRING), 'max_str', CAST(NULL AS STRING),
-            |    'min_num', lo_cust, 'max_num', hi_cust),
-            |  named_struct('column', 'o_orderpriority', 'n_rows', n_rows,
-            |    'n_null', n_rows - nn_prio, 'n_distinct', nd_prio,
-            |    'min_str', lo_prio, 'max_str', hi_prio,
-            |    'min_num', CAST(NULL AS DOUBLE), 'max_num', CAST(NULL AS DOUBLE)),
-            |  named_struct('column', 'o_orderstatus', 'n_rows', n_rows,
-            |    'n_null', n_rows - nn_status, 'n_distinct', nd_status,
-            |    'min_str', lo_status, 'max_str', hi_status,
-            |    'min_num', CAST(NULL AS DOUBLE), 'max_num', CAST(NULL AS DOUBLE)),
-            |  named_struct('column', 'o_totalprice', 'n_rows', n_rows,
-            |    'n_null', n_rows - nn_price, 'n_distinct', nd_price,
-            |    'min_str', CAST(NULL AS STRING), 'max_str', CAST(NULL AS STRING),
-            |    'min_num', lo_price, 'max_num', hi_price)))""".stripMargin)
+        // Unpivot to the (column, value) grain FIRST, then profile with a
+        // two-level aggregate: level 1 collapses to per-(column, value) counts
+        // (map-side combinable — the shuffle carries distinct values, not
+        // rows), level 2 reads every statistic off that collapsed frame
+        // (n_distinct = surviving non-null value rows). No multi-countDistinct
+        // in one aggregate — that plans as a |columns|-way Expand multiplying
+        // every input row, the profiler anti-pattern at 100 TB.
+        val up = t(s, dir, "orders").selectExpr(
+          """stack(4,
+            |  'o_custkey', CAST(NULL AS STRING), CAST(o_custkey AS DOUBLE),
+            |  'o_orderpriority', o_orderpriority, CAST(NULL AS DOUBLE),
+            |  'o_orderstatus', o_orderstatus, CAST(NULL AS DOUBLE),
+            |  'o_totalprice', CAST(NULL AS STRING), o_totalprice)
+            |  AS (col, vs, vn)""".stripMargin)
+        up.groupBy($"col", $"vs", $"vn").agg(count(lit(1)).as("c"))
+          .groupBy($"col")
+          .agg(sum($"c").cast("bigint").as("n_rows"),
+            sum(when($"vs".isNull && $"vn".isNull, $"c").otherwise(0L))
+              .cast("bigint").as("n_null"),
+            count(when($"vs".isNotNull || $"vn".isNotNull, lit(1)))
+              .as("n_distinct"),
+            min($"vs").as("min_str"), max($"vs").as("max_str"),
+            min($"vn").as("min_num"), max($"vn").as("max_num"))
+          .select($"col".as("column"), $"n_rows", $"n_null", $"n_distinct",
+            $"min_str", $"max_str", $"min_num", $"max_num")
           .orderBy($"column")
       },
       Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
