@@ -1554,6 +1554,76 @@ object Analytics {
               |     (CAST(n_ranks AS DOUBLE)*syy - sy*sy)) AS r2
               |FROM g""".stripMargin)),
 
+    // Geospatial nearest-center assignment (haversine): every point joins its
+    // closest of k facility centers — the geodesic twin of the k-means assign
+    // step. The 25 centers collapse to ONE sorted array row (a sanctioned
+    // single-row scalar cross; at 100 TB this is a broadcast variable, never a
+    // pair explosion) and the per-point argmin is a map-side HOF over that
+    // array — no point ever shuffles. Coordinates are derived deterministically
+    // from keys (the synthetic schema carries no geo columns); the great-circle
+    // formula is the identical libm double tree on both engines (fn_trig
+    // precedent), and ties break on center key via the struct sort.
+    Q("geo_nearest_center",
+      (s, dir) => {
+        import s.implicits._
+        val centers = t(s, dir, "nation")
+          .select($"n_nationkey".cast("double").as("ck"),
+            (lit(-60.0d) + lit(5.5d) * $"n_nationkey").as("clat"),
+            (lit(-170.0d) + lit(13.7d) * $"n_nationkey").as("clon"))
+          .agg(sort_array(collect_list(struct($"ck", $"clat", $"clon")))
+            .as("cs"))
+        t(s, dir, "supplier")
+          .select($"s_suppkey",
+            (lit(-85.0d) + ($"s_suppkey" * 7919L % 1700L) / 10.0d).as("plat"),
+            (lit(-180.0d) + ($"s_suppkey" * 104729L % 3599L) / 10.0d).as("plon"))
+          .crossJoin(centers)
+          .withColumn("best", expr(
+            // degree→radian via one explicit multiply by the π/180 double
+            // literal: radians() associates differently across engines
+            // (Java's toRadians is x/180*π) and would drift a ULP
+            """array_sort(transform(cs, c -> struct(
+              |  2.0D * 6371.0D * asin(sqrt(
+              |    sin((c.clat - plat) * 0.017453292519943295D / 2.0D) *
+              |    sin((c.clat - plat) * 0.017453292519943295D / 2.0D) +
+              |    cos(plat * 0.017453292519943295D) *
+              |    cos(c.clat * 0.017453292519943295D) *
+              |    sin((c.clon - plon) * 0.017453292519943295D / 2.0D) *
+              |    sin((c.clon - plon) * 0.017453292519943295D / 2.0D)))
+              |    AS dist_km,
+              |  c.ck AS ck)))[0]""".stripMargin))
+          .groupBy($"best.ck".as("center_key"))
+          .agg(count(lit(1)).as("n_points"),
+            min($"best.dist_km").as("min_km"),
+            max($"best.dist_km").as("max_km"))
+          .orderBy($"center_key")
+      },
+      Some("""WITH centers AS (
+             |  SELECT CAST(n_nationkey AS DOUBLE) AS ck,
+             |    -60.0 + 5.5 * n_nationkey AS clat,
+             |    -170.0 + 13.7 * n_nationkey AS clon
+             |  FROM nation),
+             |pts AS (
+             |  SELECT s_suppkey,
+             |    -85.0 + (s_suppkey * 7919 % 1700) / 10.0 AS plat,
+             |    -180.0 + (s_suppkey * 104729 % 3599) / 10.0 AS plon
+             |  FROM supplier),
+             |d AS (
+             |  SELECT s_suppkey, ck,
+             |    2.0 * 6371.0 * asin(sqrt(
+             |      sin((clat - plat) * 0.017453292519943295 / 2.0) *
+             |      sin((clat - plat) * 0.017453292519943295 / 2.0) +
+             |      cos(plat * 0.017453292519943295) *
+             |      cos(clat * 0.017453292519943295) *
+             |      sin((clon - plon) * 0.017453292519943295 / 2.0) *
+             |      sin((clon - plon) * 0.017453292519943295 / 2.0))) AS dist_km
+             |  FROM pts CROSS JOIN centers),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY s_suppkey
+             |    ORDER BY dist_km, ck) AS rn FROM d)
+             |SELECT ck AS center_key, COUNT(*) AS n_points,
+             |  MIN(dist_km) AS min_km, MAX(dist_km) AS max_km
+             |FROM r WHERE rn = 1 GROUP BY ck ORDER BY center_key""".stripMargin)),
+
     // Common-neighbor link prediction over the undirected trade graph: for every
     // NON-adjacent node pair, count shared neighbors and score Jaccard overlap
     // of the neighborhoods — the classic "who should be connected" graph query.

@@ -886,6 +886,36 @@ object Scalars {
              |  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
              |    AS week_start,
              |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH AS DATE) AS minus_3m
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Timezone conversion matrix: UTC instants rendered as wall-clock time in
+    // IANA zones (and round-tripped back) — the pipeline-edge operation every
+    // cross-region rollup needs. Spark `from_utc_timestamp(ts, z)` ==
+    // DuckDB `(ts AT TIME ZONE 'UTC') AT TIME ZONE z` (instant → local naive);
+    // both engines resolve DST from the same IANA tzdata, and the 1995-1997
+    // test instants sit in long-stable rule periods. Codegen'd scalar work,
+    // map-only.
+    Q("fn_timezone_convert",
+      (s, dir) => {
+        import s.implicits._
+        val ts = $"o_orderdate"
+        t(s, dir, "orders").filter($"o_orderkey" < 1000)
+          .select($"o_orderkey", ts.as("utc_ts"),
+            from_utc_timestamp(ts, "America/New_York").as("ny_local"),
+            from_utc_timestamp(ts, "Asia/Tokyo").as("tokyo_local"),
+            from_utc_timestamp(ts, "Australia/Sydney").as("sydney_local"),
+            to_utc_timestamp(from_utc_timestamp(ts, "Europe/Paris"),
+              "Europe/Paris").as("roundtrip_utc"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate AS utc_ts,
+             |  (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+             |    AS ny_local,
+             |  (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo'
+             |    AS tokyo_local,
+             |  (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'Australia/Sydney'
+             |    AS sydney_local,
+             |  o_orderdate AS roundtrip_utc
              |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin))
   )
 
