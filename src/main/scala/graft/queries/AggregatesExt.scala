@@ -538,24 +538,49 @@ object AggregatesExt {
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // Spearman rank correlation: average-rank transform (rank + (ties-1)/2 — the
-    // standard tie treatment) composed with the exact decimal-moment Pearson of
-    // agg_corr_exact. Ranks carry at most one decimal (.5 from tie averaging), so
-    // DECIMAL(18,1) inputs keep every product exact. The per-group rank windows
-    // need a per-key total order — inherent to rank statistics; the window is
-    // key-partitioned, so each group sorts independently.
+    // standard tie treatment, equivalently #smaller + (ties+1)/2) composed with
+    // the exact decimal-moment Pearson of agg_corr_exact. Ranks carry at most one
+    // decimal (.5 from tie averaging), so DECIMAL(18,1) inputs keep every product
+    // exact. NO full-fact rank window on the 3-value group key (that plan sorts
+    // the whole fact through 3 reducers): quantity is ~50 discrete values, so its
+    // average ranks come straight off the per-(flag,quantity) HISTOGRAM
+    // (prefix-sum over ≤50 rows per flag, broadcast-joined back — the agg_mad
+    // value-histogram pattern); near-continuous price gets the two-level BANDED
+    // rank (per-(flag,price-band) counts → broadcast offsets → within-band rank,
+    // hash-parallel across ~100 bands per flag — the agg_histogram_equidepth
+    // range-bucket pattern). Tie counts ride the same banded sort via the
+    // peers-only RANGE frame, so price needs ONE exchange total.
     Q("agg_spearman_corr",
       (s, dir) => {
         import s.implicits._
-        def avgRank(c: String) = {
-          val w = Window.partitionBy($"l_returnflag").orderBy(col(c))
-          val ties = Window.partitionBy($"l_returnflag", col(c))
-          (rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0)
-            .cast("decimal(18,1)")
-        }
-        val ranked = t(s, dir, "lineitem")
+        val li = t(s, dir, "lineitem")
           .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
-          .withColumn("rx", avgRank("l_quantity"))
-          .withColumn("ry", avgRank("l_extendedprice"))
+        // quantity: avg rank per DISTINCT value = #smaller + (cnt+1)/2
+        val qr = li.groupBy($"l_returnflag".as("qf"), $"l_quantity".as("qv"))
+          .agg(count(lit(1)).as("qc"))
+          .withColumn("qlt", coalesce(sum($"qc").over(
+            Window.partitionBy($"qf").orderBy($"qv")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"qf", $"qv",
+            ($"qlt" + ($"qc" + 1) / 2.0).cast("decimal(18,1)").as("rx"))
+        // price: banded global rank within each flag
+        val banded = li.withColumn("pband",
+          floor($"l_extendedprice" / 1000).cast("long"))
+        val poff = banded.groupBy($"l_returnflag".as("pf"), $"pband".as("pb"))
+          .agg(count(lit(1)).as("pc"))
+          .withColumn("poff", coalesce(sum($"pc").over(
+            Window.partitionBy($"pf").orderBy($"pb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"pf", $"pb", $"poff")
+        val wRank = Window.partitionBy($"l_returnflag", $"pband")
+          .orderBy($"l_extendedprice")
+        val wTies = wRank.rangeBetween(Window.currentRow, Window.currentRow)
+        val ranked = banded
+          .join(broadcast(qr), $"l_returnflag" === $"qf" && $"l_quantity" === $"qv")
+          .join(broadcast(poff), $"l_returnflag" === $"pf" && $"pband" === $"pb")
+          .withColumn("ry",
+            ($"poff" + rank().over(wRank) +
+              (count(lit(1)).over(wTies) - 1) / 2.0).cast("decimal(18,1)"))
         ranked.groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum($"rx").cast("double").as("sx"),

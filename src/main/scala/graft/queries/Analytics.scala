@@ -470,16 +470,19 @@ object Analytics {
     // Lexical rarity scoring: each document's mean corpus-frequency rank of its
     // tokens — the rank-based cousin of perplexity filtering that needs NO
     // transcendental math (log-probabilities don't hash across engines; integer
-    // ranks do). The vocab rank window runs over the compressed token histogram
-    // (|vocab| rows); the per-doc score is one equi-join + one grouped exact sum.
+    // ranks do). Vocab ranks come from the banded two-level rank over the
+    // compressed token histogram; the per-doc score is one equi-join + one
+    // grouped exact sum.
     Q("text_rarity_score",
       (s, dir) => {
         import s.implicits._
-        val vocab = t(s, dir, "documents")
-          .select(explode(TF.tokens($"text")).as("token"))
-          .groupBy($"token").agg(count(lit(1)).as("n"))
-          .withColumn("r",
-            row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
+        // banded global rank over the token histogram: no |vocab|-row
+        // single-reducer sort (bucket = −n, ties broken by token)
+        val vocab = bandedRowNumber(
+          t(s, dir, "documents")
+            .select(explode(TF.tokens($"text")).as("token"))
+            .groupBy($"token").agg(count(lit(1)).as("n")),
+          -$"n", Seq($"n".desc, $"token"), "r", "r_n")
           .select($"token".as("vt"), $"r")
         t(s, dir, "documents").filter($"doc_id" < 300)
           .select($"doc_id", explode(TF.tokens($"text")).as("token"))

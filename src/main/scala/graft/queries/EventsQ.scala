@@ -411,10 +411,14 @@ object EventsQ {
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // RFM segmentation (recency / frequency / monetary quintiles): one grouped pass
-    // builds per-user metrics, three ntile windows over the |users|-row aggregate
-    // (never the raw events) assign quintiles, the segment is a 3-digit code.
-    // Deterministic because every ntile order is made TOTAL with the user id
-    // tiebreak. Monetary sums are decimal-exact.
+    // builds per-user metrics, then each quintile comes from a BANDED global rank
+    // (bandedRowNumber: bucket counts → broadcast prefix-sum offsets → parallel
+    // within-bucket rank) + exact NTILE arithmetic — a global `ntile() OVER
+    // (ORDER BY ...)` would push the whole |users| frame through ONE reducer,
+    // which dies at 100 TB; here the only single-partition sorts are over the
+    // tiny bucket frames (days / distinct counts / monetary bands). Deterministic
+    // because every rank order is made TOTAL with the user id tiebreak. Monetary
+    // sums are decimal-exact.
     Q("events_rfm_segmentation",
       (s, dir) => {
         import s.implicits._
@@ -424,12 +428,17 @@ object EventsQ {
           .agg(max($"ts").as("last_ts"),
             count(lit(1)).as("frequency"),
             dsum($"value").as("monetary"))
-        m.select($"user_id", $"frequency", $"monetary",
-            ntile(5).over(Window.orderBy($"last_ts", $"user_id")).as("r_score"),
-            ntile(5).over(Window.orderBy($"frequency", $"user_id")).as("f_score"),
-            ntile(5).over(Window.orderBy($"monetary", $"user_id")).as("m_score"))
-          .select($"user_id", $"frequency", $"monetary",
-            ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("rfm"))
+        // bucket keys: each a monotone function of its leading order key
+        val r = bandedRowNumber(m, date_trunc("day", $"last_ts"),
+          Seq($"last_ts", $"user_id"), "r_rank", "r_n")
+        val f = bandedRowNumber(r, $"frequency",
+          Seq($"frequency", $"user_id"), "f_rank", "f_n")
+        val rfm = bandedRowNumber(f, floor($"monetary" / 100).cast("long"),
+          Seq($"monetary", $"user_id"), "m_rank", "m_n")
+        rfm.select($"user_id", $"frequency", $"monetary",
+            (ntileFromRank($"r_rank", $"r_n", 5) * 100 +
+             ntileFromRank($"f_rank", $"f_n", 5) * 10 +
+             ntileFromRank($"m_rank", $"m_n", 5)).as("rfm"))
           .orderBy($"user_id")
       },
       Some(s"""WITH m AS (
@@ -526,16 +535,17 @@ object EventsQ {
              |FROM dau JOIN mau USING (month) ORDER BY day""".stripMargin)),
 
     // Pareto concentration: how much of total event volume each user DECILE
-    // carries. Deciles assign over the |users|-row aggregate (total order via the
-    // user-id tiebreak), never the raw stream; the share is an exact-BIGINT ratio.
+    // carries. Deciles come from a banded global rank over the |users|-row
+    // aggregate (bucket = −n, so bucket order IS the n-descending order; ties
+    // broken by user id) + exact NTILE arithmetic — no single-reducer ntile
+    // window anywhere; the share window runs over the 10-row decile rollup.
     Q("events_power_users_pareto",
       (s, dir) => {
         import s.implicits._
         val perUser = graft.Tables.events(s, dir)
           .groupBy($"user_id").agg(count(lit(1)).as("n"))
-        val w = Window.orderBy($"n".desc, $"user_id")
-        perUser
-          .withColumn("decile", ntile(10).over(w))
+        bandedRowNumber(perUser, -$"n", Seq($"n".desc, $"user_id"), "u_rank", "u_n")
+          .withColumn("decile", ntileFromRank($"u_rank", $"u_n", 10))
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"))
           .withColumn("share",

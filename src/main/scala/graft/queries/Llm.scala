@@ -86,10 +86,10 @@ object Llm {
         // verification): MEMORY_AND_DISK spills instead of OOMing, so the same plan
         // holds on a cluster (at 100 TB each executor caches only its partitions;
         // a parquet checkpoint would pay a full extra write+read of the largest
-        // intermediate). Materialized eagerly so both consumers hit the cache.
+        // intermediate). The signature aggregation below is the first consumer and
+        // fills the cache — an eager count() here would cost one extra full pass.
         val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        sh.count()
         // persist the signature frame as well: the banded candidate generation is a
         // self-join, and without a materialized input both join sides re-run the
         // minhash aggregation (one row per doc — tiny at any scale)
@@ -1043,14 +1043,19 @@ object Llm {
     Q("text_vocab_build",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        t(s, dir, "documents")
-          .select(explode(TF.tokens($"text")).as("token"))
-          .groupBy($"token")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("token_id",
-            row_number().over(Window.orderBy($"n".desc, $"token")))
+        // rank-stable token ids WITHOUT a |vocab|-row single-reducer sort: the
+        // banded global rank buckets the count histogram by −n (so bucket order
+        // is the n-descending order and the only global sort is over the tiny
+        // distinct-count frame), then ranks within count-groups in parallel
+        bandedRowNumber(
+          t(s, dir, "documents")
+            .select(explode(TF.tokens($"text")).as("token"))
+            .groupBy($"token")
+            .agg(count(lit(1)).as("n")),
+          -$"n", Seq($"n".desc, $"token"), "t_rank", "t_n")
+          .withColumn("token_id", $"t_rank".cast("int"))
           .filter($"token_id" <= 1000)
+          .select($"token", $"n", $"token_id")
           .orderBy($"token_id")
       },
       Some(s"""WITH t AS (

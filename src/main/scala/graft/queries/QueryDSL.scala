@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
 
@@ -57,4 +58,52 @@ object QueryDSL {
     }.mkString("(", " + ", ")")
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = graft.Tables(s, dir, name)
+
+  /** Distributed global row_number over a TOTAL order, without the classic
+    * `row_number() OVER (ORDER BY ...)` single-reducer sort — the
+    * scan_global_row_ids two-level pattern packaged for reuse:
+    *
+    *  1. bucket every row by `bucket`, a MONOTONE function of the leading order
+    *     key (so bucket order refines to row order and ties never span buckets);
+    *  2. count rows per bucket and prefix-sum offsets on the tiny bucket frame
+    *     (the only single-partition window ever run is over |buckets| rows);
+    *  3. rank within each bucket in parallel (hash-partitioned by bucket) and
+    *     add the broadcast offset.
+    *
+    * Appends `rankCol` (1-based LONG global row number under `order`) and
+    * `totalCol` (LONG frame row count — the N that NTILE math needs). `order`
+    * must be a total order for the rank to be deterministic. */
+  def bandedRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
+      rankCol: String, totalCol: String): DataFrame = {
+    val b = df.withColumn("__band", bucket)
+    val offs = b.groupBy(col("__band")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__band"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol, sum(col("__cnt")).over(
+        Window.orderBy(col("__band")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__band").as("__jband"), col("__off"), col(totalCol))
+    b.join(broadcast(offs), col("__band") === col("__jband"))
+      .withColumn(rankCol,
+        (col("__off") + row_number().over(
+          Window.partitionBy(col("__band")).orderBy(order: _*))).cast("long"))
+      .drop("__band", "__jband", "__off")
+  }
+
+  /** Exact NTILE(k) reconstructed from a 1-based global rank + total row count
+    * (integer-only: the first `total mod k` tiles carry `⌈total/k⌉` rows, the
+    * rest `⌊total/k⌋` — the ANSI definition). Composed with [[bandedRowNumber]]
+    * this replaces `ntile(k) OVER (ORDER BY ...)` — which moves the WHOLE frame
+    * through one reducer — with a fully parallel plan. Returns INT like
+    * Spark's native ntile. */
+  def ntileFromRank(rank: Column, total: Column, k: Int): Column = {
+    val q = floor(total / lit(k)).cast("long")    // base tile size
+    val rem = total % lit(k)                      // tiles carrying one extra row
+    val cut = rem * (q + 1)                       // rows covered by the big tiles
+    when(rank <= cut, floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(rem + floor((rank - lit(1) - cut) / q) + 1)
+      .cast("int")
+  }
 }
