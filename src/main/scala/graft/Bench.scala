@@ -35,10 +35,15 @@ object Bench {
       try df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
         .agg(expr("bit_xor(h)")).head()
       catch { case _: Throwable => df.count() } // un-hashable column type: weaker action
+    // A query that THROWS must not be reported as a (fast) time — round-6's loader
+    // break produced 78 bogus 0.05s "times" that made a broken bench look healthy.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def onePass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try { consume(SparkEntry.queries(name)(spark, sfDir)) }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val best = (1 to passes).map(_ => onePass())
@@ -47,14 +52,21 @@ object Bench {
     val total = best.values.sum
     // Full per-query map: to a file (+ one stdout line for humans). The FINAL stdout
     // line is a short total-only JSON so a tail-capture can never truncate it mid-line.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}"""
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+      .mkString("{", ",", "}")
+    errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }

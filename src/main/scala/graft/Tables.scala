@@ -22,10 +22,13 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType (µs) refuses
-    * to read directly. Read it as long nanos (legacy conf) and floor-divide to µs —
-    * exact for the generated data, and matching DuckDB's ns→µs cast. */
+  /** `events.ts` has shipped with three physical parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (reads as long ns under the legacy conf),
+    * TIMESTAMP_MICROS with isAdjustedToUTC=false (reads as TIMESTAMP_NTZ), and
+    * plain UTC TIMESTAMP_MICROS. The loader adapts off the footer schema so a
+    * regenerated dataset never breaks the 100+ queries built on this table. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    // no-op unless the footer really is TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
@@ -39,10 +42,17 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val raw = eventsRaw(spark, dir)
-    // `div` = integral division: ns epochs (~1.7e18) exceed double's 2^53 exact range,
-    // so float division here would corrupt the low microseconds.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      // `div` = integral division: ns epochs (~1.7e18) exceed double's 2^53 exact
+      // range, so float division here would corrupt the low microseconds.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ wall-clock reinterpreted in the (always-UTC) session zone: bit-exact
+      // with what DuckDB reads from the same footer.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

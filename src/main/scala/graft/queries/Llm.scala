@@ -1053,8 +1053,10 @@ object Llm {
             .groupBy($"token")
             .agg(count(lit(1)).as("n")),
           -$"n", Seq($"n".desc, $"token"), "t_rank", "t_n")
+          // filter on the LONG rank BEFORE narrowing: a >2^31-token vocab would
+          // wrap the cast and spuriously pass the <= 1000 filter
+          .filter($"t_rank" <= 1000)
           .withColumn("token_id", $"t_rank".cast("int"))
-          .filter($"token_id" <= 1000)
           .select($"token", $"n", $"token_id")
           .orderBy($"token_id")
       },

@@ -85,7 +85,9 @@ object QueryDSL {
         Window.orderBy(col("__band")).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__band").as("__jband"), col("__off"), col(totalCol))
-    b.join(broadcast(offs), col("__band") === col("__jband"))
+    // null-safe: a NULL bucket expression still forms a (correctly counted)
+    // band — plain === would silently drop those rows vs the window semantics
+    b.join(broadcast(offs), col("__band") <=> col("__jband"))
       .withColumn(rankCol,
         (col("__off") + row_number().over(
           Window.partitionBy(col("__band")).orderBy(order: _*))).cast("long"))

@@ -18,21 +18,29 @@ import org.apache.spark.sql.types._
   * (`processAllAvailable`), asserting stream == batch on the same data. */
 object Streaming {
 
-  /** The events schema as stored (ts is int64 nanos in the parquet footer). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** The events schema as stored, with `ts` as whatever physical type the current
+    * testdata generation carries (int64 nanos / TIMESTAMP_NTZ / TIMESTAMP — see
+    * graft.Tables.events). Streaming file sources need the schema upfront, so we
+    * probe the footer via a batch read of the same file. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** readStream over the events parquet, ns→µs timestamp normalization identical to
-    * graft.Tables.events. */
+  /** readStream over the events parquet, ts→TimestampType(µs) normalization identical
+    * to graft.Tables.events. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // streaming file sources need a directory: scan the sf dir, globbed to events
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts with watermark-bounded state. */
