@@ -25,6 +25,7 @@ object SparkEntry {
     SqlSurface.queries,
     Headline.queries,
     Llm.queries,
+    LlmExt.queries,
     SpecQ.queries,
     Scale.queries,
     Extras.queries,
