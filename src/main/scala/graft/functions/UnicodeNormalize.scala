@@ -78,4 +78,13 @@ object UnicodeNormalizeImpl {
 object UnicodeNormalize {
   def nfc_normalize(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
   def nfkc_normalize(c: Column): Column = Bridge.column(NfkcNormalize(Bridge.expression(c)))
+
+  /** Register both for SQL use in an existing session (same names DuckDB/Postgres
+    * use for the NFC one, so oracle SQL and engine SQL read identically). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfkc_normalize", exprs => NfkcNormalize(exprs(0)), "scala_udf")
+  }
 }

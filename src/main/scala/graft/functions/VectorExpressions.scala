@@ -210,6 +210,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
         "jaro_winkler_similarity"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc_normalize"),
+      (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))))
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
     e.injectOptimizerRule(_ => JaroWinklerPrefilter)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -36,6 +36,13 @@ class UnicodeNormalizeSpec extends AnyFunSuite {
     assert(got === "Hello fine 1")
   }
 
+  test("SQL registry: nfc_normalize usable from spark.sql") {
+    UnicodeNormalize.register(spark)
+    val got = spark.sql("SELECT nfc_normalize('e\u0301') AS n")
+      .head().getString(0)
+    assert(got === "\u00e9")
+  }
+
   test("null propagates; expression stays codegen-eligible") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, null), (2L, "ok"))
