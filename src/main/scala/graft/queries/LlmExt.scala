@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.UnicodeNormalize
 import graft.llm.{Similarity, TextFunctions => TF}
@@ -24,42 +25,55 @@ object LlmExt {
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster the
     // embedding space, then drop near-duplicate members WITHIN each cluster —
-    // never across — so the quadratic pairwise step is bounded by cluster size,
-    // not corpus size. At 100 TB: k grows with the corpus (clusters stay ~fixed
-    // size), centers broadcast, the pairwise join is an equi-join on cluster id
-    // (hash-partitioned, embarrassingly parallel), and the keep-rule is
-    // deterministic (drop the HIGHER vec_id of any pair over the threshold).
-    // Centers here are the first k vectors (deterministic stand-in for trained
-    // centroids — sim_kmeans_lloyd holds the training step itself).
+    // never across — so the quadratic pairwise step is bounded by CLUSTER size,
+    // not corpus size: k scales with the corpus (~64 vectors/cluster), centers
+    // broadcast, assignment collapses map-side to one row per vector, and the
+    // pairwise join is an equi-join on cluster id (hash-partitioned,
+    // embarrassingly parallel). The keep-rule is deterministic (drop the HIGHER
+    // vec_id of any pair over the threshold). Assignment argmin uses
+    // ||c||² − 2⟨v,c⟩ with decimal-exact dots, so the double score — and thus
+    // every downstream row — is bit-stable cross-engine; the pairwise cosine
+    // check runs a cheap double prefilter (slack 1e-6) before the decimal-exact
+    // confirmation, keeping BigDecimal work off the hot path. Centers are the
+    // first k vectors (deterministic stand-in for trained centroids —
+    // sim_kmeans_lloyd holds the training step itself).
     Q("dedup_semantic_semdedup",
       (s, dir) => {
         import s.implicits._
-        val k = 8
+        import graft.functions.VectorFunctions.{vec_dot, vec_dot_exact}
         val tau = 0.35d
-        val flat = t(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
-          .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
-        val cents = flat.filter($"vec_id" < k)
-          .select($"vec_id".cast("int").as("cid"), $"pos", $"v".as("cval"))
-        // assignment: argmin over broadcast centers, decimal-exact distances so
-        // the argmin (and thus every downstream row) is bit-stable cross-engine
-        val assign = flat.join(broadcast(cents), Seq("pos"))
+        val vecs = t(s, dir, "embeddings")
+        // one-scalar config read (not data motion): cluster count ∝ corpus size
+        val k = math.max(8L, vecs.count() / 64L)
+        val cents = vecs.filter($"vec_id" < k)
+          .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
+          .withColumn("cself", vec_dot_exact($"cvec", $"cvec"))
+        // candidate prune before the decimal-exact scoring: the double score is
+        // within ~1e-11 of exact, so every exact-argmin (and every exact tie)
+        // provably sits within 1e-6 of the fast minimum — the exact pass then
+        // touches ~1 candidate per vector instead of all k. Narrow columns only
+        // through the window shuffle (no embedding payload).
+        val fs = vecs.crossJoin(broadcast(cents))
           .select($"vec_id", $"cid",
-            (($"v" - $"cval") * ($"v" - $"cval")).cast("decimal(30,12)").as("sq"))
-          .groupBy($"vec_id", $"cid")
-          .agg(sum($"sq").cast("double").as("d2"))
+            ($"cself" - lit(2.0d) * vec_dot($"embedding", $"cvec")).as("fscore"))
+        val cand = fs
+          .withColumn("fmin", min($"fscore").over(Window.partitionBy($"vec_id")))
+          .filter($"fscore" <= $"fmin" + lit(1e-6))
+          .select($"vec_id", $"cid")
+        val assign = cand.join(vecs, "vec_id").join(broadcast(cents), "cid")
+          .withColumn("score",
+            $"cself" - lit(2.0d) * vec_dot_exact($"embedding", $"cvec"))
           .groupBy($"vec_id")
-          .agg(min(struct($"d2", $"cid")).as("m"))
-          .select($"vec_id", $"m.cid".as("cluster"))
-        val emb = t(s, dir, "embeddings")
-          .join(assign, "vec_id")
-          .select($"vec_id", $"cluster", $"embedding",
-            Similarity.normExact($"embedding").as("nrm"))
+          .agg(min(struct($"score", $"cid")).as("m"),
+            first($"embedding").as("embedding"))
+          .select($"vec_id", $"m.cid".as("cluster"), $"embedding")
+        val emb = assign.withColumn("nrm", Similarity.normExact($"embedding"))
         val a = emb.select($"cluster", $"vec_id".as("id1"),
           $"embedding".as("e1"), $"nrm".as("n1"))
         val b = emb.select($"cluster".as("cl2"), $"vec_id".as("id2"),
           $"embedding".as("e2"), $"nrm".as("n2"))
         val dup = a.join(b, $"cluster" === $"cl2" && $"id1" < $"id2")
+          .filter(vec_dot($"e1", $"e2") / ($"n1" * $"n2") >= tau - 1e-6)
           .filter(Similarity.dotExact($"e1", $"e2") / ($"n1" * $"n2") >= tau)
           .select($"id2".as("dup_id")).distinct()
         emb.join(dup, $"vec_id" === $"dup_id", "left")
@@ -70,16 +84,23 @@ object LlmExt {
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              |         generate_subscripts(embedding, 1) AS pos
              |  FROM embeddings),
-             |cents AS (SELECT vec_id AS cid, pos, v AS cval FROM flat WHERE vec_id < 8),
-             |d AS (
+             |cents AS (
+             |  SELECT vec_id AS cid, pos, v AS cval FROM flat
+             |  WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 64) FROM embeddings)),
+             |cself AS (
+             |  SELECT cid, CAST(SUM(CAST(cval * cval AS DECIMAL(30,12)))
+             |    AS DOUBLE) AS cs
+             |  FROM cents GROUP BY 1),
+             |vc AS (
              |  SELECT f.vec_id, c.cid,
-             |    CAST(SUM(CAST((f.v - c.cval) * (f.v - c.cval) AS DECIMAL(30,12)))
-             |      AS DOUBLE) AS d2
+             |    CAST(SUM(CAST(f.v * c.cval AS DECIMAL(30,12))) AS DOUBLE) AS dot
              |  FROM flat f JOIN cents c ON f.pos = c.pos GROUP BY 1, 2),
              |a AS (
              |  SELECT vec_id, CAST(cid AS INT) AS cluster FROM
-             |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-             |       ORDER BY d2, cid) AS rn FROM d)
+             |    (SELECT vc.vec_id, vc.cid,
+             |       ROW_NUMBER() OVER (PARTITION BY vc.vec_id
+             |         ORDER BY cs - 2.0 * dot, vc.cid) AS rn
+             |     FROM vc JOIN cself USING (cid))
              |  WHERE rn = 1),
              |norms AS (
              |  SELECT vec_id,
