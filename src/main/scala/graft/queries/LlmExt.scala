@@ -21,6 +21,18 @@ object LlmExt {
   private val decomposedSuffix =
     " Cafe\u0301 nai\u0308ve e\u0301le\u0300ve"
 
+  /** DuckDB token list expression (mirror of TextFunctions.tokens; same text as
+    * graft.queries.Llm's private helper). */
+  private val duckToksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+
+  /** DuckDB distinct 3-gram shingle list over token list `tk`. */
+  private val duckShingles3Sql =
+    """CASE WHEN len(tk) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+      |         i -> array_to_string(tk[i:i+2], ' ')))
+      |  ELSE [] END""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster the
@@ -243,6 +255,163 @@ object LlmExt {
               |SELECT COUNT(*) AS n_docs,
               |  CAST(SUM(CASE WHEN n_tok_raw = n_tok_nfc THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_invariant
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // Product quantization (PQ, Jegou et al. 2011 — the FAISS IVFPQ codebook
+    // shape): split each vector into m=4 subspaces of 16 dims, encode each
+    // subvector as the id of its nearest codebook entry (16 codes/subspace here;
+    // 256 at production), report the packed code and the exact total
+    // quantization error. 64 floats → 4 bytes: the compression that makes
+    // billion-vector ANN indexes fit in RAM. Codebooks broadcast; the argmin
+    // per (vector, subspace) collapses map-side to one row — nothing quadratic
+    // anywhere. Codebook entries are the first-16 vectors' subvectors
+    // (deterministic stand-in for trained centroids). Decimal-exact dots make
+    // the double scores — and the argmin — bit-stable cross-engine.
+    Q("embed_pq_encode",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vec_dot_exact
+        val m = 4
+        val sub = 16
+        val vecs = t(s, dir, "embeddings")
+        val sses = (0 until m).map(lit(_))
+        val vsubs = vecs
+          .select($"vec_id", explode(array(sses: _*)).as("ss"), $"embedding")
+          .select($"vec_id", $"ss",
+            slice($"embedding", $"ss" * sub + 1, lit(sub)).as("vsub"))
+          .withColumn("vself", vec_dot_exact($"vsub", $"vsub"))
+        val codes = vecs.filter($"vec_id" < 16)
+          .select($"vec_id".cast("int").as("code_id"),
+            explode(array(sses: _*)).as("ss"), $"embedding")
+          .select($"code_id", $"ss",
+            slice($"embedding", $"ss" * sub + 1, lit(sub)).as("csub"))
+          .withColumn("cself", vec_dot_exact($"csub", $"csub"))
+        // same lossless fast-score prune as dedup_semantic_semdedup: exact
+        // decimal dots only on candidates within 1e-6 of the fast minimum
+        val best = vsubs.join(broadcast(codes), "ss")
+          .withColumn("fscore",
+            $"cself" - lit(2.0d) * graft.functions.VectorFunctions
+              .vec_dot($"vsub", $"csub"))
+          .withColumn("fmin",
+            min($"fscore").over(Window.partitionBy($"vec_id", $"ss")))
+          .filter($"fscore" <= $"fmin" + lit(1e-6))
+          .withColumn("score",
+            $"cself" - lit(2.0d) * vec_dot_exact($"vsub", $"csub"))
+          .groupBy($"vec_id", $"ss")
+          .agg(min(struct($"score", $"code_id")).as("b"),
+            first($"vself").as("vself"))
+          // d² to the chosen code = ||v||² + (||c||² − 2⟨v,c⟩); decimal cast
+          // before the cross-subspace sum keeps the 4-term total order-free
+          .select($"vec_id", $"ss", $"b.code_id".as("code"),
+            ($"vself" + $"b.score").cast("decimal(30,12)").as("d2"))
+        best.groupBy($"vec_id")
+          .agg(
+            max(when($"ss" === 0, $"code")).as("c0"),
+            max(when($"ss" === 1, $"code")).as("c1"),
+            max(when($"ss" === 2, $"code")).as("c2"),
+            max(when($"ss" === 3, $"code")).as("c3"),
+            round(sum($"d2").cast("double"), 9).as("quant_err"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |fs AS (SELECT vec_id, (pos - 1) // 16 AS ss, pos, v FROM flat),
+             |vself AS (
+             |  SELECT vec_id, ss,
+             |    CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE) AS vs
+             |  FROM fs GROUP BY 1, 2),
+             |cb AS (SELECT vec_id AS code_id, ss, pos, v AS cval FROM fs
+             |       WHERE vec_id < 16),
+             |cself AS (
+             |  SELECT code_id, ss,
+             |    CAST(SUM(CAST(cval * cval AS DECIMAL(30,12))) AS DOUBLE) AS cs
+             |  FROM cb GROUP BY 1, 2),
+             |dots AS (
+             |  SELECT f.vec_id, f.ss, c.code_id,
+             |    CAST(SUM(CAST(f.v * c.cval AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM fs f JOIN cb c ON c.ss = f.ss AND c.pos = f.pos
+             |  GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT vec_id, ss, CAST(code_id AS INT) AS code,
+             |    CAST(vs + score AS DECIMAL(30,12)) AS d2 FROM
+             |    (SELECT d.vec_id, d.ss, d.code_id, cs - 2.0 * dot AS score,
+             |       ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.ss
+             |         ORDER BY cs - 2.0 * dot, d.code_id) AS rn
+             |     FROM dots d JOIN cself USING (code_id, ss)) x
+             |  JOIN vself USING (vec_id, ss)
+             |  WHERE rn = 1)
+             |SELECT vec_id,
+             |  MAX(CASE WHEN ss = 0 THEN code END) AS c0,
+             |  MAX(CASE WHEN ss = 1 THEN code END) AS c1,
+             |  MAX(CASE WHEN ss = 2 THEN code END) AS c2,
+             |  MAX(CASE WHEN ss = 3 THEN code END) AS c3,
+             |  round(CAST(SUM(d2) AS DOUBLE), 9) AS quant_err
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Incremental dedup: a NEW batch (odd doc_ids) checked against the EXISTING
+    // corpus (even doc_ids) — the production shape where history is never
+    // re-deduped: the corpus side is a precomputed hash/shingle store, each
+    // incoming batch equi-joins against it (new×existing only, never new×new or
+    // existing×existing). Exact tier: content-hash match. Near tier: shingle
+    // containment ≥ 0.5 against any single existing doc (the excerpt/quote
+    // metric — robust to the new doc being a trimmed copy). At 100 TB the
+    // shingle join is df-capped first (drop shingles appearing in >τ docs —
+    // boilerplate contributes no dedup signal and all the skew; see
+    // text_boilerplate_strip), leaving the join bounded per shingle.
+    Q("dedup_incremental_batch",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val existing = docs.filter($"doc_id" % 2 === 0)
+        val incoming = docs.filter($"doc_id" % 2 === 1)
+        val exact = incoming
+          .select($"doc_id", sha2($"text".cast("binary"), 256).as("h"))
+          .join(existing.select(sha2($"text".cast("binary"), 256).as("h"),
+            lit(1).as("xhit")).distinct(), Seq("h"), "left")
+          .select($"doc_id", ($"xhit".isNotNull).as("dup_exact"))
+        val shNew = graft.llm.Dedup.shingleFrame(incoming, "doc_id", "text", 3)
+        val shOld = graft.llm.Dedup.shingleFrame(existing, "doc_id", "text", 3)
+          .withColumnRenamed("doc_id", "old_id")
+        val nNew = shNew.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val near = shNew.join(shOld, "shingle")
+          .groupBy($"doc_id", $"old_id").agg(count(lit(1)).as("n_shared"))
+          .join(nNew, "doc_id")
+          .groupBy($"doc_id")
+          .agg((max($"n_shared".cast("double") / $"n_sh") >= 0.5d).as("near_dup"))
+        exact.join(near, Seq("doc_id"), "left")
+          .select($"doc_id", $"dup_exact",
+            coalesce($"near_dup", lit(false)).as("near_dup"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $duckToksSql AS tk FROM documents),
+              |shing AS (
+              |  SELECT doc_id, unnest($duckShingles3Sql) AS shingle FROM toks),
+              |exact AS (
+              |  SELECT n.doc_id,
+              |    MAX(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+              |      AS dup_exact
+              |  FROM documents n
+              |  LEFT JOIN documents o
+              |    ON o.doc_id % 2 = 0 AND md5(o.text) = md5(n.text)
+              |  WHERE n.doc_id % 2 = 1 GROUP BY 1),
+              |n_new AS (
+              |  SELECT doc_id, COUNT(*) AS n_sh FROM shing
+              |  WHERE doc_id % 2 = 1 GROUP BY 1),
+              |shared AS (
+              |  SELECT a.doc_id, b.doc_id AS old_id, COUNT(*) AS n_shared
+              |  FROM shing a JOIN shing b
+              |    ON b.shingle = a.shingle AND b.doc_id % 2 = 0
+              |  WHERE a.doc_id % 2 = 1 GROUP BY 1, 2),
+              |near AS (
+              |  SELECT s.doc_id,
+              |    MAX(s.n_shared * 1.0 / n.n_sh) >= 0.5 AS near_dup
+              |  FROM shared s JOIN n_new n USING (doc_id) GROUP BY 1)
+              |SELECT e.doc_id, e.dup_exact,
+              |  COALESCE(near.near_dup, FALSE) AS near_dup
+              |FROM exact e LEFT JOIN near USING (doc_id)
+              |ORDER BY e.doc_id""".stripMargin))
   )
 }
