@@ -171,14 +171,13 @@ object Ops {
           r(opt(env, "RIGHT_TIE").getOrElse(str(env, "RIGHT_TIME"))))
         .createOrReplaceTempView(str(env, "OUTPUT"))
     },
-    // Multimodal frame sampling from the spec layer: binary attach -> resize ->
-    // fixed-frame split keeping every k-th (codec stubbed; partition-wise).
+    // Multimodal frame sampling from the spec layer: synthesize one multi-frame
+    // BMP payload per input doc_id, walk the container (frames self-declare
+    // their length), keep every k-th frame, and REALLY decode the kept frames
+    // to pixel statistics (graft.llm.Bmp — partition-wise, no stub).
     "media-frames" -> { (ctx, env) =>
-      val media = graft.llm.Multimodal.attachBinary(ctx.view(str(env, "INPUT")))
       graft.llm.Multimodal.frameSample(ctx.spark,
-          graft.llm.Multimodal.resize(ctx.spark, media,
-            targetBytes = opt(env, "TARGET_BYTES").map(_.toInt).getOrElse(256)).toDF(),
-          frameBytes = opt(env, "FRAME_BYTES").map(_.toInt).getOrElse(64),
+          graft.llm.Multimodal.syntheticVideos(ctx.spark, ctx.view(str(env, "INPUT"))),
           everyK = opt(env, "EVERY_K").map(_.toInt).getOrElse(2))
         .toDF()
         .createOrReplaceTempView(str(env, "OUTPUT"))

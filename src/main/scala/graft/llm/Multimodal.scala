@@ -3,23 +3,39 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One decoded media record flowing through the feature-extraction stage. */
+/** One media record flowing through the pipeline: an opaque binary payload plus
+  * enough typed metadata to route it. */
 case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Extracted features for one media payload. */
-case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-    mean_byte: Double, byte_entropy: Double)
+/** Decoded-image statistics — all integer-exact, so cross-engine hashable. The
+  * weighted sum `wsum_r` (Σ (x + 2y + 1)·R over top-down coordinates) is
+  * position-SENSITIVE: a decoder that flips row order or swaps channels produces
+  * the same plain sums but a different wsum, so the oracle catches it. */
+case class ImageFeatures(doc_id: Long, width: Int, height: Int, n_px: Long,
+    payload_bytes: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+    min_r: Int, max_r: Int, wsum_r: Long)
 
-/** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video) is
-  * carried as opaque `binary` payloads plus a typed metadata struct; decode /
-  * feature-extraction runs as a partition-wise typed pipeline (`mapPartitions` — the
-  * Scala analogue of arrow-batched python UDFs): the executor processes one partition
-  * iterator at a time, so memory stays bounded no matter the table size.
+/** One decoded frame sampled out of a multi-frame (video-shaped) payload. */
+case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long, wsum_r: Long)
+
+/** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video)
+  * is carried as opaque `binary` columns plus a typed metadata struct; decode /
+  * feature-extraction / resize / frame-sampling run partition-wise
+  * (`mapPartitions` over typed records — the Scala analogue of arrow-batched
+  * Python UDFs): the executor streams one partition iterator at a time, so
+  * memory stays bounded no matter the table size, and the work parallelizes
+  * per-partition with no shuffle.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this environment):
-  * [[decodeStub]] computes deterministic byte-level statistics where a real
-  * implementation would call the decoder. The Spark-side plumbing — schema, typed
-  * encoders, partition-wise batching, metadata propagation — is real and tested. */
+  * The codec is REAL (see [[Bmp]]): 24-bit uncompressed BMP encode/decode —
+  * header parse, little-endian fields, row padding, bottom-up/top-down order,
+  * BGR→RGB — runs on every record. Synthetic payloads are generated from an
+  * integer formula of (doc_id, frame, x, y) so a DuckDB oracle recomputes the
+  * expected pixel statistics without a decoder, making the decode step
+  * hash-checkable end-to-end (the round-3 stub is gone).
+  *
+  * Mirrors the reference's image archetype (reference/README.md:53-77): images
+  * as binary payloads produced and consumed by pipeline tasks. */
 object Multimodal {
 
   /** Attach a binary payload + typed metadata struct to the documents table (the
@@ -34,80 +50,89 @@ object Multimodal {
         col("n_chars").as("n_chars"),
         sha2(col("text").cast("binary"), 256).as("checksum")).as("meta"))
 
-  /** STUB decode: a real build would invoke an image/audio codec here per record.
-    * Deterministic byte statistics keep the pipeline testable end-to-end. */
-  private def decodeStub(rec: MediaRecord): MediaFeatures = {
-    val bytes = rec.payload
-    val n = bytes.length.toLong
-    val counts = new Array[Long](256)
-    var s = 0.0
-    bytes.foreach { b => val u = b & 0xff; counts(u) += 1; s += u }
-    val mean = if (n == 0) 0.0 else s / n
-    var ent = 0.0
-    counts.foreach { c =>
-      if (c > 0) { val p = c.toDouble / n; ent -= p * math.log(p) / math.log(2) }
+  /** Deterministic single-image corpus: one BMP per doc_id, dims varying with
+    * doc_id so every row-padding case (0..3 pad bytes) is exercised. Generated
+    * partition-wise on executors — no driver-side materialization. */
+  def syntheticImages(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (16 + id % 8).toInt
+      val h = (12 + id % 5).toInt
+      MediaRecord(id, "image/bmp", Bmp.encode(Bmp.synthetic(id, 0, w, h)))
+    })
+  }
+
+  /** Deterministic multi-frame corpus: 3..6 concatenated BMP frames per doc
+    * (each frame self-describes its byte length — the container walk in
+    * [[Bmp.splitFrames]] is real parsing, not fixed-stride splitting). */
+  def syntheticVideos(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (12 + id % 6).toInt
+      val h = (10 + id % 5).toInt
+      val nFrames = (3 + id % 4).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until nFrames).foreach { f =>
+        bos.write(Bmp.encode(Bmp.synthetic(id, f, w, h)))
+      }
+      MediaRecord(id, "video/x-bmp-seq", bos.toByteArray)
+    })
+  }
+
+  private def imageStats(docId: Long, payloadBytes: Long, img: Bmp.Image): ImageFeatures = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    var minR = 255; var maxR = 0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val r = img.r(x, y)
+        sr += r; sg += img.g(x, y); sb += img.b(x, y)
+        ws += (x + 2L * y + 1L) * r
+        if (r < minR) minR = r
+        if (r > maxR) maxR = r
+        x += 1
+      }
+      y += 1
     }
-    MediaFeatures(rec.doc_id, rec.media_type, n, mean, ent)
+    ImageFeatures(docId, img.width, img.height, img.width.toLong * img.height,
+      payloadBytes, sr, sg, sb, minR, maxR, ws)
   }
 
-  /** Partition-wise feature extraction over the binary payload column. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** Partition-wise REAL decode + integer feature extraction: parse the BMP
+    * header, undo padding/row-order/BGR, compute per-channel statistics. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("media_type"), col("payload"))
-      .as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map { rec =>
+      imageStats(rec.doc_id, rec.payload.length.toLong, Bmp.decode(rec.payload))
+    })
   }
 
-  /** STUB resize: a real build would decode, resample pixels, and re-encode; here
-    * the payload is deterministically strided down to at most `targetBytes` bytes.
-    * Same partition-wise shape: one record in, one (smaller) record out, bounded
-    * memory regardless of table size. */
-  def resize(spark: SparkSession, media: DataFrame,
-      targetBytes: Int): Dataset[MediaRecord] = {
+  /** Decode → nearest-neighbor resample to `w2`×`h2` → re-encode. The full
+    * thumbnail pipeline (decode, resample, encode) per record, partition-wise. */
+  def resize(spark: SparkSession, media: Dataset[MediaRecord], w2: Int, h2: Int): Dataset[MediaRecord] = {
     import spark.implicits._
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    media.select(col("doc_id"), col("media_type"), col("payload"))
-      .as[MediaRecord]
-      .mapPartitions(_.map { rec =>
-        val n = rec.payload.length
-        if (n <= targetBytes) rec
-        else {
-          // ceil-stride keeps the sample within targetBytes and spread evenly
-          val stride = (n + targetBytes - 1) / targetBytes
-          val out = Array.ofDim[Byte]((n + stride - 1) / stride)
-          var i = 0
-          while (i < out.length) { out(i) = rec.payload(i * stride); i += 1 }
-          rec.copy(payload = out)
+    media.mapPartitions(_.map { rec =>
+      rec.copy(payload = Bmp.encode(Bmp.resizeNearest(Bmp.decode(rec.payload), w2, h2)))
+    })
+  }
+
+  /** Frame-sample a multi-frame payload: walk the container (each BMP frame
+    * declares its own length), keep every `everyK`-th frame, decode ONLY the
+    * kept frames, and emit their pixel statistics. Lazy iterator inside
+    * mapPartitions — a huge video row never materializes all frames at once. */
+  def frameSample(spark: SparkSession, media: Dataset[MediaRecord],
+      everyK: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    media.mapPartitions(_.flatMap { rec =>
+      Bmp.splitFrames(rec.payload)
+        .filter { case (idx, _) => idx % everyK == 0 }
+        .map { case (idx, frame) =>
+          val st = imageStats(rec.doc_id, frame.length.toLong, Bmp.decode(frame))
+          FrameFeatures(rec.doc_id, idx, st.width, st.height,
+            st.sum_r, st.sum_g, st.sum_b, st.wsum_r)
         }
-      })
-  }
-
-  /** STUB frame-sample: treats the payload as consecutive `frameBytes`-sized frames
-    * and keeps every `everyK`-th (the keyframe-sampling analogue for video). One
-    * input record fans out to its kept frames via a LAZY iterator inside
-    * mapPartitions — a 10 GB video row never materializes all frames at once. */
-  def frameSample(spark: SparkSession, media: DataFrame, frameBytes: Int,
-      everyK: Int): Dataset[MediaFrame] = {
-    import spark.implicits._
-    require(frameBytes > 0 && everyK > 0,
-      s"frameBytes/everyK must be positive, got $frameBytes/$everyK")
-    media.select(col("doc_id"), col("media_type"), col("payload"))
-      .as[MediaRecord]
-      .mapPartitions(_.flatMap { rec =>
-        val nFrames = (rec.payload.length + frameBytes - 1) / frameBytes
-        (0 until nFrames).iterator
-          .filter(_ % everyK == 0)
-          .map { f =>
-            val from = f * frameBytes
-            val until = math.min(from + frameBytes, rec.payload.length)
-            val frame = java.util.Arrays.copyOfRange(rec.payload, from, until)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            MediaFrame(rec.doc_id, f, until - from,
-              md.digest(frame).map("%02x".format(_)).mkString)
-          }
-      })
+    })
   }
 }
-
-/** One sampled frame: which frame, how many bytes, and a content digest. */
-case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: String)

@@ -1512,20 +1512,82 @@ object Llm {
              |  md5(text || chr(10)) AS content_md5
              |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
-    // Partition-wise feature extraction (stubbed codec) — no SQL oracle (rows-only):
-    // the byte-level loop is not SQL-expressible, but output is deterministic.
+    // Partition-wise REAL image decode (graft.llm.Bmp): synthetic 24-bit BMPs
+    // (dims vary per doc so every 0..3-byte row-padding case occurs) are decoded
+    // — header parse, padding, bottom-up rows, BGR→RGB — and reduced to integer
+    // pixel statistics. The DuckDB oracle recomputes the same statistics from
+    // the pixel formula WITHOUT a decoder, so any codec bug (stride, row order,
+    // channel order, header arithmetic) is a hash mismatch; wsum_r is
+    // position-weighted to catch order-symmetric bugs plain sums would hide.
+    // payload_bytes doubly checks the encoder's size arithmetic. Map-only.
     Q("multimodal_features",
       (s, dir) => {
         import s.implicits._
         Multimodal.extractFeatures(s,
-            Multimodal.attachBinary(t(s, dir, "documents").filter($"doc_id" < 100)))
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
           .toDF()
-          .select($"doc_id", $"media_type", $"n_bytes",
-            round($"mean_byte", 9).as("mean_byte"),
-            round($"byte_entropy", 9).as("byte_entropy"))
+          .select($"doc_id", $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"), $"n_px", $"payload_bytes",
+            $"sum_r", $"sum_g", $"sum_b",
+            $"min_r".cast("long").as("min_r"), $"max_r".cast("long").as("max_r"),
+            $"wsum_r")
           .orderBy($"doc_id")
       },
-      None),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 100),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+             |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |v AS (SELECT doc_id, w, h, x, y,
+             |        (doc_id*31 + x*7 + y*13) % 256 AS r,
+             |        (doc_id*31 + x*7 + y*13 + 101) % 256 AS g,
+             |        (doc_id*31 + x*7 + y*13 + 202) % 256 AS b
+             |      FROM px)
+             |SELECT doc_id, w AS width, h AS height,
+             |  COUNT(*) AS n_px,
+             |  54 + (3*w + (4 - (3*w) % 4) % 4) * h AS payload_bytes,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r,
+             |  CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b,
+             |  CAST(MIN(r) AS BIGINT) AS min_r,
+             |  CAST(MAX(r) AS BIGINT) AS max_r,
+             |  CAST(SUM((x + 2*y + 1) * r) AS BIGINT) AS wsum_r
+             |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    // Decode → nearest-neighbor resize to 8x6 → re-encode → decode again: the
+    // full thumbnail pipeline per record. Oracle evaluates the pixel formula at
+    // the nearest-neighbor source coordinates (sx = x2*w//8, sy = y2*h//6), so
+    // the resample arithmetic AND the re-encode round-trip are hash-checked.
+    Q("multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractFeatures(s,
+            Multimodal.resize(s,
+              Multimodal.syntheticImages(s,
+                t(s, dir, "documents").filter($"doc_id" < 100)), 8, 6))
+          .toDF()
+          .select($"doc_id", $"n_px", $"payload_bytes",
+            $"sum_r", $"sum_g", $"sum_b", $"wsum_r")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 100),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x2 FROM dims),
+             |px AS (SELECT doc_id, w, h, x2, unnest(range(0, 6)) AS y2 FROM xs),
+             |v AS (SELECT doc_id, x2, y2,
+             |        (doc_id*31 + ((x2*w)//8)*7 + ((y2*h)//6)*13) % 256 AS r,
+             |        (doc_id*31 + ((x2*w)//8)*7 + ((y2*h)//6)*13 + 101) % 256 AS g,
+             |        (doc_id*31 + ((x2*w)//8)*7 + ((y2*h)//6)*13 + 202) % 256 AS b
+             |      FROM px)
+             |SELECT doc_id, COUNT(*) AS n_px,
+             |  CAST(54 + 24 * 6 AS BIGINT) AS payload_bytes,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r,
+             |  CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b,
+             |  CAST(SUM((x2 + 2*y2 + 1) * r) AS BIGINT) AS wsum_r
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // The LLM operators driven END-TO-END from the YAML spec layer (the reference
     // user's surface): read documents -> text-quality features -> dedup-exact
@@ -1583,22 +1645,44 @@ object Llm {
               |SELECT doc_id, lang, source, text_len, n_tokens
               |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
-    // Resize + frame-sample over the binary payloads (stub codecs, partition-wise
-    // typed pipeline — see Multimodal): payloads strided to ≤256 bytes, then split
-    // into 64-byte frames keeping every 2nd. Rows-only like the other codec-stub
-    // query (BASELINE.md determinism rules exclude stubbed codecs from hashing).
+    // Frame-sample a multi-frame (video-shaped) payload: 3..6 concatenated BMP
+    // frames per doc; the container walk reads each frame's self-declared byte
+    // length (real parsing, not fixed-stride splitting), keeps every 2nd frame,
+    // and decodes ONLY the kept frames. Oracle recomputes kept-frame pixel
+    // stats from the (doc, frame, x, y) formula — container walk + per-frame
+    // decode are both hash-checked. Lazy per-record iterator: a huge video row
+    // never materializes all frames at once.
     Q("multimodal_frame_sample",
       (s, dir) => {
         import s.implicits._
-        val media = Multimodal.attachBinary(
-          t(s, dir, "documents").filter($"doc_id" < 100))
         Multimodal.frameSample(s,
-            Multimodal.resize(s, media, targetBytes = 256).toDF(),
-            frameBytes = 64, everyK = 2)
+            Multimodal.syntheticVideos(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)), everyK = 2)
           .toDF()
-          .select($"doc_id", $"frame_idx", $"n_bytes", $"checksum")
+          .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+            $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"),
+            $"sum_r", $"sum_g", $"sum_b", $"wsum_r")
           .orderBy($"doc_id", $"frame_idx")
       },
-      None)
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 12 + doc_id % 6 AS w, 10 + doc_id % 5 AS h,
+             |         3 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 100),
+             |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+             |xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x
+             |       FROM fr WHERE f % 2 = 0),
+             |px AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs),
+             |v AS (SELECT doc_id, f, w, h, x, y,
+             |        (doc_id*31 + f*17 + x*7 + y*13) % 256 AS r,
+             |        (doc_id*31 + f*17 + x*7 + y*13 + 101) % 256 AS g,
+             |        (doc_id*31 + f*17 + x*7 + y*13 + 202) % 256 AS b
+             |      FROM px)
+             |SELECT doc_id, f AS frame_idx, w AS width, h AS height,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r,
+             |  CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b,
+             |  CAST(SUM((x + 2*y + 1) * r) AS BIGINT) AS wsum_r
+             |FROM v GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -372,7 +372,6 @@ class JobRunnerSpec extends AnyFunSuite {
          |    task: media-frames
          |    env:
          |      input: $${docs.env.OUTPUT}
-         |      frame-bytes: 64
          |      every-k: 2
          |      output: sm_frames
          |""".stripMargin)
@@ -382,8 +381,11 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(ann.count() > 0 && ann.filter(col("rank") > 3).count() == 0)
     assert(ann.columns.toSeq == Seq("qid", "rank", "vid", "cosine"))
     val frames = spark.table("sm_frames")
-    assert(frames.count() > 0 && frames.filter(col("n_bytes") > 64).count() == 0)
+    assert(frames.count() > 0)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    // real decode: per-channel sums bounded by 255 * n_px of the largest frame
+    assert(frames.filter(col("sum_r") > 255L * 17 * 14).count() == 0)
+    assert(frames.filter(col("width") < 12 || col("height") < 10).count() == 0)
   }
 
   test("skip: true prunes execution but the command still resolves") {

@@ -3,9 +3,9 @@ package graft.llm
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Partition-wise multimodal plumbing: resize stride math, frame splitting and
-  * sampling, short-payload passthrough. The codec itself is a declared stub; these
-  * pin the Spark-side record shapes the stub carries. */
+/** Real BMP codec + partition-wise multimodal pipeline. The golden-bytes test
+  * pins the BMP layout independent of the encoder, so an order-symmetric
+  * encode/decode bug (both top-down, both RGB) cannot hide in round-trips. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -15,40 +15,119 @@ class MultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def media(recs: (Long, Array[Byte])*) = {
+  test("golden bytes: hand-built 2x2 bottom-up BMP decodes to known pixels") {
+    // 2x2, 24bpp: stride = ceil(6/4)*4 = 8 (2 pad bytes per row).
+    // Display top row:    (R=1,G=2,B=3) (R=4,G=5,B=6)
+    // Display bottom row: (R=7,G=8,B=9) (R=10,G=11,B=12)
+    // Bottom-up storage writes the BOTTOM display row first, BGR order.
+    val hdr = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0,            // biSize, w=2, h=2
+      1, 0, 24, 0, 0, 0, 0, 0, 16, 0, 0, 0,           // planes, bpp, BI_RGB, size
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val rows = Array[Int](
+      9, 8, 7, 12, 11, 10, 0, 0, // bottom display row, BGR + 2 pad
+      3, 2, 1, 6, 5, 4, 0, 0)    // top display row, BGR + 2 pad
+    val img = Bmp.decode((hdr ++ rows).map(_.toByte))
+    assert(img.width == 2 && img.height == 2)
+    assert((img.r(0, 0), img.g(0, 0), img.b(0, 0)) == ((1, 2, 3)))
+    assert((img.r(1, 0), img.g(1, 0), img.b(1, 0)) == ((4, 5, 6)))
+    assert((img.r(0, 1), img.g(0, 1), img.b(0, 1)) == ((7, 8, 9)))
+    assert((img.r(1, 1), img.g(1, 1), img.b(1, 1)) == ((10, 11, 12)))
+  }
+
+  test("top-down BMP (negative biHeight) decodes to the same display image") {
+    val base = Bmp.synthetic(3L, 0, 5, 4)
+    val enc = Bmp.encode(base)
+    // flip to top-down: height = -4, rows reordered to display order
+    val stride = Bmp.rowStride(5)
+    val flipped = enc.clone()
+    flipped(22) = (-4 & 0xff).toByte; flipped(23) = 0xff.toByte
+    flipped(24) = 0xff.toByte; flipped(25) = 0xff.toByte
+    for (row <- 0 until 4; i <- 0 until stride)
+      flipped(54 + row * stride + i) = enc(54 + (3 - row) * stride + i)
+    val img = Bmp.decode(flipped)
+    assert(img.rgb.toSeq == base.rgb.toSeq)
+  }
+
+  test("encode/decode round-trips across all four row-padding cases") {
+    for (w <- 16 to 19; h <- Seq(3, 5)) {
+      val img = Bmp.synthetic(42L, 1, w, h)
+      val enc = Bmp.encode(img)
+      assert(enc.length == Bmp.encodedSize(w, h))
+      assert(enc.length == 54 + ((w * 3 + 3) & ~3) * h)
+      val dec = Bmp.decode(enc)
+      assert(dec.width == w && dec.height == h)
+      assert(dec.rgb.toSeq == img.rgb.toSeq, s"round-trip failed at ${w}x$h")
+    }
+  }
+
+  test("decode rejects bad magic, bad bpp, truncated data") {
+    val ok = Bmp.encode(Bmp.synthetic(1L, 0, 4, 4))
+    val badMagic = ok.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Bmp.decode(badMagic))
+    val badBpp = ok.clone(); badBpp(28) = 8
+    intercept[IllegalArgumentException](Bmp.decode(badBpp))
+    intercept[IllegalArgumentException](Bmp.decode(ok, 0, ok.length - 8))
+  }
+
+  test("splitFrames walks concatenated frames by their self-declared sizes") {
+    val f0 = Bmp.encode(Bmp.synthetic(9L, 0, 6, 3)) // different dims per frame:
+    val f1 = Bmp.encode(Bmp.synthetic(9L, 1, 4, 5)) // the walk must use bfSize,
+    val f2 = Bmp.encode(Bmp.synthetic(9L, 2, 7, 2)) // not a fixed stride
+    val frames = Bmp.splitFrames(f0 ++ f1 ++ f2).toSeq
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    assert(frames(0)._2.toSeq == f0.toSeq)
+    assert(frames(1)._2.toSeq == f1.toSeq)
+    assert(frames(2)._2.toSeq == f2.toSeq)
+    intercept[IllegalArgumentException](
+      Bmp.splitFrames(f0 ++ f1.take(10)).toSeq) // truncated tail frame
+  }
+
+  test("resizeNearest picks floor(x2*w/w2) source pixels") {
+    val img = Bmp.synthetic(5L, 0, 10, 8)
+    val out = Bmp.resizeNearest(img, 4, 2)
+    assert(out.width == 4 && out.height == 2)
+    for (y2 <- 0 until 2; x2 <- 0 until 4) {
+      val sx = x2 * 10 / 4; val sy = y2 * 8 / 2
+      assert(out.r(x2, y2) == img.r(sx, sy))
+      assert(out.b(x2, y2) == img.b(sx, sy))
+    }
+  }
+
+  test("extractFeatures matches the pixel formula (Spark end-to-end)") {
     import spark.implicits._
-    recs.map { case (id, p) => MediaRecord(id, "application/octet-stream", p) }
-      .toDS().toDF()
+    val ids = Seq(0L, 1L, 7L, 13L).toDF("doc_id")
+    val got = Multimodal.extractFeatures(spark, Multimodal.syntheticImages(spark, ids))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(0L, 1L, 7L, 13L)) {
+      val w = (16 + id % 8).toInt; val h = (12 + id % 5).toInt
+      var sr = 0L; var ws = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        sr += r; ws += (x + 2L * y + 1) * r
+      }
+      val f = got(id)
+      assert(f.width == w && f.height == h && f.n_px == w.toLong * h)
+      assert(f.payload_bytes == Bmp.encodedSize(w, h).toLong)
+      assert(f.sum_r == sr, s"sum_r doc $id")
+      assert(f.wsum_r == ws, s"wsum_r doc $id")
+    }
   }
 
-  test("resize strides payloads down to at most targetBytes; short ones pass through") {
-    val big = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
-    val small = Array[Byte](1, 2, 3)
-    val out = Multimodal.resize(spark, media(1L -> big, 2L -> small), targetBytes = 100)
-      .collect().map(r => r.doc_id -> r.payload).toMap
-    assert(out(2L).toSeq == small.toSeq) // already under target: untouched
-    assert(out(1L).length <= 100 && out(1L).length >= 50)
-    // deterministic stride: element i of the sample is payload(i * stride)
-    val stride = (1000 + 99) / 100
-    assert(out(1L).zipWithIndex.forall { case (b, i) => b == big(i * stride) })
-  }
-
-  test("frameSample splits into fixed frames, keeps every k-th, tail frame is short") {
-    val payload = Array.tabulate[Byte](300)(_.toByte) // frames: 64,64,64,64,44
-    val got = Multimodal.frameSample(spark, media(7L -> payload),
-        frameBytes = 64, everyK = 2)
+  test("frameSample keeps every 2nd frame of the multi-frame payload") {
+    import spark.implicits._
+    val ids = Seq(3L).toDF("doc_id") // 3 + 3%4 = 6 frames -> keep 0,2,4
+    val got = Multimodal.frameSample(spark,
+        Multimodal.syntheticVideos(spark, ids), everyK = 2)
       .collect().sortBy(_.frame_idx)
     assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4))
-    assert(got.map(_.n_bytes).toSeq == Seq(64, 64, 44))
-    // checksum matches an independently computed digest of the same slice
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val frame2 = java.util.Arrays.copyOfRange(payload, 128, 192)
-    val want = md.digest(frame2).map("%02x".format(_)).mkString
-    assert(got.find(_.frame_idx == 2).get.checksum == want)
-  }
-
-  test("empty payload yields no frames") {
-    assert(Multimodal.frameSample(spark, media(9L -> Array.emptyByteArray),
-      frameBytes = 64, everyK = 1).count() == 0)
+    val w = (12 + 3 % 6); val h = (10 + 3 % 5)
+    assert(got.forall(f => f.width == w && f.height == h))
+    // frame 2 sum_r from the formula
+    var sr = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sr += ((3L * 31 + 2 * 17 + x * 7 + y * 13) % 256).toInt
+    assert(got.find(_.frame_idx == 2).get.sum_r == sr)
   }
 }
