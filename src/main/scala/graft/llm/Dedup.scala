@@ -23,6 +23,18 @@ object Dedup {
   /** Content digest for exact-hash dedup. */
   def contentDigest(text: Column): Column = sha2(text, 256)
 
+  /** Document-frequency cap over an exploded (id, shingle) frame: drop shingles
+    * appearing in more than `tau` documents. Boilerplate shingles (headers,
+    * license banners) carry no dedup signal but ALL the join skew — at 100 TB a
+    * single >τ-df shingle key would otherwise fan a shingle equi-join out
+    * quadratically. Two narrow shuffles (df rollup + semi-join), both on the
+    * shingle key. */
+  def dfCap(sh: DataFrame, tau: Long): DataFrame = {
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    sh.join(df.filter(col("__df") <= tau).select(col("shingle")), Seq("shingle"),
+      "left_semi")
+  }
+
   /** MinHash signatures: one row per (id, salt) with the min salted-md5 over the
     * document's shingle set. `numHashes` salted hashes simulate independent
     * permutations; min over lexicographic hex is consistent across engines. */

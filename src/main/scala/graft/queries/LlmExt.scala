@@ -26,6 +26,43 @@ object LlmExt {
   private val duckToksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 
+  /** df-cap for the incremental-dedup corpus store (see Dedup.dfCap). */
+  private val corpusDfTau = 50L
+
+  /** Build-once materialized corpus store for incremental dedup: the existing
+    * side's content-hash table (bucketed by digest) and df-capped shingle table
+    * (bucketed by shingle). Production shape: the store persists across
+    * batches; each incoming batch equi-joins against pre-shuffled buckets
+    * instead of recomputing existing-side shingles per batch. */
+  private def ensureCorpusStore(s: org.apache.spark.sql.SparkSession,
+      dir: String, existing: org.apache.spark.sql.DataFrame): (String, String) = {
+    val suffix = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    val hashTbl = s"corpus_hash_$suffix"
+    val shTbl = s"corpus_shingle_$suffix"
+    def ensure(tbl: String)(build: => Unit): Unit =
+      if (!s.catalog.tableExists(tbl)) {
+        // a fresh session's in-memory catalog doesn't know about managed-table
+        // dirs left by previous JVMs — clear any stale dir before writing
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        build
+      }
+    ensure(hashTbl) {
+      existing.select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+        .write.bucketBy(16, "h").mode("overwrite").saveAsTable(hashTbl)
+    }
+    ensure(shTbl) {
+      graft.llm.Dedup.dfCap(
+          graft.llm.Dedup.shingleFrame(existing, "doc_id", "text", 3),
+          corpusDfTau)
+        .withColumnRenamed("doc_id", "old_id")
+        .write.bucketBy(16, "shingle").mode("overwrite").saveAsTable(shTbl)
+    }
+    (hashTbl, shTbl)
+  }
+
   /** DuckDB distinct 3-gram shingle list over token list `tk`. */
   private val duckShingles3Sql =
     """CASE WHEN len(tk) >= 3
@@ -38,15 +75,20 @@ object LlmExt {
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster the
     // embedding space, then drop near-duplicate members WITHIN each cluster —
     // never across — so the quadratic pairwise step is bounded by CLUSTER size,
-    // not corpus size: k scales with the corpus (~64 vectors/cluster), centers
-    // broadcast, assignment collapses map-side to one row per vector, and the
-    // pairwise join is an equi-join on cluster id (hash-partitioned,
-    // embarrassingly parallel). The keep-rule is deterministic (drop the HIGHER
-    // vec_id of any pair over the threshold). Assignment argmin uses
-    // ||c||² − 2⟨v,c⟩ with decimal-exact dots, so the double score — and thus
-    // every downstream row — is bit-stable cross-engine; the pairwise cosine
-    // check runs a cheap double prefilter (slack 1e-6) before the decimal-exact
-    // confirmation, keeping BigDecimal work off the hot path. Centers are the
+    // not corpus size. k scales with the corpus (~64 vectors/cluster), so a flat
+    // n×k assignment would be n²/64 work with an unbounded broadcast (the
+    // round-7 flaw); assignment is therefore HIERARCHICAL (the two-level coarse
+    // quantizer every IVF index uses): g = ⌈√k⌉ super-centers are broadcast
+    // (the only broadcast — √k rows, never ∝ corpus), each center and each
+    // vector is routed to its nearest super-center (n·√k map-side work), and
+    // the final center argmin is an EQUI-JOIN on super-cell id against that
+    // cell's ~√k member centers (hash-partitioned, no broadcast of the k-row
+    // center set anywhere). Total work n·2√k; every super-cell is non-empty
+    // because each super-center routes to itself (‖cᵢ−cⱼ‖² ≥ 0 argument).
+    // The keep-rule is deterministic (drop the HIGHER vec_id of any pair over
+    // the threshold). All argmins use ‖c‖² − 2⟨v,c⟩ with decimal-exact dots
+    // behind a lossless double prescreen (slack 1e-6), so scores — and thus
+    // every downstream row — are bit-stable cross-engine. Centers are the
     // first k vectors (deterministic stand-in for trained centroids —
     // sim_kmeans_lloyd holds the training step itself).
     Q("dedup_semantic_semdedup",
@@ -57,22 +99,46 @@ object LlmExt {
         val vecs = t(s, dir, "embeddings")
         // one-scalar config read (not data motion): cluster count ∝ corpus size
         val k = math.max(8L, vecs.count() / 64L)
+        val g = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
         val cents = vecs.filter($"vec_id" < k)
           .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
           .withColumn("cself", vec_dot_exact($"cvec", $"cvec"))
-        // candidate prune before the decimal-exact scoring: the double score is
-        // within ~1e-11 of exact, so every exact-argmin (and every exact tie)
-        // provably sits within 1e-6 of the fast minimum — the exact pass then
-        // touches ~1 candidate per vector instead of all k. Narrow columns only
-        // through the window shuffle (no embedding payload).
-        val fs = vecs.crossJoin(broadcast(cents))
+        val supers = vecs.filter($"vec_id" < g)
+          .select($"vec_id".cast("int").as("gid"), $"embedding".as("gvec"))
+          .withColumn("gself", vec_dot_exact($"gvec", $"gvec"))
+        // route (id, vec) rows to their nearest super-center: fast double
+        // prescreen (exact score provably within 1e-6 of the fast minimum),
+        // then decimal-exact argmin over the ~1 surviving candidate per row.
+        // Narrow columns only through the window shuffle (no vector payload).
+        def toSuper(df: org.apache.spark.sql.DataFrame, idCol: String,
+            vCol: String): org.apache.spark.sql.DataFrame = {
+          val fs = df.crossJoin(broadcast(supers))
+            .select(col(idCol), $"gid",
+              ($"gself" - lit(2.0d) * vec_dot(col(vCol), $"gvec")).as("fscore"))
+          val cand = fs
+            .withColumn("fmin", min($"fscore").over(Window.partitionBy(col(idCol))))
+            .filter($"fscore" <= $"fmin" + lit(1e-6))
+            .select(col(idCol), $"gid")
+          cand.join(df.select(col(idCol), col(vCol)), idCol)
+            .join(broadcast(supers), "gid")
+            .withColumn("score",
+              $"gself" - lit(2.0d) * vec_dot_exact(col(vCol), $"gvec"))
+            .groupBy(col(idCol))
+            .agg(min(struct($"score", $"gid")).as("m"))
+            .select(col(idCol), $"m.gid".as("gid"))
+        }
+        val centsG = cents.join(toSuper(cents, "cid", "cvec"), "cid")
+        val vg = vecs.join(toSuper(vecs, "vec_id", "embedding"), "vec_id")
+        // stage 2: equi-join on the super-cell id — each vector scores only its
+        // cell's member centers (~√k of them); same prescreen-then-exact argmin
+        val fs2 = vg.join(centsG, "gid")
           .select($"vec_id", $"cid",
             ($"cself" - lit(2.0d) * vec_dot($"embedding", $"cvec")).as("fscore"))
-        val cand = fs
+        val cand2 = fs2
           .withColumn("fmin", min($"fscore").over(Window.partitionBy($"vec_id")))
           .filter($"fscore" <= $"fmin" + lit(1e-6))
           .select($"vec_id", $"cid")
-        val assign = cand.join(vecs, "vec_id").join(broadcast(cents), "cid")
+        val assign = cand2.join(vecs, "vec_id").join(cents, "cid")
           .withColumn("score",
             $"cself" - lit(2.0d) * vec_dot_exact($"embedding", $"cvec"))
           .groupBy($"vec_id")
@@ -96,17 +162,55 @@ object LlmExt {
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              |         generate_subscripts(embedding, 1) AS pos
              |  FROM embeddings),
+             |params AS (
+             |  SELECT GREATEST(8, COUNT(*) // 64) AS k,
+             |         GREATEST(4, CAST(ceil(sqrt(GREATEST(8, COUNT(*) // 64)))
+             |           AS BIGINT)) AS g
+             |  FROM embeddings),
              |cents AS (
              |  SELECT vec_id AS cid, pos, v AS cval FROM flat
-             |  WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 64) FROM embeddings)),
+             |  WHERE vec_id < (SELECT k FROM params)),
              |cself AS (
              |  SELECT cid, CAST(SUM(CAST(cval * cval AS DECIMAL(30,12)))
              |    AS DOUBLE) AS cs
              |  FROM cents GROUP BY 1),
+             |sup AS (
+             |  SELECT vec_id AS gid, pos, v AS gval FROM flat
+             |  WHERE vec_id < (SELECT g FROM params)),
+             |gself AS (
+             |  SELECT gid, CAST(SUM(CAST(gval * gval AS DECIMAL(30,12)))
+             |    AS DOUBLE) AS gs
+             |  FROM sup GROUP BY 1),
+             |cg AS (
+             |  SELECT c.cid, s.gid,
+             |    CAST(SUM(CAST(c.cval * s.gval AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM cents c JOIN sup s ON s.pos = c.pos GROUP BY 1, 2),
+             |cent_sup AS (
+             |  SELECT cid, gid FROM
+             |    (SELECT d.cid, d.gid,
+             |       ROW_NUMBER() OVER (PARTITION BY d.cid
+             |         ORDER BY gs - 2.0 * dot, d.gid) AS rn
+             |     FROM cg d JOIN gself USING (gid))
+             |  WHERE rn = 1),
+             |vgd AS (
+             |  SELECT f.vec_id, s.gid,
+             |    CAST(SUM(CAST(f.v * s.gval AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat f JOIN sup s ON s.pos = f.pos GROUP BY 1, 2),
+             |vec_sup AS (
+             |  SELECT vec_id, gid FROM
+             |    (SELECT d.vec_id, d.gid,
+             |       ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             |         ORDER BY gs - 2.0 * dot, d.gid) AS rn
+             |     FROM vgd d JOIN gself USING (gid))
+             |  WHERE rn = 1),
              |vc AS (
              |  SELECT f.vec_id, c.cid,
              |    CAST(SUM(CAST(f.v * c.cval AS DECIMAL(30,12))) AS DOUBLE) AS dot
-             |  FROM flat f JOIN cents c ON f.pos = c.pos GROUP BY 1, 2),
+             |  FROM flat f
+             |  JOIN vec_sup vs ON vs.vec_id = f.vec_id
+             |  JOIN cent_sup cgs ON cgs.gid = vs.gid
+             |  JOIN cents c ON c.cid = cgs.cid AND c.pos = f.pos
+             |  GROUP BY 1, 2),
              |a AS (
              |  SELECT vec_id, CAST(cid AS INT) AS cluster FROM
              |    (SELECT vc.vec_id, vc.cid,
@@ -352,30 +456,31 @@ object LlmExt {
 
     // Incremental dedup: a NEW batch (odd doc_ids) checked against the EXISTING
     // corpus (even doc_ids) — the production shape where history is never
-    // re-deduped: the corpus side is a precomputed hash/shingle store, each
-    // incoming batch equi-joins against it (new×existing only, never new×new or
-    // existing×existing). Exact tier: content-hash match. Near tier: shingle
-    // containment ≥ 0.5 against any single existing doc (the excerpt/quote
-    // metric — robust to the new doc being a trimmed copy). At 100 TB the
-    // shingle join is df-capped first (drop shingles appearing in >τ docs —
-    // boilerplate contributes no dedup signal and all the skew; see
-    // text_boilerplate_strip), leaving the join bounded per shingle.
+    // re-deduped. The corpus side is a MATERIALIZED store, built once and read
+    // by every subsequent batch (never recomputed per batch): a hash table
+    // bucketed by content digest and a shingle table bucketed by shingle, so
+    // each incoming batch's equi-joins land on pre-shuffled, co-located store
+    // buckets (new×existing only, never new×new or existing×existing). The
+    // store is df-capped at build time (Dedup.dfCap, τ=50): shingles appearing
+    // in >τ existing docs are boilerplate — no dedup signal, all the join skew
+    // — so the per-shingle join fan-out is bounded by τ at any corpus size.
+    // Exact tier: content-hash match. Near tier: shingle containment ≥ 0.5
+    // against any single existing doc (the excerpt/quote metric — robust to
+    // the new doc being a trimmed copy).
     Q("dedup_incremental_batch",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
         val existing = docs.filter($"doc_id" % 2 === 0)
         val incoming = docs.filter($"doc_id" % 2 === 1)
+        val (hashTbl, shTbl) = ensureCorpusStore(s, dir, existing)
         val exact = incoming
           .select($"doc_id", sha2($"text".cast("binary"), 256).as("h"))
-          .join(existing.select(sha2($"text".cast("binary"), 256).as("h"),
-            lit(1).as("xhit")).distinct(), Seq("h"), "left")
+          .join(s.table(hashTbl).withColumn("xhit", lit(1)), Seq("h"), "left")
           .select($"doc_id", ($"xhit".isNotNull).as("dup_exact"))
         val shNew = graft.llm.Dedup.shingleFrame(incoming, "doc_id", "text", 3)
-        val shOld = graft.llm.Dedup.shingleFrame(existing, "doc_id", "text", 3)
-          .withColumnRenamed("doc_id", "old_id")
         val nNew = shNew.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-        val near = shNew.join(shOld, "shingle")
+        val near = shNew.join(s.table(shTbl), "shingle")
           .groupBy($"doc_id", $"old_id").agg(count(lit(1)).as("n_shared"))
           .join(nNew, "doc_id")
           .groupBy($"doc_id")
@@ -400,10 +505,13 @@ object LlmExt {
               |n_new AS (
               |  SELECT doc_id, COUNT(*) AS n_sh FROM shing
               |  WHERE doc_id % 2 = 1 GROUP BY 1),
+              |old_kept AS (
+              |  SELECT doc_id AS old_id, shingle FROM shing
+              |  WHERE doc_id % 2 = 0
+              |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
               |shared AS (
-              |  SELECT a.doc_id, b.doc_id AS old_id, COUNT(*) AS n_shared
-              |  FROM shing a JOIN shing b
-              |    ON b.shingle = a.shingle AND b.doc_id % 2 = 0
+              |  SELECT a.doc_id, b.old_id, COUNT(*) AS n_shared
+              |  FROM shing a JOIN old_kept b ON b.shingle = a.shingle
               |  WHERE a.doc_id % 2 = 1 GROUP BY 1, 2),
               |near AS (
               |  SELECT s.doc_id,

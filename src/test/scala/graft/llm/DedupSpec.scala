@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup building blocks. The dfCap test is the scale guard for the
+  * incremental-dedup corpus store: boilerplate shingles (appearing in more than
+  * τ docs) must be pruned BEFORE any shingle equi-join, or a single hot key
+  * fans the join out quadratically at corpus scale. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dfCap prunes boilerplate shingles but keeps rare ones") {
+    import spark.implicits._
+    // 20 docs sharing one license banner (boilerplate: df=20) plus one
+    // distinctive sentence each (df=1 shingles)
+    val banner = "licensed under the apache license version two point zero"
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"$banner document number $i talks about topic $i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+    val capped = Dedup.dfCap(sh, tau = 5L)
+    val bannerShingle = "licensed under the"
+    assert(sh.filter($"shingle" === bannerShingle).count() == 20)
+    // every banner-only shingle (df=20 > 5) is gone...
+    assert(capped.filter($"shingle" === bannerShingle).count() == 0)
+    assert(capped.filter($"shingle" === "under the apache").count() == 0)
+    // ...while per-doc distinctive shingles (df=1) survive for every doc
+    assert(capped.filter($"shingle" === "about topic 7").count() == 1)
+    assert(capped.select($"doc_id").distinct().count() == 20)
+    // the cap is a pure filter: kept rows are a subset of the input
+    assert(capped.count() < sh.count())
+    assert(capped.join(sh, Seq("doc_id", "shingle"), "left_anti").count() == 0)
+  }
+
+  test("dfCap at tau >= max df is the identity") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+    assert(Dedup.dfCap(sh, tau = 2L).count() == sh.count())
+  }
+}
