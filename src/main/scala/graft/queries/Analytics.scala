@@ -1516,8 +1516,11 @@ object Analytics {
         t(s, dir, "documents")
           .select(explode(TF.tokens($"text")).as("token"))
           .groupBy($"token").agg(count(lit(1)).as("n"))
+          // top-200 via distributed TakeOrdered FIRST (per-partition top-k +
+          // merge); the single-partition rank window then runs over 200 rows,
+          // never the full vocabulary rollup
+          .orderBy($"n".desc, $"token").limit(200)
           .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"token")))
-          .filter($"r" <= 200)
           .select(log($"r".cast("double")).as("x"),
             log($"n".cast("double")).as("y"))
           .agg(count(lit(1)).as("n_ranks"),

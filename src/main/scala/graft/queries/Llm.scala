@@ -1075,11 +1075,13 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // top-20 via distributed TakeOrdered (per-partition top-k + merge), NOT
+        // a single-partition row_number over the full vocab rollup — at 100 TB
+        // the vocabulary is ~1e8 rows and must never collapse onto one executor
         val vocab = t(s, dir, "documents")
           .select(explode(TF.tokens($"text")).as("token"))
           .groupBy($"token").agg(count(lit(1)).as("n"))
-          .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"token")))
-          .filter($"r" <= 20)
+          .orderBy($"n".desc, $"token").limit(20)
           .agg(sort_array(collect_list($"token")).as("vocab"))
         t(s, dir, "documents").filter($"doc_id" < 300)
           .select($"doc_id", TF.tokens($"text").as("toks"))
