@@ -227,6 +227,44 @@ object Extras {
              |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
 
+    // DSv2 AGGREGATE pushdown on the fixed-width source, both tiers in one
+    // query: the count(*) leg is COMPLETE pushdown — the row count is computed
+    // from committed file lengths at planning time (fixed records ⇒ byte
+    // arithmetic; the `ascii` option asserts single-byte chars) and ZERO data
+    // bytes are read — while the min/max/count(col) leg is PARTIAL pushdown:
+    // each file's reader streams once and emits ONE row of partial aggregates
+    // that Spark's final aggregate merges (n rows → #files rows across the
+    // scan→agg boundary). The 1×1 crossJoin of the two legs is a sanctioned
+    // scalar fan-in. FixedWidthSourceSpec plan-asserts both tiers.
+    Q("fixedwidth_agg_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_agg")
+        val d = new java.io.File(out)
+        if (!d.exists() ||
+            !d.listFiles().exists(_.getName.startsWith("_graft_manifest"))) {
+          if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+          t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_name", $"s_nationkey")
+            .write.format("graft.sources.FixedWidthSource")
+            .option("widths", "8,24,4").mode("append").save(out)
+        }
+        val feed = s.read.format("graft.sources.FixedWidthSource")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+          .option("widths", "8,24,4").option("ascii", "true")
+          .load(out)
+        val cnt = feed.agg(count(lit(1)).as("n_rows"))
+        val mm = feed.agg(
+          min($"s_suppkey").as("min_key"), max($"s_suppkey").as("max_key"),
+          min($"s_name").as("min_name"), count($"s_nationkey").as("n_nations"))
+        cnt.crossJoin(mm)
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM supplier) AS n_rows,
+             |  MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key,
+             |  MIN(s_name) AS min_name,
+             |  CAST(COUNT(s_nationkey) AS BIGINT) AS n_nations
+             |FROM supplier""".stripMargin)),
+
     // Typed Dataset[T] pipeline (case-class Encoder, lambda filter, groupByKey +
     // mapGroups): the type-safe API leg of the engine. The lambda stages pay a
     // deserialize/serialize boundary — documented trade-off vs the Column API (use

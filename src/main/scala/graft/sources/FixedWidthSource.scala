@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -72,8 +73,54 @@ class FixedWidthSource extends TableProvider {
       s"widths has ${widths.length} entries for ${schema.length} schema fields")
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("a load path is required"))
-    new FixedWidthTable(schema, widths, path)
+    val ascii = Option(properties.get("ascii")).exists(_.toBoolean)
+    new FixedWidthTable(schema, widths, path, ascii)
   }
+}
+
+/** One aggregate accepted for pushdown: COUNT(*) / COUNT(col) / MIN(col) /
+  * MAX(col), no grouping. `fieldIdx` is the DATA-schema index (-1 for `*`). */
+private[sources] case class FixedWidthAgg(kind: String, fieldIdx: Int,
+    name: String, dataType: DataType) extends Serializable
+
+private[sources] object FixedWidthAgg {
+  /** Translate a connector Aggregation, or None if any part is unsupported
+    * (Spark then falls back to a plain scan + its own aggregate). */
+  def translate(schema: StructType, agg: Aggregation): Option[Seq[FixedWidthAgg]] = {
+    def idxOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          val i = schema.fieldNames.indexOf(f.fieldNames.head)
+          if (i >= 0) Some(i) else None
+        case _ => None
+      }
+    def ok(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | DoubleType | StringType => true
+      case _ => false
+    }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(FixedWidthAgg("count_star", -1, "count_star", LongType))
+      case c: Count if !c.isDistinct =>
+        idxOf(c.column).map(i =>
+          FixedWidthAgg("count", i, s"count_${schema.fieldNames(i)}", LongType))
+      case m: Min =>
+        idxOf(m.column).filter(i => ok(schema.fields(i).dataType)).map(i =>
+          FixedWidthAgg("min", i, s"min_${schema.fieldNames(i)}",
+            schema.fields(i).dataType))
+      case m: Max =>
+        idxOf(m.column).filter(i => ok(schema.fields(i).dataType)).map(i =>
+          FixedWidthAgg("max", i, s"max_${schema.fieldNames(i)}",
+            schema.fields(i).dataType))
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
+  def schemaOf(specs: Seq[FixedWidthAgg]): StructType =
+    StructType(specs.map(s =>
+      StructField(s.name, s.dataType, nullable = s.kind != "count_star" &&
+        s.kind != "count")))
 }
 
 /** The session's Hadoop configuration as a serializable bag — DSv2 factories ship
@@ -91,26 +138,65 @@ private[sources] object FixedWidthConf {
   }
 }
 
-class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String)
+class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String,
+    ascii: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"fixedwidth:$path"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixedWidthScanBuilder(dataSchema, widths, path)
+    new FixedWidthScanBuilder(dataSchema, widths, path, ascii)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FixedWidthWriteBuilder(info.schema(), widths, path, info.queryId())
 }
 
-class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String)
+class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String,
+    ascii: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSpecs: Option[Seq[FixedWidthAgg]] = None
+  private var aggComplete: Boolean = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** AGGREGATE pushdown (COUNT/COUNT(col)/MIN/MAX, no grouping). Two tiers:
+    *
+    *  - COMPLETE (`SELECT count(*)` alone, `ascii` option set, no filters): the
+    *    count is fixed-record-size arithmetic over the committed FILE LENGTHS —
+    *    ⌈len/(lineWidth+1)⌉ per file — computed at planning time from the
+    *    listing the scan already holds. ZERO data bytes are read; the `ascii`
+    *    option is the user's assertion that characters are single-byte and
+    *    records writer-conforming (no ragged/empty lines), which is what makes
+    *    byte arithmetic equal the row count.
+    *  - PARTIAL (everything else): each partition reader streams its file once
+    *    and emits ONE row of partial aggregates (counts / typed min / max)
+    *    instead of every record; Spark's final aggregate merges the per-file
+    *    rows. At 100 TB this turns the scan→agg boundary from n rows into
+    *    #files rows — the same I/O, a tiny fraction of the row construction
+    *    and exchange volume.
+    *
+    * Only offered when no filters are pushed: this source conservatively
+    * returns every filter as a Spark-side residual, and a residual Filter node
+    * cannot run above aggregated rows (Spark's pushdown rule also refuses
+    * this on its own). String min/max compare as UTF8String — the same binary
+    * collation Spark's merge side uses. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    ascii && pushed.isEmpty && limit < 0 &&
+      FixedWidthAgg.translate(dataSchema, agg)
+        .exists(s => s.nonEmpty && s.forall(_.kind == "count_star"))
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (pushed.nonEmpty || limit >= 0) false
+    else FixedWidthAgg.translate(dataSchema, agg) match {
+      case Some(specs) if specs.nonEmpty =>
+        aggSpecs = Some(specs)
+        aggComplete = supportCompletePushDown(agg)
+        true
+      case _ => false
+    }
   /** LIMIT pushdown: each partition reader stops after `l` surviving records, so
     * a `df.limit(5)` over a terabyte feed reads ~5 lines per file instead of
     * streaming every file to the end. Partial by contract (the default
@@ -128,19 +214,24 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new FixedWidthScan(dataSchema, widths, path, required, pushed, limit)
+    new FixedWidthScan(dataSchema, widths, path, required, pushed, limit,
+      aggSpecs, aggComplete)
 }
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
-    required: StructType, val pushedFilters: Array[Filter], limit: Int = -1)
+    required: StructType, val pushedFilters: Array[Filter], limit: Int = -1,
+    aggSpecs: Option[Seq[FixedWidthAgg]] = None, aggComplete: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggSpecs.map(FixedWidthAgg.schemaOf).getOrElse(required)
   override def toBatch: Batch = this
   // surfaces in .explain via BatchScanExec.simpleString, like built-in FileScans
   override def description(): String =
     s"FixedWidth PushedFilters: [${pushedFilters.mkString(", ")}], " +
       (if (limit >= 0) s"PushedLimit: $limit, " else "") +
-      s"ReadSchema: ${required.catalogString}"
+      aggSpecs.map(s => s"PushedAggregates${if (aggComplete) " (complete)" else ""}: " +
+        s"[${s.map(_.name).mkString(", ")}], ").getOrElse("") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   /** Committed (path, length) pairs — listed once, shared by partition planning
     * and statistics. */
@@ -174,8 +265,20 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     }.sortBy(_._1)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => FixedWidthPartition(f._1): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = aggSpecs match {
+    case Some(_) if aggComplete =>
+      // metadata-only count(*): computed HERE from committed file lengths —
+      // the reader emits the precomputed row, no file is ever opened
+      val lineBytes = widths.sum + 1
+      val n = files.map(f => (f._2 + lineBytes - 1) / lineBytes).sum
+      Array(FixedWidthMetaCountPartition(n))
+    case Some(_) =>
+      // one partial-aggregate row per file; zero files still yields one
+      // partition so COUNT over an empty feed is 0, not a missing row
+      if (files.isEmpty) Array(FixedWidthAggPartition(null))
+      else files.map(f => FixedWidthAggPartition(f._1): InputPartition)
+    case None => files.map(f => FixedWidthPartition(f._1): InputPartition)
+  }
 
   /** Real size/row statistics from the file listing: fixed-width records make
     * the row count a straight division (total bytes / line width incl. '\n').
@@ -195,17 +298,121 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(dataSchema, widths, required, pushedFilters,
-      limit, FixedWidthConf.capture())
+      limit, aggSpecs, FixedWidthConf.capture())
 }
 
 case class FixedWidthPartition(file: String) extends InputPartition
+/** Partial-aggregate partition: one source file (null = empty feed). */
+case class FixedWidthAggPartition(file: String) extends InputPartition
+/** Complete count(*) pushdown: the row is already computed from file lengths. */
+case class FixedWidthMetaCountPartition(count: Long) extends InputPartition
 
 class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
     required: StructType, filters: Array[Filter], limit: Int,
+    aggSpecs: Option[Seq[FixedWidthAgg]],
     confBag: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FixedWidthReader(partition.asInstanceOf[FixedWidthPartition].file,
-      dataSchema, widths, required, filters, limit, confBag)
+    partition match {
+      case FixedWidthMetaCountPartition(n) =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(aggSpecs.get.length)
+            aggSpecs.get.indices.foreach(i => row.update(i, n))
+            row
+          }
+          override def close(): Unit = ()
+        }
+      case FixedWidthAggPartition(file) =>
+        new FixedWidthAggReader(file, dataSchema, widths, aggSpecs.get, confBag)
+      case p: FixedWidthPartition =>
+        new FixedWidthReader(p.file, dataSchema, widths, required, filters,
+          limit, confBag)
+    }
+}
+
+/** Streams one file and emits a SINGLE row of partial aggregates: counts as
+  * running longs, min/max in the column's comparison domain (UTF8String binary
+  * order for strings — matching Spark's merge side). All-null columns emit
+  * null min/max, which Spark's final min/max ignores. */
+class FixedWidthAggReader(file: String, dataSchema: StructType,
+    widths: Array[Int], specs: Seq[FixedWidthAgg],
+    confBag: Array[(String, String)]) extends PartitionReader[InternalRow] {
+
+  private val starts = widths.scanLeft(0)(_ + _)
+
+  private def slice(line: String, i: Int): String = {
+    val start = starts(i)
+    if (start >= line.length) return null
+    val r = line.substring(start, math.min(start + widths(i), line.length)).trim
+    if (r.isEmpty) null else r
+  }
+
+  private var emitted = false
+
+  override def next(): Boolean = { val r = !emitted; emitted = true; r }
+
+  override def get(): InternalRow = {
+    val counts = new Array[Long](specs.length)
+    val acc = new Array[Any](specs.length)
+    if (file != null) {
+      val p = new Path(file)
+      val in = p.getFileSystem(FixedWidthConf.restore(confBag)).open(p)
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            var i = 0
+            while (i < specs.length) {
+              val s = specs(i)
+              if (s.kind == "count_star") counts(i) += 1
+              else {
+                val raw = slice(line, s.fieldIdx)
+                if (raw != null) s.kind match {
+                  case "count" => counts(i) += 1
+                  case "min" | "max" =>
+                    val v: Any = s.dataType match {
+                      case IntegerType => raw.toInt
+                      case LongType    => raw.toLong
+                      case DoubleType  => raw.toDouble
+                      case StringType  => UTF8String.fromString(raw)
+                      case other => throw new UnsupportedOperationException(
+                        s"fixed-width: unsupported type $other")
+                    }
+                    val better = acc(i) == null || {
+                      val c = (v, acc(i)) match {
+                        case (a: Integer, b: Integer) => a.compareTo(b)
+                        case (a: java.lang.Long, b: java.lang.Long) => a.compareTo(b)
+                        case (a: java.lang.Double, b: java.lang.Double) =>
+                          java.lang.Double.compare(a, b)
+                        case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+                        case _ => 0
+                      }
+                      if (s.kind == "min") c < 0 else c > 0
+                    }
+                    if (better) acc(i) = v
+                }
+              }
+              i += 1
+            }
+          }
+          line = reader.readLine()
+        }
+      } finally reader.close()
+    }
+    val row = new GenericInternalRow(specs.length)
+    specs.indices.foreach { i =>
+      row.update(i,
+        if (specs(i).kind == "count_star" || specs(i).kind == "count") counts(i)
+        else acc(i))
+    }
+    row
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Append-only batch WRITE path: each task streams its partition to

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** DSv2 fixed-width source: parsing, null short-lines, column pruning pushdown. */
@@ -193,6 +194,91 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("wider than column") ||
       Option(e.getCause).exists(_.getMessage.contains("wider than column")))
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) = {
+    val plan = df.queryExecution.executedPlan match {
+      // an agg plan has an exchange, so AQE wraps it; lint the initial plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    plan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+  }
+
+  test("complete count(*) pushdown is metadata-only: no data bytes are read") {
+    import spark.implicits._
+    val dir = writeFixture()
+    val feed = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6").option("ascii", "true")
+      .load(dir)
+    val cnt = feed.agg(count(lit(1)).as("n"))
+    val scan = scanOf(cnt)
+    assert(scan.toString.contains("PushedAggregates (complete): [count_star]"),
+      scan.toString)
+    assert(cnt.as[Long].head() == 4L)
+    // PROOF no file is opened: replace a data file with same-length garbage
+    // containing no newlines. A streaming count would now see different lines;
+    // the metadata count (file length arithmetic) is unchanged.
+    val f = java.nio.file.Paths.get(dir, "part-0.txt")
+    val len = java.nio.file.Files.size(f)
+    java.nio.file.Files.write(f, Array.fill(len.toInt)('x'.toByte))
+    val cnt2 = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6").option("ascii", "true")
+      .load(dir).agg(count(lit(1)).as("n"))
+    assert(cnt2.as[Long].head() == 4L)
+  }
+
+  test("partial min/max/count pushdown: one partial row per file, merged by Spark") {
+    import spark.implicits._
+    val feed = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+    val agg = feed.agg(min($"k").as("mink"), max($"k").as("maxk"),
+      count($"qty").as("nq"), max($"name").as("maxn"), count(lit(1)).as("n"))
+    val scan = scanOf(agg)
+    assert(scan.toString.contains("PushedAggregates: [min_k, max_k, count_qty, " +
+      "max_name, count_star]"), scan.toString)
+    // scan plans one partial-aggregate partition per file (2 files), each of
+    // which emits a single row — not one row per record (4)
+    val parts = scan.scan.asInstanceOf[FixedWidthScan].toBatch.planInputPartitions()
+    assert(parts.length == 2 && parts.forall(_.isInstanceOf[FixedWidthAggPartition]),
+      parts.toSeq)
+    val r = agg.head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1234, r)
+    assert(r.getLong(2) == 3L, r)   // short line: qty null, not counted
+    assert(r.getString(3) == "Widget", r)
+    assert(r.getLong(4) == 4L, r)
+  }
+
+  test("aggregate pushdown is refused under filters; semantics still correct") {
+    import spark.implicits._
+    val feed = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .filter($"k" >= 2)
+    val agg = feed.agg(count(lit(1)).as("n"), min($"k").as("mink"))
+    assert(!scanOf(agg).toString.contains("PushedAggregates"),
+      scanOf(agg).toString)
+    val r = agg.head()
+    assert(r.getLong(0) == 3L && r.getInt(1) == 2, r)
+  }
+
+  test("aggregate pushdown over an empty feed yields count 0, null min") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-empty").toString
+    val feed = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING")
+      .option("widths", "4,8")
+      .load(dir)
+    val r = feed.agg(count(lit(1)).as("n"), min($"k").as("mink")).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1), r)
   }
 
   test("missing widths or schema fail fast with a clear message") {
