@@ -37,19 +37,33 @@ object Bench {
       catch { case _: Throwable => df.count() } // un-hashable column type: weaker action
     // A query that THROWS must not be reported as a (fast) time — round-6's loader
     // break produced 78 bogus 0.05s "times" that made a broken bench look healthy.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Errors are tracked PER PASS: a pass-1 failure that succeeds in pass 2 is a
+    // flake, not an error — only queries with ZERO successful passes report in
+    // n_errors/errors, and failed passes' (fast time-to-fail) elapsed times never
+    // enter the best-of-passes min (a never-succeeding query contributes 0 to the
+    // total rather than understating it with its time-to-fail).
+    val lastError = scala.collection.mutable.LinkedHashMap[String, String]()
     def onePass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try { consume(SparkEntry.queries(name)(spark, sfDir)) }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { consume(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          lastError(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }.toMap
     val best = (1 to passes).map(_ => onePass())
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
-    val qs = names.map(k => "\"" + k + "\":" + best(k)).mkString("{", ",", "}")
-    val total = best.values.sum
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { k =>
+      if (best(k).isInfinity) errors(k) = lastError.getOrElse(k, "failed")
+    }
+    val qs = names.map(k =>
+        "\"" + k + "\":" + (if (best(k).isInfinity) "null" else best(k).toString))
+      .mkString("{", ",", "}")
+    val total = best.values.filterNot(_.isInfinity).sum
     // Full per-query map: to a file (+ one stdout line for humans). The FINAL stdout
     // line is a short total-only JSON so a tail-capture can never truncate it mid-line.
     def jq(s: String): String = "\"" + s.flatMap {

@@ -378,6 +378,15 @@ object LlmExt {
         val m = 4
         val sub = 16
         val vecs = t(s, dir, "embeddings")
+        // The m=4×16 layout is hardcoded on both sides, but the ORACLE derives
+        // subspace count from the data ((pos-1)//16) — if a testdata
+        // regeneration changed the embedding dimension (events.ts already
+        // drifted once), the two sides would silently disagree. Fail loudly
+        // instead: one cheap scalar probe pins the contract.
+        val dim = vecs.select(size($"embedding")).head().getInt(0)
+        require(dim == m * sub,
+          s"embed_pq_encode assumes $m x $sub = ${m * sub}-dim embeddings; " +
+            s"testdata now has dim=$dim - update the PQ layout AND its oracle")
         val sses = (0 until m).map(lit(_))
         val vsubs = vecs
           .select($"vec_id", explode(array(sses: _*)).as("ss"), $"embedding")

@@ -27,11 +27,20 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Probed physical type of `ts`, cached per events file: the footer read is a
+    * driver-side metadata fetch, but constructing a fresh batch DataFrame on
+    * EVERY stream construction (18 streaming specs × per-test streams) is
+    * redundant work — the type only changes when the driver regenerates
+    * testdata, which always lands in a new JVM. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   /** readStream over the events parquet, ts→TimestampType(µs) normalization identical
     * to graft.Tables.events. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsType = tsTypeCache.computeIfAbsent(s"$dir/events.parquet",
+      p => spark.read.parquet(p).schema("ts").dataType)
     // streaming file sources need a directory: scan the sf dir, globbed to events
     val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")

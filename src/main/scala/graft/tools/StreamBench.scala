@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming micro-benchmark: per-stateful-operator throughput probe.
+  *
+  * The streaming operators are CORRECTNESS-tested via batch equivalence
+  * (StreamingSpec + the stream_*_batch oracle rows), but a state-store
+  * regression — state growing per batch, per-key overhead, timer storms —
+  * only shows up under sustained batches. This tool drives each stateful
+  * operator with synthetic keyed events through a MemoryStream (deterministic,
+  * no wall-clock coupling like the rate source), processes a fixed number of
+  * batches, and prints one JSON line per operator with rows/sec. Diff across
+  * rounds like PLANS.md; an order-of-magnitude drop on one operator is a
+  * state-store regression the batch path cannot see.
+  *
+  * Run: runMain graft.tools.StreamBench [rowsPerBatch] [nBatches]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rowsPerBatch = args.lift(0).flatMap(_.toIntOption).getOrElse(50000)
+    val nBatches = args.lift(1).flatMap(_.toIntOption).getOrElse(4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val types = Array("click", "view", "purchase", "scroll")
+    // one batch of synthetic keyed events: monotonic event-time (seconds apart,
+    // so watermarks advance and windows/sessions close as batches progress)
+    def batch(b: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (0 until rowsPerBatch).map { i =>
+        val id = b.toLong * rowsPerBatch + i
+        (id, new java.sql.Timestamp(1577836800000L + id * 1000L),
+          id % 997, types((id % 4).toInt), (id % 100).toDouble / 4.0)
+      }
+
+    def probe(op: String, mode: OutputMode = OutputMode.Update())(
+        mk: DataFrame => DataFrame): Unit = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val events = in.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val name = s"sb_$op"
+      val q = mk(events).writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(batch(0)) // warm-up batch: codegen + state-store init
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nBatches).foreach { b =>
+          in.addData(batch(b))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = rowsPerBatch.toLong * nBatches
+        println(f"""{"op":"$op","rows":$rows,"batches":$nBatches,""" +
+          f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f}""")
+      } finally q.stop()
+    }
+
+    import graft.streaming.Streaming
+    probe("tumbling_agg")(Streaming.tumblingCounts(_, "10 minutes", "30 minutes"))
+    probe("sliding_agg")(Streaming.slidingCounts(_, "10 minutes", "5 minutes",
+      "30 minutes"))
+    probe("session_window", OutputMode.Append())(
+      Streaming.sessionAgg(_, "5 minutes", "30 minutes"))
+    probe("dedup_watermark", OutputMode.Append())(
+      Streaming.dedupWithinWatermark(_, "30 minutes"))
+    probe("stream_stream_join", OutputMode.Append())(
+      Streaming.streamStreamClickBuy(_, "10 minutes", "30 minutes"))
+    probe("mapGroupsWithState")(Streaming.runningUserTotals(spark, _).toDF())
+    probe("flatMapGroupsWithState", OutputMode.Append())(
+      Streaming.userHighWaterMarks(spark, _).toDF())
+    probe("transformWithState_value")(Streaming.runningUserTopTypes(spark, _).toDF())
+    spark.stop()
+  }
+}
