@@ -19,6 +19,13 @@ case class ImageFeatures(doc_id: Long, width: Int, height: Int, n_px: Long,
 case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long, wsum_r: Long)
 
+/** Decoded-audio statistics — integer-exact, so cross-engine hashable. `energy`
+  * is the sum of squared samples (the RMS numerator, kept un-rooted for
+  * exactness); `zero_cross` counts sign boundaries, the classic cheap
+  * voiced/unvoiced + noisiness signal. */
+case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Int,
+    sum_s: Long, min_s: Int, max_s: Int, energy: Long, zero_cross: Long)
+
 /** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video)
   * is carried as opaque `binary` columns plus a typed metadata struct; decode /
   * feature-extraction / resize / frame-sampling run partition-wise
@@ -76,6 +83,50 @@ object Multimodal {
         bos.write(Bmp.encode(Bmp.synthetic(id, f, w, h)))
       }
       MediaRecord(id, "video/x-bmp-seq", bos.toByteArray)
+    })
+  }
+
+  /** Deterministic audio corpus: one 16-bit PCM WAV per doc_id, length and
+    * sample rate varying with doc_id. Generated partition-wise on executors. */
+  def syntheticAudio(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (800 + (id % 7) * 100).toInt
+      val rate = (8000 + (id % 3) * 4000).toInt
+      MediaRecord(id, "audio/wav", Wav.encode(Wav.synthetic(id, n, rate)))
+    })
+  }
+
+  /** Partition-wise REAL audio decode + integer feature extraction: RIFF chunk
+    * walk, PCM sample parse, then sum/extrema/energy/zero-crossings. */
+  def extractAudioFeatures(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val pcm = Wav.decode(rec.payload)
+      var sum = 0L; var energy = 0L; var zc = 0L
+      var minS = Short.MaxValue.toInt; var maxS = Short.MinValue.toInt
+      var i = 0
+      while (i < pcm.samples.length) {
+        val s = pcm.samples(i).toInt
+        sum += s; energy += s.toLong * s
+        if (s < minS) minS = s
+        if (s > maxS) maxS = s
+        if (i > 0 && ((s >= 0) != (pcm.samples(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      AudioFeatures(rec.doc_id, pcm.samples.length.toLong, pcm.sampleRate,
+        sum, minS, maxS, energy, zc)
+    })
+  }
+
+  /** Decode → decimate by `k` → re-encode: the integer-exact downsample leg of
+    * the audio pipeline, partition-wise like every other codec stage. */
+  def decimateAudio(spark: SparkSession, media: Dataset[MediaRecord],
+      k: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      rec.copy(payload = Wav.encode(Wav.decimate(Wav.decode(rec.payload), k)))
     })
   }
 

@@ -1040,6 +1040,41 @@ object Llm {
     // desc, token asc — a TOTAL order, so id assignment is partition-independent).
     // The id window runs over the |vocab|-row aggregate, never the corpus; at
     // 100 TB the only corpus-sized stage is the token count shuffle.
+    // BPE pair counting — the first merge step of byte-pair-encoding tokenizer
+    // training: count adjacent symbol pairs weighted by WORD FREQUENCY, take
+    // the argmax pair. Production BPE trainers run exactly this shape at
+    // corpus scale: one shuffle rolls the corpus up to the word-frequency
+    // dictionary (the only corpus-sized pass), then all pair work happens on
+    // the DISTINCT-word frame — vocabulary-bounded, not corpus-bounded — and
+    // the top-50 readout is a distributed TakeOrdered. Later merge iterations
+    // repeat on the (tiny) updated symbol sequences; the corpus is never
+    // re-read.
+    Q("text_bpe_pair_counts",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("wf"))
+          .filter(length($"w") >= 2)
+        words
+          .select($"w", $"wf",
+            explode(sequence(lit(1), length($"w") - 1)).as("i"))
+          .select(expr("substring(w, i, 2)").as("pair"), $"wf")
+          .groupBy($"pair").agg(sum($"wf").as("n"))
+          .orderBy($"n".desc, $"pair").limit(50)
+          .orderBy($"n".desc, $"pair")
+      },
+      Some(s"""WITH wds AS (
+              |  SELECT unnest(${duckToks("text")}) AS w FROM documents),
+              |wf AS (
+              |  SELECT w, COUNT(*) AS wf FROM wds
+              |  GROUP BY 1 HAVING length(w) >= 2),
+              |p AS (
+              |  SELECT substring(w, CAST(i AS INT), 2) AS pair, wf
+              |  FROM (SELECT w, wf, unnest(range(1, length(w))) AS i FROM wf)),
+              |g AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p GROUP BY 1)
+              |SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
     Q("text_vocab_build",
       (s, dir) => {
         import s.implicits._
@@ -1646,6 +1681,80 @@ object Llm {
               |  FROM feat)
               |SELECT doc_id, lang, source, text_len, n_tokens
               |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Partition-wise REAL audio decode (graft.llm.Wav): synthetic 16-bit PCM
+    // WAVs — the decoder is a real RIFF chunk walk, not fixed offsets — reduced
+    // to integer sample statistics (sum, extrema, energy = Σs², zero
+    // crossings). The DuckDB oracle recomputes the same statistics from the
+    // sample formula WITHOUT a decoder, so any chunk-size/pad/sample-parse
+    // error is a hash mismatch. Map-only.
+    Q("multimodal_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractAudioFeatures(s,
+            Multimodal.syntheticAudio(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF()
+          .select($"doc_id", $"n_samples",
+            $"sample_rate".cast("long").as("sample_rate"),
+            $"sum_s", $"min_s".cast("long").as("min_s"),
+            $"max_s".cast("long").as("max_s"), $"energy", $"zero_cross")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n,
+             |         8000 + (doc_id % 3) * 4000 AS rate
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM dims),
+             |v AS (SELECT doc_id, n, rate, i,
+             |        (doc_id*37 + i*13) % 2048 - 1024 AS s
+             |      FROM sm),
+             |z AS (SELECT doc_id,
+             |        CASE WHEN (s >= 0) <>
+             |          (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+             |        THEN 1 ELSE 0 END AS c
+             |      FROM v)
+             |SELECT v.doc_id, COUNT(*) AS n_samples,
+             |  ANY_VALUE(rate) AS sample_rate,
+             |  CAST(SUM(s) AS BIGINT) AS sum_s,
+             |  CAST(MIN(s) AS BIGINT) AS min_s,
+             |  CAST(MAX(s) AS BIGINT) AS max_s,
+             |  CAST(SUM(s * s) AS BIGINT) AS energy,
+             |  (SELECT CAST(SUM(c) AS BIGINT) FROM z WHERE z.doc_id = v.doc_id)
+             |    AS zero_cross
+             |FROM v GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin)),
+
+    // Decode → decimate by 4 (keep every 4th sample — the integer-exact
+    // downsample; production would low-pass first, a float step with no exact
+    // oracle) → re-encode → decode again: the full audio-resample pipeline per
+    // record, oracle evaluated at the decimated positions.
+    Q("multimodal_audio_decimate",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractAudioFeatures(s,
+            Multimodal.decimateAudio(s,
+              Multimodal.syntheticAudio(s,
+                t(s, dir, "documents").filter($"doc_id" < 100)), k = 4))
+          .toDF()
+          .select($"doc_id", $"n_samples",
+            $"sample_rate".cast("long").as("sample_rate"),
+            $"sum_s", $"energy")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n,
+             |         8000 + (doc_id % 3) * 4000 AS rate
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, n, rate,
+             |         unnest(range(0, (n + 3) // 4)) AS j FROM dims),
+             |v AS (SELECT doc_id, n, rate, j,
+             |        (doc_id*37 + (j*4)*13) % 2048 - 1024 AS s
+             |      FROM sm)
+             |SELECT doc_id, COUNT(*) AS n_samples,
+             |  ANY_VALUE(rate // 4) AS sample_rate,
+             |  CAST(SUM(s) AS BIGINT) AS sum_s,
+             |  CAST(SUM(s * s) AS BIGINT) AS energy
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Frame-sample a multi-frame (video-shaped) payload: 3..6 concatenated BMP
     // frames per doc; the container walk reads each frame's self-declared byte

@@ -115,6 +115,67 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV: golden bytes with an interposed LIST chunk decode via chunk walk") {
+    // hand-built RIFF: fmt -> LIST (5 junk bytes, odd => pad byte) -> data
+    // with samples [1000, -2, 3]. A fixed-offset parser (data at 36) fails;
+    // only a real chunk walk with odd-size padding lands on the data chunk.
+    val samples = Seq(1000, -2, 3)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def tag(s: String) = s.map(_.toInt)
+    val fmt = tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16)
+    val list = tag("LIST") ++ le32(5) ++ Seq(1, 2, 3, 4, 5) ++ Seq(0) // pad byte
+    val data = tag("data") ++ le32(6) ++ samples.flatMap(le16)
+    val body = tag("WAVE") ++ fmt ++ list ++ data
+    val bytes = (tag("RIFF") ++ le32(body.size) ++ body).map(_.toByte).toArray
+    val pcm = Wav.decode(bytes)
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1)
+    assert(pcm.samples.toSeq == Seq[Short](1000, -2, 3))
+  }
+
+  test("WAV: encode/decode round-trips full dynamic range; errors fail loudly") {
+    val sig = Wav.Pcm(16000, 1,
+      Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue, 12345))
+    val back = Wav.decode(Wav.encode(sig))
+    assert(back.sampleRate == 16000 && back.samples.toSeq == sig.samples.toSeq)
+    val bad = Wav.encode(sig).clone(); bad(8) = 'X'
+    intercept[IllegalArgumentException](Wav.decode(bad))
+    val badFmt = Wav.encode(sig).clone(); badFmt(20) = 3 // not PCM
+    intercept[IllegalArgumentException](Wav.decode(badFmt))
+    intercept[IllegalArgumentException](Wav.decode(Wav.encode(sig).take(30)))
+  }
+
+  test("WAV: decimate keeps every k-th sample and divides the rate") {
+    val sig = Wav.synthetic(7L, 10, 8000)
+    val dec = Wav.decimate(sig, 4)
+    assert(dec.sampleRate == 2000)
+    assert(dec.samples.toSeq ==
+      Seq(sig.samples(0), sig.samples(4), sig.samples(8)))
+  }
+
+  test("extractAudioFeatures matches the sample formula (Spark end-to-end)") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 13L).toDF("doc_id")
+    val got = Multimodal.extractAudioFeatures(spark,
+        Multimodal.syntheticAudio(spark, ids))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(0L, 5L, 13L)) {
+      val n = (800 + (id % 7) * 100).toInt
+      var sum = 0L; var energy = 0L; var zc = 0L; var prev = 0
+      for (i <- 0 until n) {
+        val s = (((id * 37 + i.toLong * 13) % 2048) - 1024).toInt
+        sum += s; energy += s.toLong * s
+        if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+        prev = s
+      }
+      val f = got(id)
+      assert(f.n_samples == n && f.sum_s == sum, s"doc $id")
+      assert(f.energy == energy && f.zero_cross == zc, s"doc $id")
+      assert(f.zero_cross > 0, "formula must actually cross zero")
+    }
+  }
+
   test("frameSample keeps every 2nd frame of the multi-frame payload") {
     import spark.implicits._
     val ids = Seq(3L).toDF("doc_id") // 3 + 3%4 = 6 frames -> keep 0,2,4
