@@ -265,6 +265,37 @@ object Extras {
              |  CAST(COUNT(s_nationkey) AS BIGINT) AS n_nations
              |FROM supplier""".stripMargin)),
 
+    // GROUP BY pushdown on the same feed: the reader streams each file once
+    // and emits per-group partial rows (count/min/max keyed by the raw source
+    // column), so the scan→agg boundary carries #files × |groups| rows instead
+    // of every record. Grouping by an expression falls back to a plain scan —
+    // FixedWidthSourceSpec asserts both directions.
+    Q("fixedwidth_groupby_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_agg")
+        val d = new java.io.File(out)
+        if (!d.exists() ||
+            !d.listFiles().exists(_.getName.startsWith("_graft_manifest"))) {
+          if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+          t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_name", $"s_nationkey")
+            .write.format("graft.sources.FixedWidthSource")
+            .option("widths", "8,24,4").mode("append").save(out)
+        }
+        s.read.format("graft.sources.FixedWidthSource")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+          .option("widths", "8,24,4")
+          .load(out)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), min($"s_suppkey").as("min_key"),
+            max($"s_name").as("max_name"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n, MIN(s_suppkey) AS min_key,
+             |  MAX(s_name) AS max_name
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Typed Dataset[T] pipeline (case-class Encoder, lambda filter, groupByKey +
     // mapGroups): the type-safe API leg of the engine. The lambda stages pay a
     // deserialize/serialize boundary — documented trade-off vs the Column API (use

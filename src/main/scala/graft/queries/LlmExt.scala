@@ -145,7 +145,12 @@ object LlmExt {
           .agg(min(struct($"score", $"cid")).as("m"),
             first($"embedding").as("embedding"))
           .select($"vec_id", $"m.cid".as("cluster"), $"embedding")
+        // the assignment frame feeds THREE consumers (both sides of the
+        // within-cluster self-join + the final keep-join); persist it so the
+        // two-stage routing runs once, not three times — the same reuse a
+        // production pipeline gets by materializing cluster assignments
         val emb = assign.withColumn("nrm", Similarity.normExact($"embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val a = emb.select($"cluster", $"vec_id".as("id1"),
           $"embedding".as("e1"), $"nrm".as("n1"))
         val b = emb.select($"cluster".as("cl2"), $"vec_id".as("id2"),

@@ -79,14 +79,20 @@ class FixedWidthSource extends TableProvider {
 }
 
 /** One aggregate accepted for pushdown: COUNT(*) / COUNT(col) / MIN(col) /
-  * MAX(col), no grouping. `fieldIdx` is the DATA-schema index (-1 for `*`). */
+  * MAX(col). `fieldIdx` is the DATA-schema index (-1 for `*`). */
 private[sources] case class FixedWidthAgg(kind: String, fieldIdx: Int,
     name: String, dataType: DataType) extends Serializable
+
+/** A translated pushed aggregation: GROUP BY column indices (possibly empty)
+  * plus the aggregate list. Scan output is groups-then-aggregates, positional,
+  * matching Spark's partial-pushdown contract. */
+private[sources] case class FixedWidthPushedAgg(groupIdx: Seq[Int],
+    specs: Seq[FixedWidthAgg]) extends Serializable
 
 private[sources] object FixedWidthAgg {
   /** Translate a connector Aggregation, or None if any part is unsupported
     * (Spark then falls back to a plain scan + its own aggregate). */
-  def translate(schema: StructType, agg: Aggregation): Option[Seq[FixedWidthAgg]] = {
+  def translate(schema: StructType, agg: Aggregation): Option[FixedWidthPushedAgg] = {
     def idxOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 =>
@@ -98,7 +104,8 @@ private[sources] object FixedWidthAgg {
       case IntegerType | LongType | DoubleType | StringType => true
       case _ => false
     }
-    if (agg.groupByExpressions.nonEmpty) return None
+    val groups = agg.groupByExpressions.toSeq.map(idxOf)
+    if (!groups.forall(_.isDefined)) return None
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(FixedWidthAgg("count_star", -1, "count_star", LongType))
       case c: Count if !c.isDistinct =>
@@ -114,13 +121,17 @@ private[sources] object FixedWidthAgg {
             schema.fields(i).dataType))
       case _ => None
     }
-    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+    if (specs.forall(_.isDefined))
+      Some(FixedWidthPushedAgg(groups.flatten, specs.flatten))
+    else None
   }
 
-  def schemaOf(specs: Seq[FixedWidthAgg]): StructType =
-    StructType(specs.map(s =>
-      StructField(s.name, s.dataType, nullable = s.kind != "count_star" &&
-        s.kind != "count")))
+  def schemaOf(schema: StructType, pa: FixedWidthPushedAgg): StructType =
+    StructType(
+      pa.groupIdx.map(i => schema.fields(i).copy(nullable = true)) ++
+        pa.specs.map(s =>
+          StructField(s.name, s.dataType, nullable = s.kind != "count_star" &&
+            s.kind != "count")))
 }
 
 /** The session's Hadoop configuration as a serializable bag — DSv2 factories ship
@@ -159,11 +170,12 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var aggSpecs: Option[Seq[FixedWidthAgg]] = None
+  private var aggSpecs: Option[FixedWidthPushedAgg] = None
   private var aggComplete: Boolean = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  /** AGGREGATE pushdown (COUNT/COUNT(col)/MIN/MAX, no grouping). Two tiers:
+  /** AGGREGATE pushdown (COUNT/COUNT(col)/MIN/MAX, GROUP BY on source
+    * columns). Two tiers:
     *
     *  - COMPLETE (`SELECT count(*)` alone, `ascii` option set, no filters): the
     *    count is fixed-record-size arithmetic over the committed FILE LENGTHS —
@@ -172,12 +184,14 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
     *    option is the user's assertion that characters are single-byte and
     *    records writer-conforming (no ragged/empty lines), which is what makes
     *    byte arithmetic equal the row count.
-    *  - PARTIAL (everything else): each partition reader streams its file once
-    *    and emits ONE row of partial aggregates (counts / typed min / max)
-    *    instead of every record; Spark's final aggregate merges the per-file
-    *    rows. At 100 TB this turns the scan→agg boundary from n rows into
-    *    #files rows — the same I/O, a tiny fraction of the row construction
-    *    and exchange volume.
+    *  - PARTIAL (everything else, including GROUP BY on source columns): each
+    *    partition reader streams its file once and emits one row of partial
+    *    aggregates PER GROUP (one total, with no grouping) instead of every
+    *    record; Spark's final aggregate merges the per-file rows. At 100 TB
+    *    this turns the scan→agg boundary from n rows into #files×|groups|
+    *    rows — the same I/O, a tiny fraction of the row construction and
+    *    exchange volume. Reader memory is bounded by per-file group
+    *    cardinality, the same shape as Spark's own partial hash aggregate.
     *
     * Only offered when no filters are pushed: this source conservatively
     * returns every filter as a Spark-side residual, and a residual Filter node
@@ -186,13 +200,14 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
     * collation Spark's merge side uses. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     ascii && pushed.isEmpty && limit < 0 &&
-      FixedWidthAgg.translate(dataSchema, agg)
-        .exists(s => s.nonEmpty && s.forall(_.kind == "count_star"))
+      FixedWidthAgg.translate(dataSchema, agg).exists(pa =>
+        pa.groupIdx.isEmpty && pa.specs.nonEmpty &&
+          pa.specs.forall(_.kind == "count_star"))
   override def pushAggregation(agg: Aggregation): Boolean =
     if (pushed.nonEmpty || limit >= 0) false
     else FixedWidthAgg.translate(dataSchema, agg) match {
-      case Some(specs) if specs.nonEmpty =>
-        aggSpecs = Some(specs)
+      case Some(pa) if pa.specs.nonEmpty =>
+        aggSpecs = Some(pa)
         aggComplete = supportCompletePushDown(agg)
         true
       case _ => false
@@ -220,17 +235,21 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     required: StructType, val pushedFilters: Array[Filter], limit: Int = -1,
-    aggSpecs: Option[Seq[FixedWidthAgg]] = None, aggComplete: Boolean = false)
+    aggSpecs: Option[FixedWidthPushedAgg] = None, aggComplete: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType =
-    aggSpecs.map(FixedWidthAgg.schemaOf).getOrElse(required)
+    aggSpecs.map(FixedWidthAgg.schemaOf(dataSchema, _)).getOrElse(required)
   override def toBatch: Batch = this
   // surfaces in .explain via BatchScanExec.simpleString, like built-in FileScans
   override def description(): String =
     s"FixedWidth PushedFilters: [${pushedFilters.mkString(", ")}], " +
       (if (limit >= 0) s"PushedLimit: $limit, " else "") +
-      aggSpecs.map(s => s"PushedAggregates${if (aggComplete) " (complete)" else ""}: " +
-        s"[${s.map(_.name).mkString(", ")}], ").getOrElse("") +
+      aggSpecs.map(pa =>
+        s"PushedAggregates${if (aggComplete) " (complete)" else ""}: " +
+          s"[${pa.specs.map(_.name).mkString(", ")}], " +
+          (if (pa.groupIdx.nonEmpty)
+            s"PushedGroupBy: [${pa.groupIdx.map(dataSchema.fieldNames).mkString(", ")}], "
+          else "")).getOrElse("") +
       s"ReadSchema: ${readSchema().catalogString}"
 
   /** Committed (path, length) pairs — listed once, shared by partition planning
@@ -272,10 +291,12 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
       val lineBytes = widths.sum + 1
       val n = files.map(f => (f._2 + lineBytes - 1) / lineBytes).sum
       Array(FixedWidthMetaCountPartition(n))
-    case Some(_) =>
-      // one partial-aggregate row per file; zero files still yields one
-      // partition so COUNT over an empty feed is 0, not a missing row
-      if (files.isEmpty) Array(FixedWidthAggPartition(null))
+    case Some(pa) =>
+      // one partial-aggregate-rowset per file. Zero files: an UNGROUPED count
+      // over an empty feed must still yield one zero row (synthetic empty
+      // partition); a GROUPED aggregate over an empty feed is correctly empty.
+      if (files.isEmpty && pa.groupIdx.isEmpty)
+        Array(FixedWidthAggPartition(null))
       else files.map(f => FixedWidthAggPartition(f._1): InputPartition)
     case None => files.map(f => FixedWidthPartition(f._1): InputPartition)
   }
@@ -309,7 +330,7 @@ case class FixedWidthMetaCountPartition(count: Long) extends InputPartition
 
 class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
     required: StructType, filters: Array[Filter], limit: Int,
-    aggSpecs: Option[Seq[FixedWidthAgg]],
+    aggSpecs: Option[FixedWidthPushedAgg],
     confBag: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -318,8 +339,9 @@ class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
           private var emitted = false
           override def next(): Boolean = { val r = !emitted; emitted = true; r }
           override def get(): InternalRow = {
-            val row = new GenericInternalRow(aggSpecs.get.length)
-            aggSpecs.get.indices.foreach(i => row.update(i, n))
+            val specs = aggSpecs.get.specs
+            val row = new GenericInternalRow(specs.length)
+            specs.indices.foreach(i => row.update(i, n))
             row
           }
           override def close(): Unit = ()
@@ -332,14 +354,18 @@ class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
     }
 }
 
-/** Streams one file and emits a SINGLE row of partial aggregates: counts as
-  * running longs, min/max in the column's comparison domain (UTF8String binary
-  * order for strings — matching Spark's merge side). All-null columns emit
-  * null min/max, which Spark's final min/max ignores. */
+/** Streams one file and emits one row of partial aggregates PER GROUP (one
+  * total row with no grouping): counts as running longs, min/max in the
+  * column's comparison domain (UTF8String binary order for strings — matching
+  * Spark's merge side). All-null columns emit null min/max, which Spark's
+  * final min/max ignores. Memory is bounded by the file's group cardinality —
+  * the same shape as Spark's own partial hash aggregate. */
 class FixedWidthAggReader(file: String, dataSchema: StructType,
-    widths: Array[Int], specs: Seq[FixedWidthAgg],
+    widths: Array[Int], pushed: FixedWidthPushedAgg,
     confBag: Array[(String, String)]) extends PartitionReader[InternalRow] {
 
+  private val specs = pushed.specs
+  private val groupIdx = pushed.groupIdx
   private val starts = widths.scanLeft(0)(_ + _)
 
   private def slice(line: String, i: Int): String = {
@@ -349,13 +375,55 @@ class FixedWidthAggReader(file: String, dataSchema: StructType,
     if (r.isEmpty) null else r
   }
 
-  private var emitted = false
+  private def convert(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case DoubleType  => raw.toDouble
+      case StringType  => UTF8String.fromString(raw)
+      case other => throw new UnsupportedOperationException(
+        s"fixed-width: unsupported type $other")
+    }
 
-  override def next(): Boolean = { val r = !emitted; emitted = true; r }
-
-  override def get(): InternalRow = {
+  /** counts ++ min/max accumulators for one group. */
+  private final class Acc {
     val counts = new Array[Long](specs.length)
-    val acc = new Array[Any](specs.length)
+    val best = new Array[Any](specs.length)
+    def update(line: String): Unit = {
+      var i = 0
+      while (i < specs.length) {
+        val s = specs(i)
+        if (s.kind == "count_star") counts(i) += 1
+        else {
+          val raw = slice(line, s.fieldIdx)
+          if (raw != null) s.kind match {
+            case "count" => counts(i) += 1
+            case "min" | "max" =>
+              val v = convert(raw, s.dataType)
+              val better = best(i) == null || {
+                val c = (v, best(i)) match {
+                  case (a: Integer, b: Integer) => a.compareTo(b)
+                  case (a: java.lang.Long, b: java.lang.Long) => a.compareTo(b)
+                  case (a: java.lang.Double, b: java.lang.Double) =>
+                    java.lang.Double.compare(a, b)
+                  case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+                  case _ => 0
+                }
+                if (s.kind == "min") c < 0 else c > 0
+              }
+              if (better) best(i) = v
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Stream the whole file once into per-group accumulators (insertion order
+    * preserved for deterministic emission; Spark re-merges regardless). */
+  private lazy val rows: Iterator[InternalRow] = {
+    val groups = new java.util.LinkedHashMap[List[Any], Acc]()
     if (file != null) {
       val p = new Path(file)
       val in = p.getFileSystem(FixedWidthConf.restore(confBag)).open(p)
@@ -365,53 +433,38 @@ class FixedWidthAggReader(file: String, dataSchema: StructType,
         var line = reader.readLine()
         while (line != null) {
           if (line.nonEmpty) {
-            var i = 0
-            while (i < specs.length) {
-              val s = specs(i)
-              if (s.kind == "count_star") counts(i) += 1
-              else {
-                val raw = slice(line, s.fieldIdx)
-                if (raw != null) s.kind match {
-                  case "count" => counts(i) += 1
-                  case "min" | "max" =>
-                    val v: Any = s.dataType match {
-                      case IntegerType => raw.toInt
-                      case LongType    => raw.toLong
-                      case DoubleType  => raw.toDouble
-                      case StringType  => UTF8String.fromString(raw)
-                      case other => throw new UnsupportedOperationException(
-                        s"fixed-width: unsupported type $other")
-                    }
-                    val better = acc(i) == null || {
-                      val c = (v, acc(i)) match {
-                        case (a: Integer, b: Integer) => a.compareTo(b)
-                        case (a: java.lang.Long, b: java.lang.Long) => a.compareTo(b)
-                        case (a: java.lang.Double, b: java.lang.Double) =>
-                          java.lang.Double.compare(a, b)
-                        case (a: UTF8String, b: UTF8String) => a.compareTo(b)
-                        case _ => 0
-                      }
-                      if (s.kind == "min") c < 0 else c > 0
-                    }
-                    if (better) acc(i) = v
-                }
-              }
-              i += 1
-            }
+            val key = groupIdx.map(i =>
+              convert(slice(line, i), dataSchema.fields(i).dataType)).toList
+            var acc = groups.get(key)
+            if (acc == null) { acc = new Acc; groups.put(key, acc) }
+            acc.update(line)
           }
           line = reader.readLine()
         }
       } finally reader.close()
+    } else if (groupIdx.isEmpty) {
+      groups.put(Nil, new Acc) // empty feed, ungrouped: one zero row
     }
-    val row = new GenericInternalRow(specs.length)
-    specs.indices.foreach { i =>
-      row.update(i,
-        if (specs(i).kind == "count_star" || specs(i).kind == "count") counts(i)
-        else acc(i))
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val row = new GenericInternalRow(groupIdx.length + specs.length)
+      e.getKey.zipWithIndex.foreach { case (v, i) => row.update(i, v) }
+      val acc = e.getValue
+      specs.indices.foreach { i =>
+        row.update(groupIdx.length + i,
+          if (specs(i).kind == "count_star" || specs(i).kind == "count")
+            acc.counts(i)
+          else acc.best(i))
+      }
+      row: InternalRow
     }
-    row
   }
 
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }
 

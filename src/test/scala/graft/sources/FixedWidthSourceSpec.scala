@@ -270,6 +270,35 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getInt(1) == 2, r)
   }
 
+  test("GROUP BY pushdown: per-group partials per file, merged by Spark") {
+    import spark.implicits._
+    val feed = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      // group key: first letter bucket via k % 2 is an expression (not
+      // pushable) — group by the raw source column instead
+      .groupBy($"name").agg(count(lit(1)).as("n"), max($"qty").as("mq"))
+    val scan = scanOf(feed.toDF())
+    assert(scan.toString.contains("PushedAggregates: [count_star, max_qty]") &&
+      scan.toString.contains("PushedGroupBy: [name]"), scan.toString)
+    val got = feed.orderBy($"name").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq(("Exactly8", 1L, 99.25), ("Gadget", 1L, 0.5),
+      ("Gizmo", 1L, null), ("Widget", 1L, 12.5)), got)
+    // grouping by an EXPRESSION is refused -> falls back to a plain scan
+    val expr = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .groupBy(($"k" % 2).as("b")).agg(count(lit(1)).as("n"))
+    assert(!scanOf(expr.toDF()).toString.contains("PushedAggregates"),
+      scanOf(expr.toDF()).toString)
+    assert(expr.orderBy($"b").as[(Int, Long)].collect().toSeq ==
+      Seq((0, 3L), (1, 1L)))
+  }
+
   test("aggregate pushdown over an empty feed yields count 0, null min") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fw-empty").toString
