@@ -534,6 +534,161 @@ object LlmExt {
               |SELECT e.doc_id, e.dup_exact,
               |  COALESCE(near.near_dup, FALSE) AS near_dup
               |FROM exact e LEFT JOIN near USING (doc_id)
-              |ORDER BY e.doc_id""".stripMargin))
+              |ORDER BY e.doc_id""".stripMargin)),
+
+    // IVF-PQ ADC search (Jegou et al. 2011 — the FAISS IVFADC composition): the
+    // billion-scale ANN shape that combines the two pieces built separately above
+    // (IVF coarse routing in Similarity.ivfTopK, PQ codes in embed_pq_encode).
+    // Index = each corpus vector's coarse-list id + its 4-byte PQ code; a query
+    // (a) routes to its nprobe nearest coarse lists, (b) builds a tiny
+    // asymmetric-distance table T[ss][code] = ‖c‖²−2⟨q_ss,c⟩ against the m×16
+    // codebook, then (c) scores every vector in the probed lists by summing m
+    // TABLE LOOKUPS — it never touches the corpus floats. That is the 100 TB
+    // story: the scan side carries (list_id, 4 small ints) per vector instead of
+    // 64 floats (~50× narrower shuffle), probing is an equi-join on list_id
+    // (never a cross join against the corpus), and the only broadcasts are the
+    // nlist coarse centroids + the m×16 codebook + the per-query ADC tables —
+    // all O(1) in corpus size. (At production nlist ~ √n the coarse routing
+    // itself goes hierarchical exactly as dedup_semantic_semdedup's assignment
+    // does.) Everything is decimal-exact (lossless double prescreen on the code
+    // argmin), so unlike the float-cosine LSH/IVF variants this composition is
+    // fully hash-matched against the oracle. Coarse centroids are the first
+    // nlist vectors, codebooks the first-16 vectors' subvectors (deterministic
+    // stand-ins for trained means — sim_kmeans_lloyd holds the training step).
+    Q("sim_ann_ivfpq_adc",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.{vec_dot, vec_dot_exact}
+        val m = 4; val sub = 16; val nlist = 8; val nprobe = 2; val k = 5
+        val vecs = t(s, dir, "embeddings")
+        val dim = vecs.select(size($"embedding")).head().getInt(0)
+        require(dim == m * sub,
+          s"sim_ann_ivfpq_adc assumes $m x $sub = ${m * sub}-dim embeddings; " +
+            s"testdata now has dim=$dim - update the PQ layout AND its oracle")
+        // coarse routing: ONE ranked pass serves both corpus assignment (rn=1)
+        // and query probe lists (rn<=nprobe) — same dual-use shape as ivfTopK
+        val coarse = vecs.filter($"vec_id" < nlist)
+          .select($"vec_id".cast("int").as("list_id"), $"embedding".as("cent"))
+          .withColumn("lself", vec_dot_exact($"cent", $"cent"))
+        val wR = Window.partitionBy($"vec_id").orderBy($"d2c", $"list_id")
+        // materialized once (n×nprobe small-int rows) so the assignment and the
+        // probe consumers don't each re-run the ×nlist routing expansion
+        val routed = vecs.select($"vec_id", $"embedding")
+          .crossJoin(broadcast(coarse))
+          .withColumn("d2c",
+            $"lself" - lit(2.0d) * vec_dot_exact($"embedding", $"cent"))
+          .select($"vec_id", $"list_id", $"d2c")
+          .withColumn("rn", row_number().over(wR))
+          .filter($"rn" <= nprobe)
+          .select($"vec_id", $"list_id", $"rn")
+          .localCheckpoint(true)
+        val assign = routed.filter($"rn" === 1)
+          .select($"vec_id".as("vid"), $"list_id")
+        val probes = routed.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"list_id")
+        // PQ codebook + per-vector codes (the embed_pq_encode layout: m=4×16)
+        val sses = (0 until m).map(lit(_))
+        val vsubs = vecs
+          .select($"vec_id", explode(array(sses: _*)).as("ss"), $"embedding")
+          .select($"vec_id", $"ss",
+            slice($"embedding", $"ss" * sub + 1, lit(sub)).as("vsub"))
+        val cb = vecs.filter($"vec_id" < 16)
+          .select($"vec_id".cast("int").as("code_id"),
+            explode(array(sses: _*)).as("ss"), $"embedding")
+          .select($"code_id", $"ss",
+            slice($"embedding", $"ss" * sub + 1, lit(sub)).as("csub"))
+          .withColumn("cself", vec_dot_exact($"csub", $"csub"))
+        // corpus codes: exact argmin behind the lossless double prescreen
+        val vcodes = vsubs.join(broadcast(cb), "ss")
+          .withColumn("fscore",
+            $"cself" - lit(2.0d) * vec_dot($"vsub", $"csub"))
+          .withColumn("fmin",
+            min($"fscore").over(Window.partitionBy($"vec_id", $"ss")))
+          .filter($"fscore" <= $"fmin" + lit(1e-6))
+          .withColumn("score",
+            $"cself" - lit(2.0d) * vec_dot_exact($"vsub", $"csub"))
+          .groupBy($"vec_id", $"ss")
+          .agg(min(struct($"score", $"code_id")).as("b"))
+          .select($"vec_id".as("vid"), $"ss", $"b.code_id".as("code"))
+        // per-query ADC tables: ALL m×16 entries, exact (20×4×16 rows — tiny)
+        val adctab = vsubs.filter($"vec_id" < 20)
+          .join(broadcast(cb), "ss")
+          .withColumn("tval",
+            $"cself" - lit(2.0d) * vec_dot_exact($"vsub", $"csub"))
+          .select($"vec_id".as("qid"), $"ss", $"code_id".as("code"), $"tval")
+        // probe join on list_id, then score = order-free decimal sum of m lookups
+        val cand = probes.join(assign, "list_id")
+          .filter($"vid" =!= $"qid").select($"qid", $"vid")
+        val adc = cand.join(vcodes, "vid")
+          .join(broadcast(adctab), Seq("qid", "ss", "code"))
+          .groupBy($"qid", $"vid")
+          .agg(sum($"tval".cast("decimal(30,12)")).cast("double").as("adc_d2"))
+        val w = Window.partitionBy($"qid").orderBy($"adc_d2", $"vid")
+        adc.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+          .select($"qid", $"rank", $"vid", round($"adc_d2", 9).as("adc_d2"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |lself AS (
+             |  SELECT vec_id AS list_id,
+             |    CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE) AS ls
+             |  FROM flat WHERE vec_id < 8 GROUP BY 1),
+             |cdots AS (
+             |  SELECT f.vec_id, c.vec_id AS list_id,
+             |    CAST(SUM(CAST(f.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat f JOIN flat c ON c.pos = f.pos AND c.vec_id < 8
+             |  GROUP BY 1, 2),
+             |routed AS (
+             |  SELECT vec_id, CAST(list_id AS INT) AS list_id,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY ls - 2.0 * dot, list_id) AS rn
+             |  FROM cdots JOIN lself USING (list_id)),
+             |assign AS (SELECT vec_id AS vid, list_id FROM routed WHERE rn = 1),
+             |probes AS (SELECT vec_id AS qid, list_id FROM routed
+             |           WHERE rn <= 2 AND vec_id < 20),
+             |fs AS (SELECT vec_id, (pos - 1) // 16 AS ss, pos, v FROM flat),
+             |cb AS (SELECT vec_id AS code_id, ss, pos, v AS cval FROM fs
+             |       WHERE vec_id < 16),
+             |cbself AS (
+             |  SELECT code_id, ss,
+             |    CAST(SUM(CAST(cval * cval AS DECIMAL(30,12))) AS DOUBLE) AS cs
+             |  FROM cb GROUP BY 1, 2),
+             |vdots AS (
+             |  SELECT f.vec_id, f.ss, c.code_id,
+             |    CAST(SUM(CAST(f.v * c.cval AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM fs f JOIN cb c ON c.ss = f.ss AND c.pos = f.pos
+             |  GROUP BY 1, 2, 3),
+             |codes AS (
+             |  SELECT vec_id AS vid, ss, CAST(code_id AS INT) AS code FROM
+             |    (SELECT d.vec_id, d.ss, d.code_id,
+             |       ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.ss
+             |         ORDER BY cs - 2.0 * dot, d.code_id) AS rn
+             |     FROM vdots d JOIN cbself USING (code_id, ss)) x
+             |  WHERE rn = 1),
+             |adctab AS (
+             |  SELECT d.vec_id AS qid, d.ss, CAST(d.code_id AS INT) AS code,
+             |    cs - 2.0 * dot AS t
+             |  FROM vdots d JOIN cbself USING (code_id, ss)
+             |  WHERE d.vec_id < 20),
+             |cand AS (
+             |  SELECT p.qid, a.vid FROM probes p JOIN assign a USING (list_id)
+             |  WHERE a.vid <> p.qid),
+             |adc AS (
+             |  SELECT c.qid, c.vid,
+             |    CAST(SUM(CAST(t.t AS DECIMAL(30,12))) AS DOUBLE) AS adc_d2
+             |  FROM cand c
+             |  JOIN codes k ON k.vid = c.vid
+             |  JOIN adctab t ON t.qid = c.qid AND t.ss = k.ss AND t.code = k.code
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT qid, vid, adc_d2,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY adc_d2, vid) AS rank
+             |  FROM adc)
+             |SELECT qid, rank, vid, round(adc_d2, 9) AS adc_d2
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
   )
 }
