@@ -26,6 +26,7 @@ object SparkEntry {
     Headline.queries,
     Llm.queries,
     LlmExt.queries,
+    LlmExt2.queries,
     SpecQ.queries,
     Scale.queries,
     Extras.queries,

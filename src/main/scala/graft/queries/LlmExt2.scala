@@ -1,0 +1,501 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.{Similarity, TextFunctions => TF}
+import QueryDSL._
+
+/** Third-wave LLM-data-pipeline operators: quantized two-stage similarity search,
+  * Matryoshka prefix-dimension retrieval, hybrid lexical+semantic rank fusion,
+  * duplicated-substring-span detection, and encoding-anomaly (mojibake) triage —
+  * the retrieval/QA layer a pretraining pipeline runs on top of the dedup and
+  * quality families in [[Llm]]/[[LlmExt]]. Same contract as every family: each
+  * query is scale-shaped (broadcast-bounded candidate generation, no all-pairs,
+  * top-k via TakeOrdered not global sort) and carries a DuckDB oracle. */
+object LlmExt2 {
+
+  /** Mojibake suffix injected into a deterministic subset of docs so the detector
+    * has real positives: the UTF-8 bytes of "été — naïve" mis-decoded as
+    * cp1252 (the classic double-encoding artifact). Explicit \u escapes so a
+    * source-file transcoding can never silently "fix" the fixture. */
+  private val mojibakeSuffix =
+    " \u00c3\u00a9t\u00c3\u00a9 \u00e2\u20ac\u201d na\u00c3\u00afve"
+
+  /** DuckDB spelling of [[mojibakeSuffix]] (chr() per codepoint — same
+    * transcoding-proofing). */
+  private val duckMojibakeSuffixSql: String =
+    "(' ' || chr(195) || chr(169) || 't' || chr(195) || chr(169) || ' ' || " +
+      "chr(226) || chr(8364) || chr(8221) || ' na' || chr(195) || chr(175) || 've')"
+
+  /** Mojibake detector regex: cp1252 renderings of UTF-8 lead bytes C3/C2
+    * followed by a continuation-range char, and the E2-80-xx punctuation family
+    * (curly quotes / dashes / ™). Java regex spelling. */
+  private val mojiPattern =
+    "(\u00c3[\u00a0-\u00bf]|\u00e2\u20ac[\u2018\u2019\u201c\u201d\u2122]|\u00c2[\u00a0-\u00bf])"
+
+  /** DuckDB (RE2) spelling of [[mojiPattern]], chr()-built. */
+  private val duckMojiPatternSql: String =
+    "('(' || chr(195) || '[' || chr(160) || '-' || chr(191) || ']|' || " +
+      "chr(226) || chr(8364) || '[' || chr(8216) || chr(8217) || " +
+      "chr(8220) || chr(8221) || chr(8482) || ']|' || " +
+      "chr(194) || '[' || chr(160) || '-' || chr(191) || '])')"
+
+  val queries: Seq[Q] = Seq(
+
+    // Two-stage quantized similarity search (the production ANN shape for an
+    // int8-compressed embedding store): candidates ranked by the INTEGER dot
+    // product of per-vector int8 codes (4x less memory traffic than float32,
+    // SIMD-able, and — unlike float ADC — exactly reproducible on any engine),
+    // then the top-20 candidates per query reranked with the decimal-exact
+    // cosine. Scale shape: the query side broadcasts (eval probes are tiny);
+    // corpus codes stream map-only through the integer scorer; the expensive
+    // exact rerank touches only |Q|x20 pairs. At 100 TB the same two stages
+    // compose with IVF routing (sim_ann_ivfpq_adc) to prune the corpus scan.
+    // Integer candidate generation makes this variant hash-checkable, unlike
+    // the float-scored LSH/IVF family (declared rows-only).
+    Q("sim_int8_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val flat = e
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
+          .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
+        val stats = flat.groupBy($"vec_id")
+          .agg(min($"v").as("vmin"), max($"v").as("vmax"))
+          .withColumn("scale", ($"vmax" - $"vmin") / lit(255.0d))
+        // same per-vector affine code grid as embed_quantize_int8 (round is
+        // half-away-from-zero on both engines for non-negative args)
+        val codes = flat.join(stats, "vec_id")
+          .withColumn("q", when($"scale" === 0d, lit(0L))
+            .otherwise(round(($"v" - $"vmin") / $"scale", 0).cast("long")))
+          .groupBy($"vec_id")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"q"))),
+            x => x.getField("q")).as("qc"))
+        val qs = codes.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"qc".as("qq"))
+        val cs = codes.select($"vec_id".as("vid"), $"qc".as("cq"))
+        // integer dot: associative, overflow-free (64 dims x 255^2 << 2^63)
+        val idot = cs.join(broadcast(qs), $"qid" =!= $"vid")
+          .withColumn("idot", aggregate(
+            zip_with($"qq", $"cq", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        val wc = Window.partitionBy($"qid").orderBy($"idot".desc, $"vid")
+        val cand = idot.withColumn("rn", row_number().over(wc))
+          .filter($"rn" <= 20).select($"qid", $"vid")
+        val qe = e.select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          Similarity.normExact($"embedding").as("qn"))
+        val ce = e.select($"vec_id".as("vid"), $"embedding".as("cvec"),
+          Similarity.normExact($"embedding").as("cn"))
+        val scored = cand.join(broadcast(qe), "qid").join(ce, "vid")
+          .withColumn("cosine",
+            Similarity.dotExact($"qvec", $"cvec") / ($"qn" * $"cn"))
+        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vid")
+        scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+          .select($"qid", $"rank", $"vid", round($"cosine", 9).as("cosine"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |stats AS (
+             |  SELECT vec_id, MIN(v) AS vmin, MAX(v) AS vmax,
+             |         (MAX(v) - MIN(v)) / 255.0 AS scale
+             |  FROM flat GROUP BY 1),
+             |codes AS (
+             |  SELECT f.vec_id, f.pos,
+             |    CASE WHEN s.scale = 0 THEN 0
+             |         ELSE CAST(round((f.v - s.vmin) / s.scale) AS BIGINT) END AS q
+             |  FROM flat f JOIN stats s ON f.vec_id = s.vec_id),
+             |idots AS (
+             |  SELECT cq.vec_id AS qid, cc.vec_id AS vid,
+             |         CAST(SUM(cq.q * cc.q) AS BIGINT) AS idot
+             |  FROM codes cq
+             |  JOIN codes cc ON cq.pos = cc.pos AND cq.vec_id <> cc.vec_id
+             |  WHERE cq.vec_id < 10
+             |  GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT qid, vid FROM (
+             |    SELECT qid, vid,
+             |      ROW_NUMBER() OVER (PARTITION BY qid
+             |        ORDER BY idot DESC, vid) AS rn
+             |    FROM idots) WHERE rn <= 20),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY 1),
+             |dots AS (
+             |  SELECT c.qid, c.vid,
+             |    CAST(SUM(CAST(fq.v * fc.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM cand c
+             |  JOIN flat fq ON fq.vec_id = c.qid
+             |  JOIN flat fc ON fc.vec_id = c.vid AND fc.pos = fq.pos
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT d.qid, d.vid, d.dot / (nq.nrm * nc.nrm) AS cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY d.qid
+             |      ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |  FROM dots d
+             |  JOIN norms nq ON nq.vec_id = d.qid
+             |  JOIN norms nc ON nc.vec_id = d.vid)
+             |SELECT qid, rank, vid, round(cosine, 9) AS cosine
+             |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Matryoshka (MRL) prefix-dimension retrieval audit: exact top-5 neighbors
+    // using only the FIRST 16 of 64 dimensions, scored against the full-dim
+    // exact top-5 — the "can I search the cheap prefix and rerank with the full
+    // vector" decision every MRL deployment makes. Both sides are decimal-exact
+    // brute force (the sanctioned oracle baseline; prefix search IS the scale
+    // path: 4x less memory traffic, and at 100 TB the prefix store is the one
+    // that fits in cache). Overlap counts are integers => hash-exact.
+    Q("embed_matryoshka_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val full = Similarity.bruteForceTopK(e.filter($"vec_id" < 20), e, k = 5)
+          .select($"qid", $"vid")
+        val pre = e.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+        val prefix = Similarity
+          .bruteForceTopK(pre.filter($"vec_id" < 20), pre, k = 5)
+          .select($"qid".as("pqid"), $"vid".as("pvid"))
+        val overlap = full
+          .join(prefix, $"qid" === $"pqid" && $"vid" === $"pvid")
+          .groupBy($"qid").agg(count(lit(1)).as("n_overlap"))
+        full.groupBy($"qid").agg(count(lit(1)).as("k"))
+          .join(overlap, Seq("qid"), "left")
+          .select($"qid", $"k",
+            coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+            (coalesce($"n_overlap", lit(0L)) / $"k".cast("double")).as("recall"))
+          .orderBy($"qid")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY 1),
+             |pnorms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat WHERE pos <= 16 GROUP BY 1),
+             |fdots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20 GROUP BY 1, 2),
+             |pdots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20 AND q.pos <= 16 AND c.pos <= 16
+             |  GROUP BY 1, 2),
+             |ftop AS (
+             |  SELECT qid, vid FROM (
+             |    SELECT d.qid, d.vid,
+             |      ROW_NUMBER() OVER (PARTITION BY d.qid
+             |        ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |    FROM fdots d
+             |    JOIN norms nq ON nq.vec_id = d.qid
+             |    JOIN norms nc ON nc.vec_id = d.vid) WHERE rank <= 5),
+             |ptop AS (
+             |  SELECT qid, vid FROM (
+             |    SELECT d.qid, d.vid,
+             |      ROW_NUMBER() OVER (PARTITION BY d.qid
+             |        ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |    FROM pdots d
+             |    JOIN pnorms nq ON nq.vec_id = d.qid
+             |    JOIN pnorms nc ON nc.vec_id = d.vid) WHERE rank <= 5),
+             |ov AS (
+             |  SELECT f.qid, COUNT(*) AS n_overlap
+             |  FROM ftop f JOIN ptop p ON p.qid = f.qid AND p.vid = f.vid
+             |  GROUP BY 1)
+             |SELECT f.qid, COUNT(*) AS k,
+             |  CAST(COALESCE(MAX(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+             |  COALESCE(MAX(ov.n_overlap), 0) / CAST(COUNT(*) AS DOUBLE) AS recall
+             |FROM ftop f LEFT JOIN ov ON ov.qid = f.qid
+             |GROUP BY f.qid ORDER BY f.qid""".stripMargin)),
+
+    // Duplicated-substring-span detection (the character-level complement to
+    // token-shingle dedup — catches verbatim quote/boilerplate reuse that token
+    // shingles dilute; Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better" runs exactly this over pretraining corpora):
+    // slide a 40-char window at stride 10 over each doc, find windows whose
+    // text occurs in >= 2 distinct docs, report per-doc duplicated-span density.
+    // Scale shape: stride bounds spans at n_chars/10 per doc; the groupBy key
+    // here is the span text itself for DuckDB-mirrorability — at 100 TB you
+    // group by a 128-bit span digest (collision-free in practice) and df-cap
+    // ubiquitous spans exactly like the shingle store (Dedup.dfCap).
+    Q("dedup_substring_span",
+      (s, dir) => {
+        import s.implicits._
+        val L = 40
+        val stride = 10
+        val spans = t(s, dir, "documents")
+          .select($"doc_id", $"text", length($"text").as("n"))
+          .filter($"n" >= L)
+          .select($"doc_id", $"text",
+            explode(sequence(lit(1), $"n" - (L - 1), lit(stride))).as("pos"))
+          .select($"doc_id", expr(s"substring(text, pos, $L)").as("span"))
+        val shared = spans.select($"doc_id", $"span").distinct()
+          .groupBy($"span").agg(countDistinct($"doc_id").as("n_docs"))
+          .filter($"n_docs" >= 2)
+        spans
+          .join(shared.select($"span", lit(1).as("dup")), Seq("span"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when($"dup".isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+          .select($"doc_id", $"n_spans", $"n_dup_spans",
+            round($"n_dup_spans" / $"n_spans".cast("double"), 9).as("dup_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH spans AS (
+             |  SELECT doc_id,
+             |    substring(text, CAST(pos AS INTEGER), 40) AS span
+             |  FROM (
+             |    SELECT doc_id, text,
+             |      unnest(generate_series(1, len(text) - 39, 10)) AS pos
+             |    FROM documents WHERE len(text) >= 40)),
+             |shared AS (
+             |  SELECT span FROM (
+             |    SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+             |    FROM spans GROUP BY 1) WHERE n_docs >= 2)
+             |SELECT s.doc_id,
+             |  COUNT(*) AS n_spans,
+             |  CAST(SUM(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup_spans,
+             |  round(SUM(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END)
+             |    / CAST(COUNT(*) AS DOUBLE), 9) AS dup_ratio
+             |FROM spans s LEFT JOIN shared sh ON sh.span = s.span
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // Encoding-anomaly (mojibake) triage: count UTF-8-as-cp1252 double-encoding
+    // artifacts and U+FFFD replacement chars, plus the non-ASCII character
+    // count/ratio — the cheap corpus-health report run before any tokenizer
+    // sees the text. A deterministic subset of docs gets a known-bad suffix
+    // injected so the detector has real positives (same fixture pattern as the
+    // NFC family). Map-only per doc => embarrassingly parallel at any scale.
+    Q("text_mojibake_detect",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("txt",
+            when($"doc_id" % 7 === 0, concat($"text", lit(mojibakeSuffix)))
+              .when($"doc_id" % 11 === 0,
+                concat($"text", lit(" bad\ufffdbyte")))
+              .otherwise($"text"))
+        docs.select(
+            $"doc_id",
+            length($"txt").as("n_chars"),
+            regexp_count($"txt", lit("\ufffd")).as("n_fffd"),
+            regexp_count($"txt", lit(mojiPattern)).as("n_moji"),
+            length(regexp_replace($"txt", "[\\x00-\\x7F]", ""))
+              .as("n_nonascii"))
+          .select($"doc_id", $"n_chars", $"n_fffd", $"n_moji", $"n_nonascii",
+            round($"n_nonascii" / $"n_chars".cast("double"), 9)
+              .as("nonascii_ratio"),
+            ($"n_fffd" > 0 || $"n_moji" > 0).as("suspect"))
+          .orderBy($"doc_id")
+      },
+      Some(("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || MOJISUFFIX
+             |         WHEN doc_id % 11 = 0
+             |           THEN text || (' bad' || chr(65533) || 'byte')
+             |         ELSE text END AS txt
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, CAST(len(txt) AS INTEGER) AS n_chars,
+             |    CAST(len(regexp_extract_all(txt, chr(65533))) AS INTEGER)
+             |      AS n_fffd,
+             |    CAST(len(regexp_extract_all(txt, MOJIPAT)) AS INTEGER)
+             |      AS n_moji,
+             |    CAST(len(regexp_replace(txt, '[\x00-\x7F]', '', 'g'))
+             |      AS INTEGER) AS n_nonascii
+             |  FROM d)
+             |SELECT doc_id, n_chars, n_fffd, n_moji, n_nonascii,
+             |  round(n_nonascii / CAST(n_chars AS DOUBLE), 9) AS nonascii_ratio,
+             |  (n_fffd > 0 OR n_moji > 0) AS suspect
+             |FROM m ORDER BY doc_id""")
+        .replace("MOJISUFFIX", duckMojibakeSuffixSql)
+        .replace("MOJIPAT", duckMojiPatternSql).stripMargin)),
+
+    // Hybrid retrieval with Reciprocal Rank Fusion (RRF, the standard
+    // lexical+semantic combiner): fuse the BM25 top-20 for a fixed 3-term query
+    // with the exact-cosine top-20 of a fixed probe vector (doc_id = vec_id),
+    // score = sum over lists of 1/(60+rank). Ranks are integers and the fused
+    // score is a FIXED two-term double sum => cross-engine exact. Scale shape:
+    // both lists are TakeOrdered top-k reductions (no global sort — the
+    // row_number window runs AFTER the limit, over <= 20 rows); the fusion join
+    // is on doc_id over 2x20 rows — driver-size regardless of corpus size.
+    Q("text_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val qTerms = Seq("spark", "join", "merge")
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").cast("bigint").as("dl"))
+        val scalars = docs.agg(count(lit(1)).as("n_docs"),
+          sum($"dl").as("total_tokens"))
+        val terms = docs.select($"doc_id", $"dl", explode($"toks").as("term"))
+          .filter($"term".isin(qTerms: _*))
+        val tf = terms.groupBy($"doc_id", $"dl", $"term")
+          .agg(count(lit(1)).as("tf"))
+        val df = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val avgdl = $"total_tokens".cast("double") / $"n_docs"
+        val idf = log(($"n_docs".cast("double") - $"df" + lit(0.5)) /
+          ($"df" + lit(0.5)) + lit(1.0))
+        val contrib = idf * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl))
+        val scored = tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(scalars))
+          .select($"doc_id", $"term", contrib.as("c"))
+        val perTerm = qTerms.map(qt =>
+          coalesce(max(when($"term" === qt, $"c")), lit(0.0d)))
+        // top-20 via TakeOrdered FIRST, then rank the surviving <= 20 rows
+        val wl = Window.orderBy($"bm25".desc, $"doc_id")
+        val lex = scored.groupBy($"doc_id")
+          .agg((perTerm(0) + perTerm(1) + perTerm(2)).as("raw"))
+          .select($"doc_id", round($"raw", 9).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id").limit(20)
+          .withColumn("r_lex", row_number().over(wl))
+          .select($"doc_id", $"r_lex")
+        val e = t(s, dir, "embeddings")
+        val probe = e.filter($"vec_id" === 0)
+          .select($"embedding".as("qvec"),
+            Similarity.normExact($"embedding").as("qn"))
+        val ws = Window.orderBy($"cosine".desc, $"doc_id")
+        val sem = e.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
+          .select($"vec_id".as("doc_id"),
+            (Similarity.dotExact($"embedding", $"qvec") /
+              (Similarity.normExact($"embedding") * $"qn")).as("cosine"))
+          .orderBy($"cosine".desc, $"doc_id").limit(20)
+          .withColumn("r_sem", row_number().over(ws))
+          .select($"doc_id", $"r_sem")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            coalesce($"r_lex", lit(0)).as("r_lex"),
+            coalesce($"r_sem", lit(0)).as("r_sem"),
+            round(
+              coalesce(lit(1.0d) / (lit(60) + $"r_lex"), lit(0.0d)) +
+                coalesce(lit(1.0d) / (lit(60) + $"r_sem"), lit(0.0d)),
+              9).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(10)
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+             |scalars AS (SELECT count(*) AS n_docs,
+             |                   CAST(SUM(dl) AS BIGINT) AS total_tokens FROM d2),
+             |terms AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+             |ft AS (SELECT * FROM terms WHERE term IN ('spark', 'join', 'merge')),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             |       FROM ft GROUP BY doc_id, dl, term),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY term),
+             |bscored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    ln((n_docs * 1.0 - df + 0.5) / (df + 0.5) + 1.0) *
+             |      (tf * 2.2) /
+             |      (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))
+             |      AS c
+             |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN scalars),
+             |lex AS (
+             |  SELECT doc_id, r_lex FROM (
+             |    SELECT doc_id,
+             |      ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+             |    FROM (
+             |      SELECT doc_id,
+             |        round((COALESCE(MAX(CASE WHEN term = 'spark' THEN c END), 0.0) +
+             |               COALESCE(MAX(CASE WHEN term = 'join'  THEN c END), 0.0)) +
+             |               COALESCE(MAX(CASE WHEN term = 'merge' THEN c END), 0.0), 9)
+             |          AS bm25
+             |      FROM bscored GROUP BY doc_id))
+             |  WHERE r_lex <= 20),
+             |flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY 1),
+             |sdots AS (
+             |  SELECT c.vec_id AS doc_id,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos
+             |  WHERE q.vec_id = 0 AND c.vec_id <> 0
+             |  GROUP BY 1),
+             |sem AS (
+             |  SELECT doc_id, r_sem FROM (
+             |    SELECT d.doc_id,
+             |      ROW_NUMBER() OVER (
+             |        ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.doc_id) AS r_sem
+             |    FROM sdots d
+             |    JOIN norms nq ON nq.vec_id = 0
+             |    JOIN norms nc ON nc.vec_id = d.doc_id)
+             |  WHERE r_sem <= 20)
+             |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             |  CAST(COALESCE(l.r_lex, 0) AS INTEGER) AS r_lex,
+             |  CAST(COALESCE(s.r_sem, 0) AS INTEGER) AS r_sem,
+             |  round(COALESCE(1.0 / (60 + l.r_lex), 0.0) +
+             |        COALESCE(1.0 / (60 + s.r_sem), 0.0), 9) AS rrf
+             |FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Mixed-format image decode with media_type DISPATCH (graft.llm.Ppm joins
+    // graft.llm.Bmp): even doc_ids arrive as padded bottom-up BGR BMPs, odd as
+    // unpadded top-down RGB binary-P6 PPMs — same pixel formula either way, so
+    // the only way to hash-match is to route each record to the RIGHT codec and
+    // have BOTH codecs correct (feeding one format to the other decoder fails
+    // loudly on magic bytes; a subtler stride/order bug flips wsum_r). The
+    // oracle recomputes the statistics from the pixel formula with no decoder,
+    // and checks each format's size arithmetic via payload_bytes. Map-only =>
+    // embarrassingly parallel; at 100 TB this is the archetypal binary-column
+    // pipeline stage (decode cost scales with bytes, zero shuffle).
+    Q("multimodal_mixed_decode",
+      (s, dir) => {
+        import s.implicits._
+        graft.llm.Multimodal.extractFeaturesDispatch(s,
+            graft.llm.Multimodal.syntheticMixedImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF()
+          .select($"doc_id",
+            when($"doc_id" % 2 === 0, lit("image/bmp"))
+              .otherwise(lit("image/x-portable-pixmap")).as("media_type"),
+            $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"), $"n_px", $"payload_bytes",
+            $"sum_r", $"sum_g", $"sum_b", $"wsum_r")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 100),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+             |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |v AS (SELECT doc_id, w, h, x, y,
+             |        (doc_id*31 + x*7 + y*13) % 256 AS r,
+             |        (doc_id*31 + x*7 + y*13 + 101) % 256 AS g,
+             |        (doc_id*31 + x*7 + y*13 + 202) % 256 AS b
+             |      FROM px)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+             |       ELSE 'image/x-portable-pixmap' END AS media_type,
+             |  w AS width, h AS height,
+             |  COUNT(*) AS n_px,
+             |  CASE WHEN doc_id % 2 = 0
+             |       THEN 54 + (3*w + (4 - (3*w) % 4) % 4) * h
+             |       ELSE 3 + length(CAST(w AS VARCHAR)) + 1 +
+             |            length(CAST(h AS VARCHAR)) + 1 + 4 + 3*w*h
+             |  END AS payload_bytes,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r,
+             |  CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b,
+             |  CAST(SUM((x + 2*y + 1) * r) AS BIGINT) AS wsum_r
+             |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
+  )
+}
