@@ -69,6 +69,43 @@ object Multimodal {
     })
   }
 
+  /** Deterministic MIXED-format corpus: even doc_ids encode as BMP, odd as
+    * binary P6 PPM — same pixel formula and dims either way, so the decode
+    * dispatch (not the content) is what differs per record. */
+  def syntheticMixedImages(spark: SparkSession,
+      docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (16 + id % 8).toInt
+      val h = (12 + id % 5).toInt
+      val img = Bmp.synthetic(id, 0, w, h)
+      if (id % 2 == 0) MediaRecord(id, "image/bmp", Bmp.encode(img))
+      else MediaRecord(id, "image/x-portable-pixmap", Ppm.encode(img))
+    })
+  }
+
+  /** media_type-routed decode — the multi-codec registry every real multimodal
+    * pipeline has. Unknown types fail loudly (a silent skip would turn a
+    * mis-tagged corpus into quietly-wrong statistics). */
+  def decodeAny(mediaType: String, payload: Array[Byte]): Bmp.Image =
+    mediaType match {
+      case "image/bmp" => Bmp.decode(payload)
+      case "image/x-portable-pixmap" => Ppm.decode(payload)
+      case other => throw new IllegalArgumentException(
+        s"no image codec registered for media_type '$other'")
+    }
+
+  /** Partition-wise dispatch decode + feature extraction over a mixed-format
+    * corpus (see [[syntheticMixedImages]]). */
+  def extractFeaturesDispatch(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      imageStats(rec.doc_id, rec.payload.length.toLong,
+        decodeAny(rec.media_type, rec.payload))
+    })
+  }
+
   /** Deterministic multi-frame corpus: 3..6 concatenated BMP frames per doc
     * (each frame self-describes its byte length — the container walk in
     * [[Bmp.splitFrames]] is real parsing, not fixed-stride splitting). */
