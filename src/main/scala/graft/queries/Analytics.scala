@@ -1699,7 +1699,79 @@ object Analytics {
              |FROM nonadj
              |JOIN deg d1 ON d1.u = u1
              |JOIN deg d2 ON d2.u = u2
-             |ORDER BY common_cnt DESC, u1, u2 LIMIT 20""".stripMargin))
+             |ORDER BY common_cnt DESC, u1, u2 LIMIT 20""".stripMargin)),
+
+    // Community detection via synchronous weighted label propagation (LPA), 3
+    // unrolled rounds over the undirected trade graph of a 3-day shipping
+    // window (the full-year graph is near-complete and LPA correctly collapses
+    // it to one community — the sparse slice is what has structure: 5
+    // communities over 25 nations at sf0.01): each node adopts the
+    // label with the largest incident edge-weight sum among its neighbors
+    // (ties to the smallest label — the determinism rule that makes sync LPA
+    // hashable; async LPA is order-dependent by construction). Each round is
+    // ONE key-partitioned join + two grouped aggregations — the Pregel shape in
+    // plain DataFrames, like graph_pagerank; no driver-side state. At 100 TB
+    // the per-round shuffle carries |E| (neighbor,label) pairs keyed by node —
+    // hub skew is bounded by the same degree-capping as graph_link_prediction.
+    Q("graph_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-06-04").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .groupBy($"c_nationkey".as("x"), $"s_nationkey".as("y"))
+          .agg(count(lit(1)).as("w"))
+        val und = raw.select($"x".as("u"), $"y".as("v"), $"w")
+          .unionByName(raw.select($"y".as("u"), $"x".as("v"), $"w"))
+          .groupBy($"u", $"v").agg(sum($"w").as("w"))
+          .localCheckpoint() // 25-node edge list: cut the 4-join lineage once
+        var labels = und.select($"u".as("node")).distinct()
+          .withColumn("lbl", $"node")
+        for (_ <- 1 to 3) {
+          labels = und.join(labels, $"v" === $"node")
+            .groupBy($"u", $"lbl").agg(sum($"w").as("wsum"))
+            .groupBy($"u")
+            .agg(min(struct((-$"wsum").as("nw"), $"lbl".as("l"))).as("m"))
+            .select($"u".as("node"), $"m.l".as("lbl"))
+        }
+        labels.orderBy($"node")
+      },
+      Some {
+        val round = (k: Int) =>
+          s"""l$k AS (
+             |  SELECT u AS node, lbl FROM (
+             |    SELECT e.u, l.lbl,
+             |      ROW_NUMBER() OVER (PARTITION BY e.u
+             |        ORDER BY SUM(e.w) DESC, l.lbl) AS rn
+             |    FROM und e JOIN l${k - 1} l ON l.node = e.v
+             |    GROUP BY e.u, l.lbl) WHERE rn = 1)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT c_nationkey AS x, s_nationkey AS y, COUNT(*) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  WHERE c_nationkey <> s_nationkey
+           |    AND l_shipdate >= TIMESTAMP '1997-06-01'
+           |    AND l_shipdate <  TIMESTAMP '1997-06-04'
+           |  GROUP BY 1, 2),
+           |und AS (
+           |  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+           |    SELECT x AS u, y AS v, w FROM raw
+           |    UNION ALL SELECT y, x, w FROM raw)
+           |  GROUP BY 1, 2),
+           |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
+      })
   )
 
   /** The rolling-distinct SQL over any view with (ts TIMESTAMP, user_id BIGINT).

@@ -496,6 +496,116 @@ object LlmExt2 {
              |  CAST(SUM(g) AS BIGINT) AS sum_g,
              |  CAST(SUM(b) AS BIGINT) AS sum_b,
              |  CAST(SUM((x + 2*y + 1) * r) AS BIGINT) AS wsum_r
-             |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
+             |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    // Top principal direction of the embedding Gram matrix via 3 synchronous
+    // power iterations — the "is there one dominant axis eating my embedding
+    // space" anisotropy check (Mu & Viswanath 2018 run exactly this before
+    // all-but-the-top post-processing). Scale shape: the Gram matrix G[p,q] =
+    // sum_i v_ip*v_iq accumulates via map-side partial aggregation into d^2 =
+    // 4096 cells REGARDLESS of corpus size (the only full-data pass); each
+    // power iteration is then a d^2-row join — driver-scale work. Determinism:
+    // every cross-engine sum is decimal (associative); matvec terms are scaled
+    // by 2^-15 (exact power-of-two division) before the decimal cast so all
+    // cast inputs stay small-magnitude, where the double->decimal grid is
+    // coarser than the ulp and both engines round identically (QueryDSL note).
+    Q("embed_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+        val SC = 32768.0d
+        val flat = t(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
+          .select($"vec_id", ($"pos" + 1).as("pos"), $"vf".cast("double").as("v"))
+        val gram = flat.select($"vec_id", $"pos".as("p"), $"v".as("vp"))
+          .join(flat.select($"vec_id".as("vid2"), $"pos".as("q"), $"v".as("vq")),
+            $"vec_id" === $"vid2")
+          .groupBy($"p", $"q")
+          .agg(sum(($"vp" * $"vq").cast(DEC)).cast("double").as("g"))
+          .localCheckpoint() // 4096 cells: cut the self-join lineage once
+        def matvec(b: org.apache.spark.sql.DataFrame) =
+          gram.join(b, $"q" === $"bpos")
+            .select($"p", (($"g" * $"bv") / lit(SC)).cast(DEC).as("term"))
+            .groupBy($"p").agg(sum($"term").cast("double").as("y"))
+        def normalize(y: org.apache.spark.sql.DataFrame) = {
+          val n = y.agg(sqrt(sum(($"y" * $"y").cast(DEC)).cast("double")).as("nv"))
+          y.crossJoin(broadcast(n))
+            .select($"p".as("bpos"), ($"y" / $"nv").as("bv"))
+        }
+        var b = gram.select($"p".as("bpos")).distinct().withColumn("bv", lit(1.0d))
+        for (_ <- 1 to 3) b = normalize(matvec(b))
+        // Rayleigh quotient lambda = b'Gb, same scaled-decimal discipline
+        val lam = matvec(b).join(b, $"p" === $"bpos")
+          .agg((sum(($"y" * $"bv").cast(DEC)).cast("double") * lit(SC)).as("l"))
+        b.crossJoin(broadcast(lam))
+          .select($"bpos".as("pos"), round($"bv", 9).as("loading"),
+            round($"l", 6).as("eigenvalue"))
+          .orderBy($"pos")
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""y$k AS (
+             |  SELECT g.p, CAST(SUM(CAST(g.g * b.bv / 32768.0
+             |    AS DECIMAL(30,12))) AS DOUBLE) AS y
+             |  FROM gram g JOIN b${k - 1} b ON b.bpos = g.q GROUP BY 1),
+             |n$k AS (
+             |  SELECT sqrt(CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE))
+             |    AS nv FROM y$k),
+             |b$k AS (SELECT p AS bpos, y / nv AS bv FROM y$k, n$k)""".stripMargin
+        s"""WITH flat AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |gram AS (
+           |  SELECT a.pos AS p, c.pos AS q,
+           |    CAST(SUM(CAST(a.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS g
+           |  FROM flat a JOIN flat c ON a.vec_id = c.vec_id
+           |  GROUP BY 1, 2),
+           |b0 AS (SELECT DISTINCT p AS bpos, CAST(1.0 AS DOUBLE) AS bv FROM gram),
+           |${(1 to 3).map(iter).mkString(",\n")},
+           |lam AS (
+           |  SELECT CAST(SUM(CAST(y.y * b.bv AS DECIMAL(30,12))) AS DOUBLE)
+           |    * 32768.0 AS l
+           |  FROM (
+           |    SELECT g.p, CAST(SUM(CAST(g.g * b3.bv / 32768.0
+           |      AS DECIMAL(30,12))) AS DOUBLE) AS y
+           |    FROM gram g JOIN b3 ON b3.bpos = g.q GROUP BY 1) y
+           |  JOIN b3 b ON b.bpos = y.p)
+           |SELECT b.bpos AS pos, round(b.bv, 9) AS loading,
+           |  round(lam.l, 6) AS eigenvalue
+           |FROM b3 b, lam ORDER BY pos""".stripMargin
+      }),
+
+    // Sentence-level shape statistics (the segmentation-free kind both engines
+    // can mirror exactly: sentences counted as runs of terminator punctuation,
+    // not a lookbehind split RE2 can't express): per-doc sentence count, mean
+    // sentence length, question/exclamation mix, and whether the doc ends on a
+    // clean sentence boundary — the "is this prose or a fragment dump" quality
+    // signal next to text_quality_features. Map-only per doc.
+    Q("text_sentence_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", length($"text").as("n_chars"),
+            regexp_count($"text", lit("[.!?]+")).as("n_sent"),
+            regexp_count($"text", lit("\\?")).as("n_quest"),
+            regexp_count($"text", lit("!")).as("n_exclaim"),
+            rtrim($"text").rlike("[.!?]$").as("ends_clean"))
+          .select($"doc_id", $"n_chars", $"n_sent", $"n_quest", $"n_exclaim",
+            round($"n_chars" / greatest($"n_sent", lit(1)).cast("double"), 9)
+              .as("chars_per_sent"),
+            $"ends_clean")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(text) AS INTEGER) AS n_chars,
+             |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS INTEGER) AS n_sent,
+             |  CAST(len(regexp_extract_all(text, '\?')) AS INTEGER) AS n_quest,
+             |  CAST(len(regexp_extract_all(text, '!')) AS INTEGER) AS n_exclaim,
+             |  round(len(text) / CAST(GREATEST(
+             |    len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE), 9)
+             |    AS chars_per_sent,
+             |  regexp_matches(rtrim(text), '[.!?]$') AS ends_clean
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
