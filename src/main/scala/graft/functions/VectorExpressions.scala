@@ -170,6 +170,78 @@ object FloatVecDotExact {
   }
 }
 
+/** Native Catalyst expression: dot product of two `array<bigint>` columns in
+  * exact long arithmetic — the hot path of int8-quantized similarity search
+  * (sim_int8_rerank), where candidate scores are integer by design so the
+  * result is bit-reproducible on any engine. The HOF spelling
+  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0L, (acc,x)=>acc+x)` is CodegenFallback
+  * (per-pair array allocation + lambda dispatch); this runs the whole loop
+  * inside whole-stage codegen. Same long wrap-around semantics as the HOF's
+  * non-ANSI multiply/add (irrelevant for 8-bit codes: |sum| <= d * 255^2).
+  *
+  * Null semantics mirror the HOF chain: null array, null element, or length
+  * mismatch (zip_with pads with null) all yield NULL. */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ivec_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |boolean $bad = ($b.numElements() != $n);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API + SQL-registry surface for the native vector expressions. */
 object VectorFunctions {
 
@@ -180,16 +252,23 @@ object VectorFunctions {
   def vec_dot_exact(a: Column, b: Column): Column =
     Bridge.column(FloatVecDotExact(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Exact integer dot over array<bigint> — codegen'd HOF drop-in. */
+  def ivec_dot(a: Column, b: Column): Column =
+    Bridge.column(LongVecDot(Bridge.expression(a), Bridge.expression(b)))
+
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 
   /** Codegen'd cosine similarity (BENCH path). */
   def cosine_fast(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
-  /** Register `vec_dot` for SQL use in an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the vector functions for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ivec_dot", exprs => LongVecDot(exprs(0), exprs(1)), "scala_udf")
+  }
 }
 
 /** Session extension wiring (`.withExtensions(new GraftExtensions)` or
@@ -201,6 +280,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ivec_dot"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "ivec_dot"),
+      (exprs: Seq[Expression]) => LongVecDot(exprs(0), exprs(1))))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_similarity"),
       new ExpressionInfo(classOf[JaroSimilarity].getName, "jaro_similarity"),

@@ -74,10 +74,12 @@ object LlmExt2 {
         val qs = codes.filter($"vec_id" < 10)
           .select($"vec_id".as("qid"), $"qc".as("qq"))
         val cs = codes.select($"vec_id".as("vid"), $"qc".as("cq"))
-        // integer dot: associative, overflow-free (64 dims x 255^2 << 2^63)
+        // integer dot: associative, overflow-free (64 dims x 255^2 << 2^63);
+        // ivec_dot is the codegen'd long-loop expression (HOF-bit-equal,
+        // spec-enforced) — the quantized scan IS the hot path at scale
         val idot = cs.join(broadcast(qs), $"qid" =!= $"vid")
-          .withColumn("idot", aggregate(
-            zip_with($"qq", $"cq", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+          .withColumn("idot",
+            graft.functions.VectorFunctions.ivec_dot($"qq", $"cq"))
         val wc = Window.partitionBy($"qid").orderBy($"idot".desc, $"vid")
         val cand = idot.withColumn("rn", row_number().over(wc))
           .filter($"rn" <= 20).select($"qid", $"vid")
@@ -533,7 +535,14 @@ object LlmExt2 {
             .select($"p".as("bpos"), ($"y" / $"nv").as("bv"))
         }
         var b = gram.select($"p".as("bpos")).distinct().withColumn("bv", lit(1.0d))
-        for (_ <- 1 to 3) b = normalize(matvec(b))
+        // normalize() consumes its input twice (norm agg + division) and lam
+        // reuses b twice more — without materialization the lineage DOUBLES per
+        // iteration (the static plan hits ~111 shuffles). Each b/y frame is d
+        // = 64 rows, so an eager localCheckpoint per step is a no-op cost that
+        // keeps every stage's plan one-join deep — the same driver-scale
+        // materialization a production solver applies to its iterate.
+        for (_ <- 1 to 3)
+          b = normalize(matvec(b).localCheckpoint()).localCheckpoint()
         // Rayleigh quotient lambda = b'Gb, same scaled-decimal discipline
         val lam = matvec(b).join(b, $"p" === $"bpos")
           .agg((sum(($"y" * $"bv").cast(DEC)).cast("double") * lit(SC)).as("l"))

@@ -43,12 +43,17 @@ object PlanLint {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    // optional second arg: regex over query names (fast local iteration; the
+    // committed PLANS.md snapshot is always the full, unfiltered run)
+    val nameFilter = args.lift(1).map(_.r)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(_.matches(name)) }
+      .foreach { case (name, fn) =>
       try {
         val exec = fn(spark, sfDir).queryExecution.executedPlan
         val plan = exec.toString

@@ -163,6 +163,41 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got(1).toSeq == Seq(10.0, 0.0))
   }
 
+  test("ivec_dot is bit-equal to the long HOF formulation (incl. negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Array.fill(n)(rnd.nextLong() % 100000L),
+        Array.fill(n)(rnd.nextLong() % 100000L))
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        VectorFunctions.ivec_dot($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+          (acc, x) => acc + x).as("hof"))
+      .filter(!($"native" <=> $"hof")).count()
+    assert(bad == 0)
+  }
+
+  test("ivec_dot null semantics: null array, null element, length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(3L)))), // length mismatch
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(3L), Some(4L)))), // null elem
+      (None, Some(Seq(Some(1L)))) // null array
+    ).toDF("a", "b").select($"a".cast("array<bigint>"), $"b".cast("array<bigint>"))
+    val got = df.select(VectorFunctions.ivec_dot($"a", $"b")).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
+  test("ivec_dot is registered for SQL via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT ivec_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(got == 32L)
+  }
+
   test("TopK aggregator keeps exactly k best with deterministic tie-break") {
     import spark.implicits._
     val ds = Seq((1, 0.5, 10L), (1, 0.9, 11L), (1, 0.9, 12L), (1, 0.1, 13L))
