@@ -615,6 +615,193 @@ object LlmExt2 {
              |    len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE), 9)
              |    AS chars_per_sent,
              |  regexp_matches(rtrim(text), '[.!?]$') AS ends_clean
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BPE tokenizer TRAINING, 3 unrolled merge rounds (Sennrich et al. 2016):
+    // count adjacent symbol pairs over the frequency-weighted vocabulary, pick
+    // the most frequent pair (ties to lexicographically smallest — the
+    // determinism rule), apply the merge left-to-right non-overlapping, repeat.
+    // Words are sep-joined symbol strings and a merge is one (non-regex)
+    // replace of "a<SEP>b" with "ab" — exactly left-to-right non-overlapping
+    // on both engines, and safe against the "aaa" cascade because a merged
+    // symbol no longer matches its left half. Scale shape: the ONLY
+    // corpus-size pass is the word-frequency groupBy; every merge round then
+    // operates on the VOCAB table (bounded: ~millions of types at any corpus
+    // size) with the 1-row winning pair broadcast — the standard
+    // train-on-types trick that makes BPE training corpus-size-independent.
+    Q("text_bpe_train_merges",
+      (s, dir) => {
+        import s.implicits._
+        val sep = "\u0001"
+        val words = t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+        var syms = words
+          .withColumn("syms",
+            concat_ws(sep, filter(split($"w", ""), x => length(x) > 0)))
+          .select($"freq", $"syms")
+          .localCheckpoint() // vocab-size frame; cut lineage per round
+        var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+        for (k <- 1 to 3) {
+          val pairs = syms
+            .withColumn("parts", split($"syms", sep))
+            .filter(size($"parts") >= 2)
+            .select($"freq", explode(transform(
+              sequence(lit(0), size($"parts") - 2),
+              i => struct(element_at($"parts", i + 1).as("a"),
+                element_at($"parts", i + 2).as("b")))).as("p"))
+            .groupBy($"p.a".as("a"), $"p.b".as("b"))
+            .agg(sum($"freq").as("cnt"))
+          val best = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
+            .select($"a".as("ml"), $"b".as("mr"), $"cnt")
+            .localCheckpoint() // 1 row; evaluated once, reused by 2 consumers
+          merges = merges :+ best.select(lit(k).as("round"),
+            $"ml".as("merge_left"), $"mr".as("merge_right"),
+            $"cnt".cast("long").as("pair_count"))
+          syms = syms.crossJoin(broadcast(best.select($"ml", $"mr")))
+            .withColumn("syms",
+              expr(s"replace(syms, ml || '$sep' || mr, ml || mr)"))
+            .select($"freq", $"syms")
+            .localCheckpoint()
+        }
+        merges.reduce(_ unionByName _).orderBy($"round")
+      },
+      Some {
+        val round = (k: Int) =>
+          s"""pairs$k AS (
+             |  SELECT s.a, s.b, SUM(freq) AS cnt FROM (
+             |    SELECT freq, parts[i] AS a, parts[i+1] AS b
+             |    FROM (SELECT freq, string_split(syms, chr(1)) AS parts
+             |          FROM syms${k - 1}),
+             |         LATERAL unnest(generate_series(1, len(parts)-1)) AS g(i)
+             |  ) s GROUP BY 1, 2),
+             |best$k AS (SELECT a, b, cnt FROM pairs$k
+             |           ORDER BY cnt DESC, a, b LIMIT 1),
+             |syms$k AS (
+             |  SELECT freq,
+             |    replace(syms,
+             |      (SELECT a FROM best$k) || chr(1) || (SELECT b FROM best$k),
+             |      (SELECT a FROM best$k) || (SELECT b FROM best$k)) AS syms
+             |  FROM syms${k - 1})""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+           |    x -> x <> '')) AS w
+           |  FROM documents),
+           |words AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY 1),
+           |syms0 AS (
+           |  SELECT freq,
+           |    array_to_string(list_transform(generate_series(1, len(w)),
+           |      i -> substring(w, CAST(i AS INTEGER), 1)), chr(1)) AS syms
+           |  FROM words),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT k AS round, a AS merge_left, b AS merge_right,
+           |  CAST(cnt AS BIGINT) AS pair_count
+           |FROM (
+           |  SELECT 1 AS k, a, b, cnt FROM best1
+           |  UNION ALL SELECT 2, a, b, cnt FROM best2
+           |  UNION ALL SELECT 3, a, b, cnt FROM best3)
+           |ORDER BY round""".stripMargin
+      }),
+
+    // CCNet-style LM-score tercile bucketing + per-bucket sampling (Wenzek et
+    // al. 2020: score each doc with a cheap LM, split the corpus into
+    // head/middle/tail by score terciles, keep head, subsample middle, drop
+    // tail). The LM is the add-one-smoothed bigram surprisal already used by
+    // text_bigram_surprisal; terciles come from the VALUE HISTOGRAM with the
+    // agg_histogram_equidepth two-level prefix sum (range-bucket the scores,
+    // window within range buckets, cross-bucket offsets on the tiny per-bucket
+    // frame) — integer `div` bucket arithmetic, no global row_number over docs,
+    // no engine-specific rounding. The middle-bucket subsample is the md5-
+    // nibble deterministic coin (sample_stratified_hash pattern). Output is
+    // the per-bucket corpus report.
+    Q("text_surprisal_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val bg = docs.select($"doc_id", explode(TF.ngrams($"toks", 2)).as("bg"))
+        val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+        val uni = docs.select(explode($"toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+          .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+        val surpr = -log(($"c2" + 1).cast("double") / ($"c1" + $"v"))
+        val per = bg.join(c2, Seq("bg"))
+          .join(broadcast(uni), substring_index($"bg", " ", 1) === $"w")
+          .select($"doc_id", surpr.cast("decimal(30,12)").as("s"))
+          .groupBy($"doc_id")
+          .agg(round((sum($"s").cast("double") / count(lit(1))), 6)
+            .as("mean_surprisal"))
+        val h = per.groupBy($"mean_surprisal".as("sv"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rb", floor($"sv"))
+        val offsets = h.groupBy($"rb").agg(sum($"c").as("rb_c"))
+          .withColumn("offset", coalesce(
+            sum($"rb_c").over(Window.orderBy($"rb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum($"rb_c").over(Window.partitionBy()))
+          .select($"rb", $"offset", $"n")
+        val bucketed = h.join(broadcast(offsets), Seq("rb"))
+          .withColumn("cum", $"offset" + sum($"c").over(
+            Window.partitionBy($"rb").orderBy($"sv")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("bucket", expr("(((cum - c) * 3) div n) + 1"))
+          .select($"sv", $"bucket")
+        val nib = conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10)
+          .cast("int")
+        per.join(bucketed, $"mean_surprisal" === $"sv")
+          .withColumn("kept",
+            $"bucket" === 1 || ($"bucket" === 2 && nib < 8))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+            min($"mean_surprisal").as("min_surprisal"),
+            max($"mean_surprisal").as("max_surprisal"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+             |  FROM docs WHERE len(toks) >= 2),
+             |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+             |u0 AS (SELECT unnest(toks) AS w FROM docs),
+             |uni AS (SELECT w, count(*) AS c1 FROM u0 GROUP BY w),
+             |uni2 AS (SELECT w, c1, count(*) OVER () AS v FROM uni),
+             |per AS (
+             |  SELECT bg.doc_id,
+             |    round(CAST(SUM(CAST(-ln(CAST(c2.c2 + 1 AS DOUBLE)
+             |      / (uni2.c1 + uni2.v)) AS DECIMAL(30,12))) AS DOUBLE)
+             |      / count(*), 6) AS mean_surprisal
+             |  FROM bg JOIN c2 USING (bg)
+             |  JOIN uni2 ON split_part(bg.bg, ' ', 1) = uni2.w
+             |  GROUP BY bg.doc_id),
+             |h AS (SELECT mean_surprisal AS sv, COUNT(*) AS c
+             |      FROM per GROUP BY 1),
+             |cd AS (
+             |  SELECT sv, c,
+             |    CAST(SUM(c) OVER (ORDER BY sv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum,
+             |    CAST(SUM(c) OVER () AS BIGINT) AS n
+             |  FROM h),
+             |bk AS (SELECT sv, (((cum - c) * 3) // n) + 1 AS bucket FROM cd),
+             |j AS (
+             |  SELECT per.doc_id, per.mean_surprisal, bk.bucket,
+             |    (bk.bucket = 1 OR (bk.bucket = 2 AND
+             |      instr('0123456789abcdef',
+             |        substring(md5(CAST(per.doc_id AS VARCHAR)), 1, 1)) - 1 < 8))
+             |      AS kept
+             |  FROM per JOIN bk ON bk.sv = per.mean_surprisal)
+             |SELECT bucket, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  MIN(mean_surprisal) AS min_surprisal,
+             |  MAX(mean_surprisal) AS max_surprisal
+             |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }
