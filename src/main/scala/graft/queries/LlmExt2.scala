@@ -516,15 +516,25 @@ object LlmExt2 {
         import s.implicits._
         val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
         val SC = 32768.0d
-        val flat = t(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
-          .select($"vec_id", ($"pos" + 1).as("pos"), $"vf".cast("double").as("v"))
-        val gram = flat.select($"vec_id", $"pos".as("p"), $"v".as("vp"))
-          .join(flat.select($"vec_id".as("vid2"), $"pos".as("q"), $"v".as("vq")),
-            $"vec_id" === $"vid2")
-          .groupBy($"p", $"q")
-          .agg(sum(($"vp" * $"vq").cast(DEC)).cast("double").as("g"))
-          .localCheckpoint() // 4096 cells: cut the self-join lineage once
+        // Gram accumulation WITHOUT a self-join (each exploded row carries the
+        // vector's own array, so products come from a slice of the row itself)
+        // and only for the upper triangle p <= q — float multiplication is
+        // exactly commutative, so the mirrored cells are bit-identical and the
+        // decimal-cast work halves (this was the whole-bench slowest query as
+        // a full self-join; n*d(d+1)/2 terms now, no join hash table)
+        val upper = t(s, dir, "embeddings")
+          .select($"embedding", posexplode($"embedding").as(Seq("pi", "vpf")))
+          .select($"pi", $"vpf".cast("double").as("vp"),
+            slice($"embedding", $"pi" + 1, size($"embedding") - $"pi")
+              .as("tailv"))
+          .select($"pi", $"vp", posexplode($"tailv").as(Seq("j", "vqf")))
+          .select(($"pi" + 1).as("p"), ($"pi" + $"j" + 1).as("q"),
+            ($"vp" * $"vqf".cast("double")).cast(DEC).as("term"))
+          .groupBy($"p", $"q").agg(sum($"term").cast("double").as("g"))
+        val gram = upper
+          .unionByName(upper.filter($"p" =!= $"q")
+            .select($"q".as("p"), $"p".as("q"), $"g"))
+          .localCheckpoint() // 4096 cells: cut the generator lineage once
         def matvec(b: org.apache.spark.sql.DataFrame) =
           gram.join(b, $"q" === $"bpos")
             .select($"p", (($"g" * $"bv") / lit(SC)).cast(DEC).as("term"))
@@ -802,6 +812,110 @@ object LlmExt2 {
              |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  MIN(mean_surprisal) AS min_surprisal,
              |  MAX(mean_surprisal) AS max_surprisal
-             |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Keyframe selection over multi-frame (video-shaped) payloads: decode every
+    // frame (real container walk + BMP decode), score each by red-channel mass,
+    // keep the argmax frame per video (ties to the earliest frame) — the
+    // thumbnail/representative-frame pick every video ingestion pipeline runs.
+    // One grouped argmax after the map-only decode pass; the oracle recomputes
+    // frame scores from the pixel formula with no decoder.
+    Q("multimodal_keyframe_select",
+      (s, dir) => {
+        import s.implicits._
+        val ff = graft.llm.Multimodal.frameSample(s,
+            graft.llm.Multimodal.syntheticVideos(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)), everyK = 1)
+          .toDF()
+        ff.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            min(struct((-$"sum_r").as("ns"), $"frame_idx".as("fi"))).as("m"))
+          .select($"doc_id", $"n_frames",
+            $"m.fi".cast("long").as("keyframe_idx"),
+            (-$"m.ns").as("keyframe_sum_r"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 12 + doc_id % 6 AS w, 10 + doc_id % 5 AS h,
+             |         3 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 100),
+             |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+             |xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+             |px AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs),
+             |fsum AS (
+             |  SELECT doc_id, f,
+             |    CAST(SUM((doc_id*31 + f*17 + x*7 + y*13) % 256) AS BIGINT)
+             |      AS sum_r
+             |  FROM px GROUP BY 1, 2),
+             |pick AS (
+             |  SELECT doc_id, f, sum_r,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY sum_r DESC, f) AS rn,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS n_frames
+             |  FROM fsum)
+             |SELECT doc_id, n_frames, f AS keyframe_idx, sum_r AS keyframe_sum_r
+             |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Binary sign quantization + exact Hamming ranking (32x compression: one
+    // sign bit per dimension, packed 32 dims per word): similarity = small
+    // Hamming distance between packed sign words — xor + popcount, the
+    // cheapest ANN prescreen there is, and INTEGER-exact so fully
+    // hash-matchable (the float-scored LSH variants are rows-only). Scale
+    // shape: packing is map-only; the 10-probe query side broadcasts; corpus
+    // scan reads 2 longs per vector instead of 64 floats. At 100 TB this is
+    // the in-cache first stage in front of int8/PQ rerank.
+    Q("sim_binary_sign_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val words = e
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
+          .withColumn("wd", floor($"pos" / 32).cast("int"))
+          .withColumn("bitv", when($"vf" >= 0f,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+            .otherwise(lit(0L)))
+          .groupBy($"vec_id", $"wd").agg(sum($"bitv").as("wv"))
+          .groupBy($"vec_id")
+          .agg(max(when($"wd" === 0, $"wv")).as("w0"),
+            coalesce(max(when($"wd" === 1, $"wv")), lit(0L)).as("w1"))
+        val qs = words.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"w0".as("q0"), $"w1".as("q1"))
+        val ham = words.join(broadcast(qs), $"qid" =!= $"vec_id")
+          .withColumn("hamming",
+            expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)"))
+        val w = Window.partitionBy($"qid").orderBy($"hamming", $"vec_id")
+        ham.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+          .select($"qid", $"rank", $"vec_id".as("vid"),
+            $"hamming".cast("int").as("hamming"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, unnest(embedding) AS v,
+             |         generate_subscripts(embedding, 1) - 1 AS pos
+             |  FROM embeddings),
+             |wrd AS (
+             |  SELECT vec_id, pos // 32 AS wd,
+             |    CAST(SUM(CASE WHEN v >= 0
+             |      THEN (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+             |      ELSE 0 END) AS BIGINT) AS wv
+             |  FROM flat GROUP BY 1, 2),
+             |packed AS (
+             |  SELECT vec_id,
+             |    MAX(CASE WHEN wd = 0 THEN wv END) AS w0,
+             |    COALESCE(MAX(CASE WHEN wd = 1 THEN wv END), 0) AS w1
+             |  FROM wrd GROUP BY 1),
+             |ham AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1))
+             |      AS hamming
+             |  FROM packed q JOIN packed c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT qid, vid, hamming,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY hamming, vid) AS rank
+             |  FROM ham)
+             |SELECT qid, rank, vid, CAST(hamming AS INTEGER) AS hamming
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
   )
 }
