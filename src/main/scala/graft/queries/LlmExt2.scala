@@ -642,77 +642,60 @@ object LlmExt2 {
     Q("text_bpe_train_merges",
       (s, dir) => {
         import s.implicits._
-        val sep = "\u0001"
-        val words = t(s, dir, "documents")
-          .select(explode(TF.tokens($"text")).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("freq"))
-        var syms = words
-          .withColumn("syms",
-            concat_ws(sep, filter(split($"w", ""), x => length(x) > 0)))
-          .select($"freq", $"syms")
-          .localCheckpoint() // vocab-size frame; cut lineage per round
-        var merges = Seq.empty[org.apache.spark.sql.DataFrame]
-        for (k <- 1 to 3) {
-          val pairs = syms
-            .withColumn("parts", split($"syms", sep))
-            .filter(size($"parts") >= 2)
-            .select($"freq", explode(transform(
-              sequence(lit(0), size($"parts") - 2),
-              i => struct(element_at($"parts", i + 1).as("a"),
-                element_at($"parts", i + 2).as("b")))).as("p"))
-            .groupBy($"p.a".as("a"), $"p.b".as("b"))
-            .agg(sum($"freq").as("cnt"))
-          val best = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
-            .select($"a".as("ml"), $"b".as("mr"), $"cnt")
-            .localCheckpoint() // 1 row; evaluated once, reused by 2 consumers
-          merges = merges :+ best.select(lit(k).as("round"),
-            $"ml".as("merge_left"), $"mr".as("merge_right"),
-            $"cnt".cast("long").as("pair_count"))
-          syms = syms.crossJoin(broadcast(best.select($"ml", $"mr")))
-            .withColumn("syms",
-              expr(s"replace(syms, ml || '$sep' || mr, ml || mr)"))
-            .select($"freq", $"syms")
-            .localCheckpoint()
-        }
-        merges.reduce(_ unionByName _).orderBy($"round")
+        val (merges, _) = bpeTrain(s, t(s, dir, "documents"), rounds = 3)
+        merges.orderBy($"round")
       },
-      Some {
-        val round = (k: Int) =>
-          s"""pairs$k AS (
-             |  SELECT s.a, s.b, SUM(freq) AS cnt FROM (
-             |    SELECT freq, parts[i] AS a, parts[i+1] AS b
-             |    FROM (SELECT freq, string_split(syms, chr(1)) AS parts
-             |          FROM syms${k - 1}),
-             |         LATERAL unnest(generate_series(1, len(parts)-1)) AS g(i)
-             |  ) s GROUP BY 1, 2),
-             |best$k AS (SELECT a, b, cnt FROM pairs$k
-             |           ORDER BY cnt DESC, a, b LIMIT 1),
-             |syms$k AS (
-             |  SELECT freq,
-             |    replace(syms,
-             |      (SELECT a FROM best$k) || chr(1) || (SELECT b FROM best$k),
-             |      (SELECT a FROM best$k) || (SELECT b FROM best$k)) AS syms
-             |  FROM syms${k - 1})""".stripMargin
-        s"""WITH toks AS (
-           |  SELECT unnest(list_filter(
-           |    regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
-           |    x -> x <> '')) AS w
-           |  FROM documents),
-           |words AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY 1),
-           |syms0 AS (
-           |  SELECT freq,
-           |    array_to_string(list_transform(generate_series(1, len(w)),
-           |      i -> substring(w, CAST(i AS INTEGER), 1)), chr(1)) AS syms
-           |  FROM words),
-           |${(1 to 3).map(round).mkString(",\n")}
+      Some(s"""WITH ${bpeDuckCtes(3)}
            |SELECT k AS round, a AS merge_left, b AS merge_right,
            |  CAST(cnt AS BIGINT) AS pair_count
            |FROM (
            |  SELECT 1 AS k, a, b, cnt FROM best1
            |  UNION ALL SELECT 2, a, b, cnt FROM best2
            |  UNION ALL SELECT 3, a, b, cnt FROM best3)
-           |ORDER BY round""".stripMargin
-      }),
+           |ORDER BY round""".stripMargin)),
+
+    // ENCODE with the trained tokenizer: apply the 3 learned merges to every
+    // word type, then roll token counts up to documents through the word-
+    // instance join -- the standard type-level encode (each distinct word is
+    // segmented once, not once per occurrence). Per doc: character count, BPE
+    // token count after merges, and the compression the merges bought. Same
+    // scale shape as training: the corpus-size passes are the word explode and
+    // the final doc rollup; segmentation itself runs on the vocab table.
+    Q("text_bpe_apply",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val (_, syms) = bpeTrain(s, docs, rounds = 3)
+        val wordTok = syms.select($"w",
+          size(split($"syms", BpeSep)).as("n_tok"),
+          length($"w").as("n_ch"))
+        docs.select($"doc_id", explode(TF.tokens($"text")).as("w"))
+          .join(wordTok, "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_ch").cast("long").as("n_chars"),
+            sum($"n_tok").cast("long").as("n_bpe_tokens"))
+          .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+            round($"n_bpe_tokens" / $"n_chars".cast("double"), 9)
+              .as("compression"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ${bpeDuckCtes(3)},
+           |wtok AS (
+           |  SELECT w, len(string_split(syms, chr(1))) AS n_tok,
+           |    len(w) AS n_ch
+           |  FROM syms3),
+           |inst AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+           |    x -> x <> '')) AS w
+           |  FROM documents)
+           |SELECT i.doc_id, COUNT(*) AS n_words,
+           |  CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           |  round(SUM(n_tok) / CAST(SUM(n_ch) AS DOUBLE), 9) AS compression
+           |FROM inst i JOIN wtok ON wtok.w = i.w
+           |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin)),
 
     // CCNet-style LM-score tercile bucketing + per-bucket sampling (Wenzek et
     // al. 2020: score each doc with a cheap LM, split the corpus into
@@ -918,4 +901,82 @@ object LlmExt2 {
              |SELECT qid, rank, vid, CAST(hamming AS INTEGER) AS hamming
              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
   )
+
+  /** Symbol separator for the BPE training/encode representation. */
+  private val BpeSep = "\u0001"
+
+  /** Shared BPE trainer (see text_bpe_train_merges for the algorithm notes):
+    * returns (merge table: round/merge_left/merge_right/pair_count, final
+    * per-word symbol strings: w/freq/syms). Vocab-size frames are
+    * localCheckpoint'd per round; the 1-row winning pair broadcasts. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val words = docs
+      .select(explode(TF.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    var syms = words
+      .withColumn("syms",
+        concat_ws(BpeSep, filter(split($"w", ""), x => length(x) > 0)))
+      .select($"w", $"freq", $"syms")
+      .localCheckpoint() // vocab-size frame; cut lineage per round
+    var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to rounds) {
+      val pairs = syms
+        .withColumn("parts", split($"syms", BpeSep))
+        .filter(size($"parts") >= 2)
+        .select($"freq", explode(transform(
+          sequence(lit(0), size($"parts") - 2),
+          i => struct(element_at($"parts", i + 1).as("a"),
+            element_at($"parts", i + 2).as("b")))).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .select($"a".as("ml"), $"b".as("mr"), $"cnt")
+        .localCheckpoint() // 1 row; evaluated once, reused by 2 consumers
+      merges = merges :+ best.select(lit(k).as("round"),
+        $"ml".as("merge_left"), $"mr".as("merge_right"),
+        $"cnt".cast("long").as("pair_count"))
+      syms = syms.crossJoin(broadcast(best.select($"ml", $"mr")))
+        .withColumn("syms",
+          expr(s"replace(syms, ml || '$BpeSep' || mr, ml || mr)"))
+        .select($"w", $"freq", $"syms")
+        .localCheckpoint()
+    }
+    (merges.reduce(_ unionByName _), syms)
+  }
+
+  /** DuckDB CTE chain mirroring [[bpeTrain]]: defines toks/words/syms0 and
+    * pairsK/bestK/symsK for k = 1..rounds (caller appends its own SELECT). */
+  private def bpeDuckCtes(rounds: Int): String = {
+    val round = (k: Int) =>
+      s"""pairs$k AS (
+         |  SELECT s.a, s.b, SUM(freq) AS cnt FROM (
+         |    SELECT freq, parts[i] AS a, parts[i+1] AS b
+         |    FROM (SELECT freq, string_split(syms, chr(1)) AS parts
+         |          FROM syms${k - 1}),
+         |         LATERAL unnest(generate_series(1, len(parts)-1)) AS g(i)
+         |  ) s GROUP BY 1, 2),
+         |best$k AS (SELECT a, b, cnt FROM pairs$k
+         |           ORDER BY cnt DESC, a, b LIMIT 1),
+         |syms$k AS (
+         |  SELECT w, freq,
+         |    replace(syms,
+         |      (SELECT a FROM best$k) || chr(1) || (SELECT b FROM best$k),
+         |      (SELECT a FROM best$k) || (SELECT b FROM best$k)) AS syms
+         |  FROM syms${k - 1})""".stripMargin
+    s"""toks AS (
+       |  SELECT unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+       |    x -> x <> '')) AS w
+       |  FROM documents),
+       |words AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY 1),
+       |syms0 AS (
+       |  SELECT w, freq,
+       |    array_to_string(list_transform(generate_series(1, len(w)),
+       |      i -> substring(w, CAST(i AS INTEGER), 1)), chr(1)) AS syms
+       |  FROM words),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
 }
