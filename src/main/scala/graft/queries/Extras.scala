@@ -296,6 +296,45 @@ object Extras {
              |  MAX(s_name) AS max_name
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DSv2 RUNTIME filtering (SupportsRuntimeFiltering): the selective
+    // broadcast dimension's observed join keys arrive at the fixed-width scan
+    // as a dynamicpruning IN filter at EXECUTION time, so the fact reader
+    // row-skips on keys no dim row can match — DPP semantics for a custom
+    // connector. The pushdown only saves work (Spark keeps the join above the
+    // scan), so results are byte-identical with or without it;
+    // FixedWidthSourceSpec plan-asserts the RuntimeFilters attachment.
+    Q("fixedwidth_runtime_filter",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_agg")
+        val d = new java.io.File(out)
+        if (!d.exists() ||
+            !d.listFiles().exists(_.getName.startsWith("_graft_manifest"))) {
+          if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+          t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_name", $"s_nationkey")
+            .write.format("graft.sources.FixedWidthSource")
+            .option("widths", "8,24,4").mode("append").save(out)
+        }
+        val feed = s.read.format("graft.sources.FixedWidthSource")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+          .option("widths", "8,24,4")
+          .load(out)
+        val dim = t(s, dir, "nation")
+          .filter($"n_name".isin("NATION_3", "NATION_7", "NATION_11"))
+          .select($"n_nationkey", $"n_name")
+        feed.join(broadcast(dim), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_suppliers"),
+            min($"s_suppkey").as("min_key"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_suppliers,
+             |  MIN(s_suppkey) AS min_key
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Typed Dataset[T] pipeline (case-class Encoder, lambda filter, groupByKey +
     // mapGroups): the type-safe API leg of the engine. The lambda stages pay a
     // deserialize/serialize boundary — documented trade-off vs the Column API (use

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -236,7 +236,27 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     required: StructType, val pushedFilters: Array[Filter], limit: Int = -1,
     aggSpecs: Option[FixedWidthPushedAgg] = None, aggComplete: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filters delivered after planning — e.g. the IN-set of
+    * join keys observed on a broadcast join's build side. Appended to the
+    * reader's row-filter set, so a selective dimension prunes the fact scan
+    * at execution time; like all pushdown here they only SAVE work (Spark
+    * keeps its own copy of the predicate above the scan). */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Which columns may host a runtime filter: any read column of a plain row
+    * scan. An aggregate-pushdown scan emits pre-aggregated rows (filtering
+    * them post-hoc would be wrong) and a pushed limit counts surviving rows —
+    * both advertise NO filterable attributes instead. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggSpecs.isDefined || limit >= 0) Array.empty
+    else required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(FixedWidthFilters.supported(dataSchema, _))
   override def readSchema(): StructType =
     aggSpecs.map(FixedWidthAgg.schemaOf(dataSchema, _)).getOrElse(required)
   override def toBatch: Batch = this
@@ -318,8 +338,8 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(dataSchema, widths, required, pushedFilters,
-      limit, aggSpecs, FixedWidthConf.capture())
+    new FixedWidthReaderFactory(dataSchema, widths, required,
+      pushedFilters ++ runtimeFilters, limit, aggSpecs, FixedWidthConf.capture())
 }
 
 case class FixedWidthPartition(file: String) extends InputPartition
