@@ -1771,6 +1771,73 @@ object Analytics {
            |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
            |${(1 to 3).map(round).mkString(",\n")}
            |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
+      }),
+
+    // k-core peeling (k = 3), 3 synchronous rounds over the same 3-day trade
+    // slice: each round drops nodes of degree < k and the edges touching them;
+    // what survives 3 rounds approximates the 3-core (the full core is the
+    // fixpoint — bounded rounds keep the oracle an unrolled CTE chain, the
+    // same contract as BFS/pagerank/LPA). Each round is one degree count +
+    // one semi-join — Pregel-by-joins; at 100 TB both legs are key-partitioned
+    // equi-joins over the shrinking edge set.
+    Q("graph_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-06-04").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .select($"c_nationkey".as("x"), $"s_nationkey".as("y"))
+        var edges = raw
+          .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+          .distinct()
+          .select($"a".as("u"), $"b".as("v"))
+          .unionByName(raw.select(least($"x", $"y").as("a"),
+            greatest($"x", $"y").as("b")).distinct()
+            .select($"b".as("u"), $"a".as("v")))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          val keep = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+            .filter($"d" >= 3).select($"u".as("kn"))
+          edges = edges
+            .join(keep, $"u" === $"kn", "left_semi")
+            .join(keep.select($"kn".as("kn2")), $"v" === $"kn2", "left_semi")
+            .localCheckpoint()
+        }
+        edges.groupBy($"u".as("node")).agg(count(lit(1)).as("core_degree"))
+          .orderBy($"node")
+      },
+      Some {
+        val round = (k: Int) =>
+          s"""keep$k AS (
+             |  SELECT u FROM e${k - 1} GROUP BY u HAVING COUNT(*) >= 3),
+             |e$k AS (
+             |  SELECT e.u, e.v FROM e${k - 1} e
+             |  JOIN keep$k ku ON ku.u = e.u
+             |  JOIN keep$k kv ON kv.u = e.v)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+           |    greatest(c_nationkey, s_nationkey) AS b
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  WHERE c_nationkey <> s_nationkey
+           |    AND l_shipdate >= TIMESTAMP '1997-06-01'
+           |    AND l_shipdate <  TIMESTAMP '1997-06-04'),
+           |e0 AS (
+           |  SELECT a AS u, b AS v FROM raw
+           |  UNION ALL SELECT b, a FROM raw),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT u AS node, COUNT(*) AS core_degree
+           |FROM e3 GROUP BY u ORDER BY node""".stripMargin
       })
   )
 

@@ -440,6 +440,50 @@ object Joins {
              |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
              |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // AS-OF join with TOLERANCE (pandas merge_asof(tolerance=...) semantics):
+    // the matched prior order only counts if it is at most 30 days old,
+    // otherwise the event keeps NULLs. Because every as-of candidate is <= ts,
+    // the nearest candidate being stale implies ALL candidates are stale, so
+    // tolerance is exactly a post-pass null-out of the matched row — the
+    // union-merge operator runs unchanged (one shuffle, no pair expansion) and
+    // the gap check is a map-only stage after it.
+    Q("join_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").select($"event_id", $"ts", $"user_id")
+        val o = t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        val ok = $"o_orderdate".isNotNull &&
+          datediff(to_date($"ts"), to_date($"o_orderdate")) <= 30
+        graft.ops.AsOfJoin.asof(e, o,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightTieBreak = "o_orderkey",
+            payload = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+          .select($"event_id", $"user_id",
+            when(ok, $"o_orderkey").as("o_orderkey"),
+            when(ok, $"o_totalprice").as("o_totalprice"),
+            when(ok, datediff(to_date($"ts"), to_date($"o_orderdate")))
+              .as("gap_days"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+             |  CASE WHEN ok THEN o_totalprice END AS o_totalprice,
+             |  CASE WHEN ok THEN gap END AS gap_days
+             |FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+             |              CAST(e.ts AS DATE)) AS INTEGER) AS gap,
+             |    o.o_orderdate IS NOT NULL AND
+             |      date_diff('day', CAST(o.o_orderdate AS DATE),
+             |                CAST(e.ts AS DATE)) <= 30 AS ok,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
     // Bucket-pruned point read: an equality/IN filter on the bucket column hashes
     // the literals to their buckets and reads ONLY those files
     // (SelectedBucketsCount in the scan — here 7 keys ⇒ ≤7 of 32 buckets). The
