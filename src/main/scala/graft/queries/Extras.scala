@@ -296,6 +296,38 @@ object Extras {
              |  MAX(s_name) AS max_name
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Vectorized (columnar) DSv2 read path: the reader parses surviving lines
+    // straight into on-heap column vectors and emits 4096-row ColumnarBatches;
+    // Spark plans the scan columnar and inserts its codegen'd ColumnarToRow
+    // above it (FixedWidthSourceSpec plan-asserts the boundary + row/columnar
+    // result equality). Same answers as the row path, less per-row allocation
+    // — the batch-oriented shape every production scan at 100 TB uses.
+    Q("fixedwidth_columnar_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_agg")
+        val d = new java.io.File(out)
+        if (!d.exists() ||
+            !d.listFiles().exists(_.getName.startsWith("_graft_manifest"))) {
+          if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+          t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_name", $"s_nationkey")
+            .write.format("graft.sources.FixedWidthSource")
+            .option("widths", "8,24,4").mode("append").save(out)
+        }
+        s.read.format("graft.sources.FixedWidthSource")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+          .option("widths", "8,24,4").option("columnar", "true")
+          .load(out)
+          .filter($"s_nationkey" < 10)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), max($"s_name").as("max_name"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n, MAX(s_name) AS max_name
+             |FROM supplier WHERE s_nationkey < 10
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // DSv2 RUNTIME filtering (SupportsRuntimeFiltering): the selective
     // broadcast dimension's observed join keys arrive at the fixed-width scan
     // as a dynamicpruning IN filter at EXECUTION time, so the fact reader

@@ -74,7 +74,8 @@ class FixedWidthSource extends TableProvider {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("a load path is required"))
     val ascii = Option(properties.get("ascii")).exists(_.toBoolean)
-    new FixedWidthTable(schema, widths, path, ascii)
+    val columnar = Option(properties.get("columnar")).exists(_.toBoolean)
+    new FixedWidthTable(schema, widths, path, ascii, columnar)
   }
 }
 
@@ -150,20 +151,20 @@ private[sources] object FixedWidthConf {
 }
 
 class FixedWidthTable(dataSchema: StructType, widths: Array[Int], path: String,
-    ascii: Boolean = false)
+    ascii: Boolean = false, columnar: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"fixedwidth:$path"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixedWidthScanBuilder(dataSchema, widths, path, ascii)
+    new FixedWidthScanBuilder(dataSchema, widths, path, ascii, columnar)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FixedWidthWriteBuilder(info.schema(), widths, path, info.queryId())
 }
 
 class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: String,
-    ascii: Boolean = false)
+    ascii: Boolean = false, columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -230,12 +231,13 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new FixedWidthScan(dataSchema, widths, path, required, pushed, limit,
-      aggSpecs, aggComplete)
+      aggSpecs, aggComplete, columnar)
 }
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     required: StructType, val pushedFilters: Array[Filter], limit: Int = -1,
-    aggSpecs: Option[FixedWidthPushedAgg] = None, aggComplete: Boolean = false)
+    aggSpecs: Option[FixedWidthPushedAgg] = None, aggComplete: Boolean = false,
+    columnar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -339,7 +341,8 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(dataSchema, widths, required,
-      pushedFilters ++ runtimeFilters, limit, aggSpecs, FixedWidthConf.capture())
+      pushedFilters ++ runtimeFilters, limit, aggSpecs, FixedWidthConf.capture(),
+      columnar)
 }
 
 case class FixedWidthPartition(file: String) extends InputPartition
@@ -351,7 +354,26 @@ case class FixedWidthMetaCountPartition(count: Long) extends InputPartition
 class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
     required: StructType, filters: Array[Filter], limit: Int,
     aggSpecs: Option[FixedWidthPushedAgg],
-    confBag: Array[(String, String)]) extends PartitionReaderFactory {
+    confBag: Array[(String, String)],
+    columnar: Boolean = false) extends PartitionReaderFactory {
+
+  /** Vectorized path (option `columnar=true`): plain row partitions only —
+    * aggregate/meta partitions emit tiny pre-aggregated InternalRows where
+    * batching buys nothing. When enabled, Spark plans the scan columnar and
+    * inserts its own ColumnarToRow (codegen'd) boundary above it. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[FixedWidthPartition]
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: FixedWidthPartition =>
+        new FixedWidthColumnarReader(p.file, dataSchema, widths, required,
+          filters, limit, confBag)
+      case other => throw new UnsupportedOperationException(
+        s"no columnar reader for $other")
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case FixedWidthMetaCountPartition(n) =>
@@ -667,6 +689,94 @@ class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
     }
     row
   }
+
+  override def close(): Unit = reader.close()
+}
+
+/** Vectorized twin of [[FixedWidthReader]]: parses surviving lines straight
+  * into on-heap column vectors, emitting 4096-row [[ColumnarBatch]]es. Same
+  * pushdown semantics (filters on the raw line, pruned slices only, limit
+  * stop); the payoff is downstream — Spark's ColumnarToRow is codegen'd and
+  * the per-row GenericInternalRow allocation disappears. */
+class FixedWidthColumnarReader(file: String, dataSchema: StructType,
+    widths: Array[Int], required: StructType, filters: Array[Filter],
+    limit: Int, confBag: Array[(String, String)])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val BatchRows = 4096
+
+  private val preds: Array[String => Boolean] =
+    filters.map(FixedWidthFilters.compile(dataSchema, widths, _))
+
+  private def passes(l: String): Boolean = {
+    var i = 0
+    while (i < preds.length) { if (!preds(i)(l)) return false; i += 1 }
+    true
+  }
+
+  private val slices: Array[(Int, Int, DataType)] = {
+    val starts = widths.scanLeft(0)(_ + _)
+    required.fields.map { f =>
+      val i = dataSchema.fieldIndex(f.name)
+      (starts(i), widths(i), f.dataType)
+    }
+  }
+
+  private val p = new Path(file)
+  private val in = p.getFileSystem(FixedWidthConf.restore(confBag)).open(p)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+
+  private val vectors =
+    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      .allocateColumns(BatchRows, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private var emitted = 0
+  private var eof = false
+
+  private def fill(line: String, row: Int): Unit = {
+    var i = 0
+    while (i < slices.length) {
+      val (start, width, dt) = slices(i)
+      val raw =
+        if (start >= line.length) ""
+        else line.substring(start, math.min(start + width, line.length)).trim
+      if (raw.isEmpty) vectors(i).putNull(row)
+      else dt match {
+        case IntegerType => vectors(i).putInt(row, raw.toInt)
+        case LongType    => vectors(i).putLong(row, raw.toLong)
+        case DoubleType  => vectors(i).putDouble(row, raw.toDouble)
+        case StringType =>
+          val b = raw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          vectors(i).putByteArray(row, b, 0, b.length)
+        case other => throw new UnsupportedOperationException(
+          s"fixed-width: unsupported type $other")
+      }
+      i += 1
+    }
+  }
+
+  override def next(): Boolean = {
+    if (eof) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < BatchRows && !eof) {
+      if (limit >= 0 && emitted >= limit) eof = true
+      else {
+        val line = reader.readLine()
+        if (line == null) eof = true
+        else if (line.nonEmpty && passes(line)) {
+          fill(line, n); n += 1; emitted += 1
+        }
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
 
   override def close(): Unit = reader.close()
 }
