@@ -343,6 +343,10 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     new FixedWidthReaderFactory(dataSchema, widths, required,
       pushedFilters ++ runtimeFilters, limit, aggSpecs, FixedWidthConf.capture(),
       columnar)
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new LinesReadMetric, new RowsEmittedMetric)
 }
 
 case class FixedWidthPartition(file: String) extends InputPartition
@@ -350,6 +354,25 @@ case class FixedWidthPartition(file: String) extends InputPartition
 case class FixedWidthAggPartition(file: String) extends InputPartition
 /** Complete count(*) pushdown: the row is already computed from file lengths. */
 case class FixedWidthMetaCountPartition(count: Long) extends InputPartition
+
+/** Scan-level custom metrics (surface in the Spark UI / SQLMetrics next to the
+  * built-in sources' numOutputRows): raw lines streamed vs records surviving
+  * the pushed filters — the observability a pushdown needs to prove it prunes. */
+private[sources] class LinesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "fw_lines_read"
+  override def description(): String = "fixed-width raw lines read"
+}
+private[sources] class RowsEmittedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "fw_rows_emitted"
+  override def description(): String = "fixed-width records emitted"
+}
+private[sources] case class FixedWidthTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
 
 class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
     required: StructType, filters: Array[Filter], limit: Int,
@@ -658,14 +681,24 @@ class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
   private var line: String = _
 
   private var emitted = 0
+  private var linesRead = 0L
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) { line = null; return false }
     line = reader.readLine()
-    while (line != null && (line.isEmpty || !passes(line))) line = reader.readLine()
+    if (line != null) linesRead += 1
+    while (line != null && (line.isEmpty || !passes(line))) {
+      line = reader.readLine()
+      if (line != null) linesRead += 1
+    }
     if (line != null) emitted += 1
     line != null
   }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FixedWidthTaskMetric("fw_lines_read", linesRead),
+      FixedWidthTaskMetric("fw_rows_emitted", emitted.toLong))
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(slices.length)
@@ -767,14 +800,24 @@ class FixedWidthColumnarReader(file: String, dataSchema: StructType,
       else {
         val line = reader.readLine()
         if (line == null) eof = true
-        else if (line.nonEmpty && passes(line)) {
-          fill(line, n); n += 1; emitted += 1
+        else {
+          linesRead += 1
+          if (line.nonEmpty && passes(line)) {
+            fill(line, n); n += 1; emitted += 1
+          }
         }
       }
     }
     batch.setNumRows(n)
     n > 0
   }
+
+  private var linesRead = 0L
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FixedWidthTaskMetric("fw_lines_read", linesRead),
+      FixedWidthTaskMetric("fw_rows_emitted", emitted.toLong))
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
 

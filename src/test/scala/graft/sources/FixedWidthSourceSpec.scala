@@ -264,6 +264,29 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(read(columnar = true).limit(2).count() == 2)
   }
 
+  test("custom scan metrics report lines read vs rows surviving pushdown") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(writeFixture())
+      .filter($"k" > 1)
+    // collect() executes THIS queryExecution's plan (count() would build and
+    // run a separate one whose metrics we couldn't see)
+    assert(df.collect().length == 3)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = exec.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val m = scan.metrics
+    assert(m("fw_lines_read").value == 4, m)
+    assert(m("fw_rows_emitted").value == 3, m)
+  }
+
   test("write path: over-wide value fails the task instead of truncating") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fw-e").toString
     val df = spark.range(1).selectExpr("cast(id as int) k",
