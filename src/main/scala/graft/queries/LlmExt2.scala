@@ -899,7 +899,123 @@ object LlmExt2 {
              |      ORDER BY hamming, vid) AS rank
              |  FROM ham)
              |SELECT qid, rank, vid, CAST(hamming AS INTEGER) AS hamming
-             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // License classification for code/document corpora (the filter The Stack /
+    // StarCoder pipelines run before training on crawled code: keep
+    // permissive, drop copyleft/unknown): regex detectors for the common
+    // license headers with fixed precedence (MIT > Apache-2.0 > GPL), plus a
+    // keep/drop policy decision per doc. A deterministic subset of docs gets a
+    // real license header injected so every class has positives. Map-only.
+    Q("text_license_classify",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("txt",
+            when($"doc_id" % 13 === 0, concat($"text",
+              lit(" Permission is hereby granted, free of charge (MIT License).")))
+              .when($"doc_id" % 17 === 0, concat($"text",
+                lit(" Licensed under the Apache License, Version 2.0.")))
+              .when($"doc_id" % 19 === 0, concat($"text",
+                lit(" GNU General Public License v3.")))
+              .otherwise($"text"))
+        docs.select($"doc_id",
+            when($"txt".rlike("(?i)(mit license|permission is hereby granted)"),
+              lit("mit"))
+              .when($"txt".rlike("(?i)apache license"), lit("apache-2.0"))
+              .when($"txt".rlike("(?i)(gnu general public license|\\bgpl\\b)"),
+                lit("gpl"))
+              .otherwise(lit("unknown")).as("license"))
+          .withColumn("keep", $"license".isin("mit", "apache-2.0"))
+          .groupBy($"license", $"keep")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+          .orderBy($"license")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN doc_id % 13 = 0 THEN text ||
+             |        ' Permission is hereby granted, free of charge (MIT License).'
+             |      WHEN doc_id % 17 = 0 THEN text ||
+             |        ' Licensed under the Apache License, Version 2.0.'
+             |      WHEN doc_id % 19 = 0 THEN text ||
+             |        ' GNU General Public License v3.'
+             |      ELSE text END AS txt
+             |  FROM documents),
+             |cls AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN regexp_matches(txt,
+             |        '(?i)(mit license|permission is hereby granted)') THEN 'mit'
+             |      WHEN regexp_matches(txt, '(?i)apache license')
+             |        THEN 'apache-2.0'
+             |      WHEN regexp_matches(txt,
+             |        '(?i)(gnu general public license|\bgpl\b)') THEN 'gpl'
+             |      ELSE 'unknown' END AS license
+             |  FROM d)
+             |SELECT license, license IN ('mit', 'apache-2.0') AS keep,
+             |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM cls GROUP BY 1, 2 ORDER BY license""".stripMargin)),
+
+    // Prose-vs-code routing (the corpus splitter that decides which cleaning
+    // pipeline a document enters): indentation ratio, code-symbol density, and
+    // programming-keyword hits combine into a deterministic is_code vote
+    // (2 of 3 signals). A subset of docs gets a real code block injected so
+    // the detector has positives. Map-only per doc.
+    Q("text_code_detect",
+      (s, dir) => {
+        import s.implicits._
+        val snippet = "\ndef main(args):\n    x = compute(args)\n" +
+          "    if x > 0:\n        return {x: 1}\n    return None\n"
+        val docs = t(s, dir, "documents")
+          .withColumn("txt",
+            when($"doc_id" % 23 === 0, concat($"text", lit(snippet)))
+              .otherwise($"text"))
+        val nLines = size(split($"txt", "\n"))
+        val nIndent = regexp_count($"txt", lit("(?m)^(    |\\t)"))
+        val nSym = regexp_count($"txt", lit("[{}()\\[\\]=;:]"))
+        val nKw = regexp_count($"txt",
+          lit("\\b(def|class|return|import|function|var|const)\\b"))
+        docs.select($"doc_id", length($"txt").as("n_chars"),
+            nLines.as("n_lines"), nIndent.as("n_indent"),
+            nSym.as("n_sym"), nKw.as("n_kw"))
+          .withColumn("sig_indent",
+            $"n_indent" * 5 >= $"n_lines") // >= 20% indented lines
+          .withColumn("sig_sym",
+            $"n_sym" * 50 >= $"n_chars") // >= 2% symbol chars
+          .withColumn("sig_kw", $"n_kw" >= 3)
+          .select($"doc_id", $"n_lines", $"n_indent", $"n_sym", $"n_kw",
+            (($"sig_indent".cast("int") + $"sig_sym".cast("int") +
+              $"sig_kw".cast("int")) >= 2).as("is_code"))
+          .orderBy($"doc_id")
+      },
+      Some(("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 23 = 0 THEN text || CODE_SNIPPET
+             |         ELSE text END AS txt
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(txt) AS n_chars,
+             |    CAST(len(string_split(txt, chr(10))) AS INTEGER) AS n_lines,
+             |    CAST(len(regexp_extract_all(txt, '(?m)^(    |\t)'))
+             |      AS INTEGER) AS n_indent,
+             |    CAST(len(regexp_extract_all(txt, '[{}()\[\]=;:]'))
+             |      AS INTEGER) AS n_sym,
+             |    CAST(len(regexp_extract_all(txt,
+             |      '\b(def|class|return|import|function|var|const)\b'))
+             |      AS INTEGER) AS n_kw
+             |  FROM d)
+             |SELECT doc_id, n_lines, n_indent, n_sym, n_kw,
+             |  (CAST(n_indent * 5 >= n_lines AS INTEGER) +
+             |   CAST(n_sym * 50 >= n_chars AS INTEGER) +
+             |   CAST(n_kw >= 3 AS INTEGER)) >= 2 AS is_code
+             |FROM m ORDER BY doc_id""")
+        .replace("CODE_SNIPPET",
+          "(chr(10) || 'def main(args):' || chr(10) || " +
+          "'    x = compute(args)' || chr(10) || " +
+          "'    if x > 0:' || chr(10) || " +
+          "'        return {x: 1}' || chr(10) || " +
+          "'    return None' || chr(10))").stripMargin))
   )
 
   /** Symbol separator for the BPE training/encode representation. */
