@@ -57,6 +57,36 @@ object Multimodal {
         col("n_chars").as("n_chars"),
         sha2(col("text").cast("binary"), 256).as("checksum")).as("meta"))
 
+  /** Average-hash (aHash) perceptual fingerprint of one decoded image: resize
+    * to 8x8 (nearest), set bit (y*8+x) iff 64*R(x,y) >= sum of all 64 R values
+    * (integer compare — no float mean), packed 32 bits per long word. */
+  def averageHash(img: Bmp.Image): (Long, Long) = {
+    val small = Bmp.resizeNearest(img, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += small.r(i % 8, i / 8); i += 1 }
+    var w0 = 0L; var w1 = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * small.r(i % 8, i / 8) >= sum) {
+        if (i < 32) w0 |= (1L << i) else w1 |= (1L << (i - 32))
+      }
+      i += 1
+    }
+    (w0, w1)
+  }
+
+  /** Partition-wise perceptual hashing over an image corpus: decode (real
+    * codec), resize, aHash — the near-duplicate-image fingerprint pass. */
+  def perceptualHashes(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val (w0, w1) = averageHash(Bmp.decode(rec.payload))
+      (rec.doc_id, w0, w1)
+    })
+  }
+
   /** Deterministic single-image corpus: one BMP per doc_id, dims varying with
     * doc_id so every row-padding case (0..3 pad bytes) is exercised. Generated
     * partition-wise on executors — no driver-side materialization. */

@@ -901,6 +901,57 @@ object LlmExt2 {
              |SELECT qid, rank, vid, CAST(hamming AS INTEGER) AS hamming
              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Perceptual-hash image dedup (the multimodal complement of the text dedup
+    // family): every image is decoded with the real codec, resized 8x8, and
+    // fingerprinted with the classic average-hash (bit = pixel >= mean, as the
+    // exact integer compare 64*R >= sum — no float mean), packed 32 bits/word;
+    // images sharing a fingerprint form a duplicate group. The oracle
+    // recomputes the hash from the pixel formula at the nearest-neighbor
+    // resize coordinates, so decode + resample + threshold arithmetic are all
+    // hash-checked. Scale shape: hashing is map-only; the dup-group join is a
+    // 64-bit-key groupBy — the image twin of dedup_hash_collapse.
+    Q("multimodal_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ph = graft.llm.Multimodal.perceptualHashes(s,
+            graft.llm.Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF("doc_id", "w0", "w1")
+        val groups = ph.groupBy($"w0", $"w1")
+          .agg(count(lit(1)).as("group_size"), min($"doc_id").as("keeper"))
+        ph.join(groups, Seq("w0", "w1"))
+          .select($"doc_id", $"w0", $"w1", $"group_size",
+            ($"doc_id" === $"keeper").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 100),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x2 FROM dims),
+             |px AS (SELECT doc_id, w, h, x2, unnest(range(0, 8)) AS y2 FROM xs),
+             |v AS (SELECT doc_id, x2, y2,
+             |        (doc_id*31 + ((x2*w)//8)*7 + ((y2*h)//8)*13) % 256 AS r
+             |      FROM px),
+             |sums AS (SELECT doc_id, CAST(SUM(r) AS BIGINT) AS s
+             |         FROM v GROUP BY 1),
+             |bits AS (
+             |  SELECT v.doc_id,
+             |    CAST(SUM(CASE WHEN 64 * v.r >= sums.s AND y2 * 8 + x2 < 32
+             |      THEN (CAST(1 AS BIGINT) << CAST(y2 * 8 + x2 AS INTEGER))
+             |      ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN 64 * v.r >= sums.s AND y2 * 8 + x2 >= 32
+             |      THEN (CAST(1 AS BIGINT) << CAST(y2 * 8 + x2 - 32 AS INTEGER))
+             |      ELSE 0 END) AS BIGINT) AS w1
+             |  FROM v JOIN sums ON sums.doc_id = v.doc_id
+             |  GROUP BY 1),
+             |groups AS (
+             |  SELECT w0, w1, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+             |  FROM bits GROUP BY 1, 2)
+             |SELECT b.doc_id, b.w0, b.w1, g.group_size,
+             |  b.doc_id = g.keeper AS keep
+             |FROM bits b JOIN groups g ON g.w0 = b.w0 AND g.w1 = b.w1
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // License classification for code/document corpora (the filter The Stack /
     // StarCoder pipelines run before training on crawled code: keep
     // permissive, drop copyleft/unknown): regex detectors for the common
