@@ -952,6 +952,133 @@ object LlmExt2 {
              |FROM bits b JOIN groups g ON g.w0 = b.w0 AND g.w1 = b.w1
              |ORDER BY b.doc_id""".stripMargin)),
 
+    // Canonicalization-then-dedup composition (the production exact-dedup
+    // recipe: Unicode NFC + whitespace collapse + trim BEFORE hashing, so the
+    // same logical text arriving composed vs decomposed or loosely spaced
+    // collapses to one copy): a deterministic variant corpus (decomposed
+    // accents + ragged whitespace) is unioned in, and only the canonical hash
+    // finds the pairs — raw md5 would miss every one. Map-only canonicalize +
+    // one digest-keyed groupBy, the dedup_hash_collapse shape.
+    Q("dedup_canonical_text",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val base = docs.filter($"doc_id" < 200)
+          .select($"doc_id", concat($"text", lit(" Caf\u00e9 dup")).as("raw"))
+        val vari = docs.filter($"doc_id" < 200 && $"doc_id" % 3 === 0)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit("  Cafe\u0301   dup ")).as("raw"))
+        val canon = trim(regexp_replace(
+          graft.functions.UnicodeNormalize.nfc_normalize($"raw"), "\\s+", " "))
+        val withC = base.unionByName(vari)
+          .select($"doc_id", md5(canon.cast("binary")).as("c"))
+        val groups = withC.groupBy($"c")
+          .agg(count(lit(1)).as("group_size"), min($"doc_id").as("keeper"))
+        withC.join(groups, "c")
+          .select($"doc_id", $"group_size", ($"doc_id" === $"keeper").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(("""WITH base AS (
+             |  SELECT doc_id, text || ' Caf' || chr(233) || ' dup' AS raw
+             |  FROM documents WHERE doc_id < 200
+             |  UNION ALL
+             |  SELECT doc_id + 100000,
+             |    text || '  Cafe' || chr(769) || '   dup '
+             |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+             |c AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g')))
+             |      AS c
+             |  FROM base),
+             |g AS (
+             |  SELECT c, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+             |  FROM c GROUP BY 1)
+             |SELECT c.doc_id, g.group_size, c.doc_id = g.keeper AS keep
+             |FROM c JOIN g USING (c)
+             |ORDER BY c.doc_id""").stripMargin)),
+
+    // Mean-average-precision retrieval eval (the IR-grade quality number for
+    // an embedding space, next to sim_knn_classify's accuracy): each probe
+    // ranks the corpus by exact cosine, AP@10 scores how early same-label
+    // neighbors appear (precision accumulated at each relevant rank over
+    // min(R,10)), and MAP averages per label. Ranks are integers and the
+    // per-term precisions are small rationals summed in decimal => exact.
+    Q("sim_map_eval",
+      (s, dir) => {
+        import s.implicits._
+        val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+        val e = t(s, dir, "embeddings")
+        val ranked = Similarity.bruteForceTopK(e.filter($"vec_id" < 20), e, k = 10)
+          .select($"qid", $"rank", $"vid")
+        val lbl = e.select($"vec_id", $"label")
+        val lblCnt = lbl.groupBy($"label").agg(count(lit(1)).as("n_lbl"))
+        val j = ranked
+          .join(broadcast(lbl.select($"vec_id".as("qid"), $"label".as("qlabel"))),
+            "qid")
+          .join(broadcast(lbl.select($"vec_id".as("vid"), $"label".as("vlabel"))),
+            "vid")
+          .withColumn("rel", ($"qlabel" === $"vlabel").cast("int"))
+        val w = Window.partitionBy($"qid").orderBy($"rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ap = j.withColumn("cum", sum($"rel").over(w))
+          .withColumn("term", when($"rel" === 1,
+            ($"cum".cast("double") / $"rank")).otherwise(lit(0.0d)).cast(DEC))
+          .groupBy($"qid", $"qlabel").agg(sum($"term").cast("double").as("apsum"))
+          .join(broadcast(lblCnt.select($"label".as("qlabel"), $"n_lbl")), "qlabel")
+          .withColumn("ap10", $"apsum" / least($"n_lbl" - 1, lit(10)))
+        ap.groupBy($"qlabel".as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(sum($"ap10".cast(DEC)).cast("double") / count(lit(1)), 9)
+              .as("map10"))
+          .orderBy($"label")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY 1),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20 GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT qid, vid, rank FROM (
+             |    SELECT d.qid, d.vid,
+             |      ROW_NUMBER() OVER (PARTITION BY d.qid
+             |        ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |    FROM dots d
+             |    JOIN norms nq ON nq.vec_id = d.qid
+             |    JOIN norms nc ON nc.vec_id = d.vid) WHERE rank <= 10),
+             |lblcnt AS (SELECT label, COUNT(*) AS n_lbl
+             |           FROM embeddings GROUP BY 1),
+             |j AS (
+             |  SELECT r.qid, r.rank, ql.label AS qlabel,
+             |    CASE WHEN ql.label = vl.label THEN 1 ELSE 0 END AS rel
+             |  FROM ranked r
+             |  JOIN embeddings ql ON ql.vec_id = r.qid
+             |  JOIN embeddings vl ON vl.vec_id = r.vid),
+             |terms AS (
+             |  SELECT qid, qlabel, rank, rel,
+             |    SUM(rel) OVER (PARTITION BY qid ORDER BY rank
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM j),
+             |ap AS (
+             |  SELECT t.qid, t.qlabel,
+             |    CAST(SUM(CASE WHEN rel = 1
+             |      THEN CAST(CAST(cum AS DOUBLE) / rank AS DECIMAL(30,12))
+             |      ELSE CAST(0 AS DECIMAL(30,12)) END) AS DOUBLE)
+             |      / LEAST(lc.n_lbl - 1, 10) AS ap10
+             |  FROM terms t JOIN lblcnt lc ON lc.label = t.qlabel
+             |  GROUP BY t.qid, t.qlabel, lc.n_lbl)
+             |SELECT qlabel AS label, COUNT(*) AS n_queries,
+             |  round(CAST(SUM(CAST(ap10 AS DECIMAL(30,12))) AS DOUBLE)
+             |    / COUNT(*), 9) AS map10
+             |FROM ap GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // License classification for code/document corpora (the filter The Stack /
     // StarCoder pipelines run before training on crawled code: keep
     // permissive, drop copyleft/unknown): regex detectors for the common
