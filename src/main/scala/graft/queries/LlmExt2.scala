@@ -952,6 +952,49 @@ object LlmExt2 {
              |FROM bits b JOIN groups g ON g.w0 = b.w0 AND g.w1 = b.w1
              |ORDER BY b.doc_id""".stripMargin)),
 
+    // Preference-pair construction (RLHF/DPO data prep: for each source,
+    // pair the best-scoring candidate against the worst as chosen/rejected):
+    // score is a deterministic quality proxy (token density), extremes are
+    // picked with min-struct argmax/argmin (ties to the lowest doc_id), one
+    // grouped pass per side. At 100 TB this is two map-side-combined argmax
+    // aggregations over the source key — no sort, no window over the corpus.
+    Q("sample_preference_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            round(TF.tokenCount($"text") / length($"text").cast("double"), 9)
+              .as("score"))
+        scored.groupBy($"source")
+          .agg(count(lit(1)).as("n_candidates"),
+            min(struct((-$"score").as("ns"), $"doc_id".as("d"))).as("hi"),
+            min(struct($"score".as("s"), $"doc_id".as("d"))).as("lo"))
+          .select($"source", $"n_candidates",
+            $"hi.d".as("chosen_doc"), (-$"hi.ns").as("chosen_score"),
+            $"lo.d".as("rejected_doc"), $"lo.s".as("rejected_score"))
+          .orderBy($"source")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source,
+             |    round(len(list_filter(
+             |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |      x -> x <> '')) / CAST(len(text) AS DOUBLE), 9) AS score
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT source, doc_id, score,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY score DESC, doc_id) AS rhi,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY score ASC, doc_id) AS rlo,
+             |    COUNT(*) OVER (PARTITION BY source) AS n_candidates
+             |  FROM scored)
+             |SELECT h.source, h.n_candidates,
+             |  h.doc_id AS chosen_doc, h.score AS chosen_score,
+             |  l.doc_id AS rejected_doc, l.score AS rejected_score
+             |FROM ranked h JOIN ranked l
+             |  ON l.source = h.source AND h.rhi = 1 AND l.rlo = 1
+             |ORDER BY h.source""".stripMargin)),
+
     // Canonicalization-then-dedup composition (the production exact-dedup
     // recipe: Unicode NFC + whitespace collapse + trim BEFORE hashing, so the
     // same logical text arriving composed vs decomposed or loosely spaced
