@@ -66,4 +66,69 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
+
+  /** Exact upper-triangle Gram (second-moment) accumulation for `array<float>`
+    * vectors — distributed linear algebra as ONE aggregation instead of an
+    * n·d²-row explode+shuffle. Each product v_p·v_q (p ≤ q) is rounded
+    * HALF_UP at scale 12 of its shortest-string decimal form — bit-identical
+    * to Spark's `(vp*vq).cast(decimal(30,12))` (the FloatVecDotExact rule) —
+    * and accumulated as a scaled long; partial buffers are d(d+1)/2-cell long
+    * arrays that merge by exact addition, so the result is
+    * partitioning-independent and equals the decimal-sum DataFrame
+    * formulation bit for bit (spec-enforced). `finish` converts each cell
+    * with the same decimal→double rounding as `CAST(dec AS DOUBLE)`.
+    *
+    * Capacity: |cell| < 2^63 scaled units ⇔ Σ|v_p·v_q| < 9.2e6 per cell —
+    * ~2.3M unit-normish vectors; past that `addExact` fails loudly (switch
+    * to the decimal-sum formulation, which this aggregator must always
+    * match, rather than silently wrapping). */
+  class GramExact(dims: Int)
+    extends Aggregator[Array[Float], Array[Long], Array[Double]] {
+    private val cells = dims * (dims + 1) / 2
+    override def zero: Array[Long] = new Array[Long](cells)
+    /** Scaled-long HALF_UP rounding of `prod`'s shortest-string decimal form.
+      * Fast path: `prod * 1e12` differs from the true scaled value by < ~2e-3
+      * units (double-multiply error + shortest-string vs exact-binary gap,
+      * both bounded by ulps at |prod| ≤ ~4e6), so when the nearest integer is
+      * farther than 0.01 from the half-boundary it is provably the HALF_UP
+      * result and the BigDecimal materialization (the hot-path cost: a
+      * Double.toString per term) is skipped; boundary-adjacent values take
+      * the exact slow path. Spec-enforced bit-equal to the decimal cast. */
+    @inline private def scaled12(prod: Double): Long = {
+      val r = prod * 1e12
+      if (math.abs(r) < 9.0e15) { // double is integer-exact past 2^53: be safe
+        val n = Math.rint(r)
+        if (math.abs(math.abs(r - n) - 0.5) > 0.01) return n.toLong
+      }
+      java.math.BigDecimal.valueOf(prod)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+    override def reduce(b: Array[Long], a: Array[Float]): Array[Long] = {
+      var k = 0
+      var p = 0
+      while (p < dims) {
+        val vp = a(p).toDouble
+        var q = p
+        while (q < dims) {
+          b(k) = Math.addExact(b(k), scaled12(vp * a(q).toDouble))
+          k += 1
+          q += 1
+        }
+        p += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < cells) { x(k) = Math.addExact(x(k), y(k)); k += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Double] =
+      b.map(u => java.math.BigDecimal.valueOf(u, 12).doubleValue())
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
 }

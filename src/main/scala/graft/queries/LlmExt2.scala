@@ -516,21 +516,29 @@ object LlmExt2 {
         import s.implicits._
         val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
         val SC = 32768.0d
-        // Gram accumulation WITHOUT a self-join (each exploded row carries the
-        // vector's own array, so products come from a slice of the row itself)
-        // and only for the upper triangle p <= q — float multiplication is
-        // exactly commutative, so the mirrored cells are bit-identical and the
-        // decimal-cast work halves (this was the whole-bench slowest query as
-        // a full self-join; n*d(d+1)/2 terms now, no join hash table)
-        val upper = t(s, dir, "embeddings")
-          .select($"embedding", posexplode($"embedding").as(Seq("pi", "vpf")))
-          .select($"pi", $"vpf".cast("double").as("vp"),
-            slice($"embedding", $"pi" + 1, size($"embedding") - $"pi")
-              .as("tailv"))
-          .select($"pi", $"vp", posexplode($"tailv").as(Seq("j", "vqf")))
-          .select(($"pi" + 1).as("p"), ($"pi" + $"j" + 1).as("q"),
-            ($"vp" * $"vqf".cast("double")).cast(DEC).as("term"))
-          .groupBy($"p", $"q").agg(sum($"term").cast("double").as("g"))
+        // Gram accumulation as ONE typed aggregation (Aggregators.GramExact):
+        // each partition folds its vectors into a d(d+1)/2-cell scaled-long
+        // buffer (per-term rounding bit-identical to the decimal(30,12) cast,
+        // spec-enforced), partials merge exactly — no n·d² row explosion, no
+        // shuffle beyond the 2080-long partial buffers. Upper triangle only;
+        // float multiplication is exactly commutative, so mirroring after the
+        // aggregation is bit-exact. (History: full self-join 12.5s → slice
+        // generator 6.5s → this 1-buffer aggregation, the distributed-linear-
+        // algebra shape a 100 TB anisotropy pass actually uses.)
+        val e = t(s, dir, "embeddings")
+        val d = e.select(size($"embedding")).head().getInt(0)
+        val cellsRow = e.select($"embedding").as[Array[Float]]
+          .select(new graft.functions.Aggregators.GramExact(d)
+            .toColumn.name("cells"))
+          .toDF("cells")
+        val idx = (for {
+          p0 <- 0 until d
+          q0 <- p0 until d
+        } yield (p0 * (2 * d - p0 + 1) / 2 + (q0 - p0), p0 + 1, q0 + 1)).toDF("i", "p", "q")
+        val upper = cellsRow
+          .select(posexplode($"cells").as(Seq("i", "g")))
+          .join(broadcast(idx), "i")
+          .select($"p", $"q", $"g")
         val gram = upper
           .unionByName(upper.filter($"p" =!= $"q")
             .select($"q".as("p"), $"p".as("q"), $"g"))

@@ -198,6 +198,61 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got == 32L)
   }
 
+  test("GramExact aggregator is bit-equal to the decimal-cast formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.posexplode
+    val e = graft.Tables.embeddings(spark, sf).limit(60).cache()
+    val d = e.select(size($"embedding")).head().getInt(0)
+    val got = e.select($"embedding").as[Array[Float]]
+      .select(new Aggregators.GramExact(d).toColumn.name("cells"))
+      .head()
+    // reference: decimal(30,12)-cast products, exact decimal sum, cast double
+    val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    val ref = e
+      .select($"embedding", posexplode($"embedding").as(Seq("pi", "vpf")))
+      .select($"pi", $"vpf".cast("double").as("vp"),
+        slice($"embedding", $"pi" + 1, size($"embedding") - $"pi").as("tailv"))
+      .select($"pi", $"vp", posexplode($"tailv").as(Seq("j", "vqf")))
+      .select($"pi", ($"pi" + $"j").as("qi"),
+        ($"vp" * $"vqf".cast("double")).cast(DEC).as("term"))
+      .groupBy($"pi", $"qi").agg(sum($"term").cast("double").as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (p <- 0 until d; q <- p until d) {
+      val k = p * (2 * d - p + 1) / 2 + (q - p)
+      assert(java.lang.Double.doubleToLongBits(got(k)) ==
+        java.lang.Double.doubleToLongBits(ref((p, q))),
+        s"cell ($p,$q) diverges: ${got(k)} vs ${ref((p, q))}")
+    }
+  }
+
+  test("GramExact random-floats stress matches the decimal cast per cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.posexplode
+    val rnd = new scala.util.Random(11)
+    val dims = 8
+    val vecs = Seq.fill(300)(Array.fill(dims)(
+      (rnd.nextFloat() * 4f - 2f) * (if (rnd.nextInt(5) == 0) 1e-6f else 1f)))
+    val e = vecs.toDF("embedding").cache()
+    val got = e.select($"embedding").as[Array[Float]]
+      .select(new Aggregators.GramExact(dims).toColumn.name("cells")).head()
+    val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    val ref = e
+      .select($"embedding", posexplode($"embedding").as(Seq("pi", "vpf")))
+      .select($"pi", $"vpf".cast("double").as("vp"),
+        slice($"embedding", $"pi" + 1, size($"embedding") - $"pi").as("tailv"))
+      .select($"pi", $"vp", posexplode($"tailv").as(Seq("j", "vqf")))
+      .select($"pi", ($"pi" + $"j").as("qi"),
+        ($"vp" * $"vqf".cast("double")).cast(DEC).as("term"))
+      .groupBy($"pi", $"qi").agg(sum($"term").cast("double").as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (p <- 0 until dims; q <- p until dims) {
+      val k = p * (2 * dims - p + 1) / 2 + (q - p)
+      assert(java.lang.Double.doubleToLongBits(got(k)) ==
+        java.lang.Double.doubleToLongBits(ref((p, q))),
+        s"cell ($p,$q) diverges: ${got(k)} vs ${ref((p, q))}")
+    }
+  }
+
   test("TopK aggregator keeps exactly k best with deterministic tie-break") {
     import spark.implicits._
     val ds = Seq((1, 0.5, 10L), (1, 0.9, 11L), (1, 0.9, 12L), (1, 0.1, 13L))
