@@ -960,6 +960,137 @@ object LlmExt2 {
              |FROM bits b JOIN groups g ON g.w0 = b.w0 AND g.w1 = b.w1
              |ORDER BY b.doc_id""".stripMargin)),
 
+    // MinHash-LSH quality audit: precision/recall/F1 of the banded candidate
+    // generator against exact-Jaccard ground truth (tau = 0.4) on a bounded
+    // doc subset — the measured quality number an approximate dedup ships
+    // with (sim_ann_recall's analogue for the lexical family). Ground-truth
+    // pairs come from the shared-shingle equi-join (never an all-pairs
+    // cross), and the whole chain — md5-derived minhashes included — is
+    // integer/rational arithmetic, so unlike the float-cosine ANN recall
+    // report this audit is fully hash-matched.
+    Q("dedup_minhash_eval",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Dedup
+        val docs = t(s, dir, "documents").filter($"doc_id" < 150)
+        val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shared = sh.select($"doc_id".as("id1"), $"shingle")
+          .join(sh.select($"doc_id".as("id2"), $"shingle"), "shingle")
+          .filter($"id1" < $"id2").select($"id1", $"id2").distinct()
+        val truth = Dedup
+          .jaccardFromShingles(shared, sh.withColumnRenamed("doc_id", "jid"))
+          .filter($"jaccard" >= 0.4).select($"id1", $"id2")
+        val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
+        val cand = Dedup
+          .bandedCandidatesWide(wide, "doc_id", numHashes = 8, bandSize = 2)
+        val j = cand.withColumn("c", lit(1))
+          .join(truth.withColumn("tr", lit(1)), Seq("id1", "id2"), "full_outer")
+        val res = j.agg(
+            sum(coalesce($"tr", lit(0))).as("n_truth"),
+            sum(coalesce($"c", lit(0))).as("n_cand"),
+            sum(when($"c".isNotNull && $"tr".isNotNull, 1L).otherwise(0L))
+              .as("tp"))
+          .select($"n_truth", $"n_cand", $"tp",
+            round($"tp" / $"n_cand".cast("double"), 6).as("prec"),
+            round($"tp" / $"n_truth".cast("double"), 6).as("recall"))
+          .localCheckpoint(true) // materialize before releasing the cache
+        sh.unpersist()
+        res.orderBy($"n_truth")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+              |                x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id < 150),
+              |shing AS (
+              |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+              |    THEN list_distinct(list_transform(range(1, len(tk) - 1),
+              |           i -> array_to_string(tk[i:i+2], ' ')))
+              |    ELSE [] END) AS shingle
+              |  FROM toks),
+              |shared AS (
+              |  SELECT DISTINCT s1.doc_id AS id1, s2.doc_id AS id2
+              |  FROM shing s1 JOIN shing s2
+              |    ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id),
+              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.id1, p.id2, COUNT(*) AS n_shared
+              |  FROM shared p
+              |  JOIN shing s1 ON s1.doc_id = p.id1
+              |  JOIN shing s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+              |  GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT i.id1, i.id2
+              |  FROM inter i
+              |  JOIN sz z1 ON z1.doc_id = i.id1
+              |  JOIN sz z2 ON z2.doc_id = i.id2
+              |  WHERE i.n_shared * 1.0 / (z1.sz + z2.sz - i.n_shared) >= 0.4),
+              |hs AS (
+              |  SELECT doc_id,
+              |    ${sqlHexInt("md5(shingle)", 1, 7)} AS h1,
+              |    ${sqlHexInt("md5(shingle)", 8, 7)} AS h2
+              |  FROM shing),
+              |mh AS (
+              |  SELECT doc_id, salt, min(h1 + salt * h2) AS minhash
+              |  FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS salt)
+              |  GROUP BY doc_id, salt),
+              |banded AS (
+              |  SELECT doc_id, CAST(floor(salt / 2) AS INT) AS band,
+              |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY salt) AS sig
+              |  FROM mh GROUP BY doc_id, CAST(floor(salt / 2) AS INT)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+              |  WHERE a.doc_id < b.doc_id),
+              |u AS (
+              |  SELECT COALESCE(c.id1, t.id1) AS id1, COALESCE(c.id2, t.id2) AS id2,
+              |    c.id1 IS NOT NULL AS is_c, t.id1 IS NOT NULL AS is_t
+              |  FROM cand c FULL OUTER JOIN truth t
+              |    ON t.id1 = c.id1 AND t.id2 = c.id2)
+              |SELECT
+              |  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+              |  CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+              |  CAST(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS tp,
+              |  round(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END)
+              |    / CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS DOUBLE), 6)
+              |    AS prec,
+              |  round(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END)
+              |    / CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE), 6)
+              |    AS recall
+              |FROM u""".stripMargin)),
+
+    // Tokenizer fertility by language (tokens-per-word — the eval every
+    // multilingual tokenizer ships with; high fertility = a language pays
+    // more sequence length for the same text): BPE-ish token estimate over
+    // whitespace words, exact decimal ratio per language. One grouped pass.
+    Q("text_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", TF.tokenCount($"text").cast("long").as("n_words"),
+            TF.bpeishTokenCount($"text").cast("long").as("n_toks"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_words").as("words"), sum($"n_toks").as("toks"))
+          .select($"lang", $"n_docs", $"words", $"toks",
+            round($"toks" / $"words".cast("double"), 9).as("fertility"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(list_filter(
+             |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |    x -> x <> ''))) AS BIGINT) AS words,
+             |  CAST(SUM(len(regexp_extract_all(text,
+             |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS toks,
+             |  round(SUM(len(regexp_extract_all(text,
+             |      '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) /
+             |    CAST(SUM(len(list_filter(
+             |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |      x -> x <> ''))) AS DOUBLE), 9) AS fertility
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Preference-pair construction (RLHF/DPO data prep: for each source,
     // pair the best-scoring candidate against the worst as chosen/rejected):
     // score is a deterministic quality proxy (token density), extremes are
