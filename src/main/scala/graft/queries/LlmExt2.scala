@@ -612,7 +612,14 @@ object LlmExt2 {
     Q("text_sentence_stats",
       (s, dir) => {
         import s.implicits._
+        // the synthetic corpus is punctuation-free word soup — inject a real
+        // punctuated suffix on a deterministic subset so every statistic has
+        // positives (the mojibake/license fixture pattern)
         t(s, dir, "documents")
+          .withColumn("text",
+            when($"doc_id" % 5 === 0,
+              concat($"text", lit(" First point. Really? Yes! Done.")))
+              .otherwise($"text"))
           .select($"doc_id", length($"text").as("n_chars"),
             regexp_count($"text", lit("[.!?]+")).as("n_sent"),
             regexp_count($"text", lit("\\?")).as("n_quest"),
@@ -624,7 +631,13 @@ object LlmExt2 {
             $"ends_clean")
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id,
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN text || ' First point. Really? Yes! Done.'
+             |      ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
              |  CAST(len(text) AS INTEGER) AS n_chars,
              |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS INTEGER) AS n_sent,
              |  CAST(len(regexp_extract_all(text, '\?')) AS INTEGER) AS n_quest,
@@ -633,7 +646,7 @@ object LlmExt2 {
              |    len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE), 9)
              |    AS chars_per_sent,
              |  regexp_matches(rtrim(text), '[.!?]$') AS ends_clean
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM d ORDER BY doc_id""".stripMargin)),
 
     // BPE tokenizer TRAINING, 3 unrolled merge rounds (Sennrich et al. 2016):
     // count adjacent symbol pairs over the frequency-weighted vocabulary, pick
@@ -1068,28 +1081,49 @@ object LlmExt2 {
     Q("text_tokenizer_fertility",
       (s, dir) => {
         import s.implicits._
+        // inject a punctuated clause on a deterministic subset (the corpus is
+        // punctuation-free, which would pin fertility at exactly 1.0), and
+        // report tokens-per-100-chars too — the per-language sequence-length
+        // cost that differs even on clean text
         t(s, dir, "documents")
-          .select($"lang", TF.tokenCount($"text").cast("long").as("n_words"),
+          .withColumn("text",
+            when($"doc_id" % 4 === 0,
+              concat($"text", lit(" (x=1, y=2; z!=3) end.")))
+              .otherwise($"text"))
+          .select($"lang", length($"text").cast("long").as("n_chars"),
+            TF.tokenCount($"text").cast("long").as("n_words"),
             TF.bpeishTokenCount($"text").cast("long").as("n_toks"))
           .groupBy($"lang")
-          .agg(count(lit(1)).as("n_docs"),
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
             sum($"n_words").as("words"), sum($"n_toks").as("toks"))
           .select($"lang", $"n_docs", $"words", $"toks",
-            round($"toks" / $"words".cast("double"), 9).as("fertility"))
+            round($"toks" / $"words".cast("double"), 9).as("fertility"),
+            round($"toks" * 100 / $"chars".cast("double"), 9)
+              .as("toks_per_100ch"))
           .orderBy($"lang")
       },
-      Some("""SELECT lang, COUNT(*) AS n_docs,
-             |  CAST(SUM(len(list_filter(
-             |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-             |    x -> x <> ''))) AS BIGINT) AS words,
-             |  CAST(SUM(len(regexp_extract_all(text,
-             |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS toks,
-             |  round(SUM(len(regexp_extract_all(text,
-             |      '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) /
-             |    CAST(SUM(len(list_filter(
+      Some("""WITH d AS (
+             |  SELECT lang,
+             |    CASE WHEN doc_id % 4 = 0
+             |      THEN text || ' (x=1, y=2; z!=3) end.'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |m AS (
+             |  SELECT lang, CAST(len(text) AS BIGINT) AS n_chars,
+             |    CAST(len(list_filter(
              |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-             |      x -> x <> ''))) AS DOUBLE), 9) AS fertility
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+             |      x -> x <> '')) AS BIGINT) AS n_words,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_toks
+             |  FROM d)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_words) AS BIGINT) AS words,
+             |  CAST(SUM(n_toks) AS BIGINT) AS toks,
+             |  round(SUM(n_toks) / CAST(SUM(n_words) AS DOUBLE), 9)
+             |    AS fertility,
+             |  round(SUM(n_toks) * 100 / CAST(SUM(n_chars) AS DOUBLE), 9)
+             |    AS toks_per_100ch
+             |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Preference-pair construction (RLHF/DPO data prep: for each source,
     // pair the best-scoring candidate against the worst as chosen/rejected):
