@@ -441,12 +441,15 @@ object Joins {
              |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
     // AS-OF join with TOLERANCE (pandas merge_asof(tolerance=...) semantics):
-    // the matched prior order only counts if it is at most 30 days old,
+    // the matched prior order only counts if it is within the tolerance,
     // otherwise the event keeps NULLs. Because every as-of candidate is <= ts,
     // the nearest candidate being stale implies ALL candidates are stale, so
     // tolerance is exactly a post-pass null-out of the matched row — the
     // union-merge operator runs unchanged (one shuffle, no pair expansion) and
-    // the gap check is a map-only stage after it.
+    // the gap check is a map-only stage after it. Tolerance is 8400 days
+    // because the synthetic tables put events ~22-23 years after the order
+    // history (gaps 8190..9799 days at sf0.01) — 8400 splits the population,
+    // so both the match-kept and match-expired paths are exercised.
     Q("join_asof_tolerance",
       (s, dir) => {
         import s.implicits._
@@ -454,7 +457,7 @@ object Joins {
         val o = t(s, dir, "orders")
           .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
         val ok = $"o_orderdate".isNotNull &&
-          datediff(to_date($"ts"), to_date($"o_orderdate")) <= 30
+          datediff(to_date($"ts"), to_date($"o_orderdate")) <= 8400
         graft.ops.AsOfJoin.asof(e, o,
             leftKey = "user_id", rightKey = "o_custkey",
             leftTime = "ts", rightTime = "o_orderdate",
@@ -477,7 +480,7 @@ object Joins {
              |              CAST(e.ts AS DATE)) AS INTEGER) AS gap,
              |    o.o_orderdate IS NOT NULL AND
              |      date_diff('day', CAST(o.o_orderdate AS DATE),
-             |                CAST(e.ts AS DATE)) <= 30 AS ok,
+             |                CAST(e.ts AS DATE)) <= 8400 AS ok,
              |    ROW_NUMBER() OVER (PARTITION BY e.event_id
              |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
              |  FROM events e LEFT JOIN orders o
