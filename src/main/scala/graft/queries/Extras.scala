@@ -296,6 +296,37 @@ object Extras {
              |  MAX(s_name) AS max_name
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DSv2 TOP-N pushdown (SupportsPushDownTopN): ORDER BY + LIMIT reaches the
+    // reader, which keeps only the N best lines per file in a bounded sorted
+    // buffer (O(N) memory at any file size) — at 100 TB a leaderboard query
+    // ships N rows per shard instead of the whole feed. Partial by contract:
+    // Spark's final TakeOrdered still owns the global order, the reader-side
+    // cut is an I/O/exchange saving (FixedWidthSourceSpec plan-asserts
+    // PushedTopN and the null/desc ordering rules).
+    Q("fixedwidth_topn_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val out = Sinks.scoped(dir, "fixedwidth_agg")
+        val d = new java.io.File(out)
+        if (!d.exists() ||
+            !d.listFiles().exists(_.getName.startsWith("_graft_manifest"))) {
+          if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+          t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_name", $"s_nationkey")
+            .write.format("graft.sources.FixedWidthSource")
+            .option("widths", "8,24,4").mode("append").save(out)
+        }
+        s.read.format("graft.sources.FixedWidthSource")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+          .option("widths", "8,24,4")
+          .load(out)
+          .orderBy($"s_name".desc, $"s_suppkey")
+          .limit(8)
+          .select($"s_suppkey", $"s_name", $"s_nationkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey
+             |FROM supplier ORDER BY s_name DESC, s_suppkey LIMIT 8""".stripMargin)),
+
     // Vectorized (columnar) DSv2 read path: the reader parses surviving lines
     // straight into on-heap column vectors and emits 4096-row ColumnarBatches;
     // Spark plans the scan columnar and inserts its codegen'd ColumnarToRow

@@ -84,6 +84,12 @@ class FixedWidthSource extends TableProvider {
 private[sources] case class FixedWidthAgg(kind: String, fieldIdx: Int,
     name: String, dataType: DataType) extends Serializable
 
+/** One pushed TOP-N sort key: DATA-schema field index + direction + null
+  * placement, evaluated in the reader's comparison domain (long/double/
+  * UTF8String — the same domains as the pushed filters). */
+private[sources] case class FixedWidthSortKey(fieldIdx: Int, ascending: Boolean,
+    nullsFirst: Boolean) extends Serializable
+
 /** A translated pushed aggregation: GROUP BY column indices (possibly empty)
   * plus the aggregate list. Scan output is groups-then-aggregates, positional,
   * matching Spark's partial-pushdown contract. */
@@ -167,12 +173,53 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
     ascii: Boolean = false, columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Seq[FixedWidthSortKey] = Nil
   private var aggSpecs: Option[FixedWidthPushedAgg] = None
   private var aggComplete: Boolean = false
+
+  /** TOP-N pushdown (ORDER BY + LIMIT): each partition reader keeps only a
+    * bounded N-row selection of its file via the pushed sort keys, so an
+    * `ORDER BY ... LIMIT n` over a terabyte feed ships n rows per file
+    * instead of every record. PARTIAL by contract (isPartiallyPushed stays
+    * true): Spark still merges and re-sorts the per-file selections, the
+    * reader-side cut is purely an I/O/exchange saving — same philosophy as
+    * the filter pushdown (saves work, never owns correctness). Only plain
+    * column keys over the supported comparison domains push. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    if (aggSpecs.isDefined) return false
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        case ref: NamedReference if ref.fieldNames.length == 1 =>
+          val i = dataSchema.fieldNames.indexOf(ref.fieldNames.head)
+          if (i < 0) None
+          else dataSchema.fields(i).dataType match {
+            case IntegerType | LongType | DoubleType | StringType =>
+              Some(FixedWidthSortKey(i,
+                so.direction() == org.apache.spark.sql.connector.expressions
+                  .SortDirection.ASCENDING,
+                so.nullOrdering() == org.apache.spark.sql.connector.expressions
+                  .NullOrdering.NULLS_FIRST))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    if (keys.forall(_.isDefined) && keys.nonEmpty) {
+      topN = keys.flatten
+      limit = n
+      true
+    } else false
+  }
+
+  /** Both limit and top-N pushdown are PARTIAL: Spark applies the global
+    * limit / final sort regardless (diamond-default disambiguation). */
+  override def isPartiallyPushed(): Boolean = true
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** AGGREGATE pushdown (COUNT/COUNT(col)/MIN/MAX, GROUP BY on source
@@ -231,13 +278,13 @@ class FixedWidthScanBuilder(dataSchema: StructType, widths: Array[Int], path: St
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new FixedWidthScan(dataSchema, widths, path, required, pushed, limit,
-      aggSpecs, aggComplete, columnar)
+      aggSpecs, aggComplete, columnar, topN)
 }
 
 class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
     required: StructType, val pushedFilters: Array[Filter], limit: Int = -1,
     aggSpecs: Option[FixedWidthPushedAgg] = None, aggComplete: Boolean = false,
-    columnar: Boolean = false)
+    columnar: Boolean = false, topN: Seq[FixedWidthSortKey] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -265,7 +312,12 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
   // surfaces in .explain via BatchScanExec.simpleString, like built-in FileScans
   override def description(): String =
     s"FixedWidth PushedFilters: [${pushedFilters.mkString(", ")}], " +
-      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
+      (if (limit >= 0 && topN.isEmpty) s"PushedLimit: $limit, " else "") +
+      (if (topN.nonEmpty)
+        s"PushedTopN: [${topN.map(k =>
+          dataSchema.fieldNames(k.fieldIdx) +
+            (if (k.ascending) " ASC" else " DESC")).mkString(", ")}] LIMIT $limit, "
+      else "") +
       aggSpecs.map(pa =>
         s"PushedAggregates${if (aggComplete) " (complete)" else ""}: " +
           s"[${pa.specs.map(_.name).mkString(", ")}], " +
@@ -342,7 +394,7 @@ class FixedWidthScan(dataSchema: StructType, widths: Array[Int], path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(dataSchema, widths, required,
       pushedFilters ++ runtimeFilters, limit, aggSpecs, FixedWidthConf.capture(),
-      columnar)
+      columnar, topN)
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -378,14 +430,15 @@ class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
     required: StructType, filters: Array[Filter], limit: Int,
     aggSpecs: Option[FixedWidthPushedAgg],
     confBag: Array[(String, String)],
-    columnar: Boolean = false) extends PartitionReaderFactory {
+    columnar: Boolean = false,
+    topN: Seq[FixedWidthSortKey] = Nil) extends PartitionReaderFactory {
 
   /** Vectorized path (option `columnar=true`): plain row partitions only —
     * aggregate/meta partitions emit tiny pre-aggregated InternalRows where
     * batching buys nothing. When enabled, Spark plans the scan columnar and
     * inserts its own ColumnarToRow (codegen'd) boundary above it. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && partition.isInstanceOf[FixedWidthPartition]
+    columnar && topN.isEmpty && partition.isInstanceOf[FixedWidthPartition]
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -413,6 +466,9 @@ class FixedWidthReaderFactory(dataSchema: StructType, widths: Array[Int],
         }
       case FixedWidthAggPartition(file) =>
         new FixedWidthAggReader(file, dataSchema, widths, aggSpecs.get, confBag)
+      case p: FixedWidthPartition if topN.nonEmpty =>
+        new FixedWidthTopNReader(p.file, dataSchema, widths, required, filters,
+          limit, topN, confBag)
       case p: FixedWidthPartition =>
         new FixedWidthReader(p.file, dataSchema, widths, required, filters,
           limit, confBag)
@@ -724,6 +780,133 @@ class FixedWidthReader(file: String, dataSchema: StructType, widths: Array[Int],
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** TOP-N pushdown reader: streams its whole file once, keeping only the N
+  * best surviving lines under the pushed sort keys (bounded insertion into a
+  * sorted buffer — memory O(N) for any file size), then emits them in key
+  * order. Comparison domains mirror the pushed filters exactly (long/double
+  * with Spark's -0.0=0.0 and NaN-greatest rules, UTF8String binary order),
+  * so the reader's per-file selection is a superset-safe cut of what Spark's
+  * global TopN keeps. */
+class FixedWidthTopNReader(file: String, dataSchema: StructType,
+    widths: Array[Int], required: StructType, filters: Array[Filter],
+    limit: Int, topN: Seq[FixedWidthSortKey],
+    confBag: Array[(String, String)])
+    extends PartitionReader[InternalRow] {
+
+  private val preds: Array[String => Boolean] =
+    filters.map(FixedWidthFilters.compile(dataSchema, widths, _))
+
+  private def passes(l: String): Boolean = {
+    var i = 0
+    while (i < preds.length) { if (!preds(i)(l)) return false; i += 1 }
+    true
+  }
+
+  private val starts = widths.scanLeft(0)(_ + _)
+
+  private def rawSlice(line: String, i: Int): String = {
+    val start = starts(i)
+    if (start >= line.length) return null
+    val r = line.substring(start, math.min(start + widths(i), line.length)).trim
+    if (r.isEmpty) null else r
+  }
+
+  /** Spark-compatible three-valued comparison of two raw slices of field i. */
+  private def cmpField(i: Int, a: String, b: String, k: FixedWidthSortKey): Int = {
+    if (a == null && b == null) return 0
+    if (a == null) return if (k.nullsFirst) -1 else 1
+    if (b == null) return if (k.nullsFirst) 1 else -1
+    val c = dataSchema.fields(i).dataType match {
+      case IntegerType | LongType => java.lang.Long.compare(a.toLong, b.toLong)
+      case DoubleType =>
+        def norm(d: Double): Double = if (d == 0.0d) 0.0d else d
+        java.lang.Double.compare(norm(a.toDouble), norm(b.toDouble))
+      case StringType =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      case other => throw new UnsupportedOperationException(
+        s"fixed-width: unsupported sort type $other")
+    }
+    if (k.ascending) c else -c
+  }
+
+  private def cmpLines(x: String, y: String): Int = {
+    var i = 0
+    while (i < topN.length) {
+      val k = topN(i)
+      val c = cmpField(k.fieldIdx, rawSlice(x, k.fieldIdx),
+        rawSlice(y, k.fieldIdx), k)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  // bounded sorted buffer of the N best lines seen so far
+  private lazy val selected: Iterator[String] = {
+    val buf = new java.util.ArrayList[String](math.max(limit, 1))
+    val p = new Path(file)
+    val in = p.getFileSystem(FixedWidthConf.restore(confBag)).open(p)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.nonEmpty && passes(line) &&
+            (buf.size < limit || cmpLines(line, buf.get(buf.size - 1)) < 0)) {
+          // binary-search insertion keeps the buffer sorted; O(log N) compares
+          var lo = 0; var hi = buf.size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmpLines(line, buf.get(mid)) < 0) hi = mid else lo = mid + 1
+          }
+          buf.add(lo, line)
+          if (buf.size > limit) buf.remove(buf.size - 1)
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.iterator
+  }
+
+  private val slices: Array[(Int, Int, DataType)] = {
+    required.fields.map { f =>
+      val i = dataSchema.fieldIndex(f.name)
+      (starts(i), widths(i), f.dataType)
+    }
+  }
+
+  private var line: String = _
+
+  override def next(): Boolean = {
+    if (selected.hasNext) { line = selected.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(slices.length)
+    var i = 0
+    while (i < slices.length) {
+      val (start, width, dt) = slices(i)
+      val raw =
+        if (start >= line.length) ""
+        else line.substring(start, math.min(start + width, line.length)).trim
+      row.update(i,
+        if (raw.isEmpty) null
+        else dt match {
+          case IntegerType => raw.toInt
+          case LongType    => raw.toLong
+          case DoubleType  => raw.toDouble
+          case StringType  => UTF8String.fromString(raw)
+          case other => throw new UnsupportedOperationException(
+            s"fixed-width: unsupported type $other")
+        })
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Vectorized twin of [[FixedWidthReader]]: parses surviving lines straight

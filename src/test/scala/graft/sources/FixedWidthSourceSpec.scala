@@ -264,6 +264,30 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(read(columnar = true).limit(2).count() == 2)
   }
 
+  test("top-N pushdown reaches the scan and keeps global order semantics") {
+    import spark.implicits._
+    val dir = writeFixture()
+    def feed = spark.read.format("graft.sources.FixedWidthSource")
+      .schema("k INT, name STRING, qty DOUBLE")
+      .option("widths", "4,8,6")
+      .load(dir)
+    // qty has a NULL row: default ORDER BY qty puts nulls first (asc)
+    val asc = feed.orderBy($"qty").limit(2)
+    assert(asc.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      asc.queryExecution.executedPlan.toString)
+    assert(asc.select($"k").collect().map(_.getInt(0)).toSeq == Seq(10, 2))
+    val desc = feed.orderBy($"qty".desc, $"k").limit(2)
+      .select($"k").collect().map(_.getInt(0)).toSeq
+    assert(desc == Seq(1234, 1))
+    // composes with filter pushdown; Spark's final sort still owns the order
+    val filtered = feed.filter($"k" < 100).orderBy($"name").limit(2)
+      .select($"name").collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("Gadget", "Gizmo"))
+    // a plain limit still prints as PushedLimit, not PushedTopN
+    val lim = feed.limit(3)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit"))
+  }
+
   test("custom scan metrics report lines read vs rows surviving pushdown") {
     import spark.implicits._
     val df = spark.read.format("graft.sources.FixedWidthSource")
