@@ -1125,6 +1125,41 @@ object LlmExt2 {
              |    AS toks_per_100ch
              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Epoch reshuffling (the training-loader guarantee: every epoch sees the
+    // corpus in a different but REPRODUCIBLE order): order = md5 of
+    // (epoch, doc_id), so the permutation is epoch-keyed, engine-independent,
+    // and restart-safe — no RNG state to checkpoint. Heads of epochs 0 and 1
+    // are emitted via TakeOrdered (no global sort; the full shuffle at scale
+    // is a range-partition on the same hash key), ranked after the limit.
+    Q("sample_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id")
+        def epochHead(ep: Int) = {
+          val h = md5(concat(lit(s"ep$ep:"), $"doc_id".cast("string")))
+          val w = Window.orderBy($"h", $"doc_id")
+          docs.select($"doc_id", h.as("h"))
+            .orderBy($"h", $"doc_id").limit(10)
+            .withColumn("pos", row_number().over(w))
+            .select(lit(ep).as("epoch"), $"pos", $"doc_id", $"h")
+        }
+        epochHead(0).unionByName(epochHead(1))
+          .orderBy($"epoch", $"pos")
+      },
+      Some {
+        val ep = (k: Int) =>
+          s"""SELECT $k AS epoch, pos, doc_id, h FROM (
+             |  SELECT doc_id, md5('ep$k:' || CAST(doc_id AS VARCHAR)) AS h,
+             |    ROW_NUMBER() OVER (
+             |      ORDER BY md5('ep$k:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS pos
+             |  FROM documents) WHERE pos <= 10""".stripMargin
+        s"""${ep(0)}
+           |UNION ALL
+           |${ep(1)}
+           |ORDER BY epoch, pos""".stripMargin
+      }),
+
     // Preference-pair construction (RLHF/DPO data prep: for each source,
     // pair the best-scoring candidate against the worst as chosen/rejected):
     // score is a deterministic quality proxy (token density), extremes are
