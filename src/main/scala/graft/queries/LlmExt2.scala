@@ -1125,6 +1125,155 @@ object LlmExt2 {
              |    AS toks_per_100ch
              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // The END-TO-END pretraining funnel — the engine's operators composed the
+    // way a production corpus build chains them, with per-language survivor
+    // counts at every gate (the corpus report a data team actually reads):
+    //   raw -> quality gate (>= 25 tokens)
+    //       -> boilerplate/near-dup drop (any 40-char span shared with
+    //          another doc, the dedup_substring_span signal)
+    //       -> CCNet-style LM gate (bigram-surprisal terciles computed over
+    //          the SURVIVING corpus — the LM trains on what's left, as in
+    //          production — keep head+middle, drop tail)
+    //       -> token accounting + 512-token chunk counts for the training
+    //          loader. Every stage is the scale shape its standalone query
+    // established (map-only gates, digest-keyed span join, histogram terciles
+    // with no global row_number); the funnel is their sequential composition.
+    Q("pipeline_pretrain_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+        val base = t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text",
+            size(TF.tokens($"text")).as("nt"))
+          .withColumn("q_ok", $"nt" >= 25)
+        // stage 2: spans over quality survivors only
+        val spans = base.filter($"q_ok")
+          .select($"doc_id", $"text", length($"text").as("n"))
+          .filter($"n" >= 40)
+          .select($"doc_id", $"text",
+            explode(sequence(lit(1), $"n" - 39, lit(10))).as("pos"))
+          .select($"doc_id", expr("substring(text, pos, 40)").as("span"))
+        val dupDocs = spans.distinct()
+          .groupBy($"span").agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2)
+          .join(spans.distinct(), "span")
+          .select($"doc_id").distinct()
+          .withColumn("is_dup", lit(1))
+        val staged = base.join(dupDocs, Seq("doc_id"), "left")
+          .withColumn("d_ok", $"q_ok" && $"is_dup".isNull)
+        // stage 3: bigram-surprisal terciles over d_ok survivors
+        val surv = staged.filter($"d_ok")
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val bg = surv.select($"doc_id", explode(TF.ngrams($"toks", 2)).as("bg"))
+        val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+        val uni = surv.select(explode($"toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+          .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+        val surpr = -log(($"c2" + 1).cast("double") / ($"c1" + $"v"))
+        val per = bg.join(c2, Seq("bg"))
+          .join(broadcast(uni), substring_index($"bg", " ", 1) === $"w")
+          .select($"doc_id", surpr.cast(DEC).as("sv"))
+          .groupBy($"doc_id")
+          .agg(round((sum($"sv").cast("double") / count(lit(1))), 6).as("ms"))
+        val h = per.groupBy($"ms").agg(count(lit(1)).as("c"))
+          .withColumn("rb", floor($"ms"))
+        val offsets = h.groupBy($"rb").agg(sum($"c").as("rb_c"))
+          .withColumn("offset", coalesce(
+            sum($"rb_c").over(Window.orderBy($"rb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum($"rb_c").over(Window.partitionBy()))
+          .select($"rb", $"offset", $"n")
+        val bucketed = h.join(broadcast(offsets), Seq("rb"))
+          .withColumn("cum", $"offset" + sum($"c").over(
+            Window.partitionBy($"rb").orderBy($"ms")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("bucket", expr("(((cum - c) * 3) div n) + 1"))
+          .select($"ms", $"bucket")
+        val withBucket = per.join(bucketed, "ms").select($"doc_id", $"bucket")
+        staged.join(withBucket, Seq("doc_id"), "left")
+          .withColumn("k_ok", $"d_ok" && $"bucket".isNotNull && $"bucket" <= 2)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when($"q_ok", 1L).otherwise(0L)).as("n_quality"),
+            sum(when($"d_ok", 1L).otherwise(0L)).as("n_dedup"),
+            sum(when($"k_ok", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"k_ok", $"nt".cast("long")).otherwise(0L))
+              .as("total_tokens"),
+            sum(when($"k_ok", expr("(nt + 511) div 512")).otherwise(0L))
+              .as("n_chunks"))
+          .orderBy($"lang")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, text,
+             |    len(list_filter(regexp_split_to_array(lower(text),
+             |      '[^\p{L}\p{N}]+'), x -> x <> '')) AS nt
+             |  FROM documents),
+             |b2 AS (SELECT *, nt >= 25 AS q_ok FROM base),
+             |spans AS (
+             |  SELECT DISTINCT doc_id,
+             |    substring(text, CAST(pos AS INTEGER), 40) AS span
+             |  FROM (
+             |    SELECT doc_id, text,
+             |      unnest(generate_series(1, len(text) - 39, 10)) AS pos
+             |    FROM b2 WHERE q_ok AND len(text) >= 40)),
+             |dup AS (
+             |  SELECT DISTINCT s.doc_id FROM spans s
+             |  JOIN (SELECT span FROM spans
+             |        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2) d
+             |    ON d.span = s.span),
+             |b3 AS (
+             |  SELECT b2.*, b2.q_ok AND dup.doc_id IS NULL AS d_ok
+             |  FROM b2 LEFT JOIN dup ON dup.doc_id = b2.doc_id),
+             |surv AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                x -> x <> '') AS toks
+             |  FROM b3 WHERE d_ok),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+             |  FROM surv WHERE len(toks) >= 2),
+             |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+             |u0 AS (SELECT unnest(toks) AS w FROM surv),
+             |uni AS (SELECT w, count(*) AS c1 FROM u0 GROUP BY w),
+             |uni2 AS (SELECT w, c1, count(*) OVER () AS v FROM uni),
+             |per AS (
+             |  SELECT bg.doc_id,
+             |    round(CAST(SUM(CAST(-ln(CAST(c2.c2 + 1 AS DOUBLE)
+             |      / (uni2.c1 + uni2.v)) AS DECIMAL(30,12))) AS DOUBLE)
+             |      / count(*), 6) AS ms
+             |  FROM bg JOIN c2 USING (bg)
+             |  JOIN uni2 ON split_part(bg.bg, ' ', 1) = uni2.w
+             |  GROUP BY bg.doc_id),
+             |h AS (SELECT ms, COUNT(*) AS c FROM per GROUP BY 1),
+             |cd AS (
+             |  SELECT ms, c,
+             |    CAST(SUM(c) OVER (ORDER BY ms
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum,
+             |    CAST(SUM(c) OVER () AS BIGINT) AS n
+             |  FROM h),
+             |bk AS (SELECT ms, (((cum - c) * 3) // n) + 1 AS bucket FROM cd),
+             |wb AS (
+             |  SELECT per.doc_id, bk.bucket
+             |  FROM per JOIN bk ON bk.ms = per.ms),
+             |fin AS (
+             |  SELECT b3.lang, b3.nt, b3.q_ok, b3.d_ok,
+             |    b3.d_ok AND wb.bucket IS NOT NULL AND wb.bucket <= 2 AS k_ok
+             |  FROM b3 LEFT JOIN wb ON wb.doc_id = b3.doc_id)
+             |SELECT lang, COUNT(*) AS n_raw,
+             |  CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quality,
+             |  CAST(SUM(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dedup,
+             |  CAST(SUM(CASE WHEN k_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN k_ok THEN nt ELSE 0 END) AS BIGINT)
+             |    AS total_tokens,
+             |  CAST(SUM(CASE WHEN k_ok THEN (nt + 511) // 512 ELSE 0 END)
+             |    AS BIGINT) AS n_chunks
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Epoch reshuffling (the training-loader guarantee: every epoch sees the
     // corpus in a different but REPRODUCIBLE order): order = md5 of
     // (epoch, doc_id), so the permutation is epoch-keyed, engine-independent,
