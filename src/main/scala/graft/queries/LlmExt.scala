@@ -324,10 +324,12 @@ object LlmExt {
     // before tokenization (full-width forms, ligatures, superscripts collapse).
     // DuckDB has no NFKC function → declared rows-only; the NFC twin above
     // carries the cross-engine hash check for the shared machinery.
-    Q("text_nfkc_casefold",
+        Q("text_nfkc_casefold",
       (s, dir) => {
         import s.implicits._
-        val fancy = lit(" Ｈｅｌｌｏ ﬁne ①²")
+        // fullwidth letters, the fi ligature, circled one, superscript two —
+        // explicit escapes so transcoding can't silently de-fancy the fixture
+        val fancy = lit(" \uFF28\uFF45\uFF4C\uFF4C\uFF4F \uFB01ne \u2460\u00B2")
         t(s, dir, "documents").filter($"doc_id" < 300)
           .select($"doc_id",
             concat(substring($"text", 1, 40), fancy).as("raw"))
@@ -337,7 +339,19 @@ object LlmExt {
             md5($"folded".cast("binary")).as("folded_md5"))
           .orderBy($"doc_id")
       },
-      None),
+      // DuckDB has no NFKC, but none is needed: the corpus is pure ASCII
+      // (verified: zero non-alnum-space chars), where NFKC is the identity
+      // and casefold is lower(); the fixture suffix's NFKC+casefold image is
+      // hand-derived from the public Unicode data (FF28->H, FB01->fi,
+      // 2460->1, 00B2->2), so the oracle is independent of any JVM
+      // normalizer. 13 raw codepoints fold to ' hello fine 12' (14).
+      Some("""SELECT doc_id,
+             |  CAST(len(substring(text, 1, 40)) + 13 AS INTEGER) AS n_raw,
+             |  CAST(len(lower(substring(text, 1, 40)) || ' hello fine 12')
+             |    AS INTEGER) AS n_folded,
+             |  md5(lower(substring(text, 1, 40)) || ' hello fine 12')
+             |    AS folded_md5
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
     // Token-level vocabulary coverage of the NFC-canonicalized corpus against
     // the top-1000 vocab: composition changes nothing on ASCII docs, so this
