@@ -1274,6 +1274,64 @@ object LlmExt2 {
              |    AS BIGINT) AS n_chunks
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Windowed co-occurrence + PMI (the word2vec/GloVe statistics pass:
+    // which words appear together more than chance): token pairs within a
+    // +-3 window collected via a doc-key equi-join with an index band (never
+    // all-pairs), PMI = ln(c_pair * N / (c1 * c2)) over the pair space,
+    // top-20 associations with support >= 5. Integer counts + one ln ratio
+    // => cross-engine exact after rounding.
+    Q("text_pmi_cooccurrence",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("i", "w")))
+        val pairs = toks.select($"doc_id", $"i".as("i1"), $"w".as("w1"))
+          .join(toks.select($"doc_id", $"i".as("i2"), $"w".as("w2")), "doc_id")
+          .filter($"i2" > $"i1" && $"i2" - $"i1" <= 3 && $"w1" =!= $"w2")
+          .select(least($"w1", $"w2").as("wa"), greatest($"w1", $"w2").as("wb"))
+        val pc = pairs.groupBy($"wa", $"wb").agg(count(lit(1)).as("c_pair"))
+        val n = pc.agg(sum($"c_pair").as("n_pairs"))
+        val wc = pairs.select(explode(array($"wa", $"wb")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cw"))
+        pc.filter($"c_pair" >= 5)
+          .join(wc.select($"w".as("wa"), $"cw".as("ca")), "wa")
+          .join(wc.select($"w".as("wb"), $"cw".as("cb")), "wb")
+          .crossJoin(broadcast(n))
+          .select($"wa", $"wb", $"c_pair",
+            round(log($"c_pair".cast("double") * $"n_pairs" /
+              ($"ca".cast("double") * $"cb")), 6).as("pmi"))
+          .orderBy($"pmi".desc, $"wa", $"wb")
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(tk) AS w,
+             |    generate_subscripts(tk, 1) AS i
+             |  FROM (
+             |    SELECT doc_id,
+             |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                  x -> x <> '') AS tk
+             |    FROM documents)),
+             |pairs AS (
+             |  SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+             |  FROM toks a JOIN toks b
+             |    ON b.doc_id = a.doc_id AND b.i > a.i AND b.i - a.i <= 3
+             |   AND a.w <> b.w),
+             |pc AS (SELECT wa, wb, COUNT(*) AS c_pair FROM pairs GROUP BY 1, 2),
+             |n AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS n_pairs FROM pc),
+             |wc AS (
+             |  SELECT w, COUNT(*) AS cw FROM (
+             |    SELECT wa AS w FROM pairs UNION ALL SELECT wb FROM pairs)
+             |  GROUP BY 1)
+             |SELECT pc.wa, pc.wb, pc.c_pair,
+             |  round(ln(CAST(pc.c_pair AS DOUBLE) * n.n_pairs
+             |    / (CAST(ca.cw AS DOUBLE) * cb.cw)), 6) AS pmi
+             |FROM pc
+             |JOIN wc ca ON ca.w = pc.wa
+             |JOIN wc cb ON cb.w = pc.wb
+             |CROSS JOIN n
+             |WHERE pc.c_pair >= 5
+             |ORDER BY pmi DESC, pc.wa, pc.wb LIMIT 20""".stripMargin)),
+
     // Epoch reshuffling (the training-loader guarantee: every epoch sees the
     // corpus in a different but REPRODUCIBLE order): order = md5 of
     // (epoch, doc_id), so the permutation is epoch-keyed, engine-independent,
