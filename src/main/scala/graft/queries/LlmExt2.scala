@@ -1274,6 +1274,63 @@ object LlmExt2 {
              |    AS BIGINT) AS n_chunks
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Hard-negative mining (contrastive-training prep: for each anchor, the
+    // highest-ranked neighbor with a DIFFERENT label — the near-miss the loss
+    // needs): exact top-10 cosine ranking per probe, first cross-label hit by
+    // min-struct argmin over rank. Integer ranks + decimal-exact cosine =>
+    // hash-matched; the ANN variants supply candidates at 100 TB.
+    Q("sim_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val ranked = Similarity.bruteForceTopK(e.filter($"vec_id" < 20), e, k = 10)
+        val lbl = e.select($"vec_id", $"label")
+        ranked
+          .join(broadcast(lbl.select($"vec_id".as("qid"), $"label".as("qlabel"))),
+            "qid")
+          .join(broadcast(lbl.select($"vec_id".as("vid"), $"label".as("vlabel"))),
+            "vid")
+          .filter($"qlabel" =!= $"vlabel")
+          .groupBy($"qid", $"qlabel")
+          .agg(min(struct($"rank".as("r"), $"vid".as("v"),
+            $"cosine".as("c"))).as("m"))
+          .select($"qid", $"qlabel",
+            $"m.v".as("hard_negative"), $"m.r".as("neg_rank"),
+            round($"m.c", 9).as("neg_cosine"))
+          .orderBy($"qid")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat GROUP BY 1),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20 GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT qid, vid, cosine, rank FROM (
+             |    SELECT d.qid, d.vid, d.dot / (nq.nrm * nc.nrm) AS cosine,
+             |      ROW_NUMBER() OVER (PARTITION BY d.qid
+             |        ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vid) AS rank
+             |    FROM dots d
+             |    JOIN norms nq ON nq.vec_id = d.qid
+             |    JOIN norms nc ON nc.vec_id = d.vid) WHERE rank <= 10),
+             |x AS (
+             |  SELECT r.qid, ql.label AS qlabel, r.vid, r.rank, r.cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY r.qid ORDER BY r.rank) AS rn
+             |  FROM ranked r
+             |  JOIN embeddings ql ON ql.vec_id = r.qid
+             |  JOIN embeddings vl ON vl.vec_id = r.vid
+             |  WHERE ql.label <> vl.label)
+             |SELECT qid, qlabel, vid AS hard_negative, rank AS neg_rank,
+             |  round(cosine, 9) AS neg_cosine
+             |FROM x WHERE rn = 1 ORDER BY qid""".stripMargin)),
+
     // Windowed co-occurrence + PMI (the word2vec/GloVe statistics pass:
     // which words appear together more than chance): token pairs within a
     // +-3 window collected via a doc-key equi-join with an index band (never
