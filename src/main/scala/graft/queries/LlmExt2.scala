@@ -1153,14 +1153,21 @@ object LlmExt2 {
           .select($"doc_id", $"text",
             explode(sequence(lit(1), $"n" - 39, lit(10))).as("pos"))
           .select($"doc_id", expr("substring(text, pos, 40)").as("span"))
-        val dupDocs = spans.distinct()
+        // the span/staged/per frames each feed TWO consumers — materialize
+        // once (executor-local, the dedup-family persist idiom) or the static
+        // plan recomputes every upstream stage per consumer (57 shuffles
+        // before this; the funnel is sequential, so each stage should run
+        // once, exactly as a production pipeline materializes between gates)
+        val spansD = spans.distinct().localCheckpoint()
+        val dupDocs = spansD
           .groupBy($"span").agg(countDistinct($"doc_id").as("nd"))
           .filter($"nd" >= 2)
-          .join(spans.distinct(), "span")
+          .join(spansD, "span")
           .select($"doc_id").distinct()
           .withColumn("is_dup", lit(1))
         val staged = base.join(dupDocs, Seq("doc_id"), "left")
           .withColumn("d_ok", $"q_ok" && $"is_dup".isNull)
+          .localCheckpoint()
         // stage 3: bigram-surprisal terciles over d_ok survivors
         val surv = staged.filter($"d_ok")
           .select($"doc_id", TF.tokens($"text").as("toks"))
@@ -1175,6 +1182,7 @@ object LlmExt2 {
           .select($"doc_id", surpr.cast(DEC).as("sv"))
           .groupBy($"doc_id")
           .agg(round((sum($"sv").cast("double") / count(lit(1))), 6).as("ms"))
+          .localCheckpoint()
         val h = per.groupBy($"ms").agg(count(lit(1)).as("c"))
           .withColumn("rb", floor($"ms"))
         val offsets = h.groupBy($"rb").agg(sum($"c").as("rb_c"))
