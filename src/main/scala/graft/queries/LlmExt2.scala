@@ -1005,8 +1005,13 @@ object LlmExt2 {
             sum(when($"c".isNotNull && $"tr".isNotNull, 1L).otherwise(0L))
               .as("tp"))
           .select($"n_truth", $"n_cand", $"tp",
-            round($"tp" / $"n_cand".cast("double"), 6).as("prec"),
-            round($"tp" / $"n_truth".cast("double"), 6).as("recall"))
+            // empty candidate/truth sets are legal at other scale factors
+            // (sf0.1's doc_id<150 slice yields zero banded candidates) —
+            // NULL, not a divide-by-zero under ANSI mode
+            when($"n_cand" > 0, round($"tp" / $"n_cand".cast("double"), 6))
+              .as("prec"),
+            when($"n_truth" > 0, round($"tp" / $"n_truth".cast("double"), 6))
+              .as("recall"))
           .localCheckpoint(true) // materialize before releasing the cache
         sh.unpersist()
         res.orderBy($"n_truth")
@@ -1067,11 +1072,11 @@ object LlmExt2 {
               |  CAST(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END) AS BIGINT)
               |    AS tp,
               |  round(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END)
-              |    / CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS DOUBLE), 6)
-              |    AS prec,
+              |    / CAST(NULLIF(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0)
+              |      AS DOUBLE), 6) AS prec,
               |  round(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END)
-              |    / CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE), 6)
-              |    AS recall
+              |    / CAST(NULLIF(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0)
+              |      AS DOUBLE), 6) AS recall
               |FROM u""".stripMargin)),
 
     // Tokenizer fertility by language (tokens-per-word — the eval every
