@@ -1287,6 +1287,157 @@ object LlmExt2 {
              |    AS BIGINT) AS n_chunks
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Pseudo-relevance-feedback query expansion (RM3/Rocchio-lite: run the
+    // seed query, mine the top-5 BM25 documents for the terms that
+    // characterize them, expand the query): expansion score = feedback-set
+    // term frequency x corpus idf, seed terms excluded (the synthetic corpus
+    // has a 31-term vocabulary with no stopword gradient, so idf alone does
+    // the down-weighting a df-cap would do on real text). The feedback set is
+    // a TakeOrdered top-5 — the expansion stage touches 5 documents
+    // regardless of corpus size.
+    Q("text_query_expansion",
+      (s, dir) => {
+        import s.implicits._
+        val qTerms = Seq("spark", "join", "merge")
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").cast("bigint").as("dl"))
+        val scalars = docs.agg(count(lit(1)).as("n_docs"),
+          sum($"dl").as("total_tokens"))
+        val terms = docs.select($"doc_id", $"dl", explode($"toks").as("term"))
+        val ft = terms.filter($"term".isin(qTerms: _*))
+        val tf = ft.groupBy($"doc_id", $"dl", $"term")
+          .agg(count(lit(1)).as("tf"))
+        val df = ft.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val avgdl = $"total_tokens".cast("double") / $"n_docs"
+        val idfq = log(($"n_docs".cast("double") - $"df" + lit(0.5)) /
+          ($"df" + lit(0.5)) + lit(1.0))
+        val contrib = idfq * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl))
+        val perTerm = qTerms.map(qt =>
+          coalesce(max(when($"term" === qt, $"c")), lit(0.0d)))
+        val fb = tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(scalars))
+          .select($"doc_id", $"term", contrib.as("c"))
+          .groupBy($"doc_id")
+          .agg((perTerm(0) + perTerm(1) + perTerm(2)).as("raw"))
+          .select($"doc_id", round($"raw", 9).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id").limit(5)
+          .select($"doc_id")
+        val corpusDf = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("cdf"))
+        val fbTf = terms.join(fb, "doc_id")
+          .groupBy($"term").agg(count(lit(1)).as("fb_tf"))
+        val w = Window.orderBy($"score".desc, $"term")
+        fbTf.join(corpusDf, "term")
+          .crossJoin(broadcast(scalars.select($"n_docs")))
+          .filter(!$"term".isin(qTerms: _*))
+          .select($"term", $"fb_tf", $"cdf",
+            round($"fb_tf" * log($"n_docs".cast("double") / $"cdf"), 6)
+              .as("score"))
+          .orderBy($"score".desc, $"term").limit(8)
+          .withColumn("rank", row_number().over(w))
+          .select($"rank", $"term", $"fb_tf", $"cdf", $"score")
+          .orderBy($"rank")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+             |scalars AS (SELECT count(*) AS n_docs,
+             |                   CAST(SUM(dl) AS BIGINT) AS total_tokens FROM d2),
+             |terms AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+             |ft AS (SELECT * FROM terms WHERE term IN ('spark', 'join', 'merge')),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             |       FROM ft GROUP BY doc_id, dl, term),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY term),
+             |bscored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    ln((n_docs * 1.0 - df + 0.5) / (df + 0.5) + 1.0) *
+             |      (tf * 2.2) /
+             |      (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))
+             |      AS c
+             |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN scalars),
+             |fb AS (
+             |  SELECT doc_id FROM (
+             |    SELECT doc_id,
+             |      round((COALESCE(MAX(CASE WHEN term = 'spark' THEN c END), 0.0) +
+             |             COALESCE(MAX(CASE WHEN term = 'join'  THEN c END), 0.0)) +
+             |             COALESCE(MAX(CASE WHEN term = 'merge' THEN c END), 0.0), 9)
+             |        AS bm25
+             |    FROM bscored GROUP BY doc_id)
+             |  ORDER BY bm25 DESC, doc_id LIMIT 5),
+             |cdf AS (
+             |  SELECT term, COUNT(DISTINCT doc_id) AS cdf FROM terms GROUP BY 1),
+             |fbtf AS (
+             |  SELECT t.term, COUNT(*) AS fb_tf
+             |  FROM terms t JOIN fb ON fb.doc_id = t.doc_id
+             |  GROUP BY 1),
+             |exp AS (
+             |  SELECT f.term, f.fb_tf, c.cdf,
+             |    round(f.fb_tf * ln(CAST(s.n_docs AS DOUBLE) / c.cdf), 6)
+             |      AS score
+             |  FROM fbtf f JOIN cdf c ON c.term = f.term CROSS JOIN scalars s
+             |  WHERE f.term NOT IN ('spark', 'join', 'merge'))
+             |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, term) AS rank,
+             |  term, fb_tf, cdf, score
+             |FROM (SELECT * FROM exp ORDER BY score DESC, term LIMIT 8)
+             |ORDER BY rank""".stripMargin)),
+
+    // Span-corruption masking PLAN (the T5/UL2 denoising objective's
+    // preprocessing: decide deterministically which token spans get masked,
+    // BEFORE any model sees the data): 15% corruption rate in mean-3-token
+    // spans, span anchors placed by an md5-derived offset so the plan is
+    // reproducible across runs/engines with no RNG state. Map-only per doc;
+    // the plan (not the masked text) is the pipeline artifact, exactly like
+    // a production packing manifest.
+    Q("text_span_corruption_plan",
+      (s, dir) => {
+        import s.implicits._
+        val nt = TF.tokenCount($"text")
+        val nspans = floor(nt * 0.15d / 3).cast("int")
+        val anchor = (conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % greatest(nt.cast("long"), lit(1L))).cast("int")
+        t(s, dir, "documents")
+          .select($"doc_id", nt.as("n_tokens"), nspans.as("n_spans"),
+            (nspans * 3).as("n_masked"), anchor.as("first_anchor"))
+          .withColumn("mask_ratio",
+            round($"n_masked" / greatest($"n_tokens", lit(1)).cast("double"), 9))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(
+             |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |      x -> x <> '')) AS INTEGER) AS n_tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(floor(n_tokens * 0.15 / 3) AS INTEGER) AS n_spans,
+             |    CAST((instr('0123456789abcdef',
+             |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+             |      + (instr('0123456789abcdef',
+             |        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+             |      + (instr('0123456789abcdef',
+             |        substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+             |      + (instr('0123456789abcdef',
+             |        substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+             |      + (instr('0123456789abcdef',
+             |        substring(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+             |      + (instr('0123456789abcdef',
+             |        substring(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+             |      AS BIGINT) % GREATEST(n_tokens, 1) AS first_anchor
+             |  FROM m)
+             |SELECT doc_id, n_tokens, n_spans,
+             |  n_spans * 3 AS n_masked,
+             |  CAST(first_anchor AS INTEGER) AS first_anchor,
+             |  round(n_spans * 3 / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 9)
+             |    AS mask_ratio
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // Hard-negative mining (contrastive-training prep: for each anchor, the
     // highest-ranked neighbor with a DIFFERENT label — the near-miss the loss
     // needs): exact top-10 cosine ranking per probe, first cross-label hit by
