@@ -1387,6 +1387,73 @@ object LlmExt2 {
              |FROM (SELECT * FROM exp ORDER BY score DESC, term LIMIT 8)
              |ORDER BY rank""".stripMargin)),
 
+    // Unicode-script profiling (the multilingual routing signal language-ID
+    // models key on: which WRITING SYSTEM dominates each doc): per-script
+    // character counts (Latin/Han/Cyrillic/Arabic) and a fixed-precedence
+    // dominant-script vote. The ASCII corpus gets deterministic script
+    // suffixes injected on doc_id-keyed subsets so every class has positives
+    // (the standard fixture pattern). Map-only per doc.
+    Q("text_script_profile",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("txt",
+            when($"doc_id" % 9 === 0,
+              concat($"text", lit(" \u4e2d\u6587\u6587\u672c")))
+              .when($"doc_id" % 10 === 0,
+                concat($"text", lit(" \u043f\u0440\u0438\u0432\u0435\u0442")))
+              .when($"doc_id" % 11 === 0,
+                concat($"text", lit(" \u0645\u0631\u062d\u0628\u0627")))
+              .otherwise($"text"))
+        docs.select($"doc_id",
+            regexp_count($"txt", lit("[A-Za-z]")).as("n_latin"),
+            regexp_count($"txt", lit("\\p{IsHan}")).as("n_han"),
+            regexp_count($"txt", lit("\\p{IsCyrillic}")).as("n_cyr"),
+            regexp_count($"txt", lit("\\p{IsArabic}")).as("n_arab"))
+          .select($"doc_id", $"n_latin", $"n_han", $"n_cyr", $"n_arab",
+            when($"n_latin" >= $"n_han" && $"n_latin" >= $"n_cyr" &&
+              $"n_latin" >= $"n_arab", lit("latin"))
+              .when($"n_han" >= $"n_cyr" && $"n_han" >= $"n_arab", lit("han"))
+              .when($"n_cyr" >= $"n_arab", lit("cyrillic"))
+              .otherwise(lit("arabic")).as("dominant"))
+          .orderBy($"doc_id")
+      },
+      Some(("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN doc_id % 9 = 0 THEN text || HAN_SUFFIX
+             |      WHEN doc_id % 10 = 0 THEN text || CYR_SUFFIX
+             |      WHEN doc_id % 11 = 0 THEN text || ARAB_SUFFIX
+             |      ELSE text END AS txt
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(txt, '[A-Za-z]')) AS INTEGER)
+             |      AS n_latin,
+             |    CAST(len(regexp_extract_all(txt, '\p{Han}')) AS INTEGER)
+             |      AS n_han,
+             |    CAST(len(regexp_extract_all(txt, '\p{Cyrillic}')) AS INTEGER)
+             |      AS n_cyr,
+             |    CAST(len(regexp_extract_all(txt, '\p{Arabic}')) AS INTEGER)
+             |      AS n_arab
+             |  FROM d)
+             |SELECT doc_id, n_latin, n_han, n_cyr, n_arab,
+             |  CASE
+             |    WHEN n_latin >= n_han AND n_latin >= n_cyr
+             |      AND n_latin >= n_arab THEN 'latin'
+             |    WHEN n_han >= n_cyr AND n_han >= n_arab THEN 'han'
+             |    WHEN n_cyr >= n_arab THEN 'cyrillic'
+             |    ELSE 'arabic' END AS dominant
+             |FROM m ORDER BY doc_id""")
+        .replace("HAN_SUFFIX",
+          "(' ' || chr(20013) || chr(25991) || chr(25991) || chr(26412))")
+        .replace("CYR_SUFFIX",
+          "(' ' || chr(1087) || chr(1088) || chr(1080) || chr(1074) || " +
+            "chr(1077) || chr(1090))")
+        .replace("ARAB_SUFFIX",
+          "(' ' || chr(1605) || chr(1585) || chr(1581) || chr(1576) || " +
+            "chr(1575))").stripMargin)),
+
     // Span-corruption masking PLAN (the T5/UL2 denoising objective's
     // preprocessing: decide deterministically which token spans get masked,
     // BEFORE any model sees the data): 15% corruption rate in mean-3-token
