@@ -1396,14 +1396,17 @@ object LlmExt2 {
     Q("text_script_profile",
       (s, dir) => {
         import s.implicits._
+        // doc_id-keyed subsets become fully script-typed documents (repeat of
+        // a native phrase), modelling a real multilingual crawl — an appended
+        // few-char suffix would never flip the dominant vote
         val docs = t(s, dir, "documents")
           .withColumn("txt",
             when($"doc_id" % 9 === 0,
-              concat($"text", lit(" \u4e2d\u6587\u6587\u672c")))
+              repeat(lit("\u4e2d\u6587\u6587\u672c "), 30))
               .when($"doc_id" % 10 === 0,
-                concat($"text", lit(" \u043f\u0440\u0438\u0432\u0435\u0442")))
+                repeat(lit("\u043f\u0440\u0438\u0432\u0435\u0442 "), 30))
               .when($"doc_id" % 11 === 0,
-                concat($"text", lit(" \u0645\u0631\u062d\u0628\u0627")))
+                repeat(lit("\u0645\u0631\u062d\u0628\u0627 "), 30))
               .otherwise($"text"))
         docs.select($"doc_id",
             regexp_count($"txt", lit("[A-Za-z]")).as("n_latin"),
@@ -1421,9 +1424,9 @@ object LlmExt2 {
       Some(("""WITH d AS (
              |  SELECT doc_id,
              |    CASE
-             |      WHEN doc_id % 9 = 0 THEN text || HAN_SUFFIX
-             |      WHEN doc_id % 10 = 0 THEN text || CYR_SUFFIX
-             |      WHEN doc_id % 11 = 0 THEN text || ARAB_SUFFIX
+             |      WHEN doc_id % 9 = 0 THEN repeat(HAN_SUFFIX, 30)
+             |      WHEN doc_id % 10 = 0 THEN repeat(CYR_SUFFIX, 30)
+             |      WHEN doc_id % 11 = 0 THEN repeat(ARAB_SUFFIX, 30)
              |      ELSE text END AS txt
              |  FROM documents),
              |m AS (
@@ -1446,13 +1449,13 @@ object LlmExt2 {
              |    ELSE 'arabic' END AS dominant
              |FROM m ORDER BY doc_id""")
         .replace("HAN_SUFFIX",
-          "(' ' || chr(20013) || chr(25991) || chr(25991) || chr(26412))")
+          "(chr(20013) || chr(25991) || chr(25991) || chr(26412) || ' ')")
         .replace("CYR_SUFFIX",
-          "(' ' || chr(1087) || chr(1088) || chr(1080) || chr(1074) || " +
-            "chr(1077) || chr(1090))")
+          "(chr(1087) || chr(1088) || chr(1080) || chr(1074) || " +
+            "chr(1077) || chr(1090) || ' ')")
         .replace("ARAB_SUFFIX",
-          "(' ' || chr(1605) || chr(1585) || chr(1581) || chr(1576) || " +
-            "chr(1575))").stripMargin)),
+          "(chr(1605) || chr(1585) || chr(1581) || chr(1576) || " +
+            "chr(1575) || ' ')").stripMargin)),
 
     // Span-corruption masking PLAN (the T5/UL2 denoising objective's
     // preprocessing: decide deterministically which token spans get masked,
