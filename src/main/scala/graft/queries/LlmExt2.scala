@@ -5,13 +5,25 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Similarity, TextFunctions => TF}
 import QueryDSL._
 
-/** Third-wave LLM-data-pipeline operators: quantized two-stage similarity search,
-  * Matryoshka prefix-dimension retrieval, hybrid lexical+semantic rank fusion,
-  * duplicated-substring-span detection, and encoding-anomaly (mojibake) triage —
-  * the retrieval/QA layer a pretraining pipeline runs on top of the dedup and
-  * quality families in [[Llm]]/[[LlmExt]]. Same contract as every family: each
-  * query is scale-shaped (broadcast-bounded candidate generation, no all-pairs,
-  * top-k via TakeOrdered not global sort) and carries a DuckDB oracle. */
+/** Third-wave LLM-data-pipeline operators, grouped by what a pretraining data
+  * team runs them for:
+  *
+  *  - retrieval/eval: int8-quantized two-stage search, binary-sign Hamming,
+  *    Matryoshka prefix-dim recall, RRF fusion, MAP eval, hard negatives,
+  *    RM3 query expansion, MinHash-LSH precision/recall audit;
+  *  - corpus QA/routing: mojibake triage, Unicode-script profiling, sentence
+  *    shape, license classification, prose-vs-code routing, substring-span
+  *    and canonicalized exact dedup, perceptual-hash image dedup, keyframes;
+  *  - tokenizer/objective prep: BPE training + encode, fertility, CCNet
+  *    surprisal buckets, span-corruption plans, PMI co-occurrence, epoch
+  *    reshuffling, preference pairs;
+  *  - and the `pipeline_pretrain_funnel` composition chaining the gates
+  *    end to end with per-language survivor accounting.
+  *
+  * Same contract as every family: each query is scale-shaped (broadcast-
+  * bounded candidate generation, no all-pairs, top-k via TakeOrdered not
+  * global sort, fixture injection where the synthetic corpus lacks positives)
+  * and carries a DuckDB oracle. */
 object LlmExt2 {
 
   /** Mojibake suffix injected into a deterministic subset of docs so the detector
