@@ -31,7 +31,9 @@ object SparkEntry {
     Scale.queries,
     Extras.queries,
     Analytics.queries,
-    Retrieval.queries
+    Retrieval.queries,
+    SketchQ.queries,
+    LlmExt3.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -19,6 +19,10 @@ case class ImageFeatures(doc_id: Long, width: Int, height: Int, n_px: Long,
 case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long, wsum_r: Long)
 
+/** Energy of one fixed-length audio analysis frame (Σ s² over the frame) —
+  * the per-frame feature every energy-gated VAD consumes. Integer-exact. */
+case class AudioFrameEnergy(doc_id: Long, frame_idx: Int, energy: Long)
+
 /** Decoded-audio statistics — integer-exact, so cross-engine hashable. `energy`
   * is the sum of squared samples (the RMS numerator, kept un-rooted for
   * exactness); `zero_cross` counts sign boundaries, the classic cheap
@@ -161,6 +165,40 @@ object Multimodal {
       val n = (800 + (id % 7) * 100).toInt
       val rate = (8000 + (id % 3) * 4000).toInt
       MediaRecord(id, "audio/wav", Wav.encode(Wav.synthetic(id, n, rate)))
+    })
+  }
+
+  /** Deterministic speech-shaped audio corpus: [[Wav.syntheticGated]] payloads
+    * (every third 200-sample block attenuated) so energy gating is
+    * non-vacuous. Same dims formula as [[syntheticAudio]]. */
+  def syntheticGatedAudio(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (800 + (id % 7) * 100).toInt
+      val rate = (8000 + (id % 3) * 4000).toInt
+      MediaRecord(id, "audio/wav", Wav.encode(Wav.syntheticGated(id, n, rate)))
+    })
+  }
+
+  /** Decode → frame into fixed `frameLen`-sample windows (full frames only;
+    * the sub-frame tail is dropped, the standard analysis-frame convention) →
+    * per-frame energy Σ s². Emits one row per frame, partition-wise: the codec
+    * stage reduces samples to frames BEFORE anything hits a shuffle, so the
+    * row count leaving the decoder is n/frameLen, not n. */
+  def frameEnergies(spark: SparkSession, media: Dataset[MediaRecord],
+      frameLen: Int): Dataset[AudioFrameEnergy] = {
+    import spark.implicits._
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    media.mapPartitions(_.flatMap { rec =>
+      val pcm = Wav.decode(rec.payload)
+      val nFrames = pcm.samples.length / frameLen
+      (0 until nFrames).iterator.map { f =>
+        var e = 0L
+        var i = f * frameLen
+        val end = i + frameLen
+        while (i < end) { val s = pcm.samples(i).toLong; e += s * s; i += 1 }
+        AudioFrameEnergy(rec.doc_id, f, e)
+      }
     })
   }
 

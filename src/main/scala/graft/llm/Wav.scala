@@ -128,4 +128,20 @@ object Wav {
     }
     Pcm(sampleRate, 1, s)
   }
+
+  /** Speech-shaped synthetic signal: the [[synthetic]] mod-ramp with every
+    * third 200-sample block attenuated 16× (integer TRUNC division, the same
+    * semantics as DuckDB's `//`) — deterministic loud/quiet structure so
+    * energy-gated segmentation (VAD) has real boundaries to find instead of a
+    * uniformly-loud ramp where every frame trivially passes the gate. */
+  def syntheticGated(docId: Long, n: Int, sampleRate: Int): Pcm = {
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val base = ((docId * 37 + i.toLong * 13) % 2048L) - 1024L
+      s(i) = (if ((i / 200) % 3 == 2) base / 16L else base).toShort
+      i += 1
+    }
+    Pcm(sampleRate, 1, s)
+  }
 }

@@ -1756,6 +1756,59 @@ object Llm {
              |  CAST(SUM(s * s) AS BIGINT) AS energy
              |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Energy-gated voice-activity detection (VAD) — the gate every speech-data
+    // pipeline runs before transcription (silence is the cheapest data to
+    // drop). Decode → 160-sample analysis frames → integer frame energy Σs²
+    // (all inside the codec stage, so n samples leave the decoder as n/160
+    // frame rows) → threshold gate → merge consecutive active frames into
+    // segments (gaps-and-islands: frame_idx − per-doc active rank is constant
+    // within a run). The gated synthetic signal (every third 200-sample block
+    // attenuated 16×) makes the gate non-vacuous: frames straddle the
+    // 200-sample block boundary, so the oracle checks partial-overlap energies
+    // too. Windows partition by doc_id — parallel, no global sort.
+    Q("multimodal_audio_vad",
+      (s, dir) => {
+        import s.implicits._
+        val frameLen = 160
+        val thresh = 28000000L // ~half a fully-loud frame's ≈5.6e7 energy
+        import org.apache.spark.sql.expressions.Window
+        val frames = Multimodal.frameEnergies(s,
+          Multimodal.syntheticGatedAudio(s,
+            t(s, dir, "documents").filter($"doc_id" < 100)), frameLen).toDF()
+        val act = frames.filter($"energy" > thresh)
+          .withColumn("run", $"frame_idx" -
+            row_number().over(Window.partitionBy($"doc_id").orderBy($"frame_idx")))
+        act.groupBy($"doc_id", $"run")
+          .agg(min($"frame_idx").as("start_frame"),
+            max($"frame_idx").as("end_frame"),
+            count(lit(1)).as("n_frames"),
+            sum($"energy").as("seg_energy"))
+          .select($"doc_id", $"start_frame".cast("long").as("start_frame"),
+            $"end_frame".cast("long").as("end_frame"),
+            $"n_frames", $"seg_energy")
+          .orderBy($"doc_id", $"start_frame")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, unnest(range(0, (n // 160) * 160)) AS i
+             |       FROM dims),
+             |v AS (SELECT doc_id, i // 160 AS f,
+             |        CASE WHEN (i // 200) % 3 = 2
+             |          THEN ((doc_id*37 + i*13) % 2048 - 1024) // 16
+             |          ELSE (doc_id*37 + i*13) % 2048 - 1024 END AS s
+             |      FROM sm),
+             |fe AS (SELECT doc_id, f, SUM(s * s) AS energy
+             |       FROM v GROUP BY 1, 2),
+             |act AS (SELECT doc_id, f, energy,
+             |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+             |            AS run
+             |        FROM fe WHERE energy > 28000000)
+             |SELECT doc_id, MIN(f) AS start_frame, MAX(f) AS end_frame,
+             |  COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS seg_energy
+             |FROM act GROUP BY doc_id, run
+             |ORDER BY doc_id, start_frame""".stripMargin)),
+
     // Frame-sample a multi-frame (video-shaped) payload: 3..6 concatenated BMP
     // frames per doc; the container walk reads each frame's self-declared byte
     // length (real parsing, not fixed-stride splitting), keeps every 2nd frame,

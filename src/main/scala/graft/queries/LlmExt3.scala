@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DataTypes
+import graft.llm.{Multimodal, TextFunctions => TF}
+import QueryDSL._
+
+/** Fourth-wave LLM-data-pipeline operators:
+  *
+  *  - `text_kneser_ney_bigram`: the n-gram LM ESTIMATION side of CCNet-style
+  *    perplexity filtering (the repo already scores with a trained-elsewhere
+  *    surprisal table; this builds the interpolated Kneser-Ney model from the
+  *    corpus itself);
+  *  - `sample_kcenter_coreset`: greedy k-center (Gonzalez) coreset selection —
+  *    the geometry-coverage data-pruning pass (pick the k most mutually-distant
+  *    exemplars, assign everything to its nearest exemplar);
+  *  - `multimodal_audio_fingerprint`: Philips-robust-hash-style audio
+  *    fingerprint (sign of successive frame-energy deltas, packed to one
+  *    BIGINT) — the audio analogue of the image aHash already in
+  *    [[graft.llm.Multimodal]].
+  *
+  * Determinism: KN arithmetic is integer counts + IEEE double ops in a pinned
+  * parenthesization (no libm); k-center distances are decimal-exact sums of
+  * double squares (the sim_centroid_distance pattern — grid 1e-12 is coarser
+  * than the ulp at these magnitudes, so the double→decimal cast is
+  * engine-stable); the fingerprint is pure integer comparisons and shifts. */
+object LlmExt3 {
+
+  private val dec12 = DataTypes.createDecimalType(30, 12)
+
+  val queries: Seq[Q] = Seq(
+
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    // 1999 eq. 4.25) with fixed discount d=0.75 — the estimator behind KenLM
+    // models used for CCNet perplexity filtering:
+    //   P_KN(w2|w1) = (c(w1w2) − d)/c(w1·)
+    //               + (d · N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+    // where N1+ are distinct-continuation counts and T the number of distinct
+    // bigram types (c ≥ 1 for every observed bigram, so max(c−d,0) = c−d).
+    // All inputs are exact integer aggregations; the final expression is IEEE
+    // double arithmetic in a parenthesization mirrored exactly in the oracle.
+    // Scale shape: bigrams come from a per-doc window (no self-join); the
+    // count tables shuffle on w1/w2/bigram keys; the scalar T joins as a
+    // literal-sized cross (sanctioned aggregated-frame cross). Top-50 via
+    // orderBy+limit (TakeOrdered).
+    Q("text_kneser_ney_bigram",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "w")))
+        val big = toks
+          .withColumn("w2",
+            lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
+          .filter($"w2".isNotNull)
+          .select($"w".as("w1"), $"w2")
+        val cBg = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bg"))
+        val cW1 = cBg.groupBy($"w1").agg(sum($"c_bg").as("c_w1"),
+          count(lit(1)).as("n1_fwd"))
+        val n1Bwd = cBg.groupBy($"w2").agg(count(lit(1)).as("n1_bwd"))
+        val tTypes = cBg.agg(count(lit(1)).as("t_types"))
+        cBg.join(cW1, "w1").join(n1Bwd, "w2").crossJoin(broadcast(tTypes))
+          .select($"w1", $"w2", $"c_bg",
+            ((($"c_bg".cast("double") - 0.75d) / $"c_w1".cast("double")) +
+              (((lit(0.75d) * $"n1_fwd".cast("double")) /
+                $"c_w1".cast("double")) *
+                ($"n1_bwd".cast("double") / $"t_types".cast("double"))))
+              .as("p_kn"))
+          .orderBy($"c_bg".desc, $"w1", $"w2").limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |      x -> x <> '')) AS w,
+             |    generate_subscripts(list_filter(
+             |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |      x -> x <> ''), 1) AS pos
+             |  FROM documents),
+             |big AS (
+             |  SELECT w AS w1,
+             |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |  FROM toks QUALIFY w2 IS NOT NULL),
+             |c_bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM big GROUP BY 1, 2),
+             |c_w1 AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1,
+             |           COUNT(*) AS n1_fwd FROM c_bg GROUP BY 1),
+             |n1_bwd AS (SELECT w2, COUNT(*) AS n1_bwd FROM c_bg GROUP BY 1),
+             |t_types AS (SELECT COUNT(*) AS t_types FROM c_bg)
+             |SELECT b.w1, b.w2, b.c_bg,
+             |  ((CAST(b.c_bg AS DOUBLE) - 0.75) / CAST(c.c_w1 AS DOUBLE)) +
+             |  (((0.75 * CAST(c.n1_fwd AS DOUBLE)) / CAST(c.c_w1 AS DOUBLE)) *
+             |    (CAST(n.n1_bwd AS DOUBLE) / CAST(t.t_types AS DOUBLE)))
+             |    AS p_kn
+             |FROM c_bg b
+             |JOIN c_w1 c USING (w1)
+             |JOIN n1_bwd n USING (w2)
+             |CROSS JOIN t_types t
+             |ORDER BY b.c_bg DESC, b.w1, b.w2 LIMIT 50""".stripMargin)),
+
+    // Greedy k-center coreset selection (Gonzalez 1985, 2-approximation to the
+    // k-center objective) — the geometry-coverage data-pruning pass: start
+    // from vec_id 0, repeatedly add the candidate FARTHEST from the chosen
+    // set, then assign every candidate to its nearest exemplar. Distances are
+    // decimal-exact sums of squared double differences, so argmax/argmin ties
+    // are exact (broken by vec_id). Scale shape: each of the k−1 rounds
+    // broadcasts ONE new center's 64 components and keeps a running min — n·k
+    // distance evaluations total, never the oracle's all-pairs matrix; the
+    // per-round driver action is a single argmax row (k−1 rows total, the
+    // Lloyd-iteration pattern). k and the candidate slice are fixtures; at
+    // 100 TB candidates would be a per-shard sample feeding the same loop.
+    Q("sample_kcenter_coreset",
+      (s, dir) => {
+        import s.implicits._
+        val k = 4
+        val flat = t(s, dir, "embeddings").filter($"vec_id" < 300)
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+          .select($"vec_id", $"pos", $"v".cast("double").as("v"))
+        def d2To(center: Long) = {
+          val cv = flat.filter($"vec_id" === center)
+            .select($"pos", $"v".as("cv"))
+          flat.join(broadcast(cv), "pos")
+            .groupBy($"vec_id")
+            .agg(sum((($"v" - $"cv") * ($"v" - $"cv")).cast(dec12)).as("d2"))
+        }
+        var centers = List(0L)
+        var minD = d2To(0L)
+        (1 until k).foreach { _ =>
+          val next = minD.orderBy($"d2".desc, $"vec_id").head().getLong(0)
+          centers = next :: centers
+          minD = minD.join(d2To(next).withColumnRenamed("d2", "d2n"), "vec_id")
+            .select($"vec_id", least($"d2", $"d2n").as("d2"))
+        }
+        val assign = centers.map { c =>
+          d2To(c).withColumn("center", lit(c))
+        }.reduce(_ unionByName _)
+        assign
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"d2", $"center")))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"center",
+            round($"d2".cast("double"), 9).as("d2"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings WHERE vec_id < 300),
+             |d2 AS (
+             |  SELECT a.vec_id AS x, b.vec_id AS c,
+             |    SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(30,12))) AS d2
+             |  FROM flat a JOIN flat b ON b.pos = a.pos
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT x, d2 FROM d2 WHERE c = 0),
+             |c1 AS (SELECT x FROM m1 ORDER BY d2 DESC, x LIMIT 1),
+             |m2 AS (SELECT m1.x, LEAST(m1.d2, d.d2) AS d2
+             |       FROM m1 JOIN d2 d ON d.x = m1.x
+             |         AND d.c = (SELECT x FROM c1)),
+             |c2 AS (SELECT x FROM m2 ORDER BY d2 DESC, x LIMIT 1),
+             |m3 AS (SELECT m2.x, LEAST(m2.d2, d.d2) AS d2
+             |       FROM m2 JOIN d2 d ON d.x = m2.x
+             |         AND d.c = (SELECT x FROM c2)),
+             |c3 AS (SELECT x FROM m3 ORDER BY d2 DESC, x LIMIT 1),
+             |cents AS (
+             |  SELECT 0::BIGINT AS c UNION ALL SELECT x FROM c1
+             |  UNION ALL SELECT x FROM c2 UNION ALL SELECT x FROM c3),
+             |ranked AS (
+             |  SELECT d.x, d.c, d.d2,
+             |    row_number() OVER (PARTITION BY d.x ORDER BY d.d2, d.c) AS rn
+             |  FROM d2 d JOIN cents ON cents.c = d.c)
+             |SELECT x AS vec_id, c AS center,
+             |  round(CAST(d2 AS DOUBLE), 9) AS d2
+             |FROM ranked WHERE rn = 1 ORDER BY x""".stripMargin)),
+
+    // Philips-robust-hash-style audio fingerprint: 40-sample analysis frames,
+    // one bit per successive frame pair (1 iff energy increased), packed
+    // little-endian into a BIGINT — the standard energy-delta sign signature
+    // that survives volume scaling (energy deltas keep their sign under gain).
+    // Pure integer compares and shifts, computed from the REAL decoded frames
+    // of the gated corpus; the oracle re-derives every bit from the sample
+    // formula. Map-only after the per-doc window; n_bits ≤ 31 so shifts never
+    // approach either engine's sign-bit divergence.
+    Q("multimodal_audio_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val frames = Multimodal.frameEnergies(s,
+          Multimodal.syntheticGatedAudio(s,
+            t(s, dir, "documents").filter($"doc_id" < 100)), frameLen = 40)
+          .toDF()
+        frames
+          .withColumn("prev", lag($"energy", 1).over(
+            Window.partitionBy($"doc_id").orderBy($"frame_idx")))
+          .filter($"prev".isNotNull && $"frame_idx" <= 31)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bits"),
+            sum(when($"energy" > $"prev",
+              expr("shiftleft(1L, cast(frame_idx - 1 as int))"))
+              .otherwise(0L)).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, unnest(range(0, (n // 40) * 40)) AS i
+             |       FROM dims),
+             |v AS (SELECT doc_id, i // 40 AS f,
+             |        CASE WHEN (i // 200) % 3 = 2
+             |          THEN ((doc_id*37 + i*13) % 2048 - 1024) // 16
+             |          ELSE (doc_id*37 + i*13) % 2048 - 1024 END AS s
+             |      FROM sm),
+             |fe AS (SELECT doc_id, f, SUM(s * s) AS e FROM v GROUP BY 1, 2),
+             |de AS (SELECT doc_id, f, e,
+             |         lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+             |       FROM fe)
+             |SELECT doc_id, COUNT(*) AS n_bits,
+             |  CAST(SUM(CASE WHEN e > pe
+             |    THEN 1::BIGINT << CAST(f - 1 AS INT) ELSE 0 END) AS BIGINT)
+             |    AS fp
+             |FROM de WHERE pe IS NOT NULL AND f <= 31
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -191,4 +191,24 @@ class MultimodalSpec extends AnyFunSuite {
       sr += ((3L * 31 + 2 * 17 + x * 7 + y * 13) % 256).toInt
     assert(got.find(_.frame_idx == 2).get.sum_r == sr)
   }
+
+  test("frameEnergies matches per-frame Σs² of the gated formula; tail dropped") {
+    import spark.implicits._
+    val ids = Seq(5L).toDF("doc_id") // n = 800 + 5%7*100 = 1300 -> 8 full frames
+    val got = Multimodal.frameEnergies(spark,
+        Multimodal.syntheticGatedAudio(spark, ids), frameLen = 160)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == (0 until 8))  // 1300/160 = 8, tail dropped
+    def sample(i: Int): Long = {
+      val base = (5L * 37 + i.toLong * 13) % 2048L - 1024L
+      if ((i / 200) % 3 == 2) base / 16L else base
+    }
+    val expect = (0 until 8).map { f =>
+      (f * 160 until f * 160 + 160).map(i => sample(i) * sample(i)).sum
+    }
+    assert(got.map(_.energy).toSeq == expect)
+    // gating must be non-vacuous: quiet-block frames are far below loud ones
+    assert(expect.min * 4 < expect.max,
+      s"gated formula should separate frame energies, got $expect")
+  }
 }
