@@ -23,6 +23,11 @@ case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,
   * the per-frame feature every energy-gated VAD consumes. Integer-exact. */
 case class AudioFrameEnergy(doc_id: Long, frame_idx: Int, energy: Long)
 
+/** Per-patch integer statistics of one p×p image patch (ViT-style patch
+  * grid, image cropped to whole patches). */
+case class PatchFeatures(doc_id: Long, py: Int, px: Int, n_px: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Decoded-audio statistics — integer-exact, so cross-engine hashable. `energy`
   * is the sum of squared samples (the RMS numerator, kept un-rooted for
   * exactness); `zero_cross` counts sign boundaries, the classic cheap
@@ -165,6 +170,37 @@ object Multimodal {
       val n = (800 + (id % 7) * 100).toInt
       val rate = (8000 + (id % 3) * 4000).toInt
       MediaRecord(id, "audio/wav", Wav.encode(Wav.synthetic(id, n, rate)))
+    })
+  }
+
+  /** Decode → crop to whole `p`×`p` patches (the ViT convention: resize/crop
+    * to a multiple of the patch size, here crop) → per-patch integer channel
+    * sums. The patch grid is the unit every vision-transformer pipeline
+    * tokenizes on; emitting per-patch stats partition-wise keeps the decode
+    * and the patch reduction in one pass with no shuffle. */
+  def imagePatches(spark: SparkSession, media: Dataset[MediaRecord],
+      p: Int): Dataset[PatchFeatures] = {
+    import spark.implicits._
+    require(p > 0, s"patch size must be positive, got $p")
+    media.mapPartitions(_.flatMap { rec =>
+      val img = Bmp.decode(rec.payload)
+      val pw = img.width / p
+      val ph = img.height / p
+      (0 until ph).iterator.flatMap { py =>
+        (0 until pw).iterator.map { px =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = py * p
+          while (y < py * p + p) {
+            var x = px * p
+            while (x < px * p + p) {
+              sr += img.r(x, y); sg += img.g(x, y); sb += img.b(x, y)
+              x += 1
+            }
+            y += 1
+          }
+          PatchFeatures(rec.doc_id, py, px, p.toLong * p, sr, sg, sb)
+        }
+      }
     })
   }
 

@@ -215,6 +215,234 @@ object LlmExt3 {
              |    THEN 1::BIGINT << CAST(f - 1 AS INT) ELSE 0 END) AS BIGINT)
              |    AS fp
              |FROM de WHERE pe IS NOT NULL AND f <= 31
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ViT-style patch extraction: decode → crop to whole 4×4 patches → per-
+    // patch integer channel sums, the tokenization grid every vision
+    // transformer consumes. Decode and patch reduction happen in ONE
+    // partition-wise pass (no shuffle leaves the codec stage); the oracle
+    // recomputes every patch from the (doc, x, y) pixel formula, so patch
+    // addressing (crop bounds, row order, channel order) is hash-pinned.
+    Q("multimodal_image_patches",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.imagePatches(s,
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 60)), p = 4)
+          .toDF()
+          .select($"doc_id", $"py".cast("long").as("py"),
+            $"px".cast("long").as("px"), $"n_px",
+            $"sum_r", $"sum_g", $"sum_b")
+          .orderBy($"doc_id", $"py", $"px")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 60),
+             |xs AS (SELECT doc_id, h, unnest(range(0, (w // 4) * 4)) AS x
+             |       FROM dims),
+             |xy AS (SELECT doc_id, x, unnest(range(0, (h // 4) * 4)) AS y
+             |       FROM xs),
+             |v AS (SELECT doc_id, y // 4 AS py, x // 4 AS px,
+             |        doc_id * 31 + x * 7 + y * 13 AS base
+             |      FROM xy)
+             |SELECT doc_id, py, px, COUNT(*) AS n_px,
+             |  CAST(SUM(base % 256) AS BIGINT) AS sum_r,
+             |  CAST(SUM((base + 101) % 256) AS BIGINT) AS sum_g,
+             |  CAST(SUM((base + 202) % 256) AS BIGINT) AS sum_b
+             |FROM v GROUP BY 1, 2, 3
+             |ORDER BY doc_id, py, px""".stripMargin)),
+
+    // Systematic (low-variance) importance resampling — the SELECTION step
+    // after importance scoring (the resampler used by DSIR-style pipelines
+    // and particle filters): m=50 evenly-spaced quantile positions
+    // t_j = ⌊(2j+1)·W / 2m⌋ over the cumulative weight W, each picking the
+    // document whose cumulative-weight interval contains it. Deterministic —
+    // the "random" offset is pinned at the midpoint, and all positions are
+    // integer arithmetic. Scale shape: the cumulative sum is the banded
+    // two-level pattern (per-band sums + broadcast prefix offsets; the only
+    // single-partition window runs over |bands| rows), and the 50-position
+    // pick set is a bounded broadcast probed against each row's interval.
+    Q("sample_systematic_importance",
+      (s, dir) => {
+        import s.implicits._
+        val m = 50
+        val docs = t(s, dir, "documents").select($"doc_id", $"n_chars".as("w"))
+        val b = docs.withColumn("band", floor($"doc_id" / 64).cast("long"))
+        val offs = b.groupBy($"band").agg(sum($"w").as("bw"))
+          .withColumn("off", coalesce(sum($"bw").over(
+            Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"band".as("jb"), $"off")
+        val cum = b.join(broadcast(offs), $"band" === $"jb")
+          .withColumn("cum", $"off" + sum($"w").over(
+            Window.partitionBy($"band").orderBy($"doc_id")))
+          .select($"doc_id", $"w", ($"cum" - $"w").as("cum_prev"), $"cum")
+        val tot = docs.agg(sum($"w").as("W"))
+        val th = s.range(m).select($"id".as("j"))
+          .crossJoin(broadcast(tot))
+          .select($"j", expr(s"((2*j + 1) * W) div ${2 * m}").as("t"))
+        cum.join(broadcast(th), $"cum_prev" <= $"t" && $"t" < $"cum")
+          .select($"j", $"t", $"doc_id", $"w")
+          .orderBy($"j")
+      },
+      Some("""WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+             |cum AS (SELECT doc_id, w,
+             |          CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+             |        FROM w),
+             |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM w),
+             |th AS (SELECT j, ((2*j + 1) * (SELECT W FROM tot)) // 100 AS t
+             |       FROM unnest(range(0, 50)) u(j))
+             |SELECT th.j, th.t, c.doc_id, c.w
+             |FROM th JOIN cum c ON c.cum - c.w <= th.t AND th.t < c.cum
+             |ORDER BY th.j""".stripMargin)),
+
+    // First-occurrence n-gram novelty — the curriculum/diversity signal: what
+    // fraction of a document's 3-shingles has never appeared in any earlier
+    // document (corpus ordered by doc_id; "earlier" = smaller id)? One
+    // shuffle on shingle computes each shingle's first-occurrence doc; docs
+    // whose shingles are all inherited score 0. Integer counts + one IEEE
+    // division. At 100 TB this is the same digest-keyed aggregation as exact
+    // dedup — the first-occurrence table doubles as the dedup index.
+    Q("text_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val sh = graft.llm.Dedup.shingleFrame(
+          t(s, dir, "documents"), "doc_id", "text", 3)
+        val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+        sh.join(first, "shingle")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .select($"doc_id", $"n_sh", $"n_novel",
+            ($"n_novel".cast("double") / $"n_sh".cast("double"))
+              .as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |    x -> x <> '') AS tk
+             |  FROM documents),
+             |shing AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+             |    THEN list_distinct(list_transform(range(1, len(tk) - 1),
+             |           i -> array_to_string(tk[i:i+2], ' ')))
+             |    ELSE [] END) AS shingle
+             |  FROM toks),
+             |first AS (
+             |  SELECT shingle, MIN(doc_id) AS first_doc FROM shing GROUP BY 1)
+             |SELECT s.doc_id, COUNT(*) AS n_sh,
+             |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+             |FROM shing s JOIN first f USING (shingle)
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // Newman modularity of the label-propagation communities — the quality
+    // score that tells you whether a community structure is real:
+    // Q_c = w_in_c/2m − (d_c/2m)², summed over communities. Rebuilds the same
+    // 3-day nation-trade graph and 3 LPA rounds as graph_label_propagation,
+    // then scores the partition with exact integer edge weights and a pinned
+    // IEEE expression. Scale shape: degree and within-community sums are
+    // key-partitioned aggs; 2m joins as a sanctioned single-row scalar cross.
+    Q("graph_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-06-04").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .groupBy($"c_nationkey".as("x"), $"s_nationkey".as("y"))
+          .agg(count(lit(1)).as("w"))
+        val und = raw.select($"x".as("u"), $"y".as("v"), $"w")
+          .unionByName(raw.select($"y".as("u"), $"x".as("v"), $"w"))
+          .groupBy($"u", $"v").agg(sum($"w").as("w"))
+          .localCheckpoint()
+        var labels = und.select($"u".as("node")).distinct()
+          .withColumn("lbl", $"node")
+        for (_ <- 1 to 3) {
+          labels = und.join(labels, $"v" === $"node")
+            .groupBy($"u", $"lbl").agg(sum($"w").as("wsum"))
+            .groupBy($"u")
+            .agg(min(struct((-$"wsum").as("nw"), $"lbl".as("l"))).as("m"))
+            .select($"u".as("node"), $"m.l".as("lbl"))
+        }
+        val deg = und.groupBy($"u").agg(sum($"w").as("du"))
+        val m2 = und.agg(sum($"w").as("m2"))
+        val ein = und
+          .join(labels.select($"node".as("u"), $"lbl".as("lu")), "u")
+          .join(labels.select($"node".as("v"), $"lbl".as("lv")), "v")
+          .filter($"lu" === $"lv")
+          .groupBy($"lu".as("lbl")).agg(sum($"w").as("w_in"))
+        deg.join(labels.select($"node".as("u"), $"lbl"), "u")
+          .groupBy($"lbl")
+          .agg(sum($"du").as("d_c"), count(lit(1)).as("n_nodes"))
+          .join(ein, Seq("lbl"), "left")
+          .crossJoin(broadcast(m2))
+          .select($"lbl", $"n_nodes",
+            coalesce($"w_in", lit(0L)).as("w_in"), $"d_c",
+            ((coalesce($"w_in", lit(0L)).cast("double") /
+              $"m2".cast("double")) -
+              (($"d_c".cast("double") / $"m2".cast("double")) *
+                ($"d_c".cast("double") / $"m2".cast("double"))))
+              .as("q_contrib"))
+          .orderBy($"lbl")
+      },
+      Some {
+        val round = (k: Int) =>
+          s"""l$k AS (
+             |  SELECT u AS node, lbl FROM (
+             |    SELECT e.u, l.lbl,
+             |      ROW_NUMBER() OVER (PARTITION BY e.u
+             |        ORDER BY SUM(e.w) DESC, l.lbl) AS rn
+             |    FROM und e JOIN l${k - 1} l ON l.node = e.v
+             |    GROUP BY e.u, l.lbl) WHERE rn = 1)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT c_nationkey AS x, s_nationkey AS y, COUNT(*) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  WHERE c_nationkey <> s_nationkey
+           |    AND l_shipdate >= TIMESTAMP '1997-06-01'
+           |    AND l_shipdate <  TIMESTAMP '1997-06-04'
+           |  GROUP BY 1, 2),
+           |und AS (
+           |  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+           |    SELECT x AS u, y AS v, w FROM raw
+           |    UNION ALL SELECT y, x, w FROM raw)
+           |  GROUP BY 1, 2),
+           |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS du FROM und GROUP BY 1),
+           |m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM und),
+           |ein AS (
+           |  SELECT la.lbl, CAST(SUM(e.w) AS BIGINT) AS w_in
+           |  FROM und e
+           |  JOIN l3 la ON la.node = e.u
+           |  JOIN l3 lb ON lb.node = e.v
+           |  WHERE la.lbl = lb.lbl GROUP BY 1),
+           |dc AS (
+           |  SELECT l.lbl, CAST(SUM(d.du) AS BIGINT) AS d_c,
+           |    COUNT(*) AS n_nodes
+           |  FROM deg d JOIN l3 l ON l.node = d.u GROUP BY 1)
+           |SELECT dc.lbl, dc.n_nodes,
+           |  COALESCE(ein.w_in, 0) AS w_in, dc.d_c,
+           |  (CAST(COALESCE(ein.w_in, 0) AS DOUBLE) /
+           |    CAST(m2.m2 AS DOUBLE)) -
+           |  ((CAST(dc.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE)) *
+           |    (CAST(dc.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE))) AS q_contrib
+           |FROM dc LEFT JOIN ein USING (lbl) CROSS JOIN m2
+           |ORDER BY dc.lbl""".stripMargin
+      })
   )
 }

@@ -211,4 +211,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expect.min * 4 < expect.max,
       s"gated formula should separate frame energies, got $expect")
   }
+
+  test("imagePatches crops to whole patches and sums the right pixels") {
+    import spark.implicits._
+    val ids = Seq(2L).toDF("doc_id") // w = 16 + 2 = 18, h = 12 + 2 = 14
+    val got = Multimodal.imagePatches(spark,
+        Multimodal.syntheticImages(spark, ids), p = 4)
+      .collect().sortBy(f => (f.py, f.px))
+    assert(got.map(f => (f.py, f.px)).toSeq ==
+      (for (py <- 0 until 3; px <- 0 until 4) yield (py, px)))  // 18/4=4, 14/4=3
+    // patch (1,2) sum_r from the pixel formula, x in 8..11, y in 4..7
+    var sr = 0L
+    for (y <- 4 until 8; x <- 8 until 12)
+      sr += ((2L * 31 + x * 7 + y * 13) % 256).toInt
+    val p12 = got.find(f => f.py == 1 && f.px == 2).get
+    assert(p12.sum_r == sr && p12.n_px == 16L)
+  }
 }
