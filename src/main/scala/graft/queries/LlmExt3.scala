@@ -443,6 +443,114 @@ object LlmExt3 {
            |    (CAST(dc.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE))) AS q_contrib
            |FROM dc LEFT JOIN ein USING (lbl) CROSS JOIN m2
            |ORDER BY dc.lbl""".stripMargin
-      })
+      }),
+
+    // Exact audience overlap — the set-intersection statistic theta sketches
+    // approximate, computed exactly: for every pair of event types, the number
+    // of users who did both, plus the Jaccard overlap of the audiences. The
+    // self-join keys on user_id (the natural shuffle key: at 100 TB each user
+    // bucket holds that user's type set, and the pair explosion is bounded by
+    // types-per-user², not corpus size). Jaccard is one IEEE division of two
+    // exact integers.
+    Q("agg_audience_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val tu = t(s, dir, "events")
+          .select($"event_type", $"user_id").distinct()
+        val sizes = tu.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        tu.as("a").join(tu.as("b"),
+            $"a.user_id" === $"b.user_id" &&
+              $"a.event_type" < $"b.event_type")
+          .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.select($"event_type".as("type_a"),
+            $"n".as("n_a"))), "type_a")
+          .join(broadcast(sizes.select($"event_type".as("type_b"),
+            $"n".as("n_b"))), "type_b")
+          .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+            ($"n_both".cast("double") /
+              ($"n_a" + $"n_b" - $"n_both").cast("double")).as("jaccard"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    COUNT(*) AS n_both
+             |  FROM tu a JOIN tu b ON b.user_id = a.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+             |  CAST(p.n_both AS DOUBLE) /
+             |    CAST(sa.n + sb.n - p.n_both AS DOUBLE) AS jaccard
+             |FROM pairs p
+             |JOIN sizes sa ON sa.event_type = p.type_a
+             |JOIN sizes sb ON sb.event_type = p.type_b
+             |ORDER BY p.type_a, p.type_b""".stripMargin)),
+
+    // Holt linear-trend smoothing (double exponential smoothing, α=0.5 β=0.3)
+    // over each user's daily value series — the trend-aware upgrade of the
+    // finite-tap EWMA already in Analytics: level and trend update
+    // recursively, so the batch implementation is a typed mapGroups (shuffle
+    // by user, one ordered pass per bounded series — the batch analogue of
+    // the streaming state operator), and the oracle is a recursive CTE
+    // stepping the SAME IEEE arithmetic in the same order. Daily inputs go
+    // through decimal-exact sums before entering the recursion, so both
+    // engines recurse on identical doubles. Users need ≥ 2 days (trend init
+    // b₁ = v₂ − v₁); forecast is the 1-step-ahead level + trend.
+    Q("events_holt_linear",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy($"user_id", date_format(date_trunc("day", $"ts"),
+            "yyyy-MM-dd").as("day"))
+          .agg(dsum($"value").as("v"))
+          .select($"user_id".as[Long], $"day".as[String], $"v".as[Double])
+          .as[(Long, String, Double)]
+        daily.groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val vs = it.toArray.sortBy(_._2).map(_._3)
+            if (vs.length < 2) Iterator.empty
+            else {
+              var l = vs(0)
+              var b = vs(1) - vs(0)
+              var i = 1
+              while (i < vs.length) {
+                val lNew = 0.5 * vs(i) + 0.5 * (l + b)
+                b = 0.3 * (lNew - l) + 0.7 * b
+                l = lNew
+                i += 1
+              }
+              Iterator.single((uid, vs.length.toLong, l, b, l + b))
+            }
+          }
+          .toDF("user_id", "n_days", "level", "trend", "forecast")
+          .orderBy($"user_id")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT user_id, v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+             |  FROM daily),
+             |nn AS (SELECT user_id, MAX(rn) AS n FROM idx GROUP BY 1),
+             |h AS (
+             |  SELECT i1.user_id, 1 AS rn, i1.v AS l, i2.v - i1.v AS b
+             |  FROM idx i1 JOIN idx i2
+             |    ON i2.user_id = i1.user_id AND i2.rn = 2
+             |  WHERE i1.rn = 1
+             |  UNION ALL
+             |  SELECT h.user_id, h.rn + 1,
+             |    0.5 * i.v + 0.5 * (h.l + h.b),
+             |    0.3 * ((0.5 * i.v + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+             |  FROM h JOIN idx i
+             |    ON i.user_id = h.user_id AND i.rn = h.rn + 1)
+             |SELECT h.user_id, CAST(nn.n AS BIGINT) AS n_days, h.l AS level,
+             |  h.b AS trend, h.l + h.b AS forecast
+             |FROM h JOIN nn ON nn.user_id = h.user_id AND h.rn = nn.n
+             |ORDER BY h.user_id""".stripMargin))
   )
 }
