@@ -28,6 +28,12 @@ case class AudioFrameEnergy(doc_id: Long, frame_idx: Int, energy: Long)
 case class PatchFeatures(doc_id: Long, py: Int, px: Int, n_px: Long,
     sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Per-image channel sums AND sums of squares — the per-record partials the
+  * corpus normalization-constant pass (dataset mean/std per channel)
+  * aggregates. Integer-exact. */
+case class ChannelStats(doc_id: Long, n_px: Long,
+    sum_r: Long, sq_r: Long, sum_g: Long, sq_g: Long, sum_b: Long, sq_b: Long)
+
 /** Decoded-audio statistics — integer-exact, so cross-engine hashable. `energy`
   * is the sum of squared samples (the RMS numerator, kept un-rooted for
   * exactness); `zero_cross` counts sign boundaries, the classic cheap
@@ -170,6 +176,32 @@ object Multimodal {
       val n = (800 + (id % 7) * 100).toInt
       val rate = (8000 + (id % 3) * 4000).toInt
       MediaRecord(id, "audio/wav", Wav.encode(Wav.synthetic(id, n, rate)))
+    })
+  }
+
+  /** Decode → per-image channel sums and sums of squares, the map-side
+    * partials of the corpus normalization pass (every vision pipeline's
+    * per-channel mean/std constants). One codec-stage pass, no shuffle. */
+  def channelStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[ChannelStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      var sr = 0L; var qr = 0L; var sg = 0L; var qg = 0L
+      var sb = 0L; var qb = 0L
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val r = img.r(x, y).toLong; val g = img.g(x, y).toLong
+          val b = img.b(x, y).toLong
+          sr += r; qr += r * r; sg += g; qg += g * g; sb += b; qb += b * b
+          x += 1
+        }
+        y += 1
+      }
+      ChannelStats(rec.doc_id, img.width.toLong * img.height,
+        sr, qr, sg, qg, sb, qb)
     })
   }
 

@@ -551,6 +551,223 @@ object LlmExt3 {
              |SELECT h.user_id, CAST(nn.n AS BIGINT) AS n_days, h.l AS level,
              |  h.b AS trend, h.l + h.b AS forecast
              |FROM h JOIN nn ON nn.user_id = h.user_id AND h.rn = nn.n
-             |ORDER BY h.user_id""".stripMargin))
+             |ORDER BY h.user_id""".stripMargin)),
+
+    // Corpus normalization constants — the per-channel mean/std every vision
+    // pipeline bakes into its input transform (the "ImageNet stats" pass).
+    // Decode emits per-image integer (sum, sum-of-squares) partials in the
+    // codec stage; the corpus-wide reduction is a single bounded-state agg
+    // (3 channels regardless of corpus size — the mergeable-partials shape).
+    // mean and variance are single IEEE divisions of exact integers
+    // (var = (n·Σx² − (Σx)²)/n², all < 2⁵³); std is IEEE sqrt (correctly
+    // rounded by the standard, unlike libm trig — engine-stable).
+    Q("multimodal_image_normalize_stats",
+      (s, dir) => {
+        import s.implicits._
+        val cs = Multimodal.channelStats(s,
+          Multimodal.syntheticImages(s,
+            t(s, dir, "documents").filter($"doc_id" < 60))).toDF()
+        val tot = cs.agg(sum($"n_px").as("n"),
+          sum($"sum_r").as("s_r"), sum($"sq_r").as("q_r"),
+          sum($"sum_g").as("s_g"), sum($"sq_g").as("q_g"),
+          sum($"sum_b").as("s_b"), sum($"sq_b").as("q_b"))
+        tot.select(explode(array(
+            struct(lit("b").as("channel"), $"n", $"s_b".as("s"), $"q_b".as("q")),
+            struct(lit("g").as("channel"), $"n", $"s_g".as("s"), $"q_g".as("q")),
+            struct(lit("r").as("channel"), $"n", $"s_r".as("s"), $"q_r".as("q"))
+          )).as("c"))
+          .select($"c.channel".as("channel"), $"c.n".as("n_px"),
+            $"c.s".as("sum_v"), $"c.q".as("sum_sq"),
+            ($"c.s".cast("double") / $"c.n".cast("double")).as("mean_px"),
+            ((($"c.n" * $"c.q" - $"c.s" * $"c.s").cast("double")) /
+              (($"c.n" * $"c.n").cast("double"))).as("var_px"),
+            sqrt((($"c.n" * $"c.q" - $"c.s" * $"c.s").cast("double")) /
+              (($"c.n" * $"c.n").cast("double"))).as("std_px"))
+          .orderBy($"channel")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 60),
+             |xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM dims),
+             |xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+             |px AS (SELECT doc_id * 31 + x * 7 + y * 13 AS base FROM xy),
+             |vals AS (
+             |  SELECT 'r' AS channel, base % 256 AS v FROM px
+             |  UNION ALL SELECT 'g', (base + 101) % 256 FROM px
+             |  UNION ALL SELECT 'b', (base + 202) % 256 FROM px),
+             |agg AS (
+             |  SELECT channel, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+             |    CAST(SUM(v * v) AS BIGINT) AS q
+             |  FROM vals GROUP BY 1)
+             |SELECT channel, n AS n_px, s AS sum_v, q AS sum_sq,
+             |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_px,
+             |  CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_px,
+             |  sqrt(CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+             |    AS std_px
+             |FROM agg ORDER BY channel""".stripMargin)),
+
+    // Degree assortativity (Newman 2002) of the nation-trade graph: Pearson
+    // correlation of endpoint degrees over the directed edge list — positive
+    // when hubs link hubs. All five moment sums are exact integers (degrees
+    // are counts); the coefficient is one pinned IEEE expression with sqrt
+    // (correctly rounded, engine-stable) and a zero-variance NULL guard.
+    // Scale shape: degree table joins to the edge list on each endpoint
+    // (key-partitioned), moments reduce map-side to one row.
+    Q("graph_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-06-04").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .select($"c_nationkey".as("x"), $"s_nationkey".as("y")).distinct()
+        val edges = raw.select($"x".as("u"), $"y".as("v"))
+          .unionByName(raw.select($"y".as("u"), $"x".as("v")))
+          .distinct()
+        val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+        val m = edges
+          .join(deg.select($"u", $"d".as("du")), "u")
+          .join(deg.select($"u".as("v"), $"d".as("dv")), "v")
+          .agg(count(lit(1)).as("m"),
+            sum($"du").as("sx"), sum($"dv").as("sy"),
+            sum($"du" * $"du").as("sxx"), sum($"dv" * $"dv").as("syy"),
+            sum($"du" * $"dv").as("sxy"))
+        m.select($"m".as("n_edges"),
+            when(($"m" * $"sxx" - $"sx" * $"sx") > 0 &&
+              ($"m" * $"syy" - $"sy" * $"sy") > 0,
+              (($"m" * $"sxy" - $"sx" * $"sy").cast("double")) /
+                (sqrt(($"m" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                  sqrt(($"m" * $"syy" - $"sy" * $"sy").cast("double"))))
+              .as("assortativity"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT DISTINCT c_nationkey AS x, s_nationkey AS y
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey
+             |    AND l_shipdate >= TIMESTAMP '1997-06-01'
+             |    AND l_shipdate <  TIMESTAMP '1997-06-04'),
+             |edges AS (
+             |  SELECT DISTINCT u, v FROM (
+             |    SELECT x AS u, y AS v FROM raw
+             |    UNION ALL SELECT y, x FROM raw)),
+             |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+             |mm AS (
+             |  SELECT COUNT(*) AS m,
+             |    CAST(SUM(a.d) AS BIGINT) AS sx, CAST(SUM(b.d) AS BIGINT) AS sy,
+             |    CAST(SUM(a.d * a.d) AS BIGINT) AS sxx,
+             |    CAST(SUM(b.d * b.d) AS BIGINT) AS syy,
+             |    CAST(SUM(a.d * b.d) AS BIGINT) AS sxy
+             |  FROM edges e JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v)
+             |SELECT m AS n_edges,
+             |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+             |    THEN CAST(m * sxy - sx * sy AS DOUBLE) /
+             |      (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+             |        sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+             |  END AS assortativity
+             |FROM mm""".stripMargin)),
+
+    // Frame-delta shot detection over the multi-frame (video-shaped) corpus:
+    // consecutive-frame |Δsum_r| per doc, boundary wherever the delta exceeds
+    // the doc's mean delta — SELF-CALIBRATING (a strict max>mean comparison
+    // always fires unless every delta is equal), and the compare is
+    // cross-multiplied to stay in integers (delta·n > Σdelta). The container
+    // walk, per-frame decode, and windowed delta all run partitioned by doc.
+    Q("multimodal_video_shot_detect",
+      (s, dir) => {
+        import s.implicits._
+        val ff = Multimodal.frameSample(s,
+            Multimodal.syntheticVideos(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)), everyK = 1)
+          .toDF()
+        val deltas = ff
+          .withColumn("prev", lag($"sum_r", 1).over(
+            Window.partitionBy($"doc_id").orderBy($"frame_idx")))
+          .filter($"prev".isNotNull)
+          .select($"doc_id", $"frame_idx", abs($"sum_r" - $"prev").as("delta"))
+        val per = deltas.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_deltas"), sum($"delta").as("sum_delta"))
+        deltas.join(per, "doc_id")
+          .filter($"delta" * $"n_deltas" > $"sum_delta")
+          .select($"doc_id", $"frame_idx".cast("long").as("boundary_frame"),
+            $"delta", $"n_deltas")
+          .orderBy($"doc_id", $"boundary_frame")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 12 + doc_id % 6 AS w, 10 + doc_id % 5 AS h,
+             |    3 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 100),
+             |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+             |xs AS (SELECT doc_id, h, f, unnest(range(0, w)) AS x FROM fr),
+             |xy AS (SELECT doc_id, f, x, unnest(range(0, h)) AS y FROM xs),
+             |sums AS (
+             |  SELECT doc_id, f,
+             |    SUM((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS sum_r
+             |  FROM xy GROUP BY 1, 2),
+             |deltas AS (
+             |  SELECT doc_id, f, abs(sum_r -
+             |    lag(sum_r) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+             |  FROM sums QUALIFY delta IS NOT NULL),
+             |per AS (
+             |  SELECT doc_id, COUNT(*) AS n_deltas,
+             |    CAST(SUM(delta) AS BIGINT) AS sum_delta
+             |  FROM deltas GROUP BY 1)
+             |SELECT d.doc_id, d.f AS boundary_frame,
+             |  CAST(d.delta AS BIGINT) AS delta, p.n_deltas
+             |FROM deltas d JOIN per p USING (doc_id)
+             |WHERE d.delta * p.n_deltas > p.sum_delta
+             |ORDER BY d.doc_id, d.f""".stripMargin)),
+
+    // Difference-in-differences — the workhorse causal estimate next to the
+    // Welch/CUPED tests already in EventsQ: treated = even user_ids (fixture
+    // split), post = on/after the series midpoint (2024-01-16), outcome =
+    // group mean value. All four cell means are decimal-exact sums divided
+    // once (IEEE), and the DiD double-difference is a pinned expression.
+    // One shuffle (4-cell groupBy with map-side partials), then a scalar
+    // pivot — bounded state at any scale.
+    Q("events_did_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val cells = t(s, dir, "events")
+          .select(($"user_id" % 2 === 0).as("treated"),
+            ($"ts" >= lit("2024-01-16").cast("timestamp")).as("post"),
+            $"value")
+          .groupBy($"treated", $"post")
+          .agg(davg($"value").as("mean_v"), count(lit(1)).as("n"))
+        cells.agg(
+            max(when($"treated" && !$"post", $"mean_v")).as("t_pre"),
+            max(when($"treated" && $"post", $"mean_v")).as("t_post"),
+            max(when(!$"treated" && !$"post", $"mean_v")).as("c_pre"),
+            max(when(!$"treated" && $"post", $"mean_v")).as("c_post"),
+            sum($"n").as("n_events"))
+          .select($"n_events", $"t_pre", $"t_post", $"c_pre", $"c_post",
+            (($"t_post" - $"t_pre") - ($"c_post" - $"c_pre")).as("did"))
+      },
+      Some(s"""WITH cells AS (
+              |  SELECT user_id % 2 = 0 AS treated,
+              |    ts >= TIMESTAMP '2024-01-16' AS post,
+              |    ${sqlDavg("value")} AS mean_v, COUNT(*) AS n
+              |  FROM events GROUP BY 1, 2)
+              |SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+              |  MAX(CASE WHEN treated AND NOT post THEN mean_v END) AS t_pre,
+              |  MAX(CASE WHEN treated AND post THEN mean_v END) AS t_post,
+              |  MAX(CASE WHEN NOT treated AND NOT post THEN mean_v END)
+              |    AS c_pre,
+              |  MAX(CASE WHEN NOT treated AND post THEN mean_v END) AS c_post,
+              |  (MAX(CASE WHEN treated AND post THEN mean_v END) -
+              |   MAX(CASE WHEN treated AND NOT post THEN mean_v END)) -
+              |  (MAX(CASE WHEN NOT treated AND post THEN mean_v END) -
+              |   MAX(CASE WHEN NOT treated AND NOT post THEN mean_v END))
+              |    AS did
+              |FROM cells""".stripMargin))
   )
 }
