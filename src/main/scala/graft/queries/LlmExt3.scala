@@ -768,6 +768,154 @@ object LlmExt3 {
               |  (MAX(CASE WHEN NOT treated AND post THEN mean_v END) -
               |   MAX(CASE WHEN NOT treated AND NOT post THEN mean_v END))
               |    AS did
-              |FROM cells""".stripMargin))
+              |FROM cells""".stripMargin)),
+
+    // IVF list-balance audit — the production health check for a coarse-
+    // quantized ANN index (one hot list and probe latency collapses to
+    // brute force on it). Assignment here is DECIMAL-EXACT (score
+    // ‖c‖² − 2⟨v,c⟩ via vec_dot_exact, ties to the lower list id), so unlike
+    // the float-dot ivf search rows (rows-only by design) the audit itself is
+    // hash-checked. The 16-entry centroid set is a bounded broadcast; load
+    // factor is one IEEE division per list.
+    Q("embed_ivf_balance",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vec_dot_exact
+        val vecs = t(s, dir, "embeddings")
+        val cents = vecs.filter($"vec_id" < 16)
+          .select($"vec_id".cast("int").as("list_id"),
+            $"embedding".as("cent"))
+          .withColumn("cself", vec_dot_exact($"cent", $"cent"))
+        val assigned = vecs.crossJoin(broadcast(cents))
+          .withColumn("score",
+            $"cself" - lit(2.0d) * vec_dot_exact($"embedding", $"cent"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"score", $"list_id")).as("b"))
+          .select($"vec_id", $"b.list_id".as("list_id"))
+        val tot = assigned.agg(count(lit(1)).as("n_total"))
+        assigned.groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(broadcast(tot))
+          .select($"list_id", $"n_vecs",
+            (($"n_vecs" * 16).cast("double") / $"n_total".cast("double"))
+              .as("load_factor"))
+          .orderBy($"list_id")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |cb AS (SELECT vec_id AS list_id, pos, v AS cval FROM flat
+             |       WHERE vec_id < 16),
+             |cself AS (
+             |  SELECT list_id,
+             |    CAST(SUM(CAST(cval * cval AS DECIMAL(30,12))) AS DOUBLE) AS cs
+             |  FROM cb GROUP BY 1),
+             |dots AS (
+             |  SELECT f.vec_id, c.list_id,
+             |    CAST(SUM(CAST(f.v * c.cval AS DECIMAL(30,12))) AS DOUBLE)
+             |      AS dot
+             |  FROM flat f JOIN cb c ON c.pos = f.pos GROUP BY 1, 2),
+             |assigned AS (
+             |  SELECT vec_id, CAST(list_id AS INT) AS list_id FROM (
+             |    SELECT d.vec_id, d.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             |        ORDER BY cs - 2.0 * dot, d.list_id) AS rn
+             |    FROM dots d JOIN cself USING (list_id)) x
+             |  WHERE rn = 1),
+             |tot AS (SELECT COUNT(*) AS n_total FROM assigned)
+             |SELECT list_id, COUNT(*) AS n_vecs,
+             |  CAST(COUNT(*) * 16 AS DOUBLE) /
+             |    CAST((SELECT n_total FROM tot) AS DOUBLE) AS load_factor
+             |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Audio SNR gate — the speech-data quality filter next to the VAD: per
+    // doc, compare mean active-frame energy to mean quiet-frame energy and
+    // keep only records where the signal clears 16× the noise floor. The
+    // compare is integer cross-multiplied (e_act·n_quiet > 16·e_quiet·n_act):
+    // no float division anywhere, and an all-active record (no noise floor
+    // observed) passes by convention. Same codec-stage frame reduction as
+    // the VAD — one partition-wise pass then a per-doc agg.
+    Q("multimodal_audio_snr_gate",
+      (s, dir) => {
+        import s.implicits._
+        val frames = Multimodal.frameEnergies(s,
+          Multimodal.syntheticGatedAudio(s,
+            t(s, dir, "documents").filter($"doc_id" < 100)), frameLen = 160)
+          .toDF()
+        frames
+          .withColumn("active", $"energy" > 28000000L)
+          .groupBy($"doc_id")
+          .agg(sum(when($"active", 1L).otherwise(0L)).as("n_active"),
+            sum(when(!$"active", 1L).otherwise(0L)).as("n_quiet"),
+            sum(when($"active", $"energy").otherwise(0L)).as("e_active"),
+            sum(when(!$"active", $"energy").otherwise(0L)).as("e_quiet"))
+          .select($"doc_id", $"n_active", $"n_quiet", $"e_active", $"e_quiet",
+            (($"n_quiet" === 0 && $"n_active" > 0) ||
+              $"e_active" * $"n_quiet" > lit(16L) * $"e_quiet" * $"n_active")
+              .as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, unnest(range(0, (n // 160) * 160)) AS i
+             |       FROM dims),
+             |v AS (SELECT doc_id, i // 160 AS f,
+             |        CASE WHEN (i // 200) % 3 = 2
+             |          THEN ((doc_id*37 + i*13) % 2048 - 1024) // 16
+             |          ELSE (doc_id*37 + i*13) % 2048 - 1024 END AS s
+             |      FROM sm),
+             |fe AS (SELECT doc_id, f, SUM(s * s) AS energy
+             |       FROM v GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN energy > 28000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_active,
+             |  CAST(SUM(CASE WHEN energy <= 28000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_quiet,
+             |  CAST(SUM(CASE WHEN energy > 28000000 THEN energy ELSE 0 END)
+             |    AS BIGINT) AS e_active,
+             |  CAST(SUM(CASE WHEN energy <= 28000000 THEN energy ELSE 0 END)
+             |    AS BIGINT) AS e_quiet,
+             |  (SUM(CASE WHEN energy <= 28000000 THEN 1 ELSE 0 END) = 0
+             |     AND SUM(CASE WHEN energy > 28000000 THEN 1 ELSE 0 END) > 0)
+             |  OR (SUM(CASE WHEN energy > 28000000 THEN energy ELSE 0 END) *
+             |      SUM(CASE WHEN energy <= 28000000 THEN 1 ELSE 0 END) >
+             |      16 * SUM(CASE WHEN energy <= 28000000 THEN energy ELSE 0 END) *
+             |      SUM(CASE WHEN energy > 28000000 THEN 1 ELSE 0 END)) AS keep
+             |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Balanced class downsampling — equalize per-language doc counts to the
+    // minority class (the classic class-balancing pass before training a
+    // classifier): rank docs within each language by a deterministic md5
+    // shuffle key and keep the first min-class-count of each. Windows
+    // partition by language (parallel); the min class size joins as a
+    // bounded scalar broadcast. The md5 order stands in for the RNG — same
+    // no-RNG-state rule as every sampling query in the corpus.
+    Q("sample_balanced_downsample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+        val minN = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+          .agg(min($"n").as("min_n"))
+        docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang")
+              .orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+          .crossJoin(broadcast(minN))
+          .filter($"rk" <= $"min_n")
+          .select($"lang", $"doc_id", $"rk".cast("long").as("rk"))
+          .orderBy($"lang", $"rk")
+      },
+      Some("""WITH minn AS (
+             |  SELECT MIN(n) AS min_n FROM (
+             |    SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)),
+             |ranked AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT lang, doc_id, rk FROM ranked
+             |WHERE rk <= (SELECT min_n FROM minn)
+             |ORDER BY lang, rk""".stripMargin))
   )
 }
