@@ -916,6 +916,112 @@ object LlmExt3 {
              |  FROM documents)
              |SELECT lang, doc_id, rk FROM ranked
              |WHERE rk <= (SELECT min_n FROM minn)
-             |ORDER BY lang, rk""".stripMargin))
+             |ORDER BY lang, rk""".stripMargin)),
+
+    // Stationary distribution of the event-type Markov chain (4 synchronous
+    // power-iteration rounds over the transition matrix the
+    // events_markov_transitions query estimates) — "where does user behavior
+    // settle". Each round is π_j ← Σ_i π_i·(n_ij/n_i): the per-term double is
+    // a pinned IEEE expression, and the cross-state sum goes through DECIMAL
+    // (scale 12 — coarser than the ulp at |π|≤1, so the double→decimal cast
+    // is engine-stable per the QueryDSL boundary rule) to stay partitioning-
+    // independent. The K×K matrix is bounded (event-type vocabulary), so at
+    // any corpus scale the iteration is K² work after one count shuffle.
+    Q("events_markov_stationary",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val trans = graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type".as("i"), $"event_type".as("j"))
+          .agg(count(lit(1)).as("n_ij"))
+        val rowTot = trans.groupBy($"i").agg(sum($"n_ij").as("n_i"))
+        val p = trans.join(rowTot, "i").localCheckpoint()
+        val k = p.select($"i").distinct().count()
+        var pi = p.select($"i".as("state")).distinct()
+          .withColumn("pi", lit(1.0d) / lit(k.toDouble))
+        (1 to 4).foreach { _ =>
+          pi = p.join(pi, $"i" === $"state")
+            .withColumn("term", ($"pi" * $"n_ij".cast("double")) /
+              $"n_i".cast("double"))
+            .groupBy($"j".as("state2"))
+            .agg(sum($"term".cast("decimal(30,12)")).cast("double").as("pi"))
+            .select($"state2".as("state"), $"pi")
+        }
+        pi.orderBy($"state")
+      },
+      Some {
+        val round = (r: Int) =>
+          s"""pi$r AS (
+             |  SELECT p.j AS state,
+             |    CAST(SUM(CAST((q.pi * n_ij) / n_i AS DECIMAL(30,12)))
+             |      AS DOUBLE) AS pi
+             |  FROM p JOIN pi${r - 1} q ON q.state = p.i
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH t AS (
+           |  SELECT event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |trans AS (
+           |  SELECT prev_type AS i, event_type AS j, COUNT(*) AS n_ij
+           |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+           |p AS (
+           |  SELECT trans.i, trans.j, CAST(n_ij AS DOUBLE) AS n_ij,
+           |    CAST(rt.n_i AS DOUBLE) AS n_i
+           |  FROM trans JOIN (
+           |    SELECT i, SUM(n_ij) AS n_i FROM trans GROUP BY 1) rt
+           |    ON rt.i = trans.i),
+           |kk AS (SELECT COUNT(DISTINCT i) AS k FROM p),
+           |pi0 AS (
+           |  SELECT DISTINCT i AS state,
+           |    CAST(1 AS DOUBLE) / CAST((SELECT k FROM kk) AS DOUBLE) AS pi
+           |  FROM p),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT state, pi FROM pi4 ORDER BY state""".stripMargin
+      }),
+
+    // Feature-hash collision audit: how many distinct 3-shingle features
+    // share each cell of a 256-bucket hash space, as a collision histogram
+    // (k features/bucket → bucket count). The diagnostic every hashed-
+    // feature pipeline runs before trusting bucket counts as feature
+    // statistics. Shingles (not unigrams — the synthetic corpus has only ~31
+    // distinct tokens, which would make the audit vacuous) give a feature
+    // vocabulary ≫ the bucket space, so real collisions are guaranteed at
+    // any SF. Two bounded aggs after the feature-vocabulary shuffle.
+    Q("text_hash_collision_audit",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = graft.llm.Dedup.shingleFrame(
+            t(s, dir, "documents"), "doc_id", "text", 3)
+          .select($"shingle").distinct()
+        val perBucket = vocab
+          .select((conv(substring(md5($"shingle"), 1, 12), 16, 10)
+            .cast("long") % 256L).as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n_feats"))
+        perBucket.groupBy($"n_feats".as("feats_in_bucket"))
+          .agg(count(lit(1)).as("n_buckets"))
+          .orderBy($"feats_in_bucket")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, list_filter(
+              |    regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+              |    x -> x <> '') AS tk
+              |  FROM documents),
+              |vocab AS (
+              |  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 3
+              |    THEN list_distinct(list_transform(range(1, len(tk) - 1),
+              |           i -> array_to_string(tk[i:i+2], ' ')))
+              |    ELSE [] END) AS shingle
+              |  FROM toks),
+              |pb AS (
+              |  SELECT (${QueryDSL.sqlHexInt("md5(shingle)", 1, 12)}) % 256
+              |      AS bucket,
+              |    COUNT(*) AS n_feats
+              |  FROM vocab GROUP BY 1)
+              |SELECT n_feats AS feats_in_bucket, COUNT(*) AS n_buckets
+              |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
