@@ -205,6 +205,36 @@ object Multimodal {
     })
   }
 
+  /** Decode → per-image channel histogram partials (`bins` equal-width bins
+    * over 0..255). Emits (channel, bin, cnt) rows per image — bounded
+    * (3·bins) rows per record, summed corpus-wide by one bounded-state agg
+    * downstream. The exposure/clipping QA pass of an image pipeline. */
+  def channelHistogram(spark: SparkSession, media: Dataset[MediaRecord],
+      bins: Int): Dataset[(Long, String, Int, Long)] = {
+    import spark.implicits._
+    require(bins > 0 && 256 % bins == 0, s"bins must divide 256, got $bins")
+    val width = 256 / bins
+    media.mapPartitions(_.flatMap { rec =>
+      val img = Bmp.decode(rec.payload)
+      val h = Array.ofDim[Long](3, bins)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          h(0)(img.r(x, y) / width) += 1
+          h(1)(img.g(x, y) / width) += 1
+          h(2)(img.b(x, y) / width) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val names = Array("r", "g", "b")
+      for (c <- (0 until 3).iterator; b <- (0 until bins).iterator
+           if h(c)(b) > 0)
+        yield (rec.doc_id, names(c), b, h(c)(b))
+    })
+  }
+
   /** Decode → crop to whole `p`×`p` patches (the ViT convention: resize/crop
     * to a multiple of the patch size, here crop) → per-patch integer channel
     * sums. The patch grid is the unit every vision-transformer pipeline

@@ -1022,6 +1022,129 @@ object LlmExt3 {
               |    COUNT(*) AS n_feats
               |  FROM vocab GROUP BY 1)
               |SELECT n_feats AS feats_in_bucket, COUNT(*) AS n_buckets
-              |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Kaplan-Meier time-to-conversion WITH administrative right-censoring:
+    // duration = days from a user's first event to their first 'purchase',
+    // observed under a 3-day follow-up horizon — converts within horizon =
+    // death at t, otherwise censored at day 3 (every user converts EVENTUALLY
+    // in this corpus, so the horizon is what makes censoring real at every
+    // SF). The KM estimate handles those censored users correctly, vs the
+    // naive conversion rates already in EventsQ. Lifetimes reduce per-user;
+    // the KM product runs over the BOUNDED duration frame (≤ horizon days)
+    // via a typed single-group fold — the sanctioned aggregated-frame shape,
+    // not a corpus-sized single-partition window. The survival recursion
+    // multiplies pinned IEEE factors (n−d)/n in duration order; the oracle's
+    // recursive CTE steps the same arithmetic (multiplying by an exact 1.0
+    // on death-free rows, which is bit-identity).
+    Q("events_survival_km",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        val firsts = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+        val conv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        val per = firsts.join(conv, Seq("user_id"), "left")
+          .select($"user_id",
+            datediff(to_date($"p_ts"), to_date($"first_ts")).as("t_p"))
+          .select($"user_id",
+            when($"t_p".isNotNull && $"t_p" <= 3, $"t_p").otherwise(lit(3))
+              .as("dur"),
+            (!($"t_p".isNotNull && $"t_p" <= 3)).as("censored"))
+        val byDur = per.groupBy($"dur")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(!$"censored", 1L).otherwise(0L)).as("d"))
+          .select($"dur".as[Int], $"n_total".as[Long], $"d".as[Long])
+        byDur.groupByKey(_ => 0)
+          .flatMapGroups { (_, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            var atRisk = rows.map(_._2).sum
+            var surv = 1.0d
+            rows.iterator.flatMap { case (dur, nTotal, d) =>
+              val nI = atRisk
+              val factor =
+                if (d > 0) (nI - d).toDouble / nI.toDouble else 1.0d
+              surv = surv * factor
+              atRisk -= nTotal
+              if (d > 0) Iterator.single((dur.toLong, nI, d, surv))
+              else Iterator.empty
+            }
+          }
+          .toDF("duration_days", "n_at_risk", "n_deaths", "survival")
+          .orderBy($"duration_days")
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+             |c AS (
+             |  SELECT user_id, min(ts) AS p_ts FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |tp AS (
+             |  SELECT f.user_id,
+             |    date_diff('day', CAST(f.first_ts AS DATE),
+             |      CAST(c.p_ts AS DATE)) AS t_p
+             |  FROM f LEFT JOIN c USING (user_id)),
+             |per AS (
+             |  SELECT user_id,
+             |    CASE WHEN t_p IS NOT NULL AND t_p <= 3 THEN t_p ELSE 3 END
+             |      AS dur,
+             |    NOT (t_p IS NOT NULL AND t_p <= 3) AS censored
+             |  FROM tp),
+             |byd AS (
+             |  SELECT dur, COUNT(*) AS n_total,
+             |    SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
+             |  FROM per GROUP BY 1),
+             |ord AS (
+             |  SELECT dur, n_total, d,
+             |    row_number() OVER (ORDER BY dur) AS rn,
+             |    (SELECT COUNT(*) FROM per) -
+             |      COALESCE(CAST(SUM(n_total) OVER (ORDER BY dur
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS BIGINT), 0) AS at_risk
+             |  FROM byd),
+             |km AS (
+             |  SELECT dur, rn, at_risk, d,
+             |    CASE WHEN d > 0
+             |      THEN CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE)
+             |      ELSE CAST(1 AS DOUBLE) END AS s
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.dur, o.rn, o.at_risk, o.d,
+             |    km.s * (CASE WHEN o.d > 0
+             |      THEN CAST(o.at_risk - o.d AS DOUBLE) /
+             |        CAST(o.at_risk AS DOUBLE)
+             |      ELSE CAST(1 AS DOUBLE) END)
+             |  FROM km JOIN ord o ON o.rn = km.rn + 1)
+             |SELECT CAST(dur AS BIGINT) AS duration_days,
+             |  at_risk AS n_at_risk, CAST(d AS BIGINT) AS n_deaths,
+             |  s AS survival
+             |FROM km WHERE d > 0 ORDER BY dur""".stripMargin)),
+
+    // Corpus pixel histogram (16 equal bins per channel) — the exposure/
+    // clipping QA pass of an image pipeline. The decoder emits bounded
+    // (channel, bin, cnt) partials per record; the corpus reduction is a
+    // 48-cell bounded-state agg. Exact integer counts, formula-checked.
+    Q("multimodal_image_histogram",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.channelHistogram(s,
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 60)), bins = 16)
+          .toDF("doc_id", "channel", "bin", "cnt")
+          .groupBy($"channel", $"bin".cast("long").as("bin"))
+          .agg(sum($"cnt").as("n_px"))
+          .orderBy($"channel", $"bin")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 60),
+             |xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM dims),
+             |xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+             |px AS (SELECT doc_id * 31 + x * 7 + y * 13 AS base FROM xy),
+             |vals AS (
+             |  SELECT 'r' AS channel, (base % 256) // 16 AS bin FROM px
+             |  UNION ALL SELECT 'g', ((base + 101) % 256) // 16 FROM px
+             |  UNION ALL SELECT 'b', ((base + 202) % 256) // 16 FROM px)
+             |SELECT channel, bin, COUNT(*) AS n_px
+             |FROM vals GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
