@@ -323,6 +323,17 @@ object Multimodal {
     })
   }
 
+  /** Decode → FIR low-pass (7-tap triangular, integer-exact) → decimate by
+    * `k` → re-encode: the anti-aliased resample leg (see [[Wav.firDecimate]]),
+    * partition-wise like every other codec stage. */
+  def firDecimateAudio(spark: SparkSession, media: Dataset[MediaRecord],
+      k: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      rec.copy(payload = Wav.encode(Wav.firDecimate(Wav.decode(rec.payload), k)))
+    })
+  }
+
   /** Decode → decimate by `k` → re-encode: the integer-exact downsample leg of
     * the audio pipeline, partition-wise like every other codec stage. */
   def decimateAudio(spark: SparkSession, media: Dataset[MediaRecord],

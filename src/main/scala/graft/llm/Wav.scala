@@ -129,6 +129,29 @@ object Wav {
     Pcm(sampleRate, 1, s)
   }
 
+  /** FIR low-pass + decimate — the PROPER integer resampler next to the
+    * naive [[decimate]]: convolve with the symmetric 7-tap triangular kernel
+    * [1,2,3,4,3,2,1]/16 (valid mode — no edge padding), keep every k-th
+    * output. Integer taps keep the whole pipeline exact: accumulate in Long,
+    * one truncating /16 per output sample (the same TRUNC semantics as
+    * DuckDB's `//`, negative inputs included). */
+  def firDecimate(pcm: Pcm, k: Int): Pcm = {
+    require(k > 0, s"decimation factor must be positive, got $k")
+    val taps = Array(1L, 2L, 3L, 4L, 3L, 2L, 1L)
+    val n = pcm.samples.length
+    val nOut = if (n < 7) 0 else (n - 7) / k + 1
+    val out = new Array[Short](nOut)
+    var m = 0
+    while (m < nOut) {
+      var acc = 0L
+      var j = 0
+      while (j < 7) { acc += taps(j) * pcm.samples(m * k + j); j += 1 }
+      out(m) = (acc / 16L).toShort
+      m += 1
+    }
+    Pcm(pcm.sampleRate / k, pcm.channels, out)
+  }
+
   /** Speech-shaped synthetic signal: the [[synthetic]] mod-ramp with every
     * third 200-sample block attenuated 16× (integer TRUNC division, the same
     * semantics as DuckDB's `//`) — deterministic loud/quiet structure so

@@ -1145,6 +1145,107 @@ object LlmExt3 {
              |  UNION ALL SELECT 'g', ((base + 101) % 256) // 16 FROM px
              |  UNION ALL SELECT 'b', ((base + 202) % 256) // 16 FROM px)
              |SELECT channel, bin, COUNT(*) AS n_px
-             |FROM vals GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM vals GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sequential pattern mining (PrefixSpan-lite): contiguous event-type
+    // 2-grams and 3-grams per user's time-ordered stream, supported by the
+    // number of DISTINCT users exhibiting each, kept at ≥ 50% user support.
+    // The min-support threshold joins as a scalar cross and compares integer
+    // cross-multiplied (2·support ≥ n_users — no float). Window lags per user
+    // partition (parallel); candidate space is bounded by the event-type
+    // vocabulary cubed, not the corpus.
+    Q("events_sequence_mining",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val seq = graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("n1", lead($"event_type", 1).over(w))
+          .withColumn("n2", lead($"event_type", 2).over(w))
+        val p2 = seq.filter($"n1".isNotNull)
+          .select($"user_id",
+            concat($"event_type", lit(">"), $"n1").as("pattern"),
+            lit(2L).as("pattern_len"))
+        val p3 = seq.filter($"n2".isNotNull)
+          .select($"user_id",
+            concat($"event_type", lit(">"), $"n1", lit(">"), $"n2")
+              .as("pattern"),
+            lit(3L).as("pattern_len"))
+        val nUsers = graft.Tables.events(s, dir)
+          .agg(countDistinct($"user_id").as("n_users"))
+        p2.unionByName(p3)
+          .groupBy($"pattern_len", $"pattern")
+          .agg(countDistinct($"user_id").as("support"))
+          .crossJoin(broadcast(nUsers))
+          .filter($"support" * 2 >= $"n_users")
+          .select($"pattern_len", $"pattern", $"support", $"n_users")
+          .orderBy($"pattern_len", $"pattern")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER w AS n1,
+             |    lead(event_type, 2) OVER w AS n2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |pats AS (
+             |  SELECT user_id, event_type || '>' || n1 AS pattern,
+             |    2 AS pattern_len
+             |  FROM seq WHERE n1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT user_id, event_type || '>' || n1 || '>' || n2,
+             |    3
+             |  FROM seq WHERE n2 IS NOT NULL),
+             |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+             |sup AS (
+             |  SELECT CAST(pattern_len AS BIGINT) AS pattern_len, pattern,
+             |    COUNT(DISTINCT user_id) AS support
+             |  FROM pats GROUP BY 1, 2)
+             |SELECT s.pattern_len, s.pattern, s.support,
+             |  CAST(nu.n_users AS BIGINT) AS n_users
+             |FROM sup s CROSS JOIN nu
+             |WHERE s.support * 2 >= nu.n_users
+             |ORDER BY s.pattern_len, s.pattern""".stripMargin)),
+
+    // Anti-aliased audio resample: 7-tap triangular FIR (integer taps,
+    // truncating /16) then keep every 4th output — the PROPER downsample
+    // next to multimodal_audio_decimate's naive sample-dropping. The whole
+    // convolution stays in exact integer arithmetic inside the codec stage;
+    // the oracle re-convolves from the sample formula with the same taps and
+    // the same TRUNC division.
+    Q("multimodal_audio_fir_resample",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractAudioFeatures(s,
+            Multimodal.firDecimateAudio(s,
+              Multimodal.syntheticAudio(s,
+                t(s, dir, "documents").filter($"doc_id" < 100)), k = 4))
+          .toDF()
+          .select($"doc_id", $"n_samples",
+            $"sample_rate".cast("long").as("sample_rate"),
+            $"sum_s", $"min_s".cast("long").as("min_s"),
+            $"max_s".cast("long").as("max_s"), $"energy")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n,
+             |         8000 + (doc_id % 3) * 4000 AS rate
+             |  FROM documents WHERE doc_id < 100),
+             |ms AS (SELECT doc_id, n, rate,
+             |         unnest(range(0, (n - 7) // 4 + 1)) AS m FROM dims),
+             |terms AS (
+             |  SELECT doc_id, rate, m,
+             |    list_value(1,2,3,4,3,2,1)[k + 1] *
+             |      ((doc_id*37 + (m*4 + k)*13) % 2048 - 1024) AS term
+             |  FROM ms, unnest(range(0, 7)) t(k)),
+             |y AS (
+             |  SELECT doc_id, rate, m, SUM(term) // 16 AS s
+             |  FROM terms GROUP BY 1, 2, 3)
+             |SELECT doc_id, COUNT(*) AS n_samples,
+             |  ANY_VALUE(rate // 4) AS sample_rate,
+             |  CAST(SUM(s) AS BIGINT) AS sum_s,
+             |  CAST(MIN(s) AS BIGINT) AS min_s,
+             |  CAST(MAX(s) AS BIGINT) AS max_s,
+             |  CAST(SUM(s * s) AS BIGINT) AS energy
+             |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
