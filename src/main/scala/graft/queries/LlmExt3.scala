@@ -6,25 +6,31 @@ import org.apache.spark.sql.types.DataTypes
 import graft.llm.{Multimodal, TextFunctions => TF}
 import QueryDSL._
 
-/** Fourth-wave LLM-data-pipeline operators:
+/** Fourth-wave operators, grouped by what a data team runs them for:
   *
-  *  - `text_kneser_ney_bigram`: the n-gram LM ESTIMATION side of CCNet-style
-  *    perplexity filtering (the repo already scores with a trained-elsewhere
-  *    surprisal table; this builds the interpolated Kneser-Ney model from the
-  *    corpus itself);
-  *  - `sample_kcenter_coreset`: greedy k-center (Gonzalez) coreset selection —
-  *    the geometry-coverage data-pruning pass (pick the k most mutually-distant
-  *    exemplars, assign everything to its nearest exemplar);
-  *  - `multimodal_audio_fingerprint`: Philips-robust-hash-style audio
-  *    fingerprint (sign of successive frame-energy deltas, packed to one
-  *    BIGINT) — the audio analogue of the image aHash already in
-  *    [[graft.llm.Multimodal]].
+  *  - model/selection math: interpolated Kneser-Ney bigram LM estimation
+  *    (the n-gram-LM side of CCNet-style perplexity filtering), greedy
+  *    k-center (Gonzalez) coreset selection, systematic importance
+  *    resampling (the selection step after DSIR scoring), balanced class
+  *    downsampling, first-occurrence n-gram novelty, feature-hash collision
+  *    audit, IVF list-balance audit (decimal-exact assignment);
+  *  - multimodal codec-stage passes: ViT-style 4×4 patch extraction, corpus
+  *    normalization constants (mean/var/std per channel), pixel histograms,
+  *    frame-delta shot detection, energy-delta audio fingerprints, audio SNR
+  *    gating, anti-aliased 7-tap integer FIR resampling;
+  *  - analytics/causal/graph: Holt linear-trend smoothing (typed mapGroups +
+  *    recursive-CTE oracle), Kaplan-Meier time-to-conversion with
+  *    administrative censoring, difference-in-differences, Markov stationary
+  *    distribution (bounded-matrix power iteration), sequential pattern
+  *    mining, exact audience overlap, Newman modularity, degree
+  *    assortativity.
   *
-  * Determinism: KN arithmetic is integer counts + IEEE double ops in a pinned
-  * parenthesization (no libm); k-center distances are decimal-exact sums of
-  * double squares (the sim_centroid_distance pattern — grid 1e-12 is coarser
-  * than the ulp at these magnitudes, so the double→decimal cast is
-  * engine-stable); the fingerprint is pure integer comparisons and shifts. */
+  * Determinism rules in force throughout: integer counts + IEEE double ops in
+  * pinned parenthesization (no libm; sqrt is correctly-rounded per IEEE-754
+  * and allowed), decimal-exact sums for anything order-sensitive (grid scale
+  * chosen coarser than the operand ulp per the QueryDSL boundary rule),
+  * integer cross-multiplied comparisons instead of float thresholds, and
+  * recursive oracles (Holt, KM, Markov) stepping bit-identical arithmetic. */
 object LlmExt3 {
 
   private val dec12 = DataTypes.createDecimalType(30, 12)
@@ -1246,6 +1252,32 @@ object LlmExt3 {
              |  CAST(MIN(s) AS BIGINT) AS min_s,
              |  CAST(MAX(s) AS BIGINT) AS max_s,
              |  CAST(SUM(s * s) AS BIGINT) AS energy
-             |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Log2-bucketed value histogram (the HdrHistogram/latency-histogram
+    // shape: exponentially-spaced buckets with bounded relative error) with
+    // ZERO floating point: bucket = floor(log2(v)) computed as
+    // length(bin(v))−1 — a binary-string bit-length trick both engines
+    // evaluate identically, where a log2() call would hit libm. floor()
+    // BEFORE the bigint cast pins the one cast divergence (Spark truncates
+    // double→long, DuckDB rounds). Bounded state: ≤64 buckets ever.
+    Q("agg_log2_histogram",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select(floor($"o_totalprice").cast("long").as("v"))
+          .filter($"v" >= 1L)
+          .select((length(bin($"v")) - 1).cast("long").as("bucket"), $"v")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), min($"v").as("min_v"),
+            max($"v").as("max_v"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+             |  WHERE floor(o_totalprice) >= 1)
+             |SELECT CAST(length(bin(v)) - 1 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
