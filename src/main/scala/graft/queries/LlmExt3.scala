@@ -1278,6 +1278,72 @@ object LlmExt3 {
              |  WHERE floor(o_totalprice) >= 1)
              |SELECT CAST(length(bin(v)) - 1 AS BIGINT) AS bucket,
              |  COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v
-             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact two-sample Kolmogorov-Smirnov drift test — distribution-drift
+    // detection with NO logs (the PSI alternative that stays hashable):
+    // D = max over pooled values of |F₁(v) − F₂(v)|, maximized as the
+    // INTEGER |n₂·c₁(v) − n₁·c₂(v)| and divided once at the end. The two
+    // empirical CDFs come from the banded two-level cumulative-sum pattern
+    // (per-band totals + broadcast prefix offsets; the only single-partition
+    // window runs over |bands| rows), so no corpus-sized frame ever collapses
+    // to one partition. Fixture split: first half vs second half of orders by
+    // key parity.
+    Q("dq_ks_drift",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_totalprice".as("v"), ($"o_orderkey" % 2 === 0).as("g1"))
+        val perV = o.groupBy($"v")
+          .agg(sum(when($"g1", 1L).otherwise(0L)).as("c1v"),
+            sum(when(!$"g1", 1L).otherwise(0L)).as("c2v"))
+          .withColumn("band", floor($"v" / 50000.0d).cast("long"))
+        val offs = perV.groupBy($"band")
+          .agg(sum($"c1v").as("b1"), sum($"c2v").as("b2"))
+          .withColumn("off1", coalesce(sum($"b1").over(
+            Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("off2", coalesce(sum($"b2").over(
+            Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"band".as("jb"), $"off1", $"off2")
+        val wBand = Window.partitionBy($"band").orderBy($"v")
+        val cum = perV.join(broadcast(offs), $"band" === $"jb")
+          .withColumn("c1", $"off1" + sum($"c1v").over(wBand))
+          .withColumn("c2", $"off2" + sum($"c2v").over(wBand))
+        val tot = o.agg(sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"g1", 1L).otherwise(0L)).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .select(abs($"n2" * $"c1" - $"n1" * $"c2").as("dnum"),
+            $"n1", $"n2")
+          .groupBy($"n1", $"n2").agg(max($"dnum").as("d_num"))
+          .select($"n1", $"n2", $"d_num",
+            ($"d_num".cast("double") / ($"n1" * $"n2").cast("double"))
+              .as("ks_d"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_totalprice AS v, o_orderkey % 2 = 0 AS g1
+             |  FROM orders),
+             |perv AS (
+             |  SELECT v, SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1v,
+             |    SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS c2v
+             |  FROM o GROUP BY 1),
+             |cum AS (
+             |  SELECT v,
+             |    CAST(SUM(c1v) OVER (ORDER BY v) AS BIGINT) AS c1,
+             |    CAST(SUM(c2v) OVER (ORDER BY v) AS BIGINT) AS c2
+             |  FROM perv),
+             |tot AS (
+             |  SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1,
+             |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n2
+             |  FROM o)
+             |SELECT tot.n1, tot.n2,
+             |  MAX(abs(tot.n2 * cum.c1 - tot.n1 * cum.c2)) AS d_num,
+             |  CAST(MAX(abs(tot.n2 * cum.c1 - tot.n1 * cum.c2)) AS DOUBLE) /
+             |    CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks_d
+             |FROM cum CROSS JOIN tot
+             |GROUP BY tot.n1, tot.n2""".stripMargin))
   )
 }
