@@ -1344,6 +1344,170 @@ object LlmExt3 {
              |  CAST(MAX(abs(tot.n2 * cum.c1 - tot.n1 * cum.c2)) AS DOUBLE) /
              |    CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks_d
              |FROM cum CROSS JOIN tot
-             |GROUP BY tot.n1, tot.n2""".stripMargin))
+             |GROUP BY tot.n1, tot.n2""".stripMargin)),
+
+    // Bitmask funnel — the one-aggregation funnel for when stage ORDER does
+    // not matter (did the user ever hit each stage?): OR each user's stages
+    // into one integer mask, then count prefix-mask coverage. At 100 TB this
+    // is the funnel you actually run first: ONE shuffle, 4-byte state per
+    // user, no per-stage joins (the ordered funnel in EventsQ covers the
+    // sequence-sensitive case). Pure integer bit arithmetic.
+    Q("events_funnel_bitmask",
+      (s, dir) => {
+        import s.implicits._
+        val bit = when($"event_type" === "signup", 1L)
+          .when($"event_type" === "view", 2L)
+          .when($"event_type" === "click", 4L)
+          .when($"event_type" === "purchase", 8L)
+          .otherwise(0L)
+        val masks = graft.Tables.events(s, dir)
+          .select($"user_id", bit.as("b"))
+          .groupBy($"user_id").agg(expr("bit_or(b)").as("mask"))
+        val stages = Seq(("signup", 1L), ("signup>view", 3L),
+          ("signup>view>click", 7L), ("signup>view>click>purchase", 15L))
+        val aggCols = stages.zipWithIndex.map { case ((_, pre), i) =>
+          sum(when($"mask".bitwiseAND(pre) === pre, 1L).otherwise(0L))
+            .as(s"s$i")
+        }
+        val counts = masks.agg(aggCols.head, aggCols.tail: _*)
+        counts.select(explode(array(
+            stages.zipWithIndex.map { case ((name, pre), i) =>
+              struct(lit(name).as("stage"), lit(pre).as("mask_required"),
+                col(s"s$i").as("n_users"))
+            }: _*)).as("r"))
+          .select($"r.stage", $"r.mask_required", $"r.n_users")
+          .orderBy($"mask_required")
+      },
+      Some("""WITH masks AS (
+             |  SELECT user_id, bit_or(CASE event_type
+             |      WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+             |      WHEN 'click' THEN 4 WHEN 'purchase' THEN 8
+             |      ELSE 0 END) AS mask
+             |  FROM events GROUP BY 1),
+             |req AS (
+             |  SELECT * FROM (VALUES
+             |    ('signup', 1), ('signup>view', 3),
+             |    ('signup>view>click', 7),
+             |    ('signup>view>click>purchase', 15)) t(stage, mask_required))
+             |SELECT req.stage, CAST(req.mask_required AS BIGINT)
+             |    AS mask_required,
+             |  CAST(SUM(CASE WHEN (masks.mask & req.mask_required)
+             |    = req.mask_required THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+             |FROM req CROSS JOIN masks
+             |GROUP BY 1, 2 ORDER BY mask_required""".stripMargin)),
+
+    // Median absolute deviation — the robust scale estimate quality gates
+    // prefer over stddev (one wild outlier moves stddev, not MAD). Two exact
+    // interpolated-median passes (percentile semantics already aligned with
+    // DuckDB's quantile_cont by agg_percentile_cont): per order-status,
+    // median of |price − median|. The absolute deviations are IEEE
+    // subtractions of exact inputs; the interpolation division is pinned.
+    Q("agg_mad_robust",
+      (s, dir) => {
+        import s.implicits._
+        val med = t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(expr("percentile(o_totalprice, 0.5D)").as("med"))
+        t(s, dir, "orders")
+          .join(broadcast(med), "o_orderstatus")
+          .select($"o_orderstatus", abs($"o_totalprice" - $"med").as("ad"),
+            $"med")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), min($"med").as("median_price"),
+            expr("percentile(ad, 0.5D)").as("mad"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""WITH med AS (
+             |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY 1),
+             |ad AS (
+             |  SELECT o.o_orderstatus, abs(o.o_totalprice - m.med) AS ad,
+             |    m.med
+             |  FROM orders o JOIN med m USING (o_orderstatus))
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |  MIN(med) AS median_price,
+             |  quantile_cont(ad, 0.5) AS mad
+             |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic random-walk corpus (DeepWalk/node2vec data prep): 2 walks
+    // of 4 steps from every node of the nation-trade graph, each step picking
+    // neighbor ⌊md5(walk_id, step)⌋ mod degree — md5 stands in for the RNG
+    // (the no-RNG-state rule every sampling query follows), so the walk
+    // corpus is reproducible on any engine/partitioning. Each step is one
+    // equi-join against the ranked adjacency (key-partitioned — Pregel-by-
+    // joins); the walk count scales the corpus linearly, never quadratically.
+    Q("graph_walk_corpus",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-06-04").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .select($"c_nationkey".as("x"), $"s_nationkey".as("y")).distinct()
+        val edges = raw.select($"x".as("u"), $"y".as("v"))
+          .unionByName(raw.select($"y".as("u"), $"x".as("v"))).distinct()
+        val adj = edges
+          .withColumn("idx", row_number().over(
+            Window.partitionBy($"u").orderBy($"v")) - 1)
+          .withColumn("deg", count(lit(1)).over(Window.partitionBy($"u")))
+          .localCheckpoint()
+        def pick(walkId: org.apache.spark.sql.Column, step: Int,
+            deg: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(walkId.cast("string"), lit("_"),
+            lit(step.toString))), 1, 12), 16, 10).cast("long") % deg
+        var walks = adj.select($"u".as("node")).distinct()
+          .select(explode(array(lit(0), lit(1))).as("w"), $"node")
+          .select(($"node" * 2 + $"w").cast("long").as("walk_id"),
+            $"node".as("cur"), $"node".cast("string").as("path"))
+        (1 to 4).foreach { t =>
+          walks = walks.join(adj, $"cur" === $"u")
+            .filter($"idx" === pick($"walk_id", t, $"deg"))
+            .select($"walk_id", $"v".as("cur"),
+              concat($"path", lit(">"), $"v".cast("string")).as("path"))
+        }
+        walks.select($"walk_id", $"path").orderBy($"walk_id")
+      },
+      Some {
+        val step = (t: Int) =>
+          s"""w$t AS (
+             |  SELECT w.walk_id, a.v AS cur,
+             |    w.path || '>' || CAST(a.v AS VARCHAR) AS path
+             |  FROM w${t - 1} w JOIN adj a ON a.u = w.cur
+             |    AND a.idx = (${QueryDSL.sqlHexInt(
+                 s"md5(CAST(w.walk_id AS VARCHAR) || '_' || '$t')", 1, 12)})
+                 % a.deg)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT DISTINCT c_nationkey AS x, s_nationkey AS y
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  WHERE c_nationkey <> s_nationkey
+           |    AND l_shipdate >= TIMESTAMP '1997-06-01'
+           |    AND l_shipdate <  TIMESTAMP '1997-06-04'),
+           |edges AS (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT x AS u, y AS v FROM raw
+           |    UNION ALL SELECT y, x FROM raw)),
+           |adj AS (
+           |  SELECT u, v,
+           |    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
+           |    COUNT(*) OVER (PARTITION BY u) AS deg
+           |  FROM edges),
+           |w0 AS (
+           |  SELECT CAST(node * 2 + w AS BIGINT) AS walk_id, node AS cur,
+           |    CAST(node AS VARCHAR) AS path
+           |  FROM (SELECT DISTINCT u AS node FROM adj),
+           |    unnest(range(0, 2)) t(w)),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT walk_id, path FROM w4 ORDER BY walk_id""".stripMargin
+      })
   )
 }
