@@ -1508,6 +1508,95 @@ object LlmExt3 {
            |    unnest(range(0, 2)) t(w)),
            |${(1 to 4).map(step).mkString(",\n")}
            |SELECT walk_id, path FROM w4 ORDER BY walk_id""".stripMargin
-      })
+      }),
+
+    // CORPUS-GLOBAL Gini coefficient — the whole-distribution counterpart of
+    // agg_gini_concentration (which is per-priority-group and can rank inside
+    // parallel partitioned windows; a global Gini has no partition key, which
+    // is exactly when the naive row_number collapses the corpus onto one
+    // reducer). Everything stays in INTEGER CENTS:
+    // prices go through DECIMAL(30,2)·100 → BIGINT (exact — no float cents),
+    // the global value-rank comes from the banded two-level pattern (never a
+    // single-partition sort), and G = Σ(2i−n−1)·xᵢ / (n·Σx) divides two
+    // exact longs once (long→double conversion is IEEE round-to-nearest on
+    // both engines). At SF ≫ 0.1 the numerator sum would move to a decimal
+    // accumulator — the shape is unchanged.
+    Q("agg_gini_coefficient",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_extendedprice".cast("decimal(30,2)") * 100)
+              .cast("bigint").as("cents"))
+        val ranked = bandedRowNumber(li,
+          floor($"cents" / 1000000L).cast("long"),
+          Seq($"cents", $"l_orderkey", $"l_linenumber"), "i", "n")
+        ranked
+          .select($"cents", $"i", $"n",
+            ((lit(2L) * $"i" - $"n" - 1L) * $"cents").as("term"))
+          .groupBy($"n")
+          .agg(sum($"cents").as("s0"), sum($"term").as("num"))
+          .select($"n", $"s0",
+            ($"num".cast("double") / ($"n" * $"s0").cast("double"))
+              .as("gini"))
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+             |      AS BIGINT) AS cents
+             |  FROM lineitem),
+             |ranked AS (
+             |  SELECT cents,
+             |    row_number() OVER (ORDER BY cents) AS i,
+             |    COUNT(*) OVER () AS n
+             |  FROM li)
+             |SELECT ANY_VALUE(n) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS s0,
+             |  CAST(CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS DOUBLE) /
+             |    CAST(ANY_VALUE(n) * SUM(cents) AS DOUBLE) AS gini
+             |FROM ranked""".stripMargin)),
+
+    // De-hyphenation repair — the PDF/OCR-extraction cleanup every document
+    // pipeline runs ("exam-\nple" → "example"). The synthetic corpus has no
+    // linebreaks, so a deterministic hyphen-break suffix is injected into
+    // doc_id < 40 (the standard fixture-injection pattern); repair is a
+    // literal replace (all occurrences on both engines — no regex flag
+    // divergence), and the repair count falls out of the exact length delta.
+    Q("text_dehyphenate",
+      (s, dir) => {
+        import s.implicits._
+        val suffix = " exam-\nple hy-\nphenated line-\nbreak"
+        val docs = t(s, dir, "documents")
+          .select($"doc_id",
+            when($"doc_id" < 40, concat($"text", lit(suffix)))
+              .otherwise($"text").as("text"))
+        docs
+          .select($"doc_id", $"text",
+            expr("replace(text, '-\n', '')").as("fixed"))
+          .select($"doc_id",
+            ((length($"text") - length($"fixed")) / 2).cast("long")
+              .as("n_breaks"),
+            length($"text").cast("long").as("len_before"),
+            length($"fixed").cast("long").as("len_after"),
+            md5($"fixed").as("fixed_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 40 THEN text ||
+             |      ' exam-' || chr(10) || 'ple hy-' || chr(10) ||
+             |      'phenated line-' || chr(10) || 'break'
+             |    ELSE text END AS text
+             |  FROM documents),
+             |fx AS (
+             |  SELECT doc_id, text,
+             |    replace(text, '-' || chr(10), '') AS fixed
+             |  FROM docs)
+             |SELECT doc_id,
+             |  CAST((length(text) - length(fixed)) // 2 AS BIGINT)
+             |    AS n_breaks,
+             |  CAST(length(text) AS BIGINT) AS len_before,
+             |  CAST(length(fixed) AS BIGINT) AS len_after,
+             |  md5(fixed) AS fixed_md5
+             |FROM fx ORDER BY doc_id""".stripMargin))
   )
 }
