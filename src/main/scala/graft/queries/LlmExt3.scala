@@ -1597,6 +1597,83 @@ object LlmExt3 {
              |  CAST(length(text) AS BIGINT) AS len_before,
              |  CAST(length(fixed) AS BIGINT) AS len_after,
              |  md5(fixed) AS fixed_md5
-             |FROM fx ORDER BY doc_id""".stripMargin))
+             |FROM fx ORDER BY doc_id""".stripMargin)),
+
+    // Content-defined chunking (the Rabin/Gear boundary rule behind every
+    // storage dedup system, and the chunking that keeps near-dup detection
+    // stable under insertions — a fixed-width chunker shifts every boundary
+    // after an edit; a content-defined one only moves the chunk containing
+    // it). Boundary rule: an 8-char windowed polynomial rolling hash
+    // (base 31 mod 2³¹−1 — expressed as 8 lag terms, so it is plain windowed
+    // integer arithmetic on BOTH engines, no stateful UDF) hits ≡ 0 mod 64,
+    // giving ~64-char expected chunks. Chunk ids fall out of a running
+    // boundary count; chunk digests come from one substring+md5 join back to
+    // the doc. All windows partition by doc — parallel at any corpus size.
+    Q("text_cdc_chunking",
+      (s, dir) => {
+        import s.implicits._
+        val p = 2147483647L
+        val docs = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id", $"text")
+        val chars = docs.select($"doc_id",
+          explode(sequence(lit(1), length($"text"))).as("i"),
+          $"text")
+          .select($"doc_id", $"i",
+            ascii(expr("substring(text, cast(i as int), 1)")).as("a"))
+        val w = Window.partitionBy($"doc_id").orderBy($"i")
+        val coefs = (0 until 8).map(k => math.pow(31, k).toLong)
+        val hTerms = coefs.zipWithIndex.map { case (c, k) =>
+          coalesce(lag($"a", k).over(w), lit(0)).cast("long") * lit(c)
+        }.reduceLeft(_ + _)
+        val withH = chars.withColumn("h", hTerms % p)
+          .withColumn("boundary",
+            when($"i" >= 8 && $"h" % 64 === 0, 1L).otherwise(0L))
+          .withColumn("chunk", coalesce(sum($"boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val chunks = withH.groupBy($"doc_id", $"chunk")
+          .agg(min($"i").as("start"), count(lit(1)).as("len"))
+        chunks.join(docs, "doc_id")
+          .select($"doc_id", $"chunk".as("chunk_id"),
+            $"start".cast("long").as("start"), $"len",
+            md5(expr("substring(text, cast(start as int), cast(len as int))"))
+              .as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some {
+        val coefs = (0 until 8).map(k => math.pow(31, k).toLong)
+        val hTerms = coefs.zipWithIndex.map { case (c, k) =>
+          if (k == 0) s"CAST(a AS BIGINT) * $c"
+          else s"CAST(COALESCE(lag(a, $k) OVER w, 0) AS BIGINT) * $c"
+        }.mkString(" + ")
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           |chars AS (
+           |  SELECT doc_id, i,
+           |    ascii(substring(text, CAST(i AS INT), 1)) AS a
+           |  FROM docs, unnest(range(1, length(text) + 1)) t(i)),
+           |h AS (
+           |  SELECT doc_id, i, ($hTerms) % 2147483647 AS h
+           |  FROM chars
+           |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           |b AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN i >= 8 AND h % 64 = 0 THEN 1 ELSE 0 END AS boundary
+           |  FROM h),
+           |ch AS (
+           |  SELECT doc_id, i,
+           |    COALESCE(CAST(SUM(boundary) OVER (PARTITION BY doc_id
+           |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS chunk
+           |  FROM b),
+           |chunks AS (
+           |  SELECT doc_id, chunk, MIN(i) AS start, COUNT(*) AS len
+           |  FROM ch GROUP BY 1, 2)
+           |SELECT c.doc_id, c.chunk AS chunk_id,
+           |  CAST(c.start AS BIGINT) AS start, c.len,
+           |  md5(substring(d.text, CAST(c.start AS INT), CAST(c.len AS INT)))
+           |    AS chunk_md5
+           |FROM chunks c JOIN docs d USING (doc_id)
+           |ORDER BY c.doc_id, chunk_id""".stripMargin
+      })
   )
 }
