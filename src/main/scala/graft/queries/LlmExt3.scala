@@ -35,6 +35,76 @@ object LlmExt3 {
 
   private val dec12 = DataTypes.createDecimalType(30, 12)
 
+  /** DuckDB mirror of [[cdcChunks]]: the CTE chain from a `docs(doc_id,
+    * text)` CTE to `cmd(doc_id, chunk_id, start, len, chunk_md5)`. Splice
+    * after a WITH docs AS (...) prefix. */
+  private val duckCdcSql: String = {
+    val hTerms = (0 until 8).map { k =>
+      val c = math.pow(31, k).toLong
+      if (k == 0) s"CAST(a AS BIGINT) * $c"
+      else s"CAST(COALESCE(lag(a, $k) OVER w, 0) AS BIGINT) * $c"
+    }.mkString(" + ")
+    s"""chars AS (
+       |  SELECT doc_id, i,
+       |    ascii(substring(text, CAST(i AS INT), 1)) AS a
+       |  FROM docs, unnest(range(1, length(text) + 1)) t(i)),
+       |h AS (
+       |  SELECT doc_id, i, ($hTerms) % 2147483647 AS h
+       |  FROM chars
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |b AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i >= 8 AND h % 64 = 0 THEN 1 ELSE 0 END AS boundary
+       |  FROM h),
+       |ch AS (
+       |  SELECT doc_id, i,
+       |    COALESCE(CAST(SUM(boundary) OVER (PARTITION BY doc_id
+       |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) AS chunk
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, chunk, MIN(i) AS start, COUNT(*) AS len
+       |  FROM ch GROUP BY 1, 2),
+       |cmd AS (
+       |  SELECT c.doc_id, c.chunk AS chunk_id,
+       |    CAST(c.start AS BIGINT) AS start, c.len,
+       |    md5(substring(d.text, CAST(c.start AS INT), CAST(c.len AS INT)))
+       |      AS chunk_md5
+       |  FROM chunks c JOIN docs d USING (doc_id))""".stripMargin
+  }
+
+  /** Content-defined chunk frame over (doc_id, text): 8-char base-31 rolling
+    * hash ≡ 0 (mod 64) boundaries (see text_cdc_chunking), returning one row
+    * per chunk with its md5 digest. Shared by the chunking query and the
+    * CDC-based dedup. All windows partition by doc. */
+  private def cdcChunks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = 2147483647L
+    val chars = docs.select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        ascii(expr("substring(text, cast(i as int), 1)")).as("a"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val hTerms = (0 until 8).map { k =>
+      coalesce(lag(col("a"), k).over(w), lit(0)).cast("long") *
+        lit(math.pow(31, k).toLong)
+    }.reduceLeft(_ + _)
+    val withH = chars.withColumn("h", hTerms % p)
+      .withColumn("boundary",
+        when(col("i") >= 8 && col("h") % 64 === 0, 1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum(col("boundary")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withH.groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("i")).as("start"), count(lit(1)).as("len"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("chunk").as("chunk_id"),
+        col("start").cast("long").as("start"), col("len"),
+        md5(expr("substring(text, cast(start as int), cast(len as int))"))
+          .as("chunk_md5"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
@@ -1612,68 +1682,58 @@ object LlmExt3 {
     Q("text_cdc_chunking",
       (s, dir) => {
         import s.implicits._
-        val p = 2147483647L
-        val docs = t(s, dir, "documents").filter($"doc_id" < 100)
-          .select($"doc_id", $"text")
-        val chars = docs.select($"doc_id",
-          explode(sequence(lit(1), length($"text"))).as("i"),
-          $"text")
-          .select($"doc_id", $"i",
-            ascii(expr("substring(text, cast(i as int), 1)")).as("a"))
-        val w = Window.partitionBy($"doc_id").orderBy($"i")
-        val coefs = (0 until 8).map(k => math.pow(31, k).toLong)
-        val hTerms = coefs.zipWithIndex.map { case (c, k) =>
-          coalesce(lag($"a", k).over(w), lit(0)).cast("long") * lit(c)
-        }.reduceLeft(_ + _)
-        val withH = chars.withColumn("h", hTerms % p)
-          .withColumn("boundary",
-            when($"i" >= 8 && $"h" % 64 === 0, 1L).otherwise(0L))
-          .withColumn("chunk", coalesce(sum($"boundary").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        val chunks = withH.groupBy($"doc_id", $"chunk")
-          .agg(min($"i").as("start"), count(lit(1)).as("len"))
-        chunks.join(docs, "doc_id")
-          .select($"doc_id", $"chunk".as("chunk_id"),
-            $"start".cast("long").as("start"), $"len",
-            md5(expr("substring(text, cast(start as int), cast(len as int))"))
-              .as("chunk_md5"))
+        cdcChunks(t(s, dir, "documents").filter($"doc_id" < 100)
+            .select($"doc_id", $"text"))
           .orderBy($"doc_id", $"chunk_id")
       },
-      Some {
-        val coefs = (0 until 8).map(k => math.pow(31, k).toLong)
-        val hTerms = coefs.zipWithIndex.map { case (c, k) =>
-          if (k == 0) s"CAST(a AS BIGINT) * $c"
-          else s"CAST(COALESCE(lag(a, $k) OVER w, 0) AS BIGINT) * $c"
-        }.mkString(" + ")
-        s"""WITH docs AS (
-           |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
-           |chars AS (
-           |  SELECT doc_id, i,
-           |    ascii(substring(text, CAST(i AS INT), 1)) AS a
-           |  FROM docs, unnest(range(1, length(text) + 1)) t(i)),
-           |h AS (
-           |  SELECT doc_id, i, ($hTerms) % 2147483647 AS h
-           |  FROM chars
-           |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-           |b AS (
-           |  SELECT doc_id, i,
-           |    CASE WHEN i >= 8 AND h % 64 = 0 THEN 1 ELSE 0 END AS boundary
-           |  FROM h),
-           |ch AS (
-           |  SELECT doc_id, i,
-           |    COALESCE(CAST(SUM(boundary) OVER (PARTITION BY doc_id
-           |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           |      AS BIGINT), 0) AS chunk
-           |  FROM b),
-           |chunks AS (
-           |  SELECT doc_id, chunk, MIN(i) AS start, COUNT(*) AS len
-           |  FROM ch GROUP BY 1, 2)
-           |SELECT c.doc_id, c.chunk AS chunk_id,
-           |  CAST(c.start AS BIGINT) AS start, c.len,
-           |  md5(substring(d.text, CAST(c.start AS INT), CAST(c.len AS INT)))
-           |    AS chunk_md5
-           |FROM chunks c JOIN docs d USING (doc_id)
-           |ORDER BY c.doc_id, chunk_id""".stripMargin
-      })
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+              |$duckCdcSql
+              |SELECT doc_id, chunk_id, start, len, chunk_md5
+              |FROM cmd ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // CDC-based cross-doc dedup — the point of content-defined boundaries:
+    // an EDITED copy (here: the first 300 chars of each doc_id < 20, plus a
+    // fresh tail, injected as doc_id+1000) still shares its leading chunks
+    // with the original, because boundaries derive from content, not offsets
+    // — a fixed-width chunker would align only until the first length
+    // change. One shuffle on chunk_md5 finds every cross-doc shared chunk;
+    // the pair fan-out is bounded by per-digest df (the same boilerplate
+    // consideration as the shingle joins — a df-cap slots in at corpus
+    // scale). Output: each (original, copy) pair with its shared-chunk count.
+    Q("dedup_cdc_shared_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id", $"text")
+        val edited = base.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000).as("doc_id"),
+            concat(expr("substring(text, 1, 300)"),
+              lit(" freshly appended editorial tail")).as("text"))
+        // production CDC enforces a min chunk size; the same floor here keeps
+        // trivial few-char chunks from matching across unrelated docs
+        val chunks = cdcChunks(base.unionByName(edited))
+          .filter($"len" >= 16)
+          .select($"doc_id", $"chunk_md5")
+        chunks.as("a").join(chunks.as("b"),
+            $"a.chunk_md5" === $"b.chunk_md5" &&
+              $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("n_shared_chunks"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+              |  UNION ALL
+              |  SELECT doc_id + 1000,
+              |    substring(text, 1, 300) || ' freshly appended editorial tail'
+              |  FROM documents WHERE doc_id < 20),
+              |$duckCdcSql
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  COUNT(*) AS n_shared_chunks
+              |FROM cmd a JOIN cmd b ON b.chunk_md5 = a.chunk_md5
+              |  AND a.doc_id < b.doc_id
+              |WHERE a.len >= 16 AND b.len >= 16
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
