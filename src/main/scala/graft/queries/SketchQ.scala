@@ -240,10 +240,14 @@ object SketchQ {
         import s.implicits._
         import graft.llm.{TextFunctions => TF}
         val docs = t(s, dir, "documents")
+        // three consumers (raw counts, target counts, the per-doc join) would
+        // each re-run the md5-bucket tokenization; one checkpoint computes it
+        // once (same pattern as the LPA edge list)
         val toks = docs
           .select($"doc_id", $"source", explode(TF.tokens($"text")).as("tok"))
           .select($"doc_id", $"source",
             (digest48($"tok") % 1024L).as("bucket"))
+          .localCheckpoint()
         val rawCnt = toks.groupBy($"bucket").agg(count(lit(1)).as("c_raw"))
         val tgtCnt = toks.filter($"source".isin("src0", "src1"))
           .groupBy($"bucket").agg(count(lit(1)).as("c_tgt"))
