@@ -181,6 +181,46 @@ object Bmp {
     Image(w2, h2, rgb)
   }
 
+  /** Horizontal mirror: out(x, y) = in(w−1−x, y). */
+  def flipHorizontal(img: Image): Image = {
+    val rgb = new Array[Byte](img.rgb.length)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val src = (y * img.width + (img.width - 1 - x)) * 3
+        val dst = (y * img.width + x) * 3
+        rgb(dst) = img.rgb(src)
+        rgb(dst + 1) = img.rgb(src + 1)
+        rgb(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(img.width, img.height, rgb)
+  }
+
+  /** Rotate 90° clockwise: out dims (h, w); out(x, y) = in(y, h−1−x). */
+  def rotate90(img: Image): Image = {
+    val w2 = img.height
+    val h2 = img.width
+    val rgb = new Array[Byte](img.rgb.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = ((img.height - 1 - x) * img.width + y) * 3
+        val dst = (y * w2 + x) * 3
+        rgb(dst) = img.rgb(src)
+        rgb(dst + 1) = img.rgb(src + 1)
+        rgb(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w2, h2, rgb)
+  }
+
   /** Deterministic synthetic frame: channel values are an integer formula of
     * (doc, frame, x, y), so a SQL oracle can recompute the expected pixel
     * statistics without any decoder — any decode error (padding, row order,

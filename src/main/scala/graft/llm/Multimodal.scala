@@ -266,6 +266,18 @@ object Multimodal {
     })
   }
 
+  /** Decode → rotate 90° cw → horizontal mirror → re-encode: a deterministic
+    * augmentation pipeline stage (the composition happens to be the matrix
+    * TRANSPOSE, which gives the oracle a closed form). Partition-wise. */
+  def rotateFlip(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      rec.copy(payload = Bmp.encode(
+        Bmp.flipHorizontal(Bmp.rotate90(Bmp.decode(rec.payload)))))
+    })
+  }
+
   /** Deterministic speech-shaped audio corpus: [[Wav.syntheticGated]] payloads
     * (every third 200-sample block attenuated) so energy gating is
     * non-vacuous. Same dims formula as [[syntheticAudio]]. */

@@ -1734,6 +1734,42 @@ object LlmExt3 {
               |FROM cmd a JOIN cmd b ON b.chunk_md5 = a.chunk_md5
               |  AND a.doc_id < b.doc_id
               |WHERE a.len >= 16 AND b.len >= 16
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Geometric augmentation (rotate 90° cw, then mirror) — the deterministic
+    // augmentation-pipeline stage, validated by the POSITION-SENSITIVE
+    // weighted checksum: the composed transform is exactly the transpose
+    // (rot90cw ∘ flipH : out(x,y) = in(y,x)), so the oracle's closed form is
+    // the original formula with the coordinate roles swapped — any off-by-one
+    // in either coordinate remap breaks wsum_r even though plain channel sums
+    // are rotation-invariant. Codec-stage, partition-wise, no shuffle.
+    Q("multimodal_image_augment",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractFeatures(s,
+            Multimodal.rotateFlip(s,
+              Multimodal.syntheticImages(s,
+                t(s, dir, "documents").filter($"doc_id" < 60))))
+          .toDF()
+          .select($"doc_id", $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"), $"n_px",
+            $"sum_r", $"sum_g", $"sum_b", $"wsum_r")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 60),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+             |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |v AS (SELECT doc_id, w, h, x, y,
+             |        doc_id * 31 + x * 7 + y * 13 AS base
+             |      FROM xy)
+             |SELECT doc_id, ANY_VALUE(h) AS width, ANY_VALUE(w) AS height,
+             |  COUNT(*) AS n_px,
+             |  CAST(SUM(base % 256) AS BIGINT) AS sum_r,
+             |  CAST(SUM((base + 101) % 256) AS BIGINT) AS sum_g,
+             |  CAST(SUM((base + 202) % 256) AS BIGINT) AS sum_b,
+             |  CAST(SUM((y + 2 * x + 1) * (base % 256)) AS BIGINT) AS wsum_r
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -212,6 +212,24 @@ class MultimodalSpec extends AnyFunSuite {
       s"gated formula should separate frame energies, got $expect")
   }
 
+  test("rotate90 and flipHorizontal remap coordinates exactly") {
+    // 2x3 image with distinct R values so every position is identifiable
+    val rgb = new Array[Byte](2 * 3 * 3)
+    for (y <- 0 until 3; x <- 0 until 2) rgb((y * 2 + x) * 3) = (10 * y + x).toByte
+    val img = Bmp.Image(2, 3, rgb)
+    val rot = Bmp.rotate90(img) // dims 3x2; out(x,y) = in(y, h_in-1-x)
+    assert(rot.width == 3 && rot.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(rot.r(x, y) == img.r(y, 3 - 1 - x), s"rot($x,$y)")
+    val fl = Bmp.flipHorizontal(img)
+    for (y <- 0 until 3; x <- 0 until 2)
+      assert(fl.r(x, y) == img.r(2 - 1 - x, y), s"flip($x,$y)")
+    // composition rot90cw ∘ flipH = transpose
+    val tr = Bmp.flipHorizontal(Bmp.rotate90(img))
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(tr.r(x, y) == img.r(y, x), s"transpose($x,$y)")
+  }
+
   test("imagePatches crops to whole patches and sums the right pixels") {
     import spark.implicits._
     val ids = Seq(2L).toDF("doc_id") // w = 16 + 2 = 18, h = 12 + 2 = 14
