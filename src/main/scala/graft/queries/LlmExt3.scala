@@ -1770,6 +1770,102 @@ object LlmExt3 {
              |  CAST(SUM((base + 101) % 256) AS BIGINT) AS sum_g,
              |  CAST(SUM((base + 202) % 256) AS BIGINT) AS sum_b,
              |  CAST(SUM((y + 2 * x + 1) * (base % 256)) AS BIGINT) AS wsum_r
-             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal dataset card — the per-modality summary a dataset release
+    // ships (HuggingFace-card-style): one row per media type with record
+    // count, total payload bytes, and modality-appropriate size stats, over
+    // the union of the synthetic image/mixed/video/audio corpora. Each
+    // corpus reduces partition-wise in its codec stage to one bounded row —
+    // the whole card is four bounded aggs and a union.
+    Q("multimodal_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter($"doc_id" < 100)
+        def card(media: org.apache.spark.sql.Dataset[graft.llm.MediaRecord]) =
+          media.toDF()
+            .select($"media_type", length($"payload").cast("long").as("bytes"))
+            .groupBy($"media_type")
+            .agg(count(lit(1)).as("n_records"), sum($"bytes").as("total_bytes"),
+              min($"bytes").as("min_bytes"), max($"bytes").as("max_bytes"))
+        card(Multimodal.syntheticMixedImages(s, ids))
+          .unionByName(card(Multimodal.syntheticVideos(s, ids)))
+          .unionByName(card(Multimodal.syntheticAudio(s, ids)))
+          .orderBy($"media_type")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS iw, 12 + doc_id % 5 AS ih,
+             |    12 + doc_id % 6 AS vw, 10 + doc_id % 5 AS vh,
+             |    3 + doc_id % 4 AS nf,
+             |    800 + (doc_id % 7) * 100 AS an
+             |  FROM documents WHERE doc_id < 100),
+             |rec AS (
+             |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+             |    ELSE 'image/x-portable-pixmap' END AS media_type,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN 54 + ih * ((3 * iw + 3) // 4 * 4)
+             |      -- P6 header: "P6\\n{w} {h}\\n255\\n" = 3+len(w)+1+len(h)+1+4
+             |      ELSE 3 + length(CAST(iw AS VARCHAR)) + 1
+             |        + length(CAST(ih AS VARCHAR)) + 1 + 4 + 3 * iw * ih
+             |    END AS bytes
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT 'video/x-bmp-seq',
+             |    nf * (54 + vh * ((3 * vw + 3) // 4 * 4))
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT 'audio/wav', 44 + 2 * an FROM dims)
+             |SELECT media_type, COUNT(*) AS n_records,
+             |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+             |  CAST(MIN(bytes) AS BIGINT) AS min_bytes,
+             |  CAST(MAX(bytes) AS BIGINT) AS max_bytes
+             |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Ratio-metric variance via the delta method — the experimentation-
+    // platform statistic for per-user ratio metrics (value per event):
+    // var(X̄/Ȳ) ≈ (1/n)·(μx/μy)²·(σx²/μx² − 2σxy/(μxμy) + σy²/μy²), with all
+    // moments decimal-exact per group and the delta formula one pinned IEEE
+    // expression. Complements the Welch/CUPED tests with the ratio-metric
+    // case they do not cover. One shuffle per group; bounded output.
+    Q("events_ratio_metric_delta",
+      (s, dir) => {
+        import s.implicits._
+        val per = graft.Tables.events(s, dir)
+          .groupBy(($"user_id" % 2 === 0).as("treated"), $"user_id")
+          .agg(dsum($"value").as("x"), count(lit(1)).cast("double").as("y"))
+        val m = per.groupBy($"treated")
+          .agg(count(lit(1)).as("n"),
+            davg($"x", 8).as("mx"), davg($"y", 8).as("my"),
+            davg($"x" * $"x", 8).as("mxx"),
+            davg($"y" * $"y", 8).as("myy"),
+            davg($"x" * $"y", 8).as("mxy"))
+        m.select($"treated", $"n", ($"mx" / $"my").as("ratio"),
+            ((lit(1.0d) / $"n".cast("double")) *
+              (($"mx" / $"my") * ($"mx" / $"my")) *
+              ((($"mxx" - $"mx" * $"mx") / ($"mx" * $"mx")) -
+                (lit(2.0d) * ($"mxy" - $"mx" * $"my") / ($"mx" * $"my")) +
+                (($"myy" - $"my" * $"my") / ($"my" * $"my"))))
+              .as("var_ratio"))
+          .orderBy($"treated")
+      },
+      Some(s"""WITH per AS (
+              |  SELECT user_id % 2 = 0 AS treated, user_id,
+              |    ${sqlDsum("value")} AS x,
+              |    CAST(COUNT(*) AS DOUBLE) AS y
+              |  FROM events GROUP BY 1, 2),
+              |m AS (
+              |  SELECT treated, COUNT(*) AS n,
+              |    ${sqlDavg("x", 8)} AS mx, ${sqlDavg("y", 8)} AS my,
+              |    ${sqlDavg("x * x", 8)} AS mxx,
+              |    ${sqlDavg("y * y", 8)} AS myy,
+              |    ${sqlDavg("x * y", 8)} AS mxy
+              |  FROM per GROUP BY 1)
+              |SELECT treated, n, mx / my AS ratio,
+              |  (1.0::DOUBLE / CAST(n AS DOUBLE)) *
+              |    ((mx / my) * (mx / my)) *
+              |    (((mxx - mx * mx) / (mx * mx)) -
+              |     (2.0::DOUBLE * (mxy - mx * my) / (mx * my)) +
+              |     ((myy - my * my) / (my * my))) AS var_ratio
+              |FROM m ORDER BY treated""".stripMargin))
   )
 }
