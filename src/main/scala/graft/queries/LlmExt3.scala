@@ -1866,6 +1866,87 @@ object LlmExt3 {
               |    (((mxx - mx * mx) / (mx * mx)) -
               |     (2.0::DOUBLE * (mxy - mx * my) / (mx * my)) +
               |     ((myy - my * my) / (my * my))) AS var_ratio
-              |FROM m ORDER BY treated""".stripMargin))
+              |FROM m ORDER BY treated""".stripMargin)),
+
+    // Grouped OLS regression (price on quantity per return flag) — the
+    // simplest trend estimator every metrics stack ships: slope from CENTERED
+    // decimal-exact moments (slope = (E[xy]−E[x]E[y])/(E[x²]−E[x]²) — the
+    // centered form keeps every decimal-to-double cast in the safe-grid
+    // magnitude range, where the raw n·Σxy form would cross the 2⁵³ exactness
+    // line at scale), intercept and R² from the same moments, one pinned IEEE
+    // expression each. One shuffle; map-side partials.
+    Q("agg_ols_regression",
+      (s, dir) => {
+        import s.implicits._
+        val m = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            davg($"l_quantity").as("mx"),
+            davg($"l_extendedprice").as("my"),
+            davg($"l_quantity" * $"l_extendedprice").as("mxy"),
+            davg($"l_quantity" * $"l_quantity").as("mxx"),
+            // scale 4, not 8: price^2 is ~3e9, where a 1e-8 grid is finer
+            // than the double ulp (the QueryDSL cast-divergence hazard);
+            // 1e-4 stays coarser and the inputs carry <= 4 decimal digits
+            davg($"l_extendedprice" * $"l_extendedprice").as("myy"))
+        m.select($"l_returnflag", $"n",
+            (($"mxy" - $"mx" * $"my") / ($"mxx" - $"mx" * $"mx"))
+              .as("slope"),
+            ($"my" - (($"mxy" - $"mx" * $"my") /
+              ($"mxx" - $"mx" * $"mx")) * $"mx").as("intercept"),
+            ((($"mxy" - $"mx" * $"my") * ($"mxy" - $"mx" * $"my")) /
+              (($"mxx" - $"mx" * $"mx") * ($"myy" - $"my" * $"my")))
+              .as("r2"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT l_returnflag, COUNT(*) AS n,
+              |    ${sqlDavg("l_quantity")} AS mx,
+              |    ${sqlDavg("l_extendedprice")} AS my,
+              |    ${sqlDavg("l_quantity * l_extendedprice")} AS mxy,
+              |    ${sqlDavg("l_quantity * l_quantity")} AS mxx,
+              |    ${sqlDavg("l_extendedprice * l_extendedprice")} AS myy
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, n,
+              |  (mxy - mx * my) / (mxx - mx * mx) AS slope,
+              |  my - ((mxy - mx * my) / (mxx - mx * mx)) * mx AS intercept,
+              |  ((mxy - mx * my) * (mxy - mx * my)) /
+              |    ((mxx - mx * mx) * (myy - my * my)) AS r2
+              |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic UUIDv5-style ID minting — stable document identifiers
+    // from a namespace + content key (the no-RNG rule applied to ID
+    // generation: re-running the pipeline mints the SAME ids, which is what
+    // makes downstream joins and incremental loads reproducible). md5 of
+    // 'graft:' || doc_id, formatted 8-4-4-4-12 with the version nibble forced
+    // to 5 and the variant nibble to RFC-4122's 10xx — pure string/bit ops,
+    // identical on both engines. Map-only.
+    Q("fn_uuid5_mint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
+          .select($"doc_id", concat_ws("-",
+            substring($"h", 1, 8), substring($"h", 9, 4),
+            concat(lit("5"), substring($"h", 14, 3)),
+            concat(
+              element_at(array(lit("8"), lit("9"), lit("a"), lit("b")),
+                (conv(substring($"h", 17, 1), 16, 10).cast("int") % 4) + 1),
+              substring($"h", 18, 3)),
+            substring($"h", 21, 12)).as("uuid5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+              |  FROM documents)
+              |SELECT doc_id,
+              |  substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' ||
+              |  '5' || substring(h, 14, 3) || '-' ||
+              |  substring('89ab',
+              |    CAST((${QueryDSL.sqlHexInt("h", 17, 1)}) % 4 AS INT) + 1, 1)
+              |    || substring(h, 18, 3) || '-' ||
+              |  substring(h, 21, 12) AS uuid5
+              |FROM h ORDER BY doc_id""".stripMargin))
   )
 }
