@@ -1947,6 +1947,129 @@ object LlmExt3 {
               |    CAST((${QueryDSL.sqlHexInt("h", 17, 1)}) % 4 AS INT) + 1, 1)
               |    || substring(h, 18, 3) || '-' ||
               |  substring(h, 21, 12) AS uuid5
-              |FROM h ORDER BY doc_id""".stripMargin))
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // CUSUM change detection (Page 1954) over each user's daily series — the
+    // drift detector that catches slow level shifts the rolling z-score
+    // (spike detector) misses: Sₜ = max(0, Sₜ₋₁ + (vₜ − μ)), alarm when Sₜ
+    // exceeds a SELF-CALIBRATING threshold (2× the user's mean absolute
+    // deviation — computed decimal-exact, so the gate is reproducible, not a
+    // magic constant). The recursion runs as a typed fold per bounded user
+    // series (the Holt pattern); the oracle's recursive CTE steps identical
+    // IEEE arithmetic including the max(0, ·) clamp.
+    Q("events_cusum_drift",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy($"user_id", date_format(date_trunc("day", $"ts"),
+            "yyyy-MM-dd").as("day"))
+          .agg(dsum($"value").as("v"))
+        val mu = daily.groupBy($"user_id").agg(davg($"v").as("mu"))
+        val madev = daily.join(mu, "user_id")
+          .groupBy($"user_id")
+          .agg(davg(abs($"v" - $"mu"), 6).as("madev"))
+        val full = daily.join(mu, "user_id").join(madev, "user_id")
+          .select($"user_id".as[Long], $"day".as[String], $"v".as[Double],
+            $"mu".as[Double], $"madev".as[Double])
+        full.groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val mu = rows.head._4
+            val thr = 2.0d * rows.head._5
+            var s = 0.0d; var sMax = 0.0d; var nAlarm = 0L
+            rows.foreach { case (_, _, v, _, _) =>
+              s = math.max(0.0d, s + (v - mu))
+              if (s > sMax) sMax = s
+              if (s > thr) nAlarm += 1
+            }
+            (uid, rows.length.toLong, s, sMax, nAlarm)
+          }
+          .toDF("user_id", "n_days", "s_final", "s_max", "n_alarms")
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+              |  SELECT user_id, date_trunc('day', ts) AS day,
+              |    ${sqlDsum("value")} AS v
+              |  FROM events GROUP BY 1, 2),
+              |mu AS (SELECT user_id, ${sqlDavg("v")} AS mu
+              |       FROM daily GROUP BY 1),
+              |madev AS (
+              |  SELECT d.user_id, ${sqlDavg("abs(d.v - mu.mu)", 6)} AS madev
+              |  FROM daily d JOIN mu USING (user_id) GROUP BY 1),
+              |idx AS (
+              |  SELECT d.user_id, d.v, mu.mu, 2.0::DOUBLE * madev.madev AS thr,
+              |    row_number() OVER (PARTITION BY d.user_id ORDER BY d.day)
+              |      AS rn
+              |  FROM daily d JOIN mu USING (user_id)
+              |  JOIN madev USING (user_id)),
+              |nn AS (SELECT user_id, MAX(rn) AS n FROM idx GROUP BY 1),
+              |c AS (
+              |  SELECT user_id, rn, thr,
+              |    GREATEST(0.0::DOUBLE, 0.0::DOUBLE + (v - mu)) AS s,
+              |    GREATEST(0.0::DOUBLE, 0.0::DOUBLE + (v - mu)) AS smax,
+              |    CASE WHEN GREATEST(0.0::DOUBLE, 0.0::DOUBLE + (v - mu))
+              |      > thr THEN 1 ELSE 0 END AS nal
+              |  FROM idx WHERE rn = 1
+              |  UNION ALL
+              |  SELECT c.user_id, c.rn + 1, c.thr,
+              |    GREATEST(0.0::DOUBLE, c.s + (i.v - i.mu)),
+              |    GREATEST(c.smax, GREATEST(0.0::DOUBLE, c.s + (i.v - i.mu))),
+              |    c.nal + CASE WHEN GREATEST(0.0::DOUBLE, c.s + (i.v - i.mu))
+              |      > c.thr THEN 1 ELSE 0 END
+              |  FROM c JOIN idx i
+              |    ON i.user_id = c.user_id AND i.rn = c.rn + 1)
+              |SELECT c.user_id, CAST(nn.n AS BIGINT) AS n_days, c.s AS s_final,
+              |  c.smax AS s_max, CAST(c.nal AS BIGINT) AS n_alarms
+              |FROM c JOIN nn ON nn.user_id = c.user_id AND c.rn = nn.n
+              |ORDER BY c.user_id""".stripMargin)),
+
+    // Vocabulary-pruning coverage curve — what fraction of token OCCURRENCES
+    // the top-K vocabulary still covers, for a ladder of K (the tokenizer-
+    // sizing trade-off chart). Frequency ranks break ties lexically; coverage
+    // is an integer ratio divided once. The rank frame is the vocabulary
+    // (bounded), so the K-ladder cross is bounded too.
+    Q("text_vocab_prune_coverage",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.{TextFunctions => TF}
+        // banded global rank (never a single-partition window, even though
+        // this particular vocabulary is small — the shape must scale)
+        val freq = bandedRowNumber(
+          t(s, dir, "documents")
+            .select(explode(TF.tokens($"text")).as("tok"))
+            .groupBy($"tok").agg(count(lit(1)).as("f")),
+          (-$"f").cast("long"), Seq($"f".desc, $"tok"), "rk", "nv")
+        val tot = freq.agg(sum($"f").as("total"))
+        val ks = Seq(8, 16, 24)
+        freq.crossJoin(broadcast(tot))
+          .select(explode(array(ks.map(lit): _*)).as("k"), $"rk", $"f",
+            $"total")
+          .filter($"rk" <= $"k")
+          .groupBy($"k".cast("long").as("k"))
+          .agg(max($"total").as("total_occurrences"),
+            sum($"f").as("covered"))
+          .select($"k", $"total_occurrences", $"covered",
+            ($"covered".cast("double") / $"total_occurrences".cast("double"))
+              .as("coverage"))
+          .orderBy($"k")
+      },
+      Some("""WITH freq AS (
+             |  SELECT tok, COUNT(*) AS f FROM (
+             |    SELECT unnest(list_filter(
+             |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |      x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY 1),
+             |rk AS (
+             |  SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS rk
+             |  FROM freq),
+             |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq)
+             |SELECT CAST(k AS BIGINT) AS k,
+             |  (SELECT total FROM tot) AS total_occurrences,
+             |  CAST(SUM(f) AS BIGINT) AS covered,
+             |  CAST(SUM(f) AS DOUBLE) /
+             |    CAST((SELECT total FROM tot) AS DOUBLE) AS coverage
+             |FROM rk, unnest([8, 16, 24]) t(k)
+             |WHERE rk <= k GROUP BY k ORDER BY k""".stripMargin))
   )
 }
