@@ -2070,6 +2070,133 @@ object LlmExt3 {
              |  CAST(SUM(f) AS DOUBLE) /
              |    CAST((SELECT total FROM tot) AS DOUBLE) AS coverage
              |FROM rk, unnest([8, 16, 24]) t(k)
-             |WHERE rk <= k GROUP BY k ORDER BY k""".stripMargin))
+             |WHERE rk <= k GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Entity-resolution pipeline — the composed record-linkage flow (block →
+    // fuzzy-score → transitively merge → canonicalize) that the individual
+    // pieces (banded Jaro-Winkler, connected components) exist to serve:
+    // part names blocked by first word, matched at rounded JW ≥ 0.88, merged
+    // by 3 synchronous min-label propagation rounds (the bounded-round
+    // contract every iterative graph query here uses), and reported as
+    // canonical clusters. Match edges are per-band quadratic in DISTINCT
+    // names — vocabulary-bounded, never corpus-sized.
+    Q("pipeline_entity_resolution",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.StringSimFunctions.jaro_winkler_similarity
+        val names = t(s, dir, "part").select($"p_name").distinct()
+          .select($"p_name", substring_index($"p_name", " ", 1).as("band"))
+        val a = names.select($"band", $"p_name".as("n1"))
+        val b = names.select($"band", $"p_name".as("n2"))
+        val matched = a.join(b, Seq("band"))
+          .filter($"n1" =!= $"n2")
+          .filter(round(jaro_winkler_similarity($"n1", $"n2"), 9) >= 0.88)
+          .select($"n1", $"n2")
+        val und = matched
+          .unionByName(names.select($"p_name".as("n1"), $"p_name".as("n2")))
+          .distinct().localCheckpoint()
+        var labels = names.select($"p_name".as("node"),
+          $"p_name".as("lbl"))
+        (1 to 3).foreach { _ =>
+          labels = und.join(labels, $"n2" === $"node")
+            .groupBy($"n1").agg(min($"lbl").as("lbl"))
+            .select($"n1".as("node"), $"lbl")
+        }
+        labels.groupBy($"lbl".as("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy($"cluster_rep")
+      },
+      Some {
+        val round_ = (k: Int) =>
+          s"""l$k AS (
+             |  SELECT e.n1 AS node, MIN(l.lbl) AS lbl
+             |  FROM und e JOIN l${k - 1} l ON l.node = e.n2
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH names AS (
+           |  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS band
+           |  FROM part),
+           |matched AS (
+           |  SELECT a.p_name AS n1, b.p_name AS n2
+           |  FROM names a JOIN names b ON b.band = a.band
+           |    AND a.p_name <> b.p_name
+           |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+           |    >= 0.88),
+           |und AS (
+           |  SELECT DISTINCT n1, n2 FROM (
+           |    SELECT n1, n2 FROM matched
+           |    UNION ALL SELECT p_name, p_name FROM names)),
+           |l0 AS (SELECT p_name AS node, p_name AS lbl FROM names),
+           |${(1 to 3).map(round_).mkString(",\n")}
+           |SELECT lbl AS cluster_rep, COUNT(*) AS n_members
+           |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Holt forecast BACKTEST — the validation loop that makes a forecaster
+    // trustworthy: train the level/trend recursion on each user's first
+    // n−1 days, forecast the held-out last day, report the absolute error.
+    // Same typed-fold + recursive-CTE machinery as events_holt_linear, with
+    // the holdout boundary the only change; |error| is one IEEE subtraction.
+    Q("events_holt_backtest",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy($"user_id", date_format(date_trunc("day", $"ts"),
+            "yyyy-MM-dd").as("day"))
+          .agg(dsum($"value").as("v"))
+          .select($"user_id".as[Long], $"day".as[String], $"v".as[Double])
+        daily.groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val vs = it.toArray.sortBy(_._2).map(_._3)
+            if (vs.length < 3) Iterator.empty
+            else {
+              val train = vs.dropRight(1)
+              var l = train(0)
+              var b = train(1) - train(0)
+              var i = 1
+              while (i < train.length) {
+                val lNew = 0.5 * train(i) + 0.5 * (l + b)
+                b = 0.3 * (lNew - l) + 0.7 * b
+                l = lNew
+                i += 1
+              }
+              val fc = l + b
+              val actual = vs.last
+              Iterator.single(
+                (uid, vs.length.toLong, fc, actual, math.abs(fc - actual)))
+            }
+          }
+          .toDF("user_id", "n_days", "forecast", "actual", "abs_err")
+          .orderBy($"user_id")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT user_id, v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+             |  FROM daily),
+             |nn AS (SELECT user_id, MAX(rn) AS n FROM idx GROUP BY 1
+             |       HAVING MAX(rn) >= 3),
+             |h AS (
+             |  SELECT i1.user_id, 1 AS rn, i1.v AS l, i2.v - i1.v AS b
+             |  FROM idx i1 JOIN idx i2
+             |    ON i2.user_id = i1.user_id AND i2.rn = 2
+             |  JOIN nn ON nn.user_id = i1.user_id
+             |  WHERE i1.rn = 1
+             |  UNION ALL
+             |  SELECT h.user_id, h.rn + 1,
+             |    0.5 * i.v + 0.5 * (h.l + h.b),
+             |    0.3 * ((0.5 * i.v + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+             |  FROM h JOIN nn ON nn.user_id = h.user_id
+             |  JOIN idx i ON i.user_id = h.user_id AND i.rn = h.rn + 1
+             |  WHERE h.rn + 1 <= nn.n - 1)
+             |SELECT h.user_id, CAST(nn.n AS BIGINT) AS n_days,
+             |  h.l + h.b AS forecast, a.v AS actual,
+             |  abs((h.l + h.b) - a.v) AS abs_err
+             |FROM h
+             |JOIN nn ON nn.user_id = h.user_id AND h.rn = nn.n - 1
+             |JOIN idx a ON a.user_id = h.user_id AND a.rn = nn.n
+             |ORDER BY h.user_id""".stripMargin))
   )
 }
