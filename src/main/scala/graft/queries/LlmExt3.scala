@@ -2197,6 +2197,125 @@ object LlmExt3 {
              |FROM h
              |JOIN nn ON nn.user_id = h.user_id AND h.rn = nn.n - 1
              |JOIN idx a ON a.user_id = h.user_id AND a.rn = nn.n
-             |ORDER BY h.user_id""".stripMargin))
+             |ORDER BY h.user_id""".stripMargin)),
+
+    // Wilson score interval for per-event-type reach (users touching the
+    // type / all users) — the binomial CI that stays sane at extreme
+    // proportions, unlike the normal approximation. Counts are exact; the
+    // interval is one pinned IEEE expression per side (sqrt is correctly
+    // rounded per IEEE-754, so the whole formula is engine-stable; z = 1.96
+    // fixed). Bounded output: one row per event type.
+    Q("events_reach_wilson_ci",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        val nUsers = ev.agg(countDistinct($"user_id").as("n"))
+        val reach = ev.select($"event_type", $"user_id").distinct()
+          .groupBy($"event_type").agg(count(lit(1)).as("k"))
+        val z = 1.96d
+        val z2 = z * z
+        reach.crossJoin(broadcast(nUsers))
+          .select($"event_type", $"k", $"n",
+            ($"k".cast("double") / $"n".cast("double")).as("p"))
+          .select($"event_type", $"k", $"n", $"p",
+            ((($"p" + lit(z2) / (lit(2.0d) * $"n".cast("double"))) -
+              (lit(z) * sqrt(($"p" * (lit(1.0d) - $"p")) /
+                $"n".cast("double") +
+                lit(z2) / (lit(4.0d) * $"n".cast("double") *
+                  $"n".cast("double"))))) /
+              (lit(1.0d) + lit(z2) / $"n".cast("double"))).as("ci_low"),
+            ((($"p" + lit(z2) / (lit(2.0d) * $"n".cast("double"))) +
+              (lit(z) * sqrt(($"p" * (lit(1.0d) - $"p")) /
+                $"n".cast("double") +
+                lit(z2) / (lit(4.0d) * $"n".cast("double") *
+                  $"n".cast("double"))))) /
+              (lit(1.0d) + lit(z2) / $"n".cast("double"))).as("ci_high"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH nu AS (
+              |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+              |  FROM events),
+              |reach AS (
+              |  SELECT event_type, COUNT(*) AS k FROM (
+              |    SELECT DISTINCT event_type, user_id FROM events)
+              |  GROUP BY 1),
+              |pr AS (
+              |  SELECT event_type, k, nu.n,
+              |    CAST(k AS DOUBLE) / CAST(nu.n AS DOUBLE) AS p
+              |  FROM reach CROSS JOIN nu)
+              |SELECT event_type, k, n, p,
+              |  ((p + ${1.96 * 1.96} / (2.0::DOUBLE * CAST(n AS DOUBLE))) -
+              |   (1.96::DOUBLE * sqrt((p * (1.0::DOUBLE - p)) /
+              |     CAST(n AS DOUBLE) +
+              |     ${1.96 * 1.96} / (4.0::DOUBLE * CAST(n AS DOUBLE) *
+              |       CAST(n AS DOUBLE))))) /
+              |  (1.0::DOUBLE + ${1.96 * 1.96} / CAST(n AS DOUBLE)) AS ci_low,
+              |  ((p + ${1.96 * 1.96} / (2.0::DOUBLE * CAST(n AS DOUBLE))) +
+              |   (1.96::DOUBLE * sqrt((p * (1.0::DOUBLE - p)) /
+              |     CAST(n AS DOUBLE) +
+              |     ${1.96 * 1.96} / (4.0::DOUBLE * CAST(n AS DOUBLE) *
+              |       CAST(n AS DOUBLE))))) /
+              |  (1.0::DOUBLE + ${1.96 * 1.96} / CAST(n AS DOUBLE)) AS ci_high
+              |FROM pr ORDER BY event_type""".stripMargin)),
+
+    // Deterministic Poisson bootstrap (the one-pass resampling used for
+    // standard errors at web scale — no resample shuffles, no RNG state):
+    // each (row, replicate) draws a pseudo-Poisson(1) weight by mapping an
+    // md5 integer through the FIXED integer CDF thresholds
+    // [3679, 7358, 9197, 9810] (the Poisson(1) pmf at 4-digit precision), so
+    // every engine draws identical weights. B=16 replicate means come from
+    // decimal-exact weighted sums; the bootstrap SE is the replicate-mean
+    // stddev (exact moments + one IEEE sqrt). One pass over the data,
+    // B-bounded state per group.
+    Q("agg_poisson_bootstrap_se",
+      (s, dir) => {
+        import s.implicits._
+        val b = 16
+        val rows = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice",
+            explode(array((0 until b).map(lit): _*)).as("rep"))
+          .withColumn("u",
+            conv(substring(md5(concat($"o_orderkey".cast("string"),
+              lit("_"), $"rep".cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 10000L)
+          .withColumn("w",
+            when($"u" < 3679L, 0L).when($"u" < 7358L, 1L)
+              .when($"u" < 9197L, 2L).when($"u" < 9810L, 3L).otherwise(4L))
+        val reps = rows.groupBy($"rep")
+          .agg((sum(($"o_totalprice" * $"w".cast("double"))
+            .cast("decimal(30,4)")).cast("double") /
+            sum($"w").cast("double")).as("rep_mean"))
+        reps.agg(count(lit(1)).as("n_reps"),
+            davg($"rep_mean").as("boot_mean"),
+            davg($"rep_mean" * $"rep_mean", 2).as("boot_m2"))
+          .select($"n_reps", $"boot_mean",
+            sqrt(($"boot_m2" - $"boot_mean" * $"boot_mean") *
+              ($"n_reps".cast("double") / ($"n_reps" - 1).cast("double")))
+              .as("boot_se"))
+      },
+      Some(s"""WITH rows_ AS (
+              |  SELECT o_orderkey, o_totalprice, t.rep,
+              |    (${QueryDSL.sqlHexInt(
+                  "md5(CAST(o_orderkey AS VARCHAR) || '_' || " +
+                    "CAST(t.rep AS VARCHAR))", 1, 12)}) % 10000 AS u
+              |  FROM orders, unnest(range(0, 16)) t(rep)),
+              |w AS (
+              |  SELECT rep, o_totalprice,
+              |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+              |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3 ELSE 4 END AS w
+              |  FROM rows_),
+              |reps AS (
+              |  SELECT rep,
+              |    CAST(SUM(CAST(o_totalprice * CAST(w AS DOUBLE)
+              |      AS DECIMAL(30,4))) AS DOUBLE) /
+              |      CAST(SUM(w) AS DOUBLE) AS rep_mean
+              |  FROM w GROUP BY 1)
+              |SELECT COUNT(*) AS n_reps,
+              |  ${sqlDavg("rep_mean")} AS boot_mean,
+              |  sqrt((${sqlDavg("rep_mean * rep_mean", 2)} -
+              |    ${sqlDavg("rep_mean")} * ${sqlDavg("rep_mean")}) *
+              |    (CAST(COUNT(*) AS DOUBLE) /
+              |      CAST(COUNT(*) - 1 AS DOUBLE))) AS boot_se
+              |FROM reps""".stripMargin))
   )
 }
