@@ -2316,6 +2316,125 @@ object LlmExt3 {
               |    ${sqlDavg("rep_mean")} * ${sqlDavg("rep_mean")}) *
               |    (CAST(COUNT(*) AS DOUBLE) /
               |      CAST(COUNT(*) - 1 AS DOUBLE))) AS boot_se
-              |FROM reps""".stripMargin))
+              |FROM reps""".stripMargin)),
+
+    // Total-variation categorical drift — the log-free companion to the
+    // numeric KS test: TV(P,Q) = ½ Σ|pᵢ−qᵢ| between the source distributions
+    // of two corpus halves, computed as the INTEGER Σ|cₐ·n_b − c_b·nₐ| and
+    // divided once by 2·nₐ·n_b (same no-float-thresholds discipline as the
+    // KS numerator — no PSI-style logs anywhere). Category space is the
+    // source vocabulary — bounded; full-outer join covers one-sided
+    // categories.
+    Q("dq_tv_drift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val ca = docs.filter($"doc_id" % 2 === 0)
+          .groupBy($"source").agg(count(lit(1)).as("c_a"))
+        val cb = docs.filter($"doc_id" % 2 === 1)
+          .groupBy($"source").agg(count(lit(1)).as("c_b"))
+        val tot = docs.agg(
+          sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        ca.join(cb, Seq("source"), "full")
+          .select(coalesce($"c_a", lit(0L)).as("c_a"),
+            coalesce($"c_b", lit(0L)).as("c_b"))
+          .crossJoin(broadcast(tot))
+          .select(abs($"c_a" * $"n_b" - $"c_b" * $"n_a").as("num"),
+            $"n_a", $"n_b")
+          .groupBy($"n_a", $"n_b").agg(sum($"num").as("tv_num"))
+          .select($"n_a", $"n_b", $"tv_num",
+            ($"tv_num".cast("double") /
+              (lit(2.0d) * $"n_a".cast("double") * $"n_b".cast("double")))
+              .as("tv"))
+      },
+      Some("""WITH ca AS (
+             |  SELECT source, COUNT(*) AS c_a FROM documents
+             |  WHERE doc_id % 2 = 0 GROUP BY 1),
+             |cb AS (
+             |  SELECT source, COUNT(*) AS c_b FROM documents
+             |  WHERE doc_id % 2 = 1 GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_b
+             |  FROM documents),
+             |j AS (
+             |  SELECT COALESCE(ca.c_a, 0) AS c_a, COALESCE(cb.c_b, 0) AS c_b
+             |  FROM ca FULL OUTER JOIN cb USING (source))
+             |SELECT tot.n_a, tot.n_b,
+             |  CAST(SUM(abs(j.c_a * tot.n_b - j.c_b * tot.n_a)) AS BIGINT)
+             |    AS tv_num,
+             |  CAST(SUM(abs(j.c_a * tot.n_b - j.c_b * tot.n_a)) AS DOUBLE) /
+             |    (2.0::DOUBLE * CAST(tot.n_a AS DOUBLE) *
+             |      CAST(tot.n_b AS DOUBLE)) AS tv
+             |FROM j CROSS JOIN tot
+             |GROUP BY tot.n_a, tot.n_b""".stripMargin)),
+
+    // Mipmap / feature-pyramid generation: three successive nearest-neighbor
+    // halvings per image (the level chain detection and multi-scale models
+    // consume), each level re-encoded and re-decoded through the real codec.
+    // The oracle recomputes every level's pixels by COMPOSING the trunc-
+    // division source mapping (x_{L-1} = x_L·w_{L-1}//w_L) down to level 0 —
+    // so the whole resize chain, not just one hop, is hash-pinned, with the
+    // position-sensitive wsum catching any mapping drift. Codec-stage,
+    // partition-wise.
+    Q("multimodal_image_mipmap",
+      (s, dir) => {
+        import s.implicits._
+        val base = Multimodal.syntheticImages(s,
+          t(s, dir, "documents").filter($"doc_id" < 40))
+        val levels = (1 to 3).map { lvl =>
+          var m = base
+          (1 to lvl).foreach { _ =>
+            m = m.mapPartitions(_.map { rec =>
+              val img = graft.llm.Bmp.decode(rec.payload)
+              rec.copy(payload = graft.llm.Bmp.encode(
+                graft.llm.Bmp.resizeNearest(img,
+                  math.max(1, img.width / 2), math.max(1, img.height / 2))))
+            })(org.apache.spark.sql.Encoders.product[graft.llm.MediaRecord])
+          }
+          Multimodal.extractFeatures(s, m).toDF()
+            .select($"doc_id", lit(lvl.toLong).as("level"),
+              $"width".cast("long").as("width"),
+              $"height".cast("long").as("height"), $"sum_r", $"wsum_r")
+        }
+        levels.reduce(_ unionByName _).orderBy($"doc_id", $"level")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16 + doc_id % 8 AS w0, 12 + doc_id % 5 AS h0
+             |  FROM documents WHERE doc_id < 40),
+             |d AS (
+             |  SELECT doc_id, w0, h0, w0 // 2 AS w1, h0 // 2 AS h1,
+             |    w0 // 2 // 2 AS w2, h0 // 2 // 2 AS h2,
+             |    w0 // 2 // 2 // 2 AS w3, h0 // 2 // 2 // 2 AS h3
+             |  FROM dims),
+             |l1 AS (
+             |  SELECT doc_id, 1 AS level, w1 AS w, h1 AS h,
+             |    x * w0 // w1 AS sx, y * h0 // h1 AS sy, x, y, w0
+             |  FROM d, unnest(range(0, w1)) t(x), unnest(range(0, h1)) u(y)),
+             |l2 AS (
+             |  SELECT doc_id, 2 AS level, w2 AS w, h2 AS h,
+             |    (x * w1 // w2) * w0 // w1 AS sx,
+             |    (y * h1 // h2) * h0 // h1 AS sy, x, y, w0
+             |  FROM d, unnest(range(0, w2)) t(x), unnest(range(0, h2)) u(y)),
+             |l3 AS (
+             |  SELECT doc_id, 3 AS level, w3 AS w, h3 AS h,
+             |    ((x * w2 // w3) * w1 // w2) * w0 // w1 AS sx,
+             |    ((y * h2 // h3) * h1 // h2) * h0 // h1 AS sy, x, y, w0
+             |  FROM d, unnest(range(0, w3)) t(x), unnest(range(0, h3)) u(y)),
+             |px AS (
+             |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
+             |  UNION ALL SELECT * FROM l3)
+             |SELECT doc_id, CAST(level AS BIGINT) AS level,
+             |  CAST(ANY_VALUE(w) AS BIGINT) AS width,
+             |  CAST(ANY_VALUE(h) AS BIGINT) AS height,
+             |  CAST(SUM((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT)
+             |    AS sum_r,
+             |  CAST(SUM((x + 2 * y + 1) *
+             |    ((doc_id * 31 + sx * 7 + sy * 13) % 256)) AS BIGINT)
+             |    AS wsum_r
+             |FROM px GROUP BY 1, 2 ORDER BY doc_id, level""".stripMargin))
   )
 }
