@@ -2435,6 +2435,110 @@ object LlmExt3 {
              |  CAST(SUM((x + 2 * y + 1) *
              |    ((doc_id * 31 + sx * 7 + sy * 13) % 256)) AS BIGINT)
              |    AS wsum_r
-             |FROM px GROUP BY 1, 2 ORDER BY doc_id, level""".stripMargin))
+             |FROM px GROUP BY 1, 2 ORDER BY doc_id, level""".stripMargin)),
+
+    // Bot-detection heuristics — the abuse-filtering pass every event
+    // pipeline needs: flag users whose inter-event gaps are suspiciously
+    // REGULAR (automation emits metronome traffic; humans don't). The
+    // regularity test is variance < (mean/10)², evaluated ENTIRELY in exact
+    // integer arithmetic on microsecond gaps — 100·(n·Σg² − (Σg)²) < (Σg)²
+    // via decimal/hugeint cross-multiplication, so the flag boundary is
+    // bit-exact on both engines (gap² exceeds int64, hence the wide-integer
+    // sums). Plus a heavy-volume flag. Five metronome bots (120 events at an
+    // exact 1 s cadence) are injected as fixtures — the organic corpus has
+    // no automation, so without them both flags would be vacuously false.
+    // One shuffle; per-user state bounded.
+    Q("events_bot_heuristics",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val bots = s.range(5)
+          .select(($"id" + 9000L).as("user_id"),
+            explode(sequence(lit(0L), lit(119L))).as("i"))
+          .select($"user_id",
+            timestamp_micros(lit(1704067200000000L) + $"i" * 1000000L)
+              .as("ts"),
+            ($"user_id" * 1000L + $"i").as("event_id"))
+        val gaps = graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id")
+          .unionByName(bots)
+          .withColumn("gap",
+            unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+          .filter($"gap".isNotNull)
+        val st = gaps.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum($"gap").as("sg"),
+            sum($"gap".cast("decimal(19,0)") * $"gap".cast("decimal(19,0)"))
+              .as("sgg"))
+        st.select($"user_id", $"n_gaps", $"sg",
+            ($"sg".cast("double") / $"n_gaps".cast("double")).as("mean_gap_us"),
+            ((lit(100L) * ($"n_gaps" * $"sgg" -
+              $"sg".cast("decimal(38,0)") * $"sg".cast("decimal(38,0)"))) <
+              ($"sg".cast("decimal(38,0)") * $"sg".cast("decimal(38,0)")))
+              .as("flag_regular"),
+            ($"n_gaps" >= 100L).as("flag_heavy"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH bots AS (
+             |  SELECT 9000 + b AS user_id,
+             |    make_timestamp(1704067200000000 + i * 1000000) AS ts,
+             |    (9000 + b) * 1000 + i AS event_id
+             |  FROM unnest(range(0, 5)) t(b), unnest(range(0, 120)) u(i)),
+             |ev AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  UNION ALL SELECT user_id, ts, event_id FROM bots),
+             |g AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - lag(epoch_us(ts))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM ev),
+             |st AS (
+             |  SELECT user_id, COUNT(*) AS n_gaps,
+             |    CAST(SUM(gap) AS BIGINT) AS sg,
+             |    SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_gaps, sg,
+             |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+             |  100 * (n_gaps * sgg - CAST(sg AS HUGEINT) * sg)
+             |    < CAST(sg AS HUGEINT) * sg AS flag_regular,
+             |  n_gaps >= 100 AS flag_heavy
+             |FROM st ORDER BY user_id""".stripMargin)),
+
+    // Beta posterior summaries for per-type reach — the Bayesian companion
+    // to the Wilson interval: with a uniform Beta(1,1) prior, the posterior
+    // is Beta(k+1, n−k+1); its mean, mode, and variance are pure integer
+    // ratios evaluated as pinned IEEE expressions (no special functions).
+    // The shrinkage toward ½ vs the raw k/n is visible in the output.
+    Q("events_reach_beta_posterior",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        val nUsers = ev.agg(countDistinct($"user_id").as("n"))
+        ev.select($"event_type", $"user_id").distinct()
+          .groupBy($"event_type").agg(count(lit(1)).as("k"))
+          .crossJoin(broadcast(nUsers))
+          .select($"event_type", $"k", $"n",
+            (($"k" + 1L).cast("double") / ($"n" + 2L).cast("double"))
+              .as("post_mean"),
+            ($"k".cast("double") / $"n".cast("double")).as("mle"),
+            ((($"k" + 1L) * ($"n" - $"k" + 1L)).cast("double") /
+              ((($"n" + 2L) * ($"n" + 2L) * ($"n" + 3L)).cast("double")))
+              .as("post_var"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH nu AS (
+             |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+             |  FROM events),
+             |reach AS (
+             |  SELECT event_type, COUNT(*) AS k FROM (
+             |    SELECT DISTINCT event_type, user_id FROM events)
+             |  GROUP BY 1)
+             |SELECT event_type, k, nu.n,
+             |  CAST(k + 1 AS DOUBLE) / CAST(nu.n + 2 AS DOUBLE) AS post_mean,
+             |  CAST(k AS DOUBLE) / CAST(nu.n AS DOUBLE) AS mle,
+             |  CAST((k + 1) * (nu.n - k + 1) AS DOUBLE) /
+             |    CAST((nu.n + 2) * (nu.n + 2) * (nu.n + 3) AS DOUBLE)
+             |    AS post_var
+             |FROM reach CROSS JOIN nu ORDER BY event_type""".stripMargin))
   )
 }
