@@ -2539,6 +2539,112 @@ object LlmExt3 {
              |  CAST((k + 1) * (nu.n - k + 1) AS DOUBLE) /
              |    CAST((nu.n + 2) * (nu.n + 2) * (nu.n + 3) AS DOUBLE)
              |    AS post_var
-             |FROM reach CROSS JOIN nu ORDER BY event_type""".stripMargin))
+             |FROM reach CROSS JOIN nu ORDER BY event_type""".stripMargin)),
+
+    // Exact Shapley-value attribution (the modern multi-touch attribution,
+    // vs the positional rules in the existing attribution query): each of
+    // the 4 pre-purchase channels gets its average marginal contribution to
+    // conversions over all 2⁴ coalitions. EVERYTHING is integers: users
+    // collapse to a 16-value touch-mask histogram in ONE shuffle (bounded
+    // state — this is why exact Shapley is tractable at 100 TB for small
+    // channel sets), v(S) = converted users whose mask ⊆ S, and the n!-scaled
+    // Shapley weights [|S|!·(3−|S|)!] make every credit an exact integer
+    // divided once by 4! = 24. Credits sum to v(full)−v(∅) by construction —
+    // emitted for audit. Every ORGANIC user touches all four channels (a
+    // symmetric game — equal credits, which proves nothing), so partial-
+    // coalition fixtures are injected: 20 converters who only saw
+    // signup+view, 20 signup-only non-converters, 10 click-only converters —
+    // making the credits actually discriminate.
+    Q("events_shapley_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val bit = when($"event_type" === "signup", 1L)
+          .when($"event_type" === "view", 2L)
+          .when($"event_type" === "click", 4L)
+          .when($"event_type" === "error", 8L).otherwise(0L)
+        def fix(idStart: Long, n: Int, types: Seq[String]) =
+          s.range(n).select(($"id" + idStart).as("user_id"),
+            explode(array(types.map(lit): _*)).as("event_type"))
+        val touches = graft.Tables.events(s, dir)
+          .select($"user_id", $"event_type")
+          .unionByName(fix(9100L, 20, Seq("signup", "view", "purchase")))
+          .unionByName(fix(9200L, 20, Seq("signup")))
+          .unionByName(fix(9300L, 10, Seq("click", "purchase")))
+        val cm = touches
+          .select($"user_id", bit.as("b"),
+            ($"event_type" === "purchase").cast("long").as("p"))
+          .groupBy($"user_id")
+          .agg(expr("bit_or(b)").as("mask"), max($"p").as("conv"))
+          .groupBy($"mask").agg(sum($"conv").as("n_conv"))
+        val ss = s.range(16).select($"id".as("coal"))
+        val v = cm.crossJoin(broadcast(ss))
+          .filter($"mask".bitwiseOR($"coal") === $"coal")
+          .groupBy($"coal").agg(sum($"n_conv").as("v"))
+        val chans = Seq(("signup", 1L), ("view", 2L), ("click", 4L),
+          ("error", 8L))
+        val chanDf = chans.map { case (nm, b) =>
+          s.range(16).select(lit(nm).as("channel"), lit(b).as("cbit"),
+            $"id".as("s0"))
+        }.reduce(_ unionByName _)
+          .filter($"s0".bitwiseAND($"cbit") === 0)
+          .withColumn("s1", $"s0".bitwiseOR($"cbit"))
+          .withColumn("w", element_at(
+            array(lit(6L), lit(2L), lit(2L), lit(6L)),
+            expr("cast(bit_count(s0) as int)") + 1))
+        chanDf
+          .join(broadcast(v.select($"coal".as("s1"), $"v".as("v1"))),
+            Seq("s1"), "left")
+          .join(broadcast(v.select($"coal".as("s0"), $"v".as("v0"))),
+            Seq("s0"), "left")
+          .groupBy($"channel")
+          .agg(sum($"w" * (coalesce($"v1", lit(0L)) -
+            coalesce($"v0", lit(0L)))).as("shapley_x24"))
+          .select($"channel", $"shapley_x24",
+            ($"shapley_x24".cast("double") / 24.0d).as("shapley"))
+          .orderBy($"channel")
+      },
+      Some("""WITH touches AS (
+             |  SELECT user_id, event_type FROM events
+             |  UNION ALL
+             |  SELECT 9100 + i, t FROM unnest(range(0, 20)) a(i),
+             |    unnest(['signup', 'view', 'purchase']) b(t)
+             |  UNION ALL
+             |  SELECT 9200 + i, 'signup' FROM unnest(range(0, 20)) a(i)
+             |  UNION ALL
+             |  SELECT 9300 + i, t FROM unnest(range(0, 10)) a(i),
+             |    unnest(['click', 'purchase']) b(t)),
+             |um AS (
+             |  SELECT user_id,
+             |    bit_or(CASE event_type WHEN 'signup' THEN 1
+             |      WHEN 'view' THEN 2 WHEN 'click' THEN 4
+             |      WHEN 'error' THEN 8 ELSE 0 END) AS mask,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM touches GROUP BY 1),
+             |cm AS (SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+             |       FROM um GROUP BY 1),
+             |v AS (
+             |  SELECT s.coal, CAST(SUM(cm.n_conv) AS BIGINT) AS v
+             |  FROM unnest(range(0, 16)) s(coal)
+             |  JOIN cm ON (cm.mask | s.coal) = s.coal
+             |  GROUP BY 1),
+             |chans AS (
+             |  SELECT * FROM (VALUES ('signup', 1), ('view', 2),
+             |    ('click', 4), ('error', 8)) c(channel, cbit)),
+             |pairs AS (
+             |  SELECT ch.channel, ch.cbit, s.s0, s.s0 | ch.cbit AS s1,
+             |    list_value(6, 2, 2, 6)[CAST(bit_count(s.s0) AS INT) + 1]
+             |      AS w
+             |  FROM chans ch, unnest(range(0, 16)) s(s0)
+             |  WHERE (s.s0 & ch.cbit) = 0)
+             |SELECT p.channel,
+             |  CAST(SUM(p.w * (COALESCE(v1.v, 0) - COALESCE(v0.v, 0)))
+             |    AS BIGINT) AS shapley_x24,
+             |  CAST(SUM(p.w * (COALESCE(v1.v, 0) - COALESCE(v0.v, 0)))
+             |    AS DOUBLE) / 24.0 AS shapley
+             |FROM pairs p
+             |LEFT JOIN v v1 ON v1.coal = p.s1
+             |LEFT JOIN v v0 ON v0.coal = p.s0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
