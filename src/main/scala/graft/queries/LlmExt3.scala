@@ -2645,6 +2645,87 @@ object LlmExt3 {
              |FROM pairs p
              |LEFT JOIN v v1 ON v1.coal = p.s1
              |LEFT JOIN v v0 ON v0.coal = p.s0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hodges-Lehmann estimator — the robust location estimate (median of all
+    // pairwise means, ~95% efficient under normality yet outlier-immune)
+    // over a deterministic 200-order evaluation slice (TakeOrdered — the
+    // pairwise lattice is quadratic by definition, so production bounds the
+    // sample, not the corpus). Pairwise sums stay in exact integer cents;
+    // the median uses the same interpolated-percentile semantics as
+    // agg_percentile_cont.
+    Q("agg_hodges_lehmann",
+      (s, dir) => {
+        import s.implicits._
+        val sample = t(s, dir, "orders")
+          .select($"o_orderkey",
+            ($"o_totalprice".cast("decimal(18,2)") * 100)
+              .cast("bigint").as("cents"))
+          .orderBy($"o_orderkey").limit(200)
+          .localCheckpoint()
+        val pairs = sample.as("a").join(sample.as("b"),
+            $"a.o_orderkey" <= $"b.o_orderkey")
+          .select((($"a.cents" + $"b.cents").cast("double") / 200.0d)
+            .as("pair_mean"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            expr("percentile(pair_mean, 0.5D)").as("hodges_lehmann"))
+      },
+      Some("""WITH sample_ AS (
+             |  SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM orders ORDER BY o_orderkey LIMIT 200),
+             |pairs AS (
+             |  SELECT CAST(a.cents + b.cents AS DOUBLE) / 200.0 AS pair_mean
+             |  FROM sample_ a JOIN sample_ b
+             |    ON a.o_orderkey <= b.o_orderkey)
+             |SELECT COUNT(*) AS n_pairs,
+             |  quantile_cont(pair_mean, 0.5) AS hodges_lehmann
+             |FROM pairs""".stripMargin)),
+
+    // Neyman optimal allocation — survey-sampling's answer to "how should a
+    // fixed labeling/eval budget be split across strata": n_h ∝ N_h·σ_h
+    // (bigger and more variable strata get more samples). Stratum variances
+    // are decimal-exact moments; σ is IEEE sqrt; shares divide once by the
+    // Σ N_h·σ_h scalar (decimal-summed over the bounded stratum frame so the
+    // total is order-free); allocations floor a 1000-sample budget.
+    Q("sample_neyman_allocation",
+      (s, dir) => {
+        import s.implicits._
+        val strata = t(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_h"),
+            davg($"c_acctbal").as("m1"),
+            davg($"c_acctbal" * $"c_acctbal", 2).as("m2"))
+          .select($"c_mktsegment", $"n_h",
+            ($"n_h".cast("double") * sqrt($"m2" - $"m1" * $"m1"))
+              .as("nh_sigma"))
+        val tot = strata.agg(
+          sum($"nh_sigma".cast("decimal(30,6)")).cast("double").as("tot"))
+        strata.crossJoin(broadcast(tot))
+          .select($"c_mktsegment", $"n_h",
+            ($"nh_sigma" / $"tot").as("share"),
+            floor(lit(1000.0d) * ($"nh_sigma" / $"tot")).cast("long")
+              .as("alloc_of_1000"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""WITH strata AS (
+              |  SELECT c_mktsegment, COUNT(*) AS n_h,
+              |    ${sqlDavg("c_acctbal")} AS m1,
+              |    ${sqlDavg("c_acctbal * c_acctbal", 2)} AS m2
+              |  FROM customer GROUP BY 1),
+              |ns AS (
+              |  SELECT c_mktsegment, n_h,
+              |    CAST(n_h AS DOUBLE) * sqrt(m2 - m1 * m1) AS nh_sigma
+              |  FROM strata),
+              |tot AS (
+              |  SELECT CAST(SUM(CAST(nh_sigma AS DECIMAL(30,6))) AS DOUBLE)
+              |    AS tot
+              |  FROM ns)
+              |SELECT ns.c_mktsegment, ns.n_h,
+              |  ns.nh_sigma / tot.tot AS share,
+              |  CAST(floor(1000.0::DOUBLE * (ns.nh_sigma / tot.tot))
+              |    AS BIGINT) AS alloc_of_1000
+              |FROM ns CROSS JOIN tot ORDER BY ns.c_mktsegment""".stripMargin))
   )
 }
