@@ -2271,12 +2271,21 @@ object LlmExt3 {
       (s, dir) => {
         import s.implicits._
         val b = 16
+        // TWO md5s per row supply all 16 replicate draws (4-nibble windows,
+        // 8 per digest) — hashing once per (row, replicate) was the 4 s
+        // hotspot; windowing the digest is 8x less hashing for identical
+        // determinism (the 16-bit-window % 10000 modulo bias is irrelevant
+        // to a bootstrap and identical on both engines).
         val rows = t(s, dir, "orders")
           .select($"o_orderkey", $"o_totalprice",
-            explode(array((0 until b).map(lit): _*)).as("rep"))
+            md5($"o_orderkey".cast("string")).as("h1"),
+            md5(concat($"o_orderkey".cast("string"), lit("x"))).as("h2"))
+          .select($"o_orderkey", $"o_totalprice",
+            explode(array((0 until b).map(lit): _*)).as("rep"),
+            $"h1", $"h2")
           .withColumn("u",
-            conv(substring(md5(concat($"o_orderkey".cast("string"),
-              lit("_"), $"rep".cast("string"))), 1, 12), 16, 10)
+            conv(expr("substring(if(rep < 8, h1, h2), " +
+              "cast((rep % 8) * 4 + 1 as int), 4)"), 16, 10)
               .cast("long") % 10000L)
           .withColumn("w",
             when($"u" < 3679L, 0L).when($"u" < 7358L, 1L)
@@ -2293,12 +2302,26 @@ object LlmExt3 {
               ($"n_reps".cast("double") / ($"n_reps" - 1).cast("double")))
               .as("boot_se"))
       },
-      Some(s"""WITH rows_ AS (
+      Some(s"""WITH hh AS (
+              |  SELECT o_orderkey, o_totalprice,
+              |    md5(CAST(o_orderkey AS VARCHAR)) AS h1,
+              |    md5(CAST(o_orderkey AS VARCHAR) || 'x') AS h2
+              |  FROM orders),
+              |win AS (
               |  SELECT o_orderkey, o_totalprice, t.rep,
-              |    (${QueryDSL.sqlHexInt(
-                  "md5(CAST(o_orderkey AS VARCHAR) || '_' || " +
-                    "CAST(t.rep AS VARCHAR))", 1, 12)}) % 10000 AS u
-              |  FROM orders, unnest(range(0, 16)) t(rep)),
+              |    CASE WHEN t.rep < 8 THEN h1 ELSE h2 END AS h,
+              |    CAST((t.rep % 8) * 4 + 1 AS INT) AS p
+              |  FROM hh, unnest(range(0, 16)) t(rep)),
+              |rows_ AS (
+              |  SELECT o_orderkey, o_totalprice, rep,
+              |    ((instr('0123456789abcdef', substring(h, p, 1)) - 1) * 4096
+              |     + (instr('0123456789abcdef', substring(h, p + 1, 1)) - 1)
+              |       * 256
+              |     + (instr('0123456789abcdef', substring(h, p + 2, 1)) - 1)
+              |       * 16
+              |     + (instr('0123456789abcdef', substring(h, p + 3, 1)) - 1))
+              |      % 10000 AS u
+              |  FROM win),
               |w AS (
               |  SELECT rep, o_totalprice,
               |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
