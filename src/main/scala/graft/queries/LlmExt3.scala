@@ -2749,6 +2749,99 @@ object LlmExt3 {
               |  ns.nh_sigma / tot.tot AS share,
               |  CAST(floor(1000.0::DOUBLE * (ns.nh_sigma / tot.tot))
               |    AS BIGINT) AS alloc_of_1000
-              |FROM ns CROSS JOIN tot ORDER BY ns.c_mktsegment""".stripMargin))
+              |FROM ns CROSS JOIN tot ORDER BY ns.c_mktsegment""".stripMargin)),
+
+    // Power analysis / minimum detectable effect — the question every A/B
+    // test starts with ("can this experiment even see the effect we care
+    // about?"): MDE = (z_{α/2}+z_β)·σ_pooled·√(2/n) at α=0.05, power 0.8
+    // (z constants fixed — no inverse-normal evaluation). Per-user outcome
+    // variance comes from decimal-exact moments per arm, pooled, and the MDE
+    // is one pinned IEEE expression with sqrt. Also reported relative to the
+    // control mean. Bounded output.
+    Q("events_power_mde",
+      (s, dir) => {
+        import s.implicits._
+        val per = graft.Tables.events(s, dir)
+          .groupBy(($"user_id" % 2 === 0).as("treated"), $"user_id")
+          .agg(dsum($"value").as("x"))
+        val arms = per.groupBy($"treated")
+          .agg(count(lit(1)).as("n"), davg($"x", 2).as("m1"),
+            davg($"x" * $"x", 2).as("m2"))
+          .select($"treated", $"n", $"m1", ($"m2" - $"m1" * $"m1").as("v"))
+        val wide = arms.agg(
+          max(when($"treated", $"n")).as("n_t"),
+          max(when(!$"treated", $"n")).as("n_c"),
+          max(when($"treated", $"v")).as("v_t"),
+          max(when(!$"treated", $"v")).as("v_c"),
+          max(when(!$"treated", $"m1")).as("mean_c"))
+        wide.select($"n_t", $"n_c", $"mean_c",
+            sqrt(($"v_t" + $"v_c") / lit(2.0d)).as("sigma_pooled"),
+            (lit(1.96d + 0.84d) * sqrt(($"v_t" + $"v_c") / lit(2.0d)) *
+              sqrt(lit(2.0d) / $"n_c".cast("double"))).as("mde_abs"),
+            ((lit(1.96d + 0.84d) * sqrt(($"v_t" + $"v_c") / lit(2.0d)) *
+              sqrt(lit(2.0d) / $"n_c".cast("double"))) / $"mean_c")
+              .as("mde_rel"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT user_id % 2 = 0 AS treated, user_id,
+              |    ${sqlDsum("value")} AS x
+              |  FROM events GROUP BY 1, 2),
+              |arms AS (
+              |  SELECT treated, COUNT(*) AS n, ${sqlDavg("x", 2)} AS m1,
+              |    ${sqlDavg("x * x", 2)} AS m2
+              |  FROM per GROUP BY 1),
+              |v AS (SELECT treated, n, m1, m2 - m1 * m1 AS v FROM arms),
+              |wide AS (
+              |  SELECT
+              |    MAX(CASE WHEN treated THEN n END) AS n_t,
+              |    MAX(CASE WHEN NOT treated THEN n END) AS n_c,
+              |    MAX(CASE WHEN treated THEN v END) AS v_t,
+              |    MAX(CASE WHEN NOT treated THEN v END) AS v_c,
+              |    MAX(CASE WHEN NOT treated THEN m1 END) AS mean_c
+              |  FROM v)
+              |SELECT n_t, n_c, mean_c,
+              |  sqrt((v_t + v_c) / 2.0::DOUBLE) AS sigma_pooled,
+              |  ${1.96 + 0.84} * sqrt((v_t + v_c) / 2.0::DOUBLE) *
+              |    sqrt(2.0::DOUBLE / CAST(n_c AS DOUBLE)) AS mde_abs,
+              |  (${1.96 + 0.84} * sqrt((v_t + v_c) / 2.0::DOUBLE) *
+              |    sqrt(2.0::DOUBLE / CAST(n_c AS DOUBLE))) / mean_c
+              |    AS mde_rel
+              |FROM wide""".stripMargin)),
+
+    // Luhn checksum minting (ISO/IEC 7812 mod-10) — the validation digit on
+    // every payment card and many national IDs; pipelines generating or
+    // validating account-shaped identifiers need it exactly. Digits come
+    // from pure integer arithmetic (key/10^i % 10), the double-every-second
+    // rule folds 2d>9 to 2d−9, and the check digit closes the sum to ≡0
+    // (mod 10) — all identical integer ops on both engines, map-only.
+    Q("fn_luhn_checksum",
+      (s, dir) => {
+        import s.implicits._
+        val digitSum = (0 until 12).map { i =>
+          val p = math.pow(10, i).toLong
+          val d = expr(s"(o_orderkey div $p) % 10")
+          if (i % 2 == 0) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+          else d
+        }.reduceLeft(_ + _)
+        t(s, dir, "orders").filter($"o_orderkey" < 1000)
+          .select($"o_orderkey", digitSum.as("ds"))
+          .select($"o_orderkey", $"ds",
+            ((lit(10L) - ($"ds" % 10L)) % 10L).as("luhn_check_digit"))
+          .orderBy($"o_orderkey")
+      },
+      Some {
+        val terms = (0 until 12).map { i =>
+          val p = math.pow(10, i).toLong
+          val d = s"((o_orderkey // $p) % 10)"
+          if (i % 2 == 0)
+            s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+          else d
+        }.mkString(" + ")
+        s"""SELECT o_orderkey, CAST(($terms) AS BIGINT) AS ds,
+           |  CAST((10 - (($terms) % 10)) % 10 AS BIGINT)
+           |    AS luhn_check_digit
+           |FROM orders WHERE o_orderkey < 1000
+           |ORDER BY o_orderkey""".stripMargin
+      })
   )
 }
