@@ -266,6 +266,103 @@ object Multimodal {
     })
   }
 
+  /** Zero-pad an image with a uniform black border of `px` pixels. */
+  private def padBlack(img: Bmp.Image, px: Int): Bmp.Image = {
+    val w2 = img.width + 2 * px
+    val h2 = img.height + 2 * px
+    val rgb = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < img.height) {
+      System.arraycopy(img.rgb, y * img.width * 3, rgb,
+        ((y + px) * w2 + px) * 3, img.width * 3)
+      y += 1
+    }
+    Bmp.Image(w2, h2, rgb)
+  }
+
+  /** Image corpus where EVEN ids carry a 2-pixel black letterbox border and
+    * odd ids none — fixture for border detection (the synthetic interior
+    * never forms an all-black row/column, so detection is unambiguous). */
+  def syntheticBorderedImages(spark: SparkSession,
+      docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (16 + id % 8).toInt
+      val h = (12 + id % 5).toInt
+      val img = Bmp.synthetic(id, 0, w, h)
+      val out = if (id % 2 == 0) padBlack(img, 2) else img
+      MediaRecord(id, "image/bmp", Bmp.encode(out))
+    })
+  }
+
+  /** Letterbox/border detection: widths of the uniform-black margins on each
+    * side (the screenshot/video-frame crop preprocessing). Pure pixel scans
+    * inside the codec stage. */
+  def borderWidths(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[(Long, Int, Int, Int, Int)] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      def rowBlack(y: Int): Boolean =
+        (0 until img.width).forall(x =>
+          img.r(x, y) == 0 && img.g(x, y) == 0 && img.b(x, y) == 0)
+      def colBlack(x: Int): Boolean =
+        (0 until img.height).forall(y =>
+          img.r(x, y) == 0 && img.g(x, y) == 0 && img.b(x, y) == 0)
+      val top = (0 until img.height).takeWhile(rowBlack).size
+      val bottom = (img.height - 1 to 0 by -1).takeWhile(rowBlack).size
+      val left = (0 until img.width).takeWhile(colBlack).size
+      val right = (img.width - 1 to 0 by -1).takeWhile(colBlack).size
+      (rec.doc_id, top, bottom, left, right)
+    })
+  }
+
+  /** Deterministic STEREO audio corpus: interleaved 2-channel PCM where the
+    * left channel runs the standard mod-ramp and the right a shifted one —
+    * the interleaving fixture (channel-deinterleave bugs are the classic
+    * multi-channel codec error). */
+  def syntheticStereoAudio(spark: SparkSession,
+      docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (400 + (id % 5) * 100).toInt
+      val rate = 16000
+      val samples = new Array[Short](2 * n)
+      var i = 0
+      while (i < n) {
+        samples(2 * i) =
+          (((id * 37 + i.toLong * 13) % 2048L) - 1024L).toShort
+        samples(2 * i + 1) =
+          ((((id + 7) * 37 + i.toLong * 13) % 2048L) - 1024L).toShort
+        i += 1
+      }
+      MediaRecord(id, "audio/wav",
+        Wav.encode(Wav.Pcm(rate, 2, samples)))
+    })
+  }
+
+  /** Per-channel statistics of interleaved multi-channel audio: decode, then
+    * stride the interleaved samples per channel. One codec-stage pass. */
+  def stereoChannelStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[(Long, Int, Long, Long, Long)] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val pcm = Wav.decode(rec.payload)
+      val nCh = pcm.channels
+      val nFrames = pcm.samples.length / nCh
+      (0 until nCh).iterator.map { c =>
+        var sum = 0L; var energy = 0L
+        var j = 0
+        while (j < nFrames) {
+          val v = pcm.samples(j * nCh + c).toLong
+          sum += v; energy += v * v
+          j += 1
+        }
+        (rec.doc_id, c, nFrames.toLong, sum, energy)
+      }
+    })
+  }
+
   /** Decode → rotate 90° cw → horizontal mirror → re-encode: a deterministic
     * augmentation pipeline stage (the composition happens to be the matrix
     * TRANSPOSE, which gives the oracle a closed form). Partition-wise. */

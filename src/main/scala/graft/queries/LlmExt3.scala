@@ -2842,6 +2842,69 @@ object LlmExt3 {
            |    AS luhn_check_digit
            |FROM orders WHERE o_orderkey < 1000
            |ORDER BY o_orderkey""".stripMargin
-      })
+      }),
+
+    // Letterbox/border detection — the crop-preprocessing pass for
+    // screenshots and video frames: widths of the uniform-black margins per
+    // side, from pure pixel scans in the codec stage. Even ids carry an
+    // injected 2-pixel border, odd ids none; the synthetic interior can
+    // never form an all-black row or column, so the oracle's fixture-side
+    // expected values (2 vs 0) are exact — a detector off-by-one on any side
+    // hash-mismatches.
+    Q("multimodal_border_detect",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.borderWidths(s,
+            Multimodal.syntheticBorderedImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF("doc_id", "top", "bottom", "left_", "right_")
+          .select($"doc_id", $"top".cast("long").as("top"),
+            $"bottom".cast("long").as("bottom"),
+            $"left_".cast("long").as("left_px"),
+            $"right_".cast("long").as("right_px"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS top,
+             |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS bottom,
+             |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS left_px,
+             |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS right_px
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Stereo channel statistics — the interleaved-layout fixture (channel
+    // deinterleave bugs are the classic multi-channel codec error): left
+    // channel runs the standard mod-ramp, right a shifted one, so swapped or
+    // mis-strided channels produce different sums than the oracle's
+    // per-channel formulas. One codec-stage pass, striding the real decoded
+    // interleaved samples.
+    Q("multimodal_audio_stereo",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.stereoChannelStats(s,
+            Multimodal.syntheticStereoAudio(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF("doc_id", "channel", "n_frames", "sum_s", "energy")
+          .select($"doc_id", $"channel".cast("long").as("channel"),
+            $"n_frames", $"sum_s", $"energy")
+          .orderBy($"doc_id", $"channel")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 400 + (doc_id % 5) * 100 AS n
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+             |v AS (
+             |  SELECT doc_id, 0 AS channel,
+             |    (doc_id*37 + i*13) % 2048 - 1024 AS s
+             |  FROM sm
+             |  UNION ALL
+             |  SELECT doc_id, 1,
+             |    ((doc_id + 7)*37 + i*13) % 2048 - 1024
+             |  FROM sm)
+             |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+             |  COUNT(*) AS n_frames,
+             |  CAST(SUM(s) AS BIGINT) AS sum_s,
+             |  CAST(SUM(s * s) AS BIGINT) AS energy
+             |FROM v GROUP BY 1, 2 ORDER BY doc_id, channel""".stripMargin))
   )
 }
