@@ -2905,6 +2905,92 @@ object LlmExt3 {
              |  COUNT(*) AS n_frames,
              |  CAST(SUM(s) AS BIGINT) AS sum_s,
              |  CAST(SUM(s * s) AS BIGINT) AS energy
-             |FROM v GROUP BY 1, 2 ORDER BY doc_id, channel""".stripMargin))
+             |FROM v GROUP BY 1, 2 ORDER BY doc_id, channel""".stripMargin)),
+
+    // Cohort LTV projection — growth analytics' composition of retention and
+    // monetization: for day-offsets 0..13, retention rate r_k (distinct
+    // users active at first_day+k over cohort size) times the cohort's mean
+    // daily revenue-per-active-user v̄_k, cumulated into the projected
+    // 14-day LTV. All rates are exact integer ratios; the cumulative sum
+    // runs over the BOUNDED offset frame. One shuffle for activity, one for
+    // the cohort size scalar.
+    Q("events_ltv_projection",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        val firsts = ev.groupBy($"user_id")
+          .agg(to_date(min($"ts")).as("d0"))
+        val act = ev.join(firsts, "user_id")
+          .select($"user_id", datediff(to_date($"ts"), $"d0").as("k"),
+            $"value")
+          .filter($"k" < 14)
+        val perK = act.groupBy($"k")
+          .agg(countDistinct($"user_id").as("active"),
+            dsum($"value").as("rev"))
+        val cohort = firsts.agg(count(lit(1)).as("n_cohort"))
+        val base = perK.crossJoin(broadcast(cohort))
+          .select($"k".cast("long").as("k"), $"active", $"n_cohort",
+            ($"active".cast("double") / $"n_cohort".cast("double"))
+              .as("retention"),
+            ($"rev" / $"n_cohort".cast("double")).as("rev_per_cohort_user"))
+        // cumulative over the BOUNDED 14-offset frame via a triangular join
+        // (a global running-sum window would collapse to one partition)
+        val cums = base.select($"k".as("k2"),
+          $"rev_per_cohort_user".as("rp2"))
+        base.join(broadcast(cums), $"k2" <= $"k")
+          .groupBy($"k", $"active", $"n_cohort", $"retention",
+            $"rev_per_cohort_user")
+          .agg(sum($"rp2".cast("decimal(30,8)")).cast("double")
+            .as("ltv_cum"))
+          .orderBy($"k")
+      },
+      Some(s"""WITH firsts AS (
+              |  SELECT user_id, CAST(min(ts) AS DATE) AS d0
+              |  FROM events GROUP BY 1),
+              |act AS (
+              |  SELECT e.user_id,
+              |    date_diff('day', f.d0, CAST(e.ts AS DATE)) AS k, e.value
+              |  FROM events e JOIN firsts f USING (user_id)),
+              |perk AS (
+              |  SELECT k, COUNT(DISTINCT user_id) AS active,
+              |    ${sqlDsum("value")} AS rev
+              |  FROM act WHERE k < 14 GROUP BY 1),
+              |cohort AS (SELECT COUNT(*) AS n_cohort FROM firsts),
+              |base AS (
+              |  SELECT CAST(k AS BIGINT) AS k, active,
+              |    CAST(cohort.n_cohort AS BIGINT) AS n_cohort,
+              |    CAST(active AS DOUBLE) / CAST(cohort.n_cohort AS DOUBLE)
+              |      AS retention,
+              |    rev / CAST(cohort.n_cohort AS DOUBLE)
+              |      AS rev_per_cohort_user
+              |  FROM perk CROSS JOIN cohort)
+              |SELECT a.k, a.active, a.n_cohort, a.retention,
+              |  a.rev_per_cohort_user,
+              |  CAST(SUM(CAST(b.rev_per_cohort_user AS DECIMAL(30,8)))
+              |    AS DOUBLE) AS ltv_cum
+              |FROM base a JOIN base b ON b.k <= a.k
+              |GROUP BY 1, 2, 3, 4, 5 ORDER BY a.k""".stripMargin)),
+
+    // ORDER BY ALL (Spark 4 / DuckDB shared surface sugar): every projected
+    // column, left to right, as the sort key — the interactive-analytics
+    // convenience now in both engines' parsers. The oracle spells it the
+    // same way, so the row is literally testing the shared syntax.
+    Q("sql_order_by_all",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation_oba")
+        s.sql("""SELECT n_regionkey, n_name FROM nation_oba ORDER BY ALL""")
+      },
+      Some("SELECT n_regionkey, n_name FROM nation ORDER BY ALL")),
+
+    // SELECT * EXCEPT (Spark 4's star-modifier; DuckDB spells it EXCLUDE) —
+    // the wide-table projection convenience that avoids enumerating dozens
+    // of kept columns to drop one.
+    Q("sql_star_except",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation_sx")
+        s.sql(
+          "SELECT * EXCEPT (n_regionkey) FROM nation_sx ORDER BY n_nationkey")
+      },
+      Some("SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey"))
   )
 }
