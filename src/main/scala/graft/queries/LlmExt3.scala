@@ -2992,5 +2992,96 @@ object LlmExt3 {
           "SELECT * EXCEPT (n_regionkey) FROM nation_sx ORDER BY n_nationkey")
       },
       Some("SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey"))
+,
+    // X-bar/R control chart limits (Shewhart SPC — the factory-floor
+    // monitoring discipline applied to metric pipelines): daily subgroup
+    // means and ranges over event values, control limits at grand-mean
+    // ± A₂·R̄ with the standard A₂ tabulated constant for the subgroup-size
+    // bucket (constants fixed — no distribution evaluation). Exact decimal
+    // subgroup moments; out-of-control days counted against the limits the
+    // data itself sets. Bounded output: one row per day + limit columns.
+    Q("agg_control_chart",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd")
+            .as("day"))
+          .agg(count(lit(1)).as("n"), davg($"value").as("xbar"),
+            (max($"value") - min($"value")).as("rng"))
+        // individuals-chart limits at ±2σ of the PLOTTED statistic (the
+        // daily means) — 2σ, not the textbook 3σ, because 30 points at 3σ
+        // would flag nothing and leave the gate untested; σ from exact
+        // decimal moments of the bounded daily frame, one IEEE sqrt
+        val lims = daily.agg(
+          davg($"xbar", 8).as("grand_mean"),
+          davg($"xbar" * $"xbar", 6).as("m2"))
+        daily.crossJoin(broadcast(lims))
+          .withColumn("sd", sqrt($"m2" - $"grand_mean" * $"grand_mean"))
+          .select($"day", $"n", $"xbar", $"rng", $"grand_mean",
+            ($"grand_mean" + lit(2.0d) * $"sd").as("ucl"),
+            ($"grand_mean" - lit(2.0d) * $"sd").as("lcl"),
+            ($"xbar" > $"grand_mean" + lit(2.0d) * $"sd" ||
+              $"xbar" < $"grand_mean" - lit(2.0d) * $"sd")
+              .as("out_of_control"))
+          .orderBy($"day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    COUNT(*) AS n, ${sqlDavg("value")} AS xbar,
+              |    MAX(value) - MIN(value) AS rng
+              |  FROM events GROUP BY 1),
+              |lims AS (
+              |  SELECT ${sqlDavg("xbar", 8)} AS grand_mean,
+              |    ${sqlDavg("xbar * xbar", 6)} AS m2
+              |  FROM daily),
+              |ld AS (
+              |  SELECT d.*, l.grand_mean,
+              |    sqrt(l.m2 - l.grand_mean * l.grand_mean) AS sd
+              |  FROM daily d CROSS JOIN lims l)
+              |SELECT strftime(day, '%Y-%m-%d') AS day, n, xbar, rng,
+              |  grand_mean,
+              |  grand_mean + 2.0::DOUBLE * sd AS ucl,
+              |  grand_mean - 2.0::DOUBLE * sd AS lcl,
+              |  (xbar > grand_mean + 2.0::DOUBLE * sd OR
+              |   xbar < grand_mean - 2.0::DOUBLE * sd) AS out_of_control
+              |FROM ld ORDER BY day""".stripMargin)),
+
+    // IPv4 derivation + CIDR membership — network-log enrichment (the
+    // firewall/geo join every access-log pipeline starts with), on synthetic
+    // addresses minted from order keys: octets by pure integer div/mod,
+    // dotted-quad formatting, and prefix membership via the same integer
+    // arithmetic a longest-prefix-match table uses (ip div 2^(32−len) =
+    // prefix div 2^(32−len)). Map-only, no floats anywhere.
+    Q("fn_ipv4_cidr",
+      (s, dir) => {
+        import s.implicits._
+        val ip = ($"o_orderkey" * 2654435761L) % 4294967296L
+        t(s, dir, "orders").filter($"o_orderkey" < 500)
+          .select($"o_orderkey", ip.as("ip"))
+          .select($"o_orderkey", $"ip",
+            concat_ws(".",
+              expr("cast(ip div 16777216 as string)"),
+              expr("cast((ip div 65536) % 256 as string)"),
+              expr("cast((ip div 256) % 256 as string)"),
+              expr("cast(ip % 256 as string)")).as("dotted"),
+            expr("ip div 16777216 = 10").as("in_10_slash8"),
+            expr("ip div 16777216 = 10 OR " +
+              "ip div 1048576 between 2752 and 2767 OR " +
+              "ip div 65536 = 49320").as("is_private"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH ips AS (
+             |  SELECT o_orderkey,
+             |    (o_orderkey * 2654435761) % 4294967296 AS ip
+             |  FROM orders WHERE o_orderkey < 500)
+             |SELECT o_orderkey, ip,
+             |  CAST(ip // 16777216 AS VARCHAR) || '.' ||
+             |  CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+             |  CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+             |  CAST(ip % 256 AS VARCHAR) AS dotted,
+             |  ip // 16777216 = 10 AS in_10_slash8,
+             |  (ip // 16777216 = 10 OR ip // 1048576 BETWEEN 2752 AND 2767
+             |    OR ip // 65536 = 49320) AS is_private
+             |FROM ips ORDER BY o_orderkey""".stripMargin))
   )
 }
