@@ -3082,6 +3082,98 @@ object LlmExt3 {
              |  ip // 16777216 = 10 AS in_10_slash8,
              |  (ip // 16777216 = 10 OR ip // 1048576 BETWEEN 2752 AND 2767
              |    OR ip // 65536 = 49320) AS is_private
-             |FROM ips ORDER BY o_orderkey""".stripMargin))
+             |FROM ips ORDER BY o_orderkey""".stripMargin)),
+
+    // XYZ variability classification — supply-chain's companion to the ABC
+    // revenue ranking already in the corpus: parts classed by demand
+    // coefficient of variation (X steady, Y variable, Z erratic). The CV
+    // thresholds (0.5 and 1.0) compare CROSS-MULTIPLIED — σ² < 0.25·μ² and
+    // σ² < μ² in exact decimal moments — so the class boundary never touches
+    // a float division or sqrt. One shuffle, bounded class output.
+    Q("agg_xyz_classification",
+      (s, dir) => {
+        import s.implicits._
+        val m = t(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n_obs"),
+            davg($"l_quantity").as("mu"),
+            davg($"l_quantity" * $"l_quantity").as("m2"))
+          .select($"l_partkey", $"n_obs", $"mu",
+            ($"m2" - $"mu" * $"mu").as("sigma2"))
+        val classed = m.select($"l_partkey", $"n_obs",
+          when($"sigma2" * 4.0d < $"mu" * $"mu", "X")
+            .when($"sigma2" < $"mu" * $"mu", "Y")
+            .otherwise("Z").as("xyz_class"))
+        classed.groupBy($"xyz_class")
+          .agg(count(lit(1)).as("n_parts"),
+            min($"l_partkey").as("min_part"),
+            max($"l_partkey").as("max_part"))
+          .orderBy($"xyz_class")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT l_partkey, COUNT(*) AS n_obs,
+              |    ${sqlDavg("l_quantity")} AS mu,
+              |    ${sqlDavg("l_quantity * l_quantity")} AS m2
+              |  FROM lineitem GROUP BY 1),
+              |cl AS (
+              |  SELECT l_partkey, n_obs,
+              |    CASE WHEN (m2 - mu * mu) * 4.0 < mu * mu THEN 'X'
+              |      WHEN (m2 - mu * mu) < mu * mu THEN 'Y'
+              |      ELSE 'Z' END AS xyz_class
+              |  FROM m)
+              |SELECT xyz_class, COUNT(*) AS n_parts,
+              |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part
+              |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Geohash encoding (Niemeyer's interleaved-bit base32 grid key — the
+    // spatial bucketing join key): synthetic lat/lon minted from customer
+    // keys as 20-bit quantized integers, bit-interleaved (even positions
+    // longitude, per the spec) into a 40-bit code and emitted as an 8-char
+    // base32 geohash. All shifts/masks generated identically for both
+    // engines; map-only. The geohash PREFIX property (shared prefix ⇔
+    // nearby cell) is what makes it a spatial join key at scale.
+    Q("fn_geohash_encode",
+      (s, dir) => {
+        import s.implicits._
+        val latq = expr("(c_custkey * 2654435761) % 1048576")
+        val lonq = expr("(c_custkey * 40503) % 1048576")
+        val code = (0 until 20).map { k =>
+          expr(s"(((c_custkey * 40503) % 1048576) div ${1L << k} % 2) * " +
+            s"${1L << (2 * k + 1)} + " +
+            s"(((c_custkey * 2654435761) % 1048576) div ${1L << k} % 2) * " +
+            s"${1L << (2 * k)}")
+        }.reduceLeft(_ + _)
+        val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        t(s, dir, "customer").filter($"c_custkey" <= 200)
+          .select($"c_custkey", latq.as("latq"), lonq.as("lonq"),
+            code.as("code"))
+          .select($"c_custkey", $"latq", $"lonq", $"code",
+            concat((7 to 0 by -1).map { j =>
+              element_at(array(alpha.map(c => lit(c.toString)): _*),
+                expr(s"cast(code div ${1L << (5 * j)} % 32 as int)") + 1)
+            }: _*).as("geohash"))
+          .orderBy($"c_custkey")
+      },
+      Some {
+        val codeTerms = (0 until 20).map { k =>
+          s"(((c_custkey * 40503) % 1048576) // ${1L << k} % 2) * " +
+            s"${1L << (2 * k + 1)} + " +
+            s"(((c_custkey * 2654435761) % 1048576) // ${1L << k} % 2) * " +
+            s"${1L << (2 * k)}"
+        }.mkString(" + ")
+        val ghChars = (7 to 0 by -1).map { j =>
+          s"substring('0123456789bcdefghjkmnpqrstuvwxyz', " +
+            s"CAST(code // ${1L << (5 * j)} % 32 AS INT) + 1, 1)"
+        }.mkString(" || ")
+        s"""WITH c AS (
+           |  SELECT c_custkey,
+           |    (c_custkey * 2654435761) % 1048576 AS latq,
+           |    (c_custkey * 40503) % 1048576 AS lonq,
+           |    ($codeTerms) AS code
+           |  FROM customer WHERE c_custkey <= 200)
+           |SELECT c_custkey, latq, lonq, code,
+           |  $ghChars AS geohash
+           |FROM c ORDER BY c_custkey""".stripMargin
+      })
   )
 }
