@@ -3174,6 +3174,109 @@ object LlmExt3 {
            |SELECT c_custkey, latq, lonq, code,
            |  $ghChars AS geohash
            |FROM c ORDER BY c_custkey""".stripMargin
-      })
+      }),
+
+    // Geohash-bucketed neighbor join — the join the grid key exists FOR:
+    // candidate pairs come from an EQUI-join on the 4-char geohash prefix
+    // (each prefix is a ~20-bit cell, so the pair space is per-cell
+    // quadratic, never corpus-quadratic), then exact integer L1 distance on
+    // the quantized coordinates confirms. The scale contract of every
+    // banded similarity join in this corpus, applied to space.
+    Q("join_geohash_neighbors",
+      (s, dir) => {
+        import s.implicits._
+        val code = (0 until 20).map { k =>
+          expr(s"(((c_custkey * 40503) % 1048576) div ${1L << k} % 2) * " +
+            s"${1L << (2 * k + 1)} + " +
+            s"(((c_custkey * 2654435761) % 1048576) div ${1L << k} % 2) * " +
+            s"${1L << (2 * k)}")
+        }.reduceLeft(_ + _)
+        val pts = t(s, dir, "customer")
+          .select($"c_custkey",
+            expr("(c_custkey * 2654435761) % 1048576").as("latq"),
+            expr("(c_custkey * 40503) % 1048576").as("lonq"),
+            code.as("code"))
+          // 2-char prefix = top 10 bits of the 40-bit code (the top 5 bits
+          // of each axis) — coarse enough that cells are populated at this
+          // point density; a denser corpus would keep more prefix chars
+          .withColumn("cell", expr("code div 1073741824"))
+        val a = pts.select($"cell", $"c_custkey".as("ka"),
+          $"latq".as("lata"), $"lonq".as("lona"))
+        val b = pts.select($"cell", $"c_custkey".as("kb"),
+          $"latq".as("latb"), $"lonq".as("lonb"))
+        a.join(b, Seq("cell"))
+          .filter($"ka" < $"kb")
+          .select($"cell", $"ka", $"kb",
+            (abs($"lata" - $"latb") + abs($"lona" - $"lonb")).as("l1"))
+          .filter($"l1" < 40000L)
+          .orderBy($"ka", $"kb")
+      },
+      Some {
+        val codeTerms = (0 until 20).map { k =>
+          s"(((c_custkey * 40503) % 1048576) // ${1L << k} % 2) * " +
+            s"${1L << (2 * k + 1)} + " +
+            s"(((c_custkey * 2654435761) % 1048576) // ${1L << k} % 2) * " +
+            s"${1L << (2 * k)}"
+        }.mkString(" + ")
+        s"""WITH pts AS (
+           |  SELECT c_custkey,
+           |    (c_custkey * 2654435761) % 1048576 AS latq,
+           |    (c_custkey * 40503) % 1048576 AS lonq,
+           |    ($codeTerms) // 1073741824 AS cell
+           |  FROM customer)
+           |SELECT a.cell, a.c_custkey AS ka, b.c_custkey AS kb,
+           |  abs(a.latq - b.latq) + abs(a.lonq - b.lonq) AS l1
+           |FROM pts a JOIN pts b
+           |  ON b.cell = a.cell AND a.c_custkey < b.c_custkey
+           |WHERE abs(a.latq - b.latq) + abs(a.lonq - b.lonq) < 40000
+           |ORDER BY ka, kb""".stripMargin
+      }),
+
+    // Dynamic-range compression (the broadcast-audio soft-knee limiter,
+    // integer-exact): samples below the 512 threshold pass through, louder
+    // ones are compressed 4:1 above the knee with TRUNC division (matching
+    // DuckDB's `//` on negatives), preserving sign. Decode → compress →
+    // re-encode → re-decode through the real codec; the oracle applies the
+    // same piecewise map to the sample formula.
+    Q("multimodal_audio_drc",
+      (s, dir) => {
+        import s.implicits._
+        val compressed = Multimodal.syntheticAudio(s,
+            t(s, dir, "documents").filter($"doc_id" < 100))
+          .mapPartitions(_.map { rec =>
+            val pcm = graft.llm.Wav.decode(rec.payload)
+            val out = pcm.samples.map { sm =>
+              val v = sm.toLong
+              val a = math.abs(v)
+              val c = if (a <= 512L) a else 512L + (a - 512L) / 4L
+              (if (v < 0) -c else c).toShort
+            }
+            rec.copy(payload = graft.llm.Wav.encode(
+              graft.llm.Wav.Pcm(pcm.sampleRate, pcm.channels, out)))
+          })(org.apache.spark.sql.Encoders.product[graft.llm.MediaRecord])
+        Multimodal.extractAudioFeatures(s, compressed).toDF()
+          .select($"doc_id", $"n_samples", $"sum_s",
+            $"min_s".cast("long").as("min_s"),
+            $"max_s".cast("long").as("max_s"), $"energy")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+             |v AS (SELECT doc_id,
+             |        (doc_id*37 + i*13) % 2048 - 1024 AS s
+             |      FROM sm),
+             |c AS (SELECT doc_id,
+             |        CASE WHEN abs(s) <= 512 THEN s
+             |          WHEN s > 0 THEN 512 + (s - 512) // 4
+             |          ELSE -(512 + (-s - 512) // 4) END AS s
+             |      FROM v)
+             |SELECT doc_id, COUNT(*) AS n_samples,
+             |  CAST(SUM(s) AS BIGINT) AS sum_s,
+             |  CAST(MIN(s) AS BIGINT) AS min_s,
+             |  CAST(MAX(s) AS BIGINT) AS max_s,
+             |  CAST(SUM(s * s) AS BIGINT) AS energy
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
