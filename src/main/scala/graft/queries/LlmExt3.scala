@@ -3277,6 +3277,101 @@ object LlmExt3 {
              |  CAST(MIN(s) AS BIGINT) AS min_s,
              |  CAST(MAX(s) AS BIGINT) AS max_s,
              |  CAST(SUM(s * s) AS BIGINT) AS energy
-             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // UTF-8 byte-density audit — bytes-per-character is the encoding cost a
+    // byte-level tokenizer pays per script (Latin 1.0, accented ~1.1+, CJK
+    // 3.0): octet_length vs char length per doc. The corpus is pure ASCII
+    // (ratio exactly 1 everywhere — vacuous), so accented and CJK suffixes
+    // are injected into two deterministic doc slices; both counts are exact
+    // integers and the ratio one IEEE division.
+    Q("text_utf8_density",
+      (s, dir) => {
+        import s.implicits._
+        // explicit \u escapes so a source-file transcoding can never silently
+        // de-accent the fixture (the mojibake-fixture convention)
+        val accent = " caf\u00e9 na\u00efve r\u00e9sum\u00e9"
+        val cjk = " \u6570\u636e\u7ba1\u9053"
+        val docs = t(s, dir, "documents")
+          .select($"doc_id",
+            when($"doc_id" % 10 === 0, concat($"text", lit(accent)))
+              .when($"doc_id" % 10 === 1, concat($"text", lit(cjk)))
+              .otherwise($"text").as("text"))
+        docs.select($"doc_id",
+            length($"text").cast("long").as("n_chars"),
+            octet_length($"text").cast("long").as("n_bytes"))
+          .select($"doc_id", $"n_chars", $"n_bytes",
+            ($"n_bytes".cast("double") / $"n_chars".cast("double"))
+              .as("bytes_per_char"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN text || ' caf' || chr(233)
+             |        || ' na' || chr(239) || 've r' || chr(233) || 'sum'
+             |        || chr(233)
+             |      WHEN doc_id % 10 = 1 THEN text || ' ' || chr(25968)
+             |        || chr(25454) || chr(31649) || chr(36947)
+             |      ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  CAST(strlen(text) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             |    AS bytes_per_char
+             |FROM docs ORDER BY doc_id""".stripMargin)),
+
+    // Wald-Wolfowitz runs test — is each user's daily value series random
+    // noise or does it trend/cluster? Observed runs of above/below-mean
+    // signs (per-user partitioned windows — parallel) against the expected
+    // 2n₁n₂/n + 1 under randomness; the expectation is one pinned IEEE
+    // expression of exact counts. Users whose observed runs sit far from
+    // expected have serially-dependent behavior. Bounded per-user state.
+    Q("events_runs_test",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+          .agg(dsum($"value").as("v"))
+        val mu = daily.groupBy($"user_id").agg(davg($"v").as("mu"))
+        val signed = daily.join(mu, "user_id")
+          .select($"user_id", $"day", ($"v" > $"mu").as("hi"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        signed
+          .withColumn("prev", lag($"hi", 1).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_days"),
+            sum(when($"hi", 1L).otherwise(0L)).as("n1"),
+            sum(when(!$"hi", 1L).otherwise(0L)).as("n2"),
+            (sum(when($"prev".isNotNull && $"prev" =!= $"hi", 1L)
+              .otherwise(0L)) + 1L).as("runs"))
+          .select($"user_id", $"n_days", $"n1", $"n2", $"runs",
+            ((lit(2.0d) * $"n1".cast("double") * $"n2".cast("double")) /
+              $"n_days".cast("double") + lit(1.0d)).as("expected_runs"))
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, date_trunc('day', ts) AS day,
+              |    ${sqlDsum("value")} AS v
+              |  FROM events GROUP BY 1, 2),
+              |mu AS (SELECT user_id, ${sqlDavg("v")} AS mu
+              |       FROM daily GROUP BY 1),
+              |signed AS (
+              |  SELECT d.user_id, d.day, d.v > mu.mu AS hi
+              |  FROM daily d JOIN mu USING (user_id)),
+              |lagged AS (
+              |  SELECT user_id, hi,
+              |    lag(hi) OVER (PARTITION BY user_id ORDER BY day) AS prev
+              |  FROM signed)
+              |SELECT user_id, COUNT(*) AS n_days,
+              |  CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |  CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n2,
+              |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> hi
+              |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs,
+              |  (2.0::DOUBLE * CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END)
+              |      AS DOUBLE) *
+              |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS DOUBLE)) /
+              |    CAST(COUNT(*) AS DOUBLE) + 1.0::DOUBLE AS expected_runs
+              |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
