@@ -3372,6 +3372,57 @@ object LlmExt3 {
               |      AS DOUBLE) *
               |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS DOUBLE)) /
               |    CAST(COUNT(*) AS DOUBLE) + 1.0::DOUBLE AS expected_runs
-              |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin))
+              |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Maximum drawdown of the DEMEANED cumulative series — the raw daily
+    // values are non-negative (a plain cumulative never dips, drawdown
+    // trivially 0), so the statistic runs on each user's cumulative
+    // DEVIATION from their own mean daily value: cum_k − k·μ, a random walk
+    // whose peak-to-trough drop measures the longest under-performance
+    // stretch. Decimal-exact cumulative sums cast once (safe grid), k·μ one
+    // IEEE product per row, running peak a plain windowed max — every window
+    // partitions by user.
+    Q("events_max_drawdown",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+          .agg(sum($"value".cast("decimal(30,4)")).as("v"))
+        val mu = daily.groupBy($"user_id").agg(davg($"v").as("mu"))
+        val wOrd = Window.partitionBy($"user_id").orderBy($"day")
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+        daily.join(mu, "user_id")
+          .withColumn("k", row_number().over(wOrd))
+          .withColumn("dev",
+            sum($"v").over(wCum).cast("double") -
+              $"k".cast("double") * $"mu")
+          .withColumn("peak", max($"dev").over(wCum))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_days"),
+            max($"peak" - $"dev").as("max_drawdown"))
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, date_trunc('day', ts) AS day,
+              |    SUM(CAST(value AS DECIMAL(30,4))) AS v
+              |  FROM events GROUP BY 1, 2),
+              |mu AS (SELECT user_id, ${sqlDavg("v")} AS mu
+              |       FROM daily GROUP BY 1),
+              |c1 AS (
+              |  SELECT d.user_id, d.day,
+              |    CAST(SUM(d.v) OVER w AS DOUBLE) -
+              |      CAST(row_number() OVER w2 AS DOUBLE) * mu.mu AS dev
+              |  FROM daily d JOIN mu USING (user_id)
+              |  WINDOW w AS (PARTITION BY d.user_id ORDER BY d.day
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |  w2 AS (PARTITION BY d.user_id ORDER BY d.day)),
+              |c AS (
+              |  SELECT user_id, dev, MAX(dev) OVER w3 AS peak
+              |  FROM c1
+              |  WINDOW w3 AS (PARTITION BY user_id ORDER BY day
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT user_id, COUNT(*) AS n_days,
+              |  MAX(peak - dev) AS max_drawdown
+              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
