@@ -18,12 +18,28 @@ import QueryDSL._
   *    normalization constants (mean/var/std per channel), pixel histograms,
   *    frame-delta shot detection, energy-delta audio fingerprints, audio SNR
   *    gating, anti-aliased 7-tap integer FIR resampling;
-  *  - analytics/causal/graph: Holt linear-trend smoothing (typed mapGroups +
-  *    recursive-CTE oracle), Kaplan-Meier time-to-conversion with
-  *    administrative censoring, difference-in-differences, Markov stationary
-  *    distribution (bounded-matrix power iteration), sequential pattern
-  *    mining, exact audience overlap, Newman modularity, degree
-  *    assortativity.
+  *  - analytics/causal/graph: Holt linear-trend smoothing and its backtest
+  *    (typed mapGroups + recursive-CTE oracles), Kaplan-Meier
+  *    time-to-conversion with administrative censoring,
+  *    difference-in-differences, exact Shapley attribution over the bounded
+  *    touch-mask lattice, Markov stationary distribution, CUSUM drift and
+  *    Shewhart control charts, sequential pattern mining, bitmask funnels,
+  *    exact audience overlap, Newman modularity, degree assortativity,
+  *    random-walk corpus generation, cohort LTV projection, max drawdown,
+  *    Wald-Wolfowitz runs test, bot-detection heuristics;
+  *  - statistics for experimentation and QA: Wilson and Beta-posterior reach
+  *    intervals, power-analysis MDE, delta-method ratio variance,
+  *    deterministic Poisson bootstrap SE, grouped OLS, Hodges-Lehmann,
+  *    MAD, Gini (corpus-global, banded), KS and total-variation drift,
+  *    log2/HdrHistogram bucketing, Neyman allocation, XYZ classification;
+  *  - dedup/chunking/identifiers: content-defined chunking + CDC shared-chunk
+  *    dedup, entity-resolution pipeline, de-hyphenation repair, UTF-8
+  *    byte-density audit, UUIDv5 and Luhn minting, IPv4/CIDR enrichment,
+  *    geohash encoding + prefix-bucketed neighbor join;
+  *  - further codec-stage passes: geometric augmentation (transpose-closed
+  *    form), mipmap pyramids, letterbox border detection, stereo
+  *    deinterleave, dynamic-range compression, dataset cards;
+  *  - SQL surface sugar: ORDER BY ALL, SELECT * EXCEPT.
   *
   * Determinism rules in force throughout: integer counts + IEEE double ops in
   * pinned parenthesization (no libm; sqrt is correctly-rounded per IEEE-754
