@@ -3439,6 +3439,51 @@ object LlmExt3 {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
               |SELECT user_id, COUNT(*) AS n_days,
               |  MAX(peak - dev) AS max_drawdown
-              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin))
+              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Theil-Sen estimator — the robust regression slope (median of all
+    // pairwise slopes; one wild point moves OLS, not this), completing the
+    // robust trio next to Hodges-Lehmann and MAD: price-on-quantity slopes
+    // over the same TakeOrdered 200-order slice (pairwise by definition —
+    // the sample is what production bounds). Slopes are IEEE divisions of
+    // exact integer cents/quantities; the median uses the shared
+    // interpolated-percentile semantics.
+    Q("agg_theil_sen_slope",
+      (s, dir) => {
+        import s.implicits._
+        val sample = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast("decimal(18,2)").cast("bigint").as("x"),
+            ($"l_extendedprice".cast("decimal(18,2)") * 100)
+              .cast("bigint").as("y"))
+          .orderBy($"l_orderkey", $"l_linenumber").limit(200)
+          .localCheckpoint()
+        val a = sample.select($"l_orderkey".as("ka"),
+          $"l_linenumber".as("la"), $"x".as("xa"), $"y".as("ya"))
+        val b = sample.select($"l_orderkey".as("kb"),
+          $"l_linenumber".as("lb"), $"x".as("xb"), $"y".as("yb"))
+        val slopes = a.join(b,
+            struct($"ka", $"la") < struct($"kb", $"lb") && $"xa" =!= $"xb")
+          .select((($"yb" - $"ya").cast("double") /
+            ($"xb" - $"xa").cast("double")).as("slope"))
+        slopes.agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5D)").as("theil_sen_cents_per_unit"))
+      },
+      Some("""WITH sample_ AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS y
+             |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200),
+             |slopes AS (
+             |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+             |    AS slope
+             |  FROM sample_ a JOIN sample_ b
+             |    ON (a.l_orderkey, a.l_linenumber) <
+             |       (b.l_orderkey, b.l_linenumber)
+             |    AND a.x <> b.x)
+             |SELECT COUNT(*) AS n_pairs,
+             |  quantile_cont(slope, 0.5) AS theil_sen_cents_per_unit
+             |FROM slopes""".stripMargin))
   )
 }
