@@ -137,6 +137,10 @@ object Wav {
     * DuckDB's `//`, negative inputs included). */
   def firDecimate(pcm: Pcm, k: Int): Pcm = {
     require(k > 0, s"decimation factor must be positive, got $k")
+    // Convolving the raw interleaved array would mix channels; mono only.
+    require(pcm.channels == 1,
+      s"firDecimate is mono-only (got ${pcm.channels} channels) — " +
+        "deinterleave per channel before convolving")
     val taps = Array(1L, 2L, 3L, 4L, 3L, 2L, 1L)
     val n = pcm.samples.length
     val nOut = if (n < 7) 0 else (n - 7) / k + 1

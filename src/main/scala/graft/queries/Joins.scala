@@ -159,13 +159,19 @@ object Joins {
       (s, dir) => {
         import s.implicits._
         val c = t(s, dir, "customer")
-        val o = t(s, dir, "orders")
+        // Anti-join against a FILTERED right side so the survivor set is
+        // non-empty at every SF (every customer has *some* order, so an
+        // unfiltered anti would be vacuously 0-row — a hash that stays green
+        // even if the anti-join silently returned nothing).
+        val o = t(s, dir, "orders").filter($"o_totalprice" > 300000)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select($"c_custkey", $"c_name", $"c_mktsegment")
           .orderBy($"c_custkey", $"c_name", $"c_mktsegment")
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_totalprice > 300000)
              |ORDER BY 1, 2, 3""".stripMargin)),
 
     Q("join_cross",

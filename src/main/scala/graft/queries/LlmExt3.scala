@@ -51,6 +51,11 @@ object LlmExt3 {
 
   private val dec12 = DataTypes.createDecimalType(30, 12)
 
+  /** Resample positions for `sample_systematic_importance` — shared by the
+    * Spark side and the interpolated DuckDB oracle so the two engines can't
+    * silently desynchronize on the divisor. */
+  private val sysResampleM = 50
+
   /** DuckDB mirror of [[cdcChunks]]: the CTE chain from a `docs(doc_id,
     * text)` CTE to `cmd(doc_id, chunk_id, start, len, chunk_md5)`. Splice
     * after a WITH docs AS (...) prefix. */
@@ -357,7 +362,7 @@ object LlmExt3 {
     Q("sample_systematic_importance",
       (s, dir) => {
         import s.implicits._
-        val m = 50
+        val m = sysResampleM
         val docs = t(s, dir, "documents").select($"doc_id", $"n_chars".as("w"))
         val b = docs.withColumn("band", floor($"doc_id" / 64).cast("long"))
         val offs = b.groupBy($"band").agg(sum($"w").as("bw"))
@@ -377,16 +382,18 @@ object LlmExt3 {
           .select($"j", $"t", $"doc_id", $"w")
           .orderBy($"j")
       },
-      Some("""WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
-             |cum AS (SELECT doc_id, w,
-             |          CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum
-             |        FROM w),
-             |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM w),
-             |th AS (SELECT j, ((2*j + 1) * (SELECT W FROM tot)) // 100 AS t
-             |       FROM unnest(range(0, 50)) u(j))
-             |SELECT th.j, th.t, c.doc_id, c.w
-             |FROM th JOIN cum c ON c.cum - c.w <= th.t AND th.t < c.cum
-             |ORDER BY th.j""".stripMargin)),
+      Some(s"""WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+              |cum AS (SELECT doc_id, w,
+              |          CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+              |        FROM w),
+              |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM w),
+              |th AS (SELECT j,
+              |         ((2*j + 1) * (SELECT W FROM tot))
+              |           // ${2 * sysResampleM} AS t
+              |       FROM unnest(range(0, $sysResampleM)) u(j))
+              |SELECT th.j, th.t, c.doc_id, c.w
+              |FROM th JOIN cum c ON c.cum - c.w <= th.t AND th.t < c.cum
+              |ORDER BY th.j""".stripMargin)),
 
     // First-occurrence n-gram novelty — the curriculum/diversity signal: what
     // fraction of a document's 3-shingles has never appeared in any earlier
@@ -1930,14 +1937,15 @@ object LlmExt3 {
               |    ((mxx - mx * mx) * (myy - my * my)) AS r2
               |FROM m ORDER BY l_returnflag""".stripMargin)),
 
-    // Deterministic UUIDv5-style ID minting — stable document identifiers
+    // Deterministic UUIDv3-style ID minting — stable document identifiers
     // from a namespace + content key (the no-RNG rule applied to ID
     // generation: re-running the pipeline mints the SAME ids, which is what
     // makes downstream joins and incremental loads reproducible). md5 of
     // 'graft:' || doc_id, formatted 8-4-4-4-12 with the version nibble forced
-    // to 5 and the variant nibble to RFC-4122's 10xx — pure string/bit ops,
-    // identical on both engines. Map-only.
-    Q("fn_uuid5_mint",
+    // to 3 (RFC 4122 reserves version 3 for MD5 name-based UUIDs — version 5
+    // would falsely advertise SHA-1) and the variant nibble to RFC-4122's
+    // 10xx — pure string/bit ops, identical on both engines. Map-only.
+    Q("fn_uuid3_mint",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
@@ -1945,12 +1953,12 @@ object LlmExt3 {
             md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
           .select($"doc_id", concat_ws("-",
             substring($"h", 1, 8), substring($"h", 9, 4),
-            concat(lit("5"), substring($"h", 14, 3)),
+            concat(lit("3"), substring($"h", 14, 3)),
             concat(
               element_at(array(lit("8"), lit("9"), lit("a"), lit("b")),
                 (conv(substring($"h", 17, 1), 16, 10).cast("int") % 4) + 1),
               substring($"h", 18, 3)),
-            substring($"h", 21, 12)).as("uuid5"))
+            substring($"h", 21, 12)).as("uuid3"))
           .orderBy($"doc_id")
       },
       Some(s"""WITH h AS (
@@ -1958,11 +1966,11 @@ object LlmExt3 {
               |  FROM documents)
               |SELECT doc_id,
               |  substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' ||
-              |  '5' || substring(h, 14, 3) || '-' ||
+              |  '3' || substring(h, 14, 3) || '-' ||
               |  substring('89ab',
               |    CAST((${QueryDSL.sqlHexInt("h", 17, 1)}) % 4 AS INT) + 1, 1)
               |    || substring(h, 18, 3) || '-' ||
-              |  substring(h, 21, 12) AS uuid5
+              |  substring(h, 21, 12) AS uuid3
               |FROM h ORDER BY doc_id""".stripMargin)),
 
     // CUSUM change detection (Page 1954) over each user's daily series — the

@@ -800,7 +800,7 @@ object Scalars {
             element_at(split($"p_name", " "), 2).as("t_second_word"),
             concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
               substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
-              substring(h, 21, 12)).as("t_uuid5_like"))
+              substring(h, 21, 12)).as("t_uuid_like"))
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey, p_name,
@@ -815,7 +815,7 @@ object Scalars {
              |  substring(md5(p_name), 1, 8) || '-' || substring(md5(p_name), 9, 4)
              |    || '-' || substring(md5(p_name), 13, 4) || '-'
              |    || substring(md5(p_name), 17, 4) || '-'
-             |    || substring(md5(p_name), 21, 12) AS t_uuid5_like
+             |    || substring(md5(p_name), 21, 12) AS t_uuid_like
              |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)),
 
     // Advanced array surface: position lookup, element removal, repetition,

@@ -51,12 +51,17 @@ object SetOps {
     Q("setop_except",
       (s, dir) => {
         import s.implicits._
+        // EXCEPT against a FILTERED right side: suppliers cover all 25
+        // nations, so an unfiltered difference is vacuously empty — the
+        // acctbal gate leaves the nations with no high-balance supplier.
         val a = t(s, dir, "nation").select($"n_nationkey".as("nationkey"))
-        val b = t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+        val b = t(s, dir, "supplier").filter($"s_acctbal" > 8000)
+          .select($"s_nationkey".as("nationkey"))
         a.except(b).orderBy($"nationkey")
       },
       Some("""SELECT n_nationkey AS nationkey FROM nation
-             |EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin)),
+             |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+             |ORDER BY 1""".stripMargin)),
 
     Q("setop_intersect_all",
       (s, dir) => {
