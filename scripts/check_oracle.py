@@ -26,6 +26,7 @@ def main(sf_dir, out_dir):
         oracle = json.load(f)
 
     n_pass = n_fail = n_noracle = 0
+    vacuity_stale = set(VACUITY_SANCTIONED)
     have = {os.path.basename(d.rstrip("/"))
             for d in glob.glob(os.path.join(out_dir, "*/"))}
     for name in sorted(oracle.keys() - have):
@@ -59,10 +60,49 @@ def main(sf_dir, out_dir):
             for e in errs[:6]:
                 print(f"      {e}")
         else:
-            n_pass += 1
-            print(f"  {name}: ok rows={len(got)}")
+            vac = vacuity(got)
+            if vac and name not in VACUITY_SANCTIONED:
+                n_fail += 1
+                print(f"  {name}: VACUOUS ({vac}) — hash-green but proves "
+                      "nothing; fix the query or sanction it with a rationale")
+            else:
+                n_pass += 1
+                tag = " [vacuity-sanctioned]" if vac else ""
+                print(f"  {name}: ok rows={len(got)}{tag}")
+            if not vac:
+                vacuity_stale.discard(name)
+    for name in sorted(vacuity_stale & have):
+        n_fail += 1
+        print(f"  {name}: STALE VACUITY SANCTION (result is no longer vacuous "
+              "— remove from VACUITY_SANCTIONED so the list can't rot)")
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
     return 1 if n_fail else 0
+
+# Queries sanctioned as deliberately "vacuous-looking" (with rationale); the
+# anti-rot rule mirrors PlanLint: a sanctioned query whose result stops being
+# vacuous fails the gate until the entry is removed.
+VACUITY_SANCTIONED = set()
+
+def vacuity(df):
+    """A hash-green result that proves nothing: 0 rows, or (>=2 rows and)
+    every column that isn't id-like is constant. Id-like = all-distinct
+    (sort keys / row ids); a frame whose only variation is its key column
+    would stay green even if the computed columns were silently zeroed."""
+    n = len(df)
+    if n == 0:
+        return "0 rows"
+    if n == 1:
+        return None  # single-row aggregates are 1-row by design
+    nun = {c: df[c].astype(str).nunique(dropna=False) for c in df.columns}
+    # Id-like = all-distinct AND not float-valued: an all-distinct float
+    # column is a computed statistic (its variation is exactly what the hash
+    # check proves), not a row key.
+    def id_like(c):
+        return nun[c] == n and df[c].dtype.kind != "f"
+    non_id = [c for c in df.columns if not id_like(c)]
+    if non_id and all(nun[c] <= 1 for c in non_id):
+        return f"all non-key columns constant ({non_id})"
+    return None
 
 def kind(duck_type):
     """Collapse a DuckDB type to the pandas KIND the driver hashes.

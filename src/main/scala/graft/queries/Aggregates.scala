@@ -62,16 +62,27 @@ object Aggregates {
     Q("agg_count_distinct",
       (s, dir) => {
         import s.implicits._
+        // Conditional distinct counts (null inputs are ignored by COUNT
+        // DISTINCT on both engines): unfiltered, every group covers all 100
+        // suppliers / 2000 parts, so the distinct counts would be constant
+        // across groups — green even if the operator silently returned the
+        // domain size. The filters keep per-group values distinct.
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            countDistinct($"l_suppkey").as("n_supp"),
-            countDistinct($"l_partkey").as("n_part"),
+            countDistinct(when($"l_quantity" >= 49 && $"l_extendedprice" > 90000,
+              $"l_suppkey")).as("n_supp"),
+            countDistinct(when($"l_extendedprice" > 90000, $"l_partkey"))
+              .as("n_part"),
             count(lit(1)).as("n"))
           .orderBy($"l_returnflag")
       },
-      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
-             |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_suppkey)
+             |    FILTER (l_quantity >= 49 AND l_extendedprice > 90000) AS n_supp,
+             |  COUNT(DISTINCT l_partkey)
+             |    FILTER (l_extendedprice > 90000) AS n_part,
+             |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -386,17 +386,21 @@ object AggregatesExt {
     Q("agg_collect_sorted",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "orders")
-          .groupBy($"o_orderstatus")
+        // Per-customer (not per-status): every status sees all 5 priorities,
+        // so the collected list would be one constant string. A customer's
+        // ~10 orders cover 1-5 distinct priorities, so the lists vary.
+        t(s, dir, "orders").filter($"o_custkey" < 200)
+          .groupBy($"o_custkey")
           .agg(
             concat_ws(",", array_sort(collect_set($"o_orderpriority"))).as("priorities"),
             count(lit(1)).as("n"))
-          .orderBy($"o_orderstatus")
+          .orderBy($"o_custkey")
       },
-      Some("""SELECT o_orderstatus,
+      Some("""SELECT o_custkey,
              |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
              |  COUNT(*) AS n
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+             |FROM orders WHERE o_custkey < 200
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // Exact median via positional pick — deterministic in both engines (interpolating
     // percentile implementations differ in fp detail; approximate ones are BENCH-only).
@@ -682,19 +686,27 @@ object AggregatesExt {
     Q("agg_boolean",
       (s, dir) => {
         import s.implicits._
+        // Bucketed by customer hash so each boolean genuinely varies across
+        // groups (by priority, all three were constant — green even with the
+        // aggregates stubbed to literals). The third is a FILTERed every():
+        // null inputs (rows outside the date tail) are ignored by bool_and
+        // on both engines.
         t(s, dir, "orders")
-          .groupBy($"o_orderpriority")
+          .groupBy(($"o_custkey" % 16).as("cust_bucket"))
           .agg(
-            bool_and($"o_totalprice" > 1000.0).as("all_over_1k"),
-            bool_or($"o_orderstatus" === "F").as("any_finished"),
-            every($"o_custkey" > 0L).as("custkeys_positive"),
+            bool_and($"o_totalprice" > 2000.0).as("all_over_2k"),
+            bool_or($"o_totalprice" > 498000.0).as("any_jumbo"),
+            every(when($"o_orderdate" >= "2001-07-20",
+              $"o_totalprice" > 100000.0)).as("tail_all_over_100k"),
             count_if($"o_totalprice" > 200000.0).as("n_big"))
-          .orderBy($"o_orderpriority")
+          .orderBy($"cust_bucket")
       },
-      Some("""SELECT o_orderpriority,
-             |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
-             |  bool_or(o_orderstatus = 'F') AS any_finished,
-             |  bool_and(o_custkey > 0) AS custkeys_positive,
+      Some("""SELECT o_custkey % 16 AS cust_bucket,
+             |  bool_and(o_totalprice > 2000.0) AS all_over_2k,
+             |  bool_or(o_totalprice > 498000.0) AS any_jumbo,
+             |  bool_and(o_totalprice > 100000.0)
+             |    FILTER (o_orderdate >= TIMESTAMP '2001-07-20')
+             |    AS tail_all_over_100k,
              |  CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_big
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))

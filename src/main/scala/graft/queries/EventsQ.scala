@@ -711,11 +711,14 @@ object EventsQ {
           .select($"user_id", $"ts".as("click_ts"))
         val buys = e.filter($"event_type" === "purchase")
           .select($"user_id".as("b_user"), $"ts".as("buy_ts"))
+        // 2-hour attribution window into 1-hour tumbling counts: at 10 min /
+        // 15 min the sparse sf0.01 stream yields n_conv = 1 in every window
+        // (a "count" the hash can't distinguish from EXISTS).
         clicks.join(buys,
             $"user_id" === $"b_user" &&
             $"buy_ts" >= $"click_ts" &&
-            $"buy_ts" <= $"click_ts" + expr("interval 10 minutes"))
-          .groupBy(window($"click_ts", "15 minutes").as("w"))
+            $"buy_ts" <= $"click_ts" + expr("interval 2 hours"))
+          .groupBy(window($"click_ts", "1 hour").as("w"))
           .agg(count(lit(1)).as("n_conv"))
           .select($"w.start".as("wstart"), $"n_conv")
           .orderBy($"wstart")
@@ -725,9 +728,9 @@ object EventsQ {
              |j AS (
              |  SELECT c.ts AS click_ts
              |  FROM c JOIN b ON c.user_id = b.user_id
-             |   AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE)
-             |SELECT make_timestamp(CAST(floor(epoch(click_ts)/900) AS BIGINT)
-             |         * 900 * 1000000) AS wstart,
+             |   AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 2 HOUR)
+             |SELECT make_timestamp(CAST(floor(epoch(click_ts)/3600) AS BIGINT)
+             |         * 3600 * 1000000) AS wstart,
              |  COUNT(*) AS n_conv
              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 

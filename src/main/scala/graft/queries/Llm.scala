@@ -56,13 +56,16 @@ object Llm {
              |  FROM documents)
              |WHERE rn = 1 ORDER BY lang, source""".stripMargin)),
 
-    // Content-hash collapse over a simulated re-crawl (the table unioned with itself):
-    // every doc collapses 2→1 on its sha-256 digest.
+    // Content-hash collapse over a simulated re-crawl with a SKEWED copy
+    // distribution (every third doc re-crawled once, every fifteenth twice):
+    // n_copies varies 1/2/3, so a silently-wrong copy count can't hide behind
+    // a constant column.
     Q("dedup_hash_collapse",
       (s, dir) => {
         import s.implicits._
         val d = t(s, dir, "documents").select($"doc_id", $"text")
-        d.unionByName(d)
+        d.unionByName(d.filter($"doc_id" % 3 === 0))
+          .unionByName(d.filter($"doc_id" % 15 === 0))
           .groupBy(Dedup.contentDigest($"text").as("digest"))
           .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
           .select($"canonical_id", $"n_copies", substring($"digest", 1, 16).as("digest16"))
@@ -72,7 +75,10 @@ object Llm {
              |  SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
              |    substring(sha256(text), 1, 16) AS digest16
              |  FROM (SELECT doc_id, text FROM documents
-             |        UNION ALL SELECT doc_id, text FROM documents)
+             |        UNION ALL SELECT doc_id, text FROM documents
+             |          WHERE doc_id % 3 = 0
+             |        UNION ALL SELECT doc_id, text FROM documents
+             |          WHERE doc_id % 15 = 0)
              |  GROUP BY sha256(text))
              |ORDER BY canonical_id""".stripMargin)),
 
@@ -571,12 +577,34 @@ object Llm {
              |WHERE f.vec_id < 100
              |GROUP BY f.vec_id, f.label ORDER BY f.vec_id""".stripMargin)),
 
+    // Language-ID confusion matrix over an eval frame with INJECTED
+    // deterministic language markers (the synthetic corpus is punctuation-free
+    // English-ish word soup, so raw text predicts 'en' for every label — a
+    // one-column confusion "matrix" that proves nothing). doc_id%3==0 docs get
+    // their label's marker phrase (diagonal), %3==2 docs get a rotated WRONG
+    // label's marker (structured off-diagonal errors), %3==1 stay raw (the
+    // soup → 'en' fallback). Marker words are each list's unambiguous
+    // stopwords, so the argmax is tie-free.
     Q("text_langid_confusion",
       (s, dir) => {
         import s.implicits._
+        def marker(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(l === "fr", lit(" le les et une est"))
+            .when(l === "es", lit(" el los y una es"))
+            .when(l === "de", lit(" der die und ist von"))
+            .when(l === "zh", lit(" 一二三"))
+            .otherwise(lit(" the of and is that"))
+        val rot = when($"lang" === "fr", lit("es"))
+          .when($"lang" === "es", lit("de"))
+          .when($"lang" === "de", lit("fr"))
+          .when($"lang" === "zh", lit("en")).otherwise(lit("zh"))
         t(s, dir, "documents")
-          .withColumn("toks", TF.tokens($"text"))
-          .select($"lang", TF.langIdFrom($"text", $"toks").as("predicted"))
+          .withColumn("eval_text", concat($"text",
+            when($"doc_id" % 3 === 0, marker($"lang"))
+              .when($"doc_id" % 3 === 2, marker(rot))
+              .otherwise(lit(""))))
+          .withColumn("toks", TF.tokens($"eval_text"))
+          .select($"lang", TF.langIdFrom($"eval_text", $"toks").as("predicted"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted")
@@ -586,7 +614,23 @@ object Llm {
           s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
         val en = hits(TF.stopwordsEn); val fr = hits(TF.stopwordsFr)
         val es = hits(TF.stopwordsEs); val de = hits(TF.stopwordsDe)
-        s"""WITH toks AS (SELECT lang, text, ${duckToks("text")} AS tk FROM documents),
+        s"""WITH mk AS (
+           |  SELECT ['fr', ' le les et une est',
+           |          'es', ' el los y una es',
+           |          'de', ' der die und ist von',
+           |          'zh', ' 一二三',
+           |          'en', ' the of and is that'] AS m),
+           |aug AS (
+           |  SELECT lang, text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN
+           |           m[list_position(m, lang) + 1]
+           |         WHEN doc_id % 3 = 2 THEN
+           |           m[list_position(m, CASE lang WHEN 'fr' THEN 'es'
+           |             WHEN 'es' THEN 'de' WHEN 'de' THEN 'fr'
+           |             WHEN 'zh' THEN 'en' ELSE 'zh' END) + 1]
+           |         ELSE '' END AS text
+           |  FROM documents, mk),
+           |toks AS (SELECT lang, text, ${duckToks("text")} AS tk FROM aug),
            |pred AS (
            |  SELECT lang,
            |    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
@@ -819,40 +863,43 @@ object Llm {
               |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
               |ORDER BY tot.doc_id""".stripMargin)),
 
-    // Temperature-scaled source mixture (the multinomial upsampling weights of
-    // multilingual-corpus training): w_s ∝ p_s^α with α = 0.7, spelled
+    // Temperature-scaled language mixture (the multinomial upsampling weights
+    // of multilingual-corpus training): w_l ∝ p_l^α with α = 0.7, spelled
     // exp(α·ln p) identically on both engines; the weight normalizer sums
     // through DECIMAL (unordered double sums are partitioning-dependent).
-    // Everything runs on the |sources| aggregate frame.
+    // Everything runs on the |languages| aggregate frame. Grouped by lang
+    // (218/75/73/70/64 docs), NOT by the 20 uniform 25-doc sources — a
+    // uniform mixture gives constant weights, i.e. the temperature exponent
+    // could be dropped entirely and the result would not change.
     Q("sample_temperature_weights",
       (s, dir) => {
         import s.implicits._
         val counts = t(s, dir, "documents")
-          .groupBy($"source").agg(count(lit(1)).as("n"))
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
           .withColumn("ntot", sum($"n").over(
             org.apache.spark.sql.expressions.Window.partitionBy()))
         val p = $"n" * lit(1.0) / $"ntot"
         val w = exp(lit(0.7) * log(p))
-        val scaled = counts.select($"source", $"n", w.as("w"))
+        val scaled = counts.select($"lang", $"n", w.as("w"))
           .withColumn("wsum",
             sum($"w".cast("decimal(30,12)")).over(
               org.apache.spark.sql.expressions.Window.partitionBy())
               .cast("double"))
-        scaled.select($"source", $"n",
+        scaled.select($"lang", $"n",
             round($"w" / $"wsum", 9).as("mix_weight"))
-          .orderBy($"source")
+          .orderBy($"lang")
       },
       Some("""WITH c AS (
-             |  SELECT source, count(*) AS n FROM documents GROUP BY source),
-             |c2 AS (SELECT source, n, SUM(n) OVER () AS ntot FROM c),
+             |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |c2 AS (SELECT lang, n, SUM(n) OVER () AS ntot FROM c),
              |s AS (
-             |  SELECT source, n, exp(0.7 * ln(n * 1.0 / ntot)) AS w FROM c2),
+             |  SELECT lang, n, exp(0.7 * ln(n * 1.0 / ntot)) AS w FROM c2),
              |s2 AS (
-             |  SELECT source, n, w,
+             |  SELECT lang, n, w,
              |    CAST(SUM(CAST(w AS DECIMAL(30,12))) OVER () AS DOUBLE) AS wsum
              |  FROM s)
-             |SELECT source, n, round(w / wsum, 9) AS mix_weight
-             |FROM s2 ORDER BY source""".stripMargin)),
+             |SELECT lang, n, round(w / wsum, 9) AS mix_weight
+             |FROM s2 ORDER BY lang""".stripMargin)),
 
     // Log₂-binned document-length histogram WITHOUT transcendentals: the bin is
     // the binary-representation length (⌊log₂ n⌋ + 1) — exact integer both
@@ -872,9 +919,12 @@ object Llm {
              |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // PII scrubbing: inject a deterministic synthetic email+phone per document (the
-    // corpus is synthetic word-soup with no real PII), then redact both with
-    // regexp_replace. Pure codegen'd projection — scales as a map-only stage.
+    // PII scrubbing: inject deterministic synthetic emails+phones per document
+    // (the corpus is synthetic word-soup with no real PII) with a VARYING
+    // per-doc count — 0-2 emails, 0-1 phones keyed off doc_id residues — so
+    // the redaction counters genuinely exercise 0/1/many instead of reporting
+    // a constant 1/1 for every row. Pure codegen'd projection — scales as a
+    // map-only stage.
     Q("text_pii_scrub",
       (s, dir) => {
         import s.implicits._
@@ -882,9 +932,17 @@ object Llm {
         val phone = "\\+1-[0-9]{3}-[0-9]{4}"
         t(s, dir, "documents").filter($"doc_id" < 200)
           .select($"doc_id",
-            concat($"text", lit(" contact user"), $"doc_id".cast("string"),
-              lit("@mail.example.com or +1-555-"),
-              lpad($"doc_id".cast("string"), 4, "0"), lit(" now")).as("raw"))
+            concat($"text",
+              when($"doc_id" % 4 =!= 1,
+                concat(lit(" contact user"), $"doc_id".cast("string"),
+                  lit("@mail.example.com"))).otherwise(lit("")),
+              when($"doc_id" % 4 === 0,
+                concat(lit(" cc admin"), $"doc_id".cast("string"),
+                  lit("@mail.example.com"))).otherwise(lit("")),
+              when($"doc_id" % 2 === 0,
+                concat(lit(" or +1-555-"),
+                  lpad($"doc_id".cast("string"), 4, "0"))).otherwise(lit("")),
+              lit(" now")).as("raw"))
           .withColumn("scrubbed",
             regexp_replace(regexp_replace($"raw", email, "<EMAIL>"),
               phone, "<PHONE>"))
@@ -896,9 +954,17 @@ object Llm {
       },
       Some("""WITH raw AS (
              |  SELECT doc_id,
-             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
-             |      || '@mail.example.com or +1-555-'
-             |      || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now' AS raw
+             |    text
+             |      || CASE WHEN doc_id % 4 <> 1
+             |           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             |                || '@mail.example.com' ELSE '' END
+             |      || CASE WHEN doc_id % 4 = 0
+             |           THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+             |                || '@mail.example.com' ELSE '' END
+             |      || CASE WHEN doc_id % 2 = 0
+             |           THEN ' or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+             |           ELSE '' END
+             |      || ' now' AS raw
              |  FROM documents WHERE doc_id < 200)
              |SELECT doc_id,
              |  len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))

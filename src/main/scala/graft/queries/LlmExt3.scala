@@ -1453,7 +1453,11 @@ object LlmExt3 {
           .when($"event_type" === "click", 4L)
           .when($"event_type" === "purchase", 8L)
           .otherwise(0L)
+        // First-3-days window: over the full month every user hits every
+        // stage (n_users constant 150 at each prefix — no funnel at all);
+        // the early-adoption slice has real drop-off (105/82/65/50).
         val masks = graft.Tables.events(s, dir)
+          .filter($"ts" < "2024-01-04")
           .select($"user_id", bit.as("b"))
           .groupBy($"user_id").agg(expr("bit_or(b)").as("mask"))
         val stages = Seq(("signup", 1L), ("signup>view", 3L),
@@ -1476,7 +1480,7 @@ object LlmExt3 {
              |      WHEN 'signup' THEN 1 WHEN 'view' THEN 2
              |      WHEN 'click' THEN 4 WHEN 'purchase' THEN 8
              |      ELSE 0 END) AS mask
-             |  FROM events GROUP BY 1),
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-04' GROUP BY 1),
              |req AS (
              |  SELECT * FROM (VALUES
              |    ('signup', 1), ('signup>view', 3),
@@ -2232,9 +2236,13 @@ object LlmExt3 {
     Q("events_reach_wilson_ci",
       (s, dir) => {
         import s.implicits._
+        // Reach measured over the first 3 days (the full month saturates:
+        // k = n = 150 for every type, so p, both CI bounds — the operator
+        // under test — were identical constants on every row).
         val ev = graft.Tables.events(s, dir)
         val nUsers = ev.agg(countDistinct($"user_id").as("n"))
-        val reach = ev.select($"event_type", $"user_id").distinct()
+        val reach = ev.filter($"ts" < "2024-01-04")
+          .select($"event_type", $"user_id").distinct()
           .groupBy($"event_type").agg(count(lit(1)).as("k"))
         val z = 1.96d
         val z2 = z * z
@@ -2261,7 +2269,8 @@ object LlmExt3 {
               |  FROM events),
               |reach AS (
               |  SELECT event_type, COUNT(*) AS k FROM (
-              |    SELECT DISTINCT event_type, user_id FROM events)
+              |    SELECT DISTINCT event_type, user_id FROM events
+              |    WHERE ts < TIMESTAMP '2024-01-04')
               |  GROUP BY 1),
               |pr AS (
               |  SELECT event_type, k, nu.n,
@@ -2559,9 +2568,12 @@ object LlmExt3 {
     Q("events_reach_beta_posterior",
       (s, dir) => {
         import s.implicits._
+        // Same early-window reach as the Wilson query: month-long reach is
+        // saturated (k = n), collapsing every posterior to one constant.
         val ev = graft.Tables.events(s, dir)
         val nUsers = ev.agg(countDistinct($"user_id").as("n"))
-        ev.select($"event_type", $"user_id").distinct()
+        ev.filter($"ts" < "2024-01-04")
+          .select($"event_type", $"user_id").distinct()
           .groupBy($"event_type").agg(count(lit(1)).as("k"))
           .crossJoin(broadcast(nUsers))
           .select($"event_type", $"k", $"n",
@@ -2578,7 +2590,8 @@ object LlmExt3 {
              |  FROM events),
              |reach AS (
              |  SELECT event_type, COUNT(*) AS k FROM (
-             |    SELECT DISTINCT event_type, user_id FROM events)
+             |    SELECT DISTINCT event_type, user_id FROM events
+             |    WHERE ts < TIMESTAMP '2024-01-04')
              |  GROUP BY 1)
              |SELECT event_type, k, nu.n,
              |  CAST(k + 1 AS DOUBLE) / CAST(nu.n + 2 AS DOUBLE) AS post_mean,

@@ -613,7 +613,10 @@ object Scalars {
     Q("fn_binary_codecs",
       (s, dir) => {
         import s.implicits._
-        val b = $"c_name".cast("binary")
+        // Payload includes the market segment so byte length VARIES across
+        // rows (c_name alone is fixed-width — n_bytes was the constant 18,
+        // i.e. the length path was untested beyond one value).
+        val b = concat($"c_name", lit("|"), $"c_mktsegment").cast("binary")
         t(s, dir, "customer").filter($"c_custkey" <= 500)
           .select($"c_custkey",
             base64(b).as("b64"),
@@ -624,11 +627,14 @@ object Scalars {
           .orderBy($"c_custkey")
       },
       Some("""SELECT c_custkey,
-             |  to_base64(encode(c_name)) AS b64,
-             |  decode(from_base64(to_base64(encode(c_name)))) AS b64_roundtrip,
-             |  upper(hex(encode(c_name))) AS hexed,
-             |  decode(unhex(upper(hex(encode(c_name))))) AS hex_roundtrip,
-             |  CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes
+             |  to_base64(encode(c_name || '|' || c_mktsegment)) AS b64,
+             |  decode(from_base64(to_base64(encode(c_name || '|' || c_mktsegment))))
+             |    AS b64_roundtrip,
+             |  upper(hex(encode(c_name || '|' || c_mktsegment))) AS hexed,
+             |  decode(unhex(upper(hex(encode(c_name || '|' || c_mktsegment)))))
+             |    AS hex_roundtrip,
+             |  CAST(octet_length(encode(c_name || '|' || c_mktsegment)) AS BIGINT)
+             |    AS n_bytes
              |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)),
 
     // stack() generator — wide-to-long as a table function (the SQL spelling of

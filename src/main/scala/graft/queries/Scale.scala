@@ -546,35 +546,56 @@ object Scale {
     Q("dq_constraint_check",
       (s, dir) => {
         import s.implicits._
+        // The gate runs against a frame with INJECTED deterministic corruption
+        // (3 dangling foreign keys, 1 negative price) so it demonstrably
+        // catches violations: on the clean table every rule reports 0/passed —
+        // a report that stays green even if the checks were no-ops. pk and
+        // not-null stay clean, so both verdicts appear.
         val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val badFk = o.filter($"o_orderkey" < 3)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            ($"o_custkey" + 10000000L).as("o_custkey"), $"o_totalprice")
+        val badRng = o.filter($"o_orderkey" === 4)
+          .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+            $"o_custkey", lit(-1.0).as("o_totalprice"))
+        val data = o.unionByName(badFk).unionByName(badRng)
         val c = t(s, dir, "customer")
-        val pk = o.agg((count(lit(1)) - countDistinct($"o_orderkey")).as("n_violations"))
+        val pk = data.agg((count(lit(1)) - countDistinct($"o_orderkey")).as("n_violations"))
           .select(lit("pk_unique_o_orderkey").as("rule"), $"n_violations")
-        val fk = o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
+        val fk = data.join(c, $"o_custkey" === $"c_custkey", "left_anti")
           .agg(count(lit(1)).as("n_violations"))
           .select(lit("fk_orders_customer").as("rule"), $"n_violations")
-        val nn = o.filter($"o_totalprice".isNull)
+        val nn = data.filter($"o_totalprice".isNull)
           .agg(count(lit(1)).as("n_violations"))
           .select(lit("not_null_o_totalprice").as("rule"), $"n_violations")
-        val rng = o.filter($"o_totalprice" <= 0.0)
+        val rng = data.filter($"o_totalprice" <= 0.0)
           .agg(count(lit(1)).as("n_violations"))
           .select(lit("range_o_totalprice_pos").as("rule"), $"n_violations")
         pk.union(fk).union(nn).union(rng)
           .withColumn("passed", $"n_violations" === 0L)
           .orderBy($"rule")
       },
-      Some("""SELECT rule, n_violations, n_violations = 0 AS passed FROM (
-             |  SELECT 'pk_unique_o_orderkey' AS rule,
-             |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+      Some("""WITH data AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |  UNION ALL
-             |  SELECT 'fk_orders_customer', COUNT(*) FROM orders o
+             |  SELECT o_orderkey + 10000000, o_custkey + 10000000, o_totalprice
+             |  FROM orders WHERE o_orderkey < 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_custkey, -1.0
+             |  FROM orders WHERE o_orderkey = 4)
+             |SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+             |  SELECT 'pk_unique_o_orderkey' AS rule,
+             |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM data
+             |  UNION ALL
+             |  SELECT 'fk_orders_customer', COUNT(*) FROM data o
              |  WHERE NOT EXISTS (SELECT 1 FROM customer c
              |                    WHERE c.c_custkey = o.o_custkey)
              |  UNION ALL
-             |  SELECT 'not_null_o_totalprice', COUNT(*) FROM orders
+             |  SELECT 'not_null_o_totalprice', COUNT(*) FROM data
              |  WHERE o_totalprice IS NULL
              |  UNION ALL
-             |  SELECT 'range_o_totalprice_pos', COUNT(*) FROM orders
+             |  SELECT 'range_o_totalprice_pos', COUNT(*) FROM data
              |  WHERE o_totalprice <= 0)
              |ORDER BY rule""".stripMargin)),
 
@@ -976,7 +997,10 @@ object Scale {
             timestamp_micros($"last_us").as("last_event"),
             floor(($"horizon_us" - $"last_us") / 60000000L).cast("long")
               .as("lag_minutes"))
-          .withColumn("fresh_ok", $"lag_minutes" <= 120)
+          // SLA threshold sits INSIDE the observed lag spread (18-33 min at
+          // sf0.01), so the breach flag carries both values; at 120 every
+          // source was trivially fresh and the flag was a constant.
+          .withColumn("fresh_ok", $"lag_minutes" <= 30)
           .orderBy($"event_type")
       },
       Some("""WITH per AS (
@@ -987,7 +1011,7 @@ object Scale {
              |SELECT event_type, n_events,
              |  make_timestamp(last_us) AS last_event,
              |  CAST(floor((horizon_us - last_us) / 60000000) AS BIGINT) AS lag_minutes,
-             |  CAST(floor((horizon_us - last_us) / 60000000) AS BIGINT) <= 120
+             |  CAST(floor((horizon_us - last_us) / 60000000) AS BIGINT) <= 30
              |    AS fresh_ok
              |FROM h ORDER BY event_type""".stripMargin))
   )

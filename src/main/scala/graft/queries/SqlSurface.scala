@@ -492,14 +492,21 @@ object SqlSurface {
     Q("sql_named_parameters",
       (s, dir) => {
         graft.Tables.registerAll(s, dir)
+        // The revenue sum goes through DECIMAL (order-free) and varies per
+        // group; max_qty alone saturated at the parameter bound minus one on
+        // every row, leaving nothing the hash could actually falsify.
         s.sql(
-          """SELECT l_linestatus, count(*) AS n, max(l_quantity) AS max_qty
+          """SELECT l_linestatus, count(*) AS n, max(l_quantity) AS max_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS revenue
             |FROM lineitem
             |WHERE l_quantity < :maxq AND l_returnflag = :flag
             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
           Map("maxq" -> 10, "flag" -> "R"))
       },
-      Some("""SELECT l_linestatus, count(*) AS n, max(l_quantity) AS max_qty
+      Some("""SELECT l_linestatus, count(*) AS n, max(l_quantity) AS max_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
              |FROM lineitem
              |WHERE l_quantity < 10 AND l_returnflag = 'R'
              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
