@@ -64,6 +64,72 @@ object Bench {
         "\"" + k + "\":" + (if (best(k).isInfinity) "null" else best(k).toString))
       .mkString("{", ",", "}")
     val total = best.values.filterNot(_.isInfinity).sum
+    // Self-reported regression gate: compare against the most recent prior
+    // per-query snapshot AT THE SAME SF (env override > the committed
+    // BENCH_LOCAL.json snapshot > target/bench_queries.json — the driver's
+    // BENCH_r*.json files truncate their per-query tails, so they can't be
+    // baselines) and emit any query that got >30% AND >0.15s slower. Queries
+    // only on one side are skipped (set drift between rounds isn't a
+    // regression).
+    val baseline: Map[String, Double] =
+      (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(java.nio.file.Paths.get(_)).toSeq ++
+        Seq(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          java.nio.file.Paths.get("target/bench_queries.json")))
+        .iterator
+        .flatMap { p =>
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            if (!txt.contains("\"sf\":\"" + sfDir + "\"")) None
+            else {
+              val qsec = txt.indexOf("\"queries\":{")
+              if (qsec < 0) None else {
+                val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
+                val m = "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r
+                  .findAllMatchIn(body)
+                  .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+                if (m.nonEmpty) Some(m) else None
+              }
+            }
+          } catch { case _: Throwable => None }
+        }
+        .nextOption().getOrElse(Map.empty)
+    // Host-speed normalization: two runs of the SAME code can differ by a
+    // uniform 10-30% (VM steal, cache state), which would flag dozens of
+    // phantom regressions. Scale the baseline by the common-query total
+    // ratio first, so only queries that regressed RELATIVE to the rest of
+    // the suite flag.
+    val common = names.filter(k => baseline.contains(k) && !best(k).isInfinity)
+    val scale =
+      if (common.isEmpty || common.map(baseline).sum == 0.0) 1.0
+      else common.map(best).sum / common.map(baseline).sum
+    def regressed(k: String, t: Double): Boolean = {
+      val base = baseline(k) * scale
+      t > base * 1.3 && t - base > 0.15
+    }
+    // Suspects get a delayed re-measure (2 extra passes at the end of the
+    // run): a real regression is still slow minutes later; a transient host
+    // stall isn't. Same-code back-to-back runs showed ~2% of sub-second
+    // queries landing 30-50% slow in BOTH main passes purely from correlated
+    // host noise — the decorrelated retest is what makes a clean run
+    // actually report clean.
+    val retested = scala.collection.mutable.Map[String, Double]()
+    common.filter(k => regressed(k, best(k))).foreach { k =>
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { consume(SparkEntry.queries(k)(spark, sfDir)) }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      retested(k) = math.min(best(k), t)
+    }
+    val regressions = common.filter(k =>
+      regressed(k, retested.getOrElse(k, best(k))))
+    val regJson = regressions.map(k =>
+        "\"" + k + "\":[" + baseline(k) + "," + retested.getOrElse(k, best(k)) + "]")
+      .mkString("{", ",", "}")
+    regressions.foreach(k =>
+      System.err.println(f"[bench] REGRESSION $k: ${baseline(k)}%.3f -> " +
+        f"${retested.getOrElse(k, best(k))}%.3f s (host-scale ${scale}%.2f)"))
     // Full per-query map: to a file (+ one stdout line for humans). The FINAL stdout
     // line is a short total-only JSON so a tail-capture can never truncate it mid-line.
     def jq(s: String): String = "\"" + s.flatMap {
@@ -73,14 +139,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
       .mkString("{", ",", "}")
     errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"n_regressions":${regressions.size},"regressions":$regJson,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
         full.getBytes("UTF-8"))
+      // Durable round-over-round baseline (committed): only the canonical
+      // driver configuration updates it, so ad-hoc local runs at other SFs
+      // or pass counts can't poison the comparison base.
+      if (sfDir == "/root/testdata/sf0.1" && passes >= 2 && errors.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,10 @@ object SparkEntry {
     Analytics.queries,
     Retrieval.queries,
     SketchQ.queries,
-    LlmExt3.queries
+    LlmExt3.queries,
+    LlmExt3b.queries,
+    LlmExt3c.queries,
+    Analytics2.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -35,9 +35,10 @@ object LlmExt {
     * batches; each incoming batch equi-joins against pre-shuffled buckets
     * instead of recomputing existing-side shingles per batch. */
   private def ensureCorpusStore(s: org.apache.spark.sql.SparkSession,
-      dir: String, existing: org.apache.spark.sql.DataFrame): (String, String) = {
+      dir: String, existing: org.apache.spark.sql.DataFrame,
+      tag: String = ""): (String, String) = {
     val suffix = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+      scala.util.hashing.MurmurHash3.stringHash(dir + tag) & 0x7fffffff)
     val hashTbl = s"corpus_hash_$suffix"
     val shTbl = s"corpus_shingle_$suffix"
     def ensure(tbl: String)(build: => Unit): Unit =
@@ -548,6 +549,125 @@ object LlmExt {
               |SELECT e.doc_id, e.dup_exact,
               |  COALESCE(near.near_dup, FALSE) AS near_dup
               |FROM exact e LEFT JOIN near USING (doc_id)
+              |ORDER BY e.doc_id""".stripMargin)),
+
+    // The CLOSED incremental-dedup loop — the full production lifecycle the
+    // single-batch query above stops short of: dedup batch 1 against the
+    // corpus store, fold batch 1's SURVIVORS back into the store (hash table +
+    // df-capped shingle table, rebuilt compaction-style so the τ cap holds on
+    // the merged contents), then dedup batch 2 against the UPDATED store.
+    // Batch 2 deliberately re-crawls half its pages from batch-1 content
+    // (even ids carry the previous doc's text), so its exact-dup hits exist
+    // ONLY IF the update step actually landed — a store-update no-op flips
+    // those rows to false and the hash catches it. Both stores are build-once
+    // bucketed tables (digest- and shingle-bucketed): each batch equi-joins
+    // pre-shuffled buckets, the scale shape that amortizes the corpus side
+    // across every future batch at 100 TB.
+    Q("dedup_incremental_store_update",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val existing = docs.filter($"doc_id" % 3 === 0)
+        val batch1 = docs.filter($"doc_id" % 3 === 1)
+        val prev = docs.select(($"doc_id" + 1).as("doc_id"),
+          $"text".as("prev_text"))
+        val batch2 = docs.filter($"doc_id" % 3 === 2).join(prev, "doc_id")
+          .select($"doc_id",
+            when($"doc_id" % 2 === 0, $"prev_text").otherwise($"text")
+              .as("text"))
+        def dedupVs(batch: org.apache.spark.sql.DataFrame,
+            hashTbl: String, shTbl: String): org.apache.spark.sql.DataFrame = {
+          val exact = batch
+            .select($"doc_id", sha2($"text".cast("binary"), 256).as("h"))
+            .join(s.table(hashTbl).withColumn("xhit", lit(1)), Seq("h"), "left")
+            .select($"doc_id", $"xhit".isNotNull.as("dup_exact"))
+          val shNew = graft.llm.Dedup.shingleFrame(batch, "doc_id", "text", 3)
+          val nNew = shNew.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+          val near = shNew.join(s.table(shTbl), "shingle")
+            .groupBy($"doc_id", $"old_id").agg(count(lit(1)).as("n_shared"))
+            .join(nNew, "doc_id")
+            .groupBy($"doc_id")
+            .agg((max($"n_shared".cast("double") / $"n_sh") >= 0.5d)
+              .as("near_dup"))
+          exact.join(near, Seq("doc_id"), "left")
+            .select($"doc_id", $"dup_exact",
+              coalesce($"near_dup", lit(false)).as("near_dup"))
+        }
+        val (h1, s1) = ensureCorpusStore(s, dir, existing, tag = "3w")
+        val survivors = dedupVs(batch1, h1, s1)
+          .filter(!$"dup_exact" && !$"near_dup").select($"doc_id")
+          .join(batch1, "doc_id")
+        val (h2, s2) = ensureCorpusStore(s, dir,
+          existing.unionByName(survivors), tag = "3wv2")
+        dedupVs(batch2, h2, s2).orderBy($"doc_id")
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+              |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+              |b2 AS (
+              |  SELECT d.doc_id,
+              |    CASE WHEN d.doc_id % 2 = 0 THEN p.text ELSE d.text END
+              |      AS text
+              |  FROM documents d JOIN documents p ON p.doc_id = d.doc_id - 1
+              |  WHERE d.doc_id % 3 = 2),
+              |all_docs AS (
+              |  SELECT 'ex' AS part, doc_id, text FROM ex
+              |  UNION ALL SELECT 'b1', doc_id, text FROM b1
+              |  UNION ALL SELECT 'b2', doc_id, text FROM b2),
+              |toks AS (
+              |  SELECT part, doc_id, $duckToksSql AS tk FROM all_docs),
+              |shing AS (
+              |  SELECT part, doc_id, unnest($duckShingles3Sql) AS shingle
+              |  FROM toks),
+              |ex_capped AS (
+              |  SELECT doc_id AS old_id, shingle FROM shing WHERE part = 'ex'
+              |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $corpusDfTau),
+              |b1n AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing
+              |        WHERE part = 'b1' GROUP BY 1),
+              |b1_shared AS (
+              |  SELECT a.doc_id, b.old_id, COUNT(*) AS cnt
+              |  FROM shing a JOIN ex_capped b USING (shingle)
+              |  WHERE a.part = 'b1' GROUP BY 1, 2),
+              |b1_near AS (
+              |  SELECT s.doc_id, MAX(s.cnt * 1.0 / n.n_sh) >= 0.5 AS near_dup
+              |  FROM b1_shared s JOIN b1n n USING (doc_id) GROUP BY 1),
+              |b1_exact AS (
+              |  SELECT b.doc_id,
+              |    MAX(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+              |      AS dup_exact
+              |  FROM b1 b LEFT JOIN ex e ON md5(e.text) = md5(b.text)
+              |  GROUP BY 1),
+              |surv AS (
+              |  SELECT b1.doc_id, b1.text FROM b1
+              |  JOIN b1_exact USING (doc_id)
+              |  LEFT JOIN b1_near USING (doc_id)
+              |  WHERE NOT dup_exact AND NOT COALESCE(near_dup, FALSE)),
+              |v2_docs AS (
+              |  SELECT doc_id, text FROM ex
+              |  UNION ALL SELECT doc_id, text FROM surv),
+              |v2_sh AS (
+              |  SELECT doc_id AS old_id, shingle FROM shing
+              |  WHERE part = 'ex'
+              |     OR (part = 'b1' AND doc_id IN (SELECT doc_id FROM surv))
+              |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $corpusDfTau),
+              |b2n AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing
+              |        WHERE part = 'b2' GROUP BY 1),
+              |b2_shared AS (
+              |  SELECT a.doc_id, b.old_id, COUNT(*) AS cnt
+              |  FROM shing a JOIN v2_sh b USING (shingle)
+              |  WHERE a.part = 'b2' GROUP BY 1, 2),
+              |b2_near AS (
+              |  SELECT s.doc_id, MAX(s.cnt * 1.0 / n.n_sh) >= 0.5 AS near_dup
+              |  FROM b2_shared s JOIN b2n n USING (doc_id) GROUP BY 1),
+              |b2_exact AS (
+              |  SELECT b.doc_id,
+              |    MAX(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+              |      AS dup_exact
+              |  FROM b2 b LEFT JOIN v2_docs v ON md5(v.text) = md5(b.text)
+              |  GROUP BY 1)
+              |SELECT e.doc_id, e.dup_exact,
+              |  COALESCE(n.near_dup, FALSE) AS near_dup
+              |FROM b2_exact e LEFT JOIN b2_near n USING (doc_id)
               |ORDER BY e.doc_id""".stripMargin)),
 
     // IVF-PQ ADC search (Jegou et al. 2011 — the FAISS IVFADC composition): the

@@ -63,6 +63,33 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // foreachBatch sink probe: same MemoryStream drive, but the sink is a
+    // foreachBatch handler (df.count() forces each micro-batch end-to-end) —
+    // the operational upsert/multi-sink path, which has no memory-sink plan.
+    def probeForeachBatch(op: String, mode: OutputMode = OutputMode.Update())(
+        mk: DataFrame => DataFrame): Unit = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val events = in.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      var sunk = 0L
+      val q = mk(events).writeStream.outputMode(mode)
+        .foreachBatch((df: DataFrame, _: Long) => { sunk += df.count() })
+        .start()
+      try {
+        in.addData(batch(0))
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nBatches).foreach { b =>
+          in.addData(batch(b))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = rowsPerBatch.toLong * nBatches
+        println(f"""{"op":"$op","rows":$rows,"batches":$nBatches,""" +
+          f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"sunk":$sunk}""")
+      } finally q.stop()
+    }
+
     import graft.streaming.Streaming
     probe("tumbling_agg")(Streaming.tumblingCounts(_, "10 minutes", "30 minutes"))
     probe("sliding_agg")(Streaming.slidingCounts(_, "10 minutes", "5 minutes",
@@ -73,10 +100,21 @@ object StreamBench {
       Streaming.dedupWithinWatermark(_, "30 minutes"))
     probe("stream_stream_join", OutputMode.Append())(
       Streaming.streamStreamClickBuy(_, "10 minutes", "30 minutes"))
+    probe("stream_stream_outer_join", OutputMode.Append())(
+      Streaming.streamStreamClickBuyOuter(_, "10 minutes", "30 minutes"))
+    probe("chained_join_then_window", OutputMode.Append())(
+      Streaming.chainedClickBuyWindowCounts(_, "10 minutes", "30 minutes",
+        "15 minutes"))
     probe("mapGroupsWithState")(Streaming.runningUserTotals(spark, _).toDF())
     probe("flatMapGroupsWithState", OutputMode.Append())(
       Streaming.userHighWaterMarks(spark, _).toDF())
-    probe("transformWithState_value")(Streaming.runningUserTopTypes(spark, _).toDF())
+    probe("transformWithState_value")(Streaming.runningUserPeaks(spark, _).toDF())
+    probe("transformWithState_list_map")(
+      Streaming.runningUserTopTypes(spark, _).toDF())
+    probe("transformWithState_evt_timers", OutputMode.Append())(
+      Streaming.timerSessions(spark, _, 300000L, "30 minutes").toDF())
+    probeForeachBatch("foreachbatch_sink")(
+      Streaming.tumblingCounts(_, "10 minutes", "30 minutes"))
     spark.stop()
   }
 }
