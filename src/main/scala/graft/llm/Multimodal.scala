@@ -41,6 +41,15 @@ case class ChannelStats(doc_id: Long, n_px: Long,
 case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Int,
     sum_s: Long, min_s: Int, max_s: Int, energy: Long, zero_cross: Long)
 
+/** Per-image Sobel gradient statistics over the interior pixels —
+  * integer-exact (|gx|+|gy| magnitude, no sqrt). */
+case class SobelStats(doc_id: Long, n_interior: Long, sum_mag: Long,
+    max_mag: Long, n_edges: Long)
+
+/** Goertzel single-bin spectral power at a target bin and at DC — the
+  * cheap tone-detection primitive (DTMF/beep gates) that needs no FFT. */
+case class GoertzelPower(doc_id: Long, n: Int, p_target: Double, p_dc: Double)
+
 /** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video)
   * is carried as opaque `binary` columns plus a typed metadata struct; decode /
   * feature-extraction / resize / frame-sampling run partition-wise
@@ -488,6 +497,68 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { rec =>
       rec.copy(payload = Bmp.encode(Bmp.resizeNearest(Bmp.decode(rec.payload), w2, h2)))
+    })
+  }
+
+  /** Decode → 3×3 Sobel edge statistics over the grayscale (r+g+b) interior:
+    * gx/gy from the standard kernels, magnitude |gx|+|gy| (the integer-exact
+    * L1 form — no sqrt), per-image sum/max/edge-count. The convolution runs
+    * inside the one codec-stage pass with direct neighbor indexing — no
+    * pixel frame, no 9-way shuffle join; at 100 TB the kernel cost is pure
+    * per-record CPU on the executor that already holds the bytes. */
+  def sobelStats(spark: SparkSession, media: Dataset[MediaRecord],
+      thresh: Int): Dataset[SobelStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      def g(x: Int, y: Int): Long =
+        img.r(x, y).toLong + img.g(x, y) + img.b(x, y)
+      var sum = 0L; var mx = 0L; var edges = 0L; var n = 0L
+      var y = 1
+      while (y < img.height - 1) {
+        var x = 1
+        while (x < img.width - 1) {
+          val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+            (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+          val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+            (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+          val mag = math.abs(gx) + math.abs(gy)
+          sum += mag; if (mag > mx) mx = mag; if (mag > thresh) edges += 1
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      SobelStats(rec.doc_id, n, sum, mx, edges)
+    })
+  }
+
+  /** Decode → Goertzel recursion over the first `nSamples` samples:
+    * s₀ = x + coeff·s₁ − s₂ per sample, power = s₁² + s₂² − coeff·s₁·s₂,
+    * evaluated at the target-bin coefficient AND at DC (coeff = 2) so the
+    * caller gets a tone-to-baseline contrast. The coefficient is a pinned
+    * literal (2·cos(2πk/N) precomputed — no libm call at runtime on either
+    * engine), and the recursion is the same pinned IEEE arithmetic a
+    * recursive-CTE oracle steps. Mono only; one codec-stage pass. */
+  def goertzelPower(spark: SparkSession, media: Dataset[MediaRecord],
+      nSamples: Int, coeff: Double): Dataset[GoertzelPower] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val pcm = Wav.decode(rec.payload)
+      require(pcm.channels == 1, "goertzelPower is mono-only")
+      require(pcm.samples.length >= nSamples,
+        s"need $nSamples samples, got ${pcm.samples.length}")
+      var s1 = 0.0d; var s2 = 0.0d; var d1 = 0.0d; var d2 = 0.0d
+      var i = 0
+      while (i < nSamples) {
+        val x = pcm.samples(i).toDouble
+        val s0 = x + coeff * s1 - s2; s2 = s1; s1 = s0
+        val t0 = x + 2.0d * d1 - d2; d2 = d1; d1 = t0
+        i += 1
+      }
+      GoertzelPower(rec.doc_id, nSamples,
+        s1 * s1 + s2 * s2 - coeff * s1 * s2,
+        d1 * d1 + d2 * d2 - 2.0d * d1 * d2)
     })
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.llm.Multimodal
 import QueryDSL._
 
 /** Fifth-wave analytics/ML-feature operators:
@@ -393,6 +394,426 @@ object Analytics2 {
              |  ('o_orderstatus', 'string',  CAST(NULL AS VARCHAR), 'removed'),
              |  ('o_totalprice',  'float',   'string',   'type_changed'))
              |  t(column_name, v1_type, v2_type, status)
-             |ORDER BY column_name""".stripMargin))
+             |ORDER BY column_name""".stripMargin)),
+
+    // windowFunnel (the ClickHouse-style time-constrained ordered funnel,
+    // distinct from both existing funnels: the ordered one has no time
+    // window, the bitmask one no order): per signup start, greedily chain
+    // the earliest later view → click → purchase; the reached level counts
+    // only steps inside the 6-hour window from the start. Greedy-earliest
+    // is optimal per start, and the per-user level maximizes over starts.
+    // Every stage is a user-keyed equi-join + min-agg — at 100 TB this is
+    // |steps| shuffles on the join key, never a per-user collect. Window
+    // arithmetic in integer microseconds.
+    Q("events_window_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val winUs = 21600L * 1000000L
+        val ev = graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_type")
+        def step(of: String) = ev.filter($"event_type" === of)
+        val s1 = step("signup").select($"user_id", $"ts".as("t1"))
+        val t2 = s1.join(step("view").select($"user_id", $"ts".as("vt")),
+            Seq("user_id")).filter($"vt" > $"t1")
+          .groupBy($"user_id", $"t1").agg(min($"vt").as("t2"))
+        val t3 = t2.join(step("click").select($"user_id", $"ts".as("ct")),
+            Seq("user_id")).filter($"ct" > $"t2")
+          .groupBy($"user_id", $"t1").agg(min($"ct").as("t3"))
+        val t4 = t3.join(step("purchase").select($"user_id", $"ts".as("pt")),
+            Seq("user_id")).filter($"pt" > $"t3")
+          .groupBy($"user_id", $"t1").agg(min($"pt").as("t4"))
+        val lv = s1
+          .join(t2, Seq("user_id", "t1"), "left")
+          .join(t3.select($"user_id", $"t1", $"t3"), Seq("user_id", "t1"), "left")
+          .join(t4.select($"user_id", $"t1", $"t4"), Seq("user_id", "t1"), "left")
+          .select($"user_id",
+            when($"t2".isNull ||
+                unix_micros($"t2") - unix_micros($"t1") > winUs, 1)
+              .when($"t3".isNull ||
+                unix_micros($"t3") - unix_micros($"t1") > winUs, 2)
+              .when($"t4".isNull ||
+                unix_micros($"t4") - unix_micros($"t1") > winUs, 3)
+              .otherwise(4).as("lvl"))
+        lv.groupBy($"user_id").agg(max($"lvl").as("lvl"))
+          .groupBy($"lvl").agg(count(lit(1)).as("n_users"))
+          .orderBy($"lvl")
+      },
+      Some("""WITH s1 AS (SELECT user_id, ts AS t1 FROM events
+             |            WHERE event_type = 'signup'),
+             |t2 AS (SELECT s1.user_id, s1.t1, MIN(v.ts) AS t2
+             |       FROM s1 JOIN events v ON v.user_id = s1.user_id
+             |        AND v.event_type = 'view' AND v.ts > s1.t1 GROUP BY 1, 2),
+             |t3 AS (SELECT t2.user_id, t2.t1, MIN(c.ts) AS t3
+             |       FROM t2 JOIN events c ON c.user_id = t2.user_id
+             |        AND c.event_type = 'click' AND c.ts > t2.t2 GROUP BY 1, 2),
+             |t4 AS (SELECT t3.user_id, t3.t1, MIN(p.ts) AS t4
+             |       FROM t3 JOIN events p ON p.user_id = t3.user_id
+             |        AND p.event_type = 'purchase' AND p.ts > t3.t3
+             |       GROUP BY 1, 2),
+             |lv AS (
+             |  SELECT s1.user_id,
+             |    CASE WHEN t2.t2 IS NULL
+             |           OR epoch_us(t2.t2) - epoch_us(s1.t1) > 21600000000
+             |           THEN 1
+             |         WHEN t3.t3 IS NULL
+             |           OR epoch_us(t3.t3) - epoch_us(s1.t1) > 21600000000
+             |           THEN 2
+             |         WHEN t4.t4 IS NULL
+             |           OR epoch_us(t4.t4) - epoch_us(s1.t1) > 21600000000
+             |           THEN 3
+             |         ELSE 4 END AS lvl
+             |  FROM s1 LEFT JOIN t2 USING (user_id, t1)
+             |  LEFT JOIN t3 USING (user_id, t1)
+             |  LEFT JOIN t4 USING (user_id, t1)),
+             |ul AS (SELECT user_id, MAX(lvl) AS lvl FROM lv GROUP BY 1)
+             |SELECT lvl, COUNT(*) AS n_users FROM ul
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 3×3 Sobel edge statistics over the decoded BMP corpus — the
+    // convolution-stage archetype (blur/sharpen/edge kernels) on top of the
+    // real codec: grayscale = r+g+b (integer, no luma weights), L1 gradient
+    // magnitude |gx|+|gy| (integer-exact, no sqrt), per-image sum / max /
+    // edge-count at a fixed threshold. The kernel runs inside the decode
+    // pass with direct neighbor indexing; the oracle recomputes every
+    // neighbor from the closed-form pixel formula, so kernel addressing
+    // (offsets, border exclusion, channel collapse) is hash-pinned.
+    Q("multimodal_image_sobel",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.sobelStats(s,
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 60)), 600)
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some {
+        def g(xe: String, ye: String) =
+          s"""((doc_id*31 + ($xe)*7 + ($ye)*13) % 256
+             | + (doc_id*31 + ($xe)*7 + ($ye)*13 + 101) % 256
+             | + (doc_id*31 + ($xe)*7 + ($ye)*13 + 202) % 256)""".stripMargin
+             .replaceAll("\\s+", " ")
+        s"""WITH dims AS (
+           |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id < 60),
+           |xs AS (SELECT doc_id, h, unnest(range(1, w - 1)) AS x FROM dims),
+           |xy AS (SELECT doc_id, x, unnest(range(1, h - 1)) AS y FROM xs),
+           |m AS (
+           |  SELECT doc_id, x, y,
+           |    abs((${g("x+1", "y-1")} + 2*${g("x+1", "y")} + ${g("x+1", "y+1")})
+           |      - (${g("x-1", "y-1")} + 2*${g("x-1", "y")} + ${g("x-1", "y+1")}))
+           |    + abs((${g("x-1", "y+1")} + 2*${g("x", "y+1")} + ${g("x+1", "y+1")})
+           |      - (${g("x-1", "y-1")} + 2*${g("x", "y-1")} + ${g("x+1", "y-1")}))
+           |      AS mag
+           |  FROM xy)
+           |SELECT doc_id, COUNT(*) AS n_interior,
+           |  CAST(SUM(mag) AS BIGINT) AS sum_mag,
+           |  CAST(MAX(mag) AS BIGINT) AS max_mag,
+           |  CAST(SUM(CASE WHEN mag > 600 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_edges
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Goertzel single-bin tone detection over the decoded WAV corpus — the
+    // FFT-free spectral probe (DTMF / beep / hum gates): the 2nd-order
+    // recursion s₀ = x + coeff·s₁ − s₂ over the first 200 samples at bin 5
+    // (coeff = 2·cos(2π·5/200), pinned as a literal — no runtime libm) and
+    // at DC (coeff = 2) for contrast; power = s₁² + s₂² − coeff·s₁·s₂. One
+    // codec-stage pass per record; the oracle's recursive CTE steps the
+    // identical IEEE recursion from the synthetic sample formula, so the
+    // decode AND the 200-step arithmetic are hash-pinned end to end.
+    Q("multimodal_audio_goertzel",
+      (s, dir) => {
+        import s.implicits._
+        val coeff = 1.9753766811902755d
+        Multimodal.goertzelPower(s,
+            Multimodal.syntheticAudio(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)), 200, coeff)
+          .toDF()
+          .select($"doc_id", $"n",
+            round($"p_target", 2).as("p_target"),
+            round($"p_dc", 2).as("p_dc"),
+            ($"p_target" > $"p_dc").as("tone_dominant"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id FROM documents WHERE doc_id < 100),
+             |g AS (
+             |  SELECT doc_id, 0 AS i, CAST(0 AS DOUBLE) AS s1,
+             |    CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS d1,
+             |    CAST(0 AS DOUBLE) AS d2
+             |  FROM docs
+             |  UNION ALL
+             |  SELECT doc_id, i + 1,
+             |    CAST((doc_id*37 + i*13) % 2048 - 1024 AS DOUBLE)
+             |      + CAST(1.9753766811902755 AS DOUBLE) * s1 - s2,
+             |    s1,
+             |    CAST((doc_id*37 + i*13) % 2048 - 1024 AS DOUBLE)
+             |      + 2.0 * d1 - d2,
+             |    d1
+             |  FROM g WHERE i < 200)
+             |SELECT doc_id, 200 AS n,
+             |  round(s1 * s1 + s2 * s2 - CAST(1.9753766811902755 AS DOUBLE) * s1 * s2, 2)
+             |    AS p_target,
+             |  round(d1 * d1 + d2 * d2 - 2.0 * d1 * d2, 2) AS p_dc,
+             |  (s1 * s1 + s2 * s2 - CAST(1.9753766811902755 AS DOUBLE) * s1 * s2)
+             |    > (d1 * d1 + d2 * d2 - 2.0 * d1 * d2) AS tone_dominant
+             |FROM g WHERE i = 200 ORDER BY doc_id""".stripMargin)),
+
+    // Group-sequential monitoring with an O'Brien-Fleming-shaped boundary —
+    // the peek-every-day A/B discipline that controls type-I error without
+    // waiting for the fixed horizon: daily cumulative two-proportion z
+    // against b_t = z_crit·√(N_T/N_t) (wide early, z_crit at full
+    // information). Arms split by user hash; the B arm carries an injected
+    // deterministic lift (every 8th signup counts as a conversion) so the
+    // crossing actually happens mid-experiment instead of never. Counts are
+    // exact integers; z and the boundary are single pinned IEEE
+    // expressions per day (sqrt only — no libm); the 30-row day frame is
+    // the only window input. The single-row total-information cross is a
+    // sanctioned scalar fan-in.
+    Q("events_sequential_obf",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.Tables.events(s, dir)
+          .select(($"user_id" % 2).as("arm"),
+            to_date($"ts").as("day"),
+            when($"user_id" % 2 === 0,
+              ($"event_type" === "purchase").cast("int"))
+              .otherwise(($"event_type" === "purchase" ||
+                ($"event_type" === "signup" && $"event_id" % 8 === 0))
+                .cast("int")).as("conv"))
+        val daily = e.groupBy($"arm", $"day")
+          .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+        val cum = daily.select($"arm", $"day",
+          sum($"n").over(Window.partitionBy($"arm").orderBy($"day"))
+            .as("cn"),
+          sum($"k").over(Window.partitionBy($"arm").orderBy($"day"))
+            .as("ck"))
+        val wide = cum.filter($"arm" === 0)
+          .select($"day", $"cn".as("na"), $"ck".as("ka"))
+          .join(cum.filter($"arm" === 1)
+            .select($"day".as("d2"), $"cn".as("nb"), $"ck".as("kb")),
+            $"day" === $"d2")
+        val nTot = e.agg(count(lit(1)).cast("double").as("n_total"))
+        wide.crossJoin(broadcast(nTot))
+          .select($"day", $"na", $"ka", $"nb", $"kb", $"n_total")
+          .withColumn("pp",
+            ($"ka" + $"kb").cast("double") / ($"na" + $"nb").cast("double"))
+          .withColumn("z",
+            ($"kb".cast("double") / $"nb".cast("double") -
+              $"ka".cast("double") / $"na".cast("double")) /
+              sqrt($"pp" * (lit(1.0d) - $"pp") *
+                (lit(1.0d) / $"na".cast("double") +
+                  lit(1.0d) / $"nb".cast("double"))))
+          .withColumn("boundary",
+            lit(2.0d) * sqrt($"n_total" / ($"na" + $"nb").cast("double")))
+          .select($"day", $"na", $"kb",
+            round($"z", 9).as("z"),
+            round($"boundary", 9).as("boundary"),
+            (abs($"z") > $"boundary").as("crossed"))
+          .orderBy($"day")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+             |    CASE WHEN user_id % 2 = 0 THEN
+             |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |    ELSE CASE WHEN event_type = 'purchase'
+             |      OR (event_type = 'signup' AND event_id % 8 = 0)
+             |      THEN 1 ELSE 0 END END AS conv
+             |  FROM events),
+             |d AS (SELECT arm, day, COUNT(*) AS n,
+             |        CAST(SUM(conv) AS BIGINT) AS k
+             |      FROM e GROUP BY 1, 2),
+             |c AS (SELECT arm, day,
+             |        CAST(SUM(n) OVER (PARTITION BY arm ORDER BY day)
+             |          AS BIGINT) AS cn,
+             |        CAST(SUM(k) OVER (PARTITION BY arm ORDER BY day)
+             |          AS BIGINT) AS ck
+             |      FROM d),
+             |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM e),
+             |w AS (SELECT a.day, a.cn AS na, a.ck AS ka,
+             |        b.cn AS nb, b.ck AS kb
+             |      FROM c a JOIN c b ON a.day = b.day
+             |        AND a.arm = 0 AND b.arm = 1),
+             |s AS (
+             |  SELECT w.day, w.na, w.kb, nt.n_total,
+             |    CAST(w.ka + w.kb AS DOUBLE) / CAST(w.na + w.nb AS DOUBLE)
+             |      AS pp,
+             |    CAST(w.kb AS DOUBLE) / CAST(w.nb AS DOUBLE) -
+             |      CAST(w.ka AS DOUBLE) / CAST(w.na AS DOUBLE) AS diff,
+             |    1.0 / CAST(w.na AS DOUBLE) + 1.0 / CAST(w.nb AS DOUBLE)
+             |      AS invn,
+             |    CAST(w.na + w.nb AS DOUBLE) AS nt_t
+             |  FROM w, nt)
+             |SELECT day, na, kb,
+             |  round(diff / sqrt(pp * (1.0 - pp) * invn), 9) AS z,
+             |  round(2.0 * sqrt(n_total / nt_t), 9) AS boundary,
+             |  abs(diff / sqrt(pp * (1.0 - pp) * invn))
+             |    > 2.0 * sqrt(n_total / nt_t) AS crossed
+             |FROM s ORDER BY day""".stripMargin)),
+
+    // DoReMi-style domain reweighting by multiplicative weights (the
+    // linearized no-regret update — exp-free, so fully engine-pinned):
+    // domains = languages, per-domain excess signal = mean chars/1000, and
+    // 6 rounds of w ← normalize(w·(1 + η·loss)) where loss_d =
+    // base_d/(1+w_d) — the diminishing-returns feedback (upweighted
+    // domains report less excess) that makes the fixed point non-trivial.
+    // Everything runs on the 5-row domain frame: products are pinned IEEE,
+    // normalizers are decimal sums, and each round's single-row
+    // normalizer cross is a sanctioned scalar fan-in. The oracle unrolls
+    // the identical 6 rounds.
+    Q("sample_domain_mw_weights",
+      (s, dir) => {
+        import s.implicits._
+        val eta = 0.3d
+        val base = t(s, dir, "documents")
+          .groupBy($"lang")
+          .agg((davg($"n_chars") / 1000.0d).cast("double").as("base_d"))
+          .localCheckpoint()
+        val k = base.count().toDouble
+        var w = base.select($"lang", $"base_d",
+          (lit(1.0d) / lit(k)).as("w"))
+        (1 to 6).foreach { _ =>
+          val up = w.select($"lang", $"base_d",
+            ($"w" * (lit(1.0d) + lit(eta) *
+              ($"base_d" / (lit(1.0d) + $"w")))).as("uw"))
+          val tot = up.agg(
+            sum($"uw".cast("decimal(30,12)")).cast("double").as("tot"))
+          // checkpoint the 5-row frame per round: the normalizer cross reads
+          // `up` twice (sum + division), so an unbroken lineage doubles the
+          // plan every round (63 BNLJ instances in the lint vs 1)
+          w = up.crossJoin(broadcast(tot))
+            .select($"lang", $"base_d", ($"uw" / $"tot").as("w"))
+            .localCheckpoint()
+        }
+        w.select($"lang", round($"base_d", 9).as("base_d"),
+            round($"w", 9).as("mix_weight"))
+          .orderBy($"lang")
+      },
+      Some {
+        val round = (r: Int) =>
+          s"""u$r AS (
+             |  SELECT lang, base_d,
+             |    w * (1.0 + 0.3 * (base_d / (1.0 + w))) AS uw
+             |  FROM w${r - 1}),
+             |w$r AS (
+             |  SELECT lang, base_d, uw / t.tot AS w
+             |  FROM u$r, (SELECT CAST(SUM(CAST(uw AS DECIMAL(30,12)))
+             |               AS DOUBLE) AS tot FROM u$r) t)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT lang,
+           |    CAST(${QueryDSL.sqlDavg("n_chars")} / 1000.0 AS DOUBLE)
+           |      AS base_d
+           |  FROM documents GROUP BY 1),
+           |kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM base),
+           |w0 AS (SELECT lang, base_d, 1.0 / kk.k AS w FROM base, kk),
+           |${(1 to 6).map(round).mkString(",\n")}
+           |SELECT lang, round(base_d, 9) AS base_d,
+           |  round(w, 9) AS mix_weight
+           |FROM w6 ORDER BY lang""".stripMargin
+      }),
+
+    // WordPiece tokenization (the BERT tokenizer): vocab = every single
+    // character plus the top-40 multi-character 1-4-grams per class
+    // (word-initial vs ## continuation, counted corpus-frequency-weighted,
+    // ties broken lexicographically), then greedy longest-match-first
+    // segmentation of every corpus word. Scale shape: vocab building is
+    // two distributed aggs over the distinct-word frame; the selected
+    // vocab is a BOUNDED model artifact (≤~100 entries) broadcast into a
+    // map-side segmenter — the corpus itself is never collected, and at
+    // 100 TB the apply step is embarrassingly parallel. The oracle builds
+    // the identical vocab in SQL, precomputes a greedy jump table
+    // (longest vocab match per word/position), and walks it with a
+    // recursive pointer chase — so vocab selection, class routing, and
+    // greedy semantics are all hash-pinned.
+    Q("text_wordpiece_apply",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(graft.llm.TextFunctions.tokens($"text")).as("w"))
+        val wf = toks.groupBy($"w").agg(count(lit(1)).as("nw"))
+          .localCheckpoint()
+        val sub = wf
+          .select($"w", $"nw",
+            explode(sequence(lit(0), length($"w") - 1)).as("pos"))
+          .select($"w", $"nw", $"pos",
+            explode(sequence(lit(1),
+              least(lit(4), length($"w") - $"pos"))).as("len"))
+          .select($"w", $"nw", ($"pos" === 0).as("is_init"),
+            expr("substring(w, pos + 1, len)").as("gram"))
+        val grams = sub.groupBy($"gram", $"is_init")
+          .agg(sum($"nw").as("cnt"))
+        val ranked = grams.filter(length($"gram") > 1)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"is_init").orderBy($"cnt".desc, $"gram")))
+          .filter($"rk" <= 40).select($"gram", $"is_init")
+        val vocabDf = ranked.unionByName(
+          grams.filter(length($"gram") === 1).select($"gram", $"is_init"))
+        // bounded model artifact (≤ 40·2 + charset·2 entries) → broadcast
+        val vocabSet: Set[(String, Boolean)] = vocabDf.collect()
+          .map(r => (r.getString(0), r.getBoolean(1))).toSet
+        val pieces = wf.select($"w".as[String], $"nw".as[Long])
+          .flatMap { case (word, nw) =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Long, String)]
+            var pos = 0
+            while (pos < word.length) {
+              var len = math.min(4, word.length - pos)
+              while (len > 1 &&
+                  !vocabSet((word.substring(pos, pos + len), pos == 0)))
+                len -= 1
+              val gram = word.substring(pos, pos + len)
+              out += (((if (pos == 0) gram else "##" + gram), nw, word))
+              pos += len
+            }
+            out
+          }.toDF("piece", "nw", "w")
+        pieces.groupBy($"piece")
+          .agg(sum($"nw").as("n_uses"), countDistinct($"w").as("n_words"))
+          .orderBy($"piece")
+      },
+      Some {
+        val toksSql =
+          "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT unnest($toksSql) AS w FROM documents),
+           |wf AS (SELECT w, COUNT(*) AS nw FROM toks GROUP BY 1),
+           |sub AS (
+           |  SELECT w, nw, pos, len, substring(w, pos + 1, len) AS gram,
+           |    pos = 0 AS is_init
+           |  FROM wf, unnest(range(0, length(w))) p(pos),
+           |       unnest(range(1, 5)) l(len)
+           |  WHERE pos + len <= length(w)),
+           |grams AS (SELECT gram, is_init, CAST(SUM(nw) AS BIGINT) AS cnt
+           |          FROM sub GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT gram, is_init FROM grams WHERE length(gram) > 1
+           |  QUALIFY row_number() OVER (PARTITION BY is_init
+           |    ORDER BY cnt DESC, gram) <= 40),
+           |vocab AS (
+           |  SELECT gram, is_init FROM ranked
+           |  UNION ALL
+           |  SELECT gram, is_init FROM grams WHERE length(gram) = 1),
+           |jump AS (
+           |  SELECT s.w, s.pos, s.gram, s.len
+           |  FROM sub s JOIN vocab v
+           |    ON v.gram = s.gram AND v.is_init = (s.pos = 0)
+           |  QUALIFY row_number() OVER (PARTITION BY s.w, s.pos
+           |    ORDER BY s.len DESC) = 1),
+           |seg AS (
+           |  SELECT w, nw, 0 AS pos FROM wf
+           |  UNION ALL
+           |  SELECT seg.w, seg.nw, seg.pos + j.len
+           |  FROM seg JOIN jump j ON j.w = seg.w AND j.pos = seg.pos
+           |  WHERE seg.pos < length(seg.w)),
+           |pieces AS (
+           |  SELECT seg.w, seg.nw,
+           |    CASE WHEN seg.pos = 0 THEN j.gram
+           |         ELSE '##' || j.gram END AS piece
+           |  FROM seg JOIN jump j ON j.w = seg.w AND j.pos = seg.pos
+           |  WHERE seg.pos < length(seg.w))
+           |SELECT piece, CAST(SUM(nw) AS BIGINT) AS n_uses,
+           |  COUNT(DISTINCT w) AS n_words
+           |FROM pieces GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }
