@@ -36,7 +36,8 @@ object SparkEntry {
     LlmExt3.queries,
     LlmExt3b.queries,
     LlmExt3c.queries,
-    Analytics2.queries
+    Analytics2.queries,
+    Analytics3.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDSL._
+
+/** Sixth-wave operators: closeness centrality by synchronous multi-source
+  * BFS, Qini-curve uplift evaluation by treatment decile, additive
+  * Holt-Winters (level + trend + weekly seasonality) forecasting, and
+  * two-stage residual vector quantization. Determinism rules as everywhere:
+  * integer counts, decimal sums for order-sensitive reductions, pinned IEEE
+  * recursions mirrored by unrolled / recursive oracle CTEs. */
+object Analytics3 {
+
+  val queries: Seq[Q] = Seq(
+
+    // Closeness centrality over the undirected customer-nation ↔
+    // supplier-nation trade graph: synchronous multi-source BFS (6 rounds —
+    // past the graph's diameter) maintains the (source, node) → min-dist
+    // frame with one union + grouped min per round; closeness(s) =
+    // (n_reached − 1)/Σd. The state is |V|² rows of the 25-node AGGREGATE
+    // graph — the multi-source frontier shape that runs the same way on
+    // 1000 executors (each round is one key-partitioned agg; the event
+    // table is touched once to build edges). Complements single-source
+    // graph_bfs_hops and weighted SSSP.
+    Q("graph_closeness_centrality",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+          // heavy-trade edges only: unfiltered, the 25-nation graph is
+          // COMPLETE (625/625 pairs), distances are all 1, and closeness
+          // collapses to one constant — the w ≥ 150 backbone (91 edges)
+          // has real structure
+          .filter($"w" >= 150).select($"src", $"dst")
+        val edges = e0.unionByName(
+            e0.select($"dst".as("src"), $"src".as("dst")))
+          .distinct().localCheckpoint()
+        val nodes = edges.select($"src".as("node")).distinct()
+          .localCheckpoint()
+        var dist = nodes.select($"node".as("s"), $"node".as("v"),
+          lit(0).as("d"))
+        (1 to 6).foreach { _ =>
+          val nxt = dist.join(edges, $"v" === $"src")
+            .select($"s", $"dst".as("v"), ($"d" + 1).as("d"))
+          dist = dist.unionByName(nxt)
+            .groupBy($"s", $"v").agg(min($"d").as("d"))
+            .localCheckpoint()
+        }
+        dist.groupBy($"s".as("node"))
+          .agg(count(lit(1)).as("n_reached"), sum($"d").as("sum_d"))
+          .select($"node", $"n_reached", $"sum_d",
+            round(($"n_reached" - 1L).cast("double") /
+              $"sum_d".cast("double"), 9).as("closeness"))
+          .orderBy($"node")
+      },
+      Some {
+        val round = (k: Int) =>
+          s"""d$k AS (
+             |  SELECT s, v, MIN(d) AS d FROM (
+             |    SELECT s, v, d FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT p.s, e.dst AS v, p.d + 1 AS d
+             |    FROM d${k - 1} p JOIN edges e ON e.src = p.v)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT c_nationkey AS src, s_nationkey AS dst
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+           |edges AS (SELECT src, dst FROM e0
+           |          UNION SELECT dst, src FROM e0),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |d0 AS (SELECT node AS s, node AS v, 0 AS d FROM nodes),
+           |${(1 to 6).map(round).mkString(",\n")}
+           |SELECT s AS node, COUNT(*) AS n_reached,
+           |  CAST(SUM(d) AS BIGINT) AS sum_d,
+           |  round(CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(d) AS DOUBLE), 9)
+           |    AS closeness
+           |FROM d6 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Qini-curve uplift evaluation — the standard offline metric for
+    // incremental-impact models: users ranked by a deterministic score
+    // (first-week activity) within each arm, cut into deciles, and the
+    // cumulative Qini coefficient Q(d) = kT − kC·(nT/nC) traced decile by
+    // decile. The B arm carries an injected deterministic lift (the
+    // events_sequential_obf design, tuned to day-1 conversions so neither
+    // arm saturates), so the curve actually rises. Cumulation runs
+    // as a bounded triangular self-join over the 10-row decile frame (NOT
+    // an empty-partition window); ranks are per-arm windows. Conversion
+    // counts exact; Qini is a pinned IEEE expression.
+    Q("events_uplift_qini",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        // injected-lift design (the OBF query's shape, tuned for uplift):
+        // control converts on day-1 purchase only, treatment also on every
+        // 3rd signup — 36% vs 52% arm rates; longer windows saturate both
+        // arms at ~100% and zero the whole curve
+        val conv2 = ev.filter($"ts" < "2024-01-02").groupBy($"user_id")
+          .agg(
+            max(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("conv_p"),
+            max(when($"event_type" === "signup" && $"event_id" % 3 === 0, 1L)
+              .otherwise(0L)).as("conv_s"))
+          .select($"user_id", ($"user_id" % 2).as("arm"),
+            when($"user_id" % 2 === 0, $"conv_p")
+              .otherwise(greatest($"conv_p", $"conv_s")).as("conv"))
+        val score = ev.filter($"ts" < "2024-01-08")
+          .groupBy($"user_id").agg(count(lit(1)).as("score"))
+        val ranked = conv2.join(score, Seq("user_id"), "left")
+          .select($"user_id", $"arm", $"conv",
+            coalesce($"score", lit(0L)).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"arm")
+              .orderBy($"score".desc, $"user_id")))
+        val nArm = ranked.groupBy($"arm").agg(count(lit(1)).as("n_arm"))
+        val deciled = ranked.join(broadcast(nArm), "arm")
+          .select($"arm", $"conv",
+            least(lit(9L), expr("(rn - 1) * 10 div n_arm")).as("decile"))
+        // checkpoint the bounded frames consumed twice (self-join, then the
+        // treat/control split) — an unbroken lineage quadruples the plan
+        val perD = deciled.groupBy($"arm", $"decile")
+          .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+          .localCheckpoint()
+        val cum = perD.as("a")
+          .join(perD.as("b"),
+            $"a.arm" === $"b.arm" && $"b.decile" <= $"a.decile")
+          .groupBy($"a.arm", $"a.decile")
+          .agg(sum($"b.n").as("cn"), sum($"b.k").as("ck"))
+          .select($"arm", $"decile", $"cn", $"ck")
+          .localCheckpoint()
+        cum.filter($"arm" === 1)
+          .select($"decile", $"cn".as("nt"), $"ck".as("kt"))
+          .join(cum.filter($"arm" === 0)
+            .select($"decile".as("d0"), $"cn".as("nc"), $"ck".as("kc")),
+            $"decile" === $"d0")
+          .select($"decile", $"nt", $"kt", $"nc", $"kc",
+            round($"kt".cast("double") - $"kc".cast("double") *
+              ($"nt".cast("double") / $"nc".cast("double")), 9).as("qini"),
+            round($"kt".cast("double") / $"nt".cast("double") -
+              $"kc".cast("double") / $"nc".cast("double"), 9)
+              .as("uplift_rate"))
+          .orderBy($"decile")
+      },
+      Some("""WITH conv AS (
+             |  SELECT user_id, user_id % 2 AS arm,
+             |    CASE WHEN user_id % 2 = 0 THEN
+             |      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |    ELSE GREATEST(
+             |      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+             |      MAX(CASE WHEN event_type = 'signup' AND event_id % 3 = 0
+             |          THEN 1 ELSE 0 END)) END AS conv
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-02' GROUP BY 1, 2),
+             |sc AS (SELECT user_id, COUNT(*) AS score FROM events
+             |       WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+             |ranked AS (
+             |  SELECT c.arm, c.conv, COALESCE(sc.score, 0) AS score,
+             |    row_number() OVER (PARTITION BY c.arm
+             |      ORDER BY COALESCE(sc.score, 0) DESC, c.user_id) AS rn
+             |  FROM conv c LEFT JOIN sc USING (user_id)),
+             |na AS (SELECT arm, COUNT(*) AS n_arm FROM ranked GROUP BY 1),
+             |dec AS (
+             |  SELECT r.arm, r.conv,
+             |    least(9, (r.rn - 1) * 10 // na.n_arm) AS decile
+             |  FROM ranked r JOIN na USING (arm)),
+             |perd AS (SELECT arm, decile, COUNT(*) AS n,
+             |           CAST(SUM(conv) AS BIGINT) AS k
+             |         FROM dec GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT a.arm, a.decile,
+             |    CAST(SUM(b.n) AS BIGINT) AS cn,
+             |    CAST(SUM(b.k) AS BIGINT) AS ck
+             |  FROM perd a JOIN perd b
+             |    ON b.arm = a.arm AND b.decile <= a.decile
+             |  GROUP BY 1, 2)
+             |SELECT t.decile, t.cn AS nt, t.ck AS kt, c.cn AS nc,
+             |  c.ck AS kc,
+             |  round(CAST(t.ck AS DOUBLE) - CAST(c.ck AS DOUBLE) *
+             |    (CAST(t.cn AS DOUBLE) / CAST(c.cn AS DOUBLE)), 9) AS qini,
+             |  round(CAST(t.ck AS DOUBLE) / CAST(t.cn AS DOUBLE) -
+             |    CAST(c.ck AS DOUBLE) / CAST(c.cn AS DOUBLE), 9)
+             |    AS uplift_rate
+             |FROM cum t JOIN cum c
+             |  ON c.decile = t.decile AND t.arm = 1 AND c.arm = 0
+             |ORDER BY t.decile""".stripMargin)),
+
+    // Additive Holt-Winters (level + trend + m=7 weekly seasonality) over
+    // each user's daily value series — the seasonal upgrade of
+    // events_holt_linear: l ← α(y−s₍t−m₎)+(1−α)(l+b), b ← β(l−l')+(1−β)b,
+    // s ← γ(y−l)+(1−γ)s₍t−m₎ with dyadic α=0.5, β=0.25, γ=0.25 (exactly
+    // representable — no constant-parsing drift). Init: l₀ = week-1 mean,
+    // b₀ = (week-2 mean − week-1 mean)/7, seasonals = week-1 residuals.
+    // Per-user bounded typed fold (the Holt pattern); the oracle's
+    // recursive CTE carries the 7 seasonals as a LIST column and steps
+    // bit-identical arithmetic. Forecasts = l + h·b + s[h].
+    Q("events_holt_winters",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy($"user_id", date_format(date_trunc("day", $"ts"),
+            "yyyy-MM-dd").as("day"))
+          .agg(dsum($"value").as("v"))
+          .select($"user_id".as[Long], $"day".as[String], $"v".as[Double])
+          .as[(Long, String, Double)]
+        daily.groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val vs = it.toArray.sortBy(_._2).map(_._3)
+            if (vs.length < 15) Iterator.empty
+            else {
+              val m = 7
+              var l = 0.0d
+              var i = 0
+              while (i < m) { l = l + vs(i); i += 1 }
+              l = l / 7.0d
+              var w2 = 0.0d
+              i = m
+              while (i < 2 * m) { w2 = w2 + vs(i); i += 1 }
+              var b = (w2 / 7.0d - l) / 7.0d
+              val sArr = Array.tabulate(m)(j => vs(j) - l)
+              var head = 0
+              i = m
+              while (i < vs.length) {
+                val sh = sArr(head)
+                val lNew = 0.5d * (vs(i) - sh) + 0.5d * (l + b)
+                b = 0.25d * (lNew - l) + 0.75d * b
+                sArr(head) = 0.25d * (vs(i) - lNew) + 0.75d * sh
+                l = lNew
+                head = (head + 1) % m
+                i += 1
+              }
+              // ring order: sArr(head) is the season of day n+1
+              val f1 = l + b + sArr(head)
+              val f7 = l + 7.0d * b + sArr((head + 6) % m)
+              Iterator.single((uid, vs.length.toLong, l, b, f1, f7))
+            }
+          }
+          .toDF("user_id", "n_days", "level", "trend",
+            "forecast_1", "forecast_7")
+          .orderBy($"user_id")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT user_id, v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+             |  FROM daily),
+             |nn AS (SELECT user_id, MAX(rn) AS n FROM idx GROUP BY 1
+             |       HAVING MAX(rn) >= 15),
+             |w1 AS (SELECT user_id,
+             |         ((((((v1 + v2) + v3) + v4) + v5) + v6) + v7) / 7.0
+             |           AS l0
+             |       FROM (SELECT user_id,
+             |               MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+             |               MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+             |               MAX(CASE WHEN rn = 3 THEN v END) AS v3,
+             |               MAX(CASE WHEN rn = 4 THEN v END) AS v4,
+             |               MAX(CASE WHEN rn = 5 THEN v END) AS v5,
+             |               MAX(CASE WHEN rn = 6 THEN v END) AS v6,
+             |               MAX(CASE WHEN rn = 7 THEN v END) AS v7
+             |             FROM idx GROUP BY 1)),
+             |w2 AS (SELECT user_id,
+             |         ((((((v8 + v9) + v10) + v11) + v12) + v13) + v14) / 7.0
+             |           AS m2
+             |       FROM (SELECT user_id,
+             |               MAX(CASE WHEN rn = 8 THEN v END) AS v8,
+             |               MAX(CASE WHEN rn = 9 THEN v END) AS v9,
+             |               MAX(CASE WHEN rn = 10 THEN v END) AS v10,
+             |               MAX(CASE WHEN rn = 11 THEN v END) AS v11,
+             |               MAX(CASE WHEN rn = 12 THEN v END) AS v12,
+             |               MAX(CASE WHEN rn = 13 THEN v END) AS v13,
+             |               MAX(CASE WHEN rn = 14 THEN v END) AS v14
+             |             FROM idx GROUP BY 1)),
+             |s0 AS (
+             |  SELECT i.user_id,
+             |    list(i.v - w1.l0 ORDER BY i.rn) AS s
+             |  FROM idx i JOIN w1 USING (user_id)
+             |  WHERE i.rn <= 7 GROUP BY 1),
+             |h AS (
+             |  SELECT w1.user_id, 7 AS rn, w1.l0 AS l,
+             |    (w2.m2 - w1.l0) / 7.0 AS b, s0.s AS s
+             |  FROM w1 JOIN w2 USING (user_id) JOIN s0 USING (user_id)
+             |  JOIN nn USING (user_id)
+             |  UNION ALL
+             |  SELECT h.user_id, h.rn + 1,
+             |    0.5 * (i.v - h.s[1]) + 0.5 * (h.l + h.b),
+             |    0.25 * ((0.5 * (i.v - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+             |      + 0.75 * h.b,
+             |    h.s[2:7] ||
+             |      [0.25 * (i.v - (0.5 * (i.v - h.s[1])
+             |         + 0.5 * (h.l + h.b))) + 0.75 * h.s[1]]
+             |  FROM h JOIN idx i
+             |    ON i.user_id = h.user_id AND i.rn = h.rn + 1
+             |  JOIN nn ON nn.user_id = h.user_id
+             |  WHERE h.rn + 1 <= nn.n)
+             |SELECT h.user_id, CAST(nn.n AS BIGINT) AS n_days,
+             |  h.l AS level, h.b AS trend,
+             |  h.l + h.b + h.s[1] AS forecast_1,
+             |  h.l + 7.0 * h.b + h.s[7] AS forecast_7
+             |FROM h JOIN nn ON nn.user_id = h.user_id AND h.rn = nn.n
+             |ORDER BY h.user_id""".stripMargin)),
+
+    // Two-stage residual quantization (the RQ codebook shape behind
+    // RQ-VAE / additive quantizers): stage 1 assigns each vector to its
+    // nearest first-level codeword (first 8 corpus vectors), stage 2
+    // quantizes the residual against a second codebook (vectors 8-15
+    // scaled by the exact dyadic 1/8 — a deterministic stand-in for
+    // residual-trained centroids). Everything runs on the flattened
+    // (vec_id, pos, v) frame: per-stage scores are decimal-exact squared
+    // distances grouped per candidate, argmins are min-struct reductions,
+    // residual subtraction is plain IEEE on exact inputs. Codebooks are
+    // bounded broadcast joins on pos — linear in the corpus at 100 TB.
+    // Output pins both code ids and the exact error drop per stage.
+    Q("embed_rq_encode",
+      (s, dir) => {
+        import s.implicits._
+        val flat = t(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("p0", "vf")))
+          .select($"vec_id", ($"p0" + 1).as("pos"),
+            $"vf".cast("double").as("v"))
+          .localCheckpoint()
+        val cbA = flat.filter($"vec_id" < 8)
+          .select($"vec_id".cast("int").as("aid"), $"pos", $"v".as("av"))
+        val s1 = flat.join(broadcast(cbA), "pos")
+          .groupBy($"vec_id", $"aid")
+          .agg(sum((($"v" - $"av") * ($"v" - $"av"))
+            .cast("decimal(30,12)")).cast("double").as("d2"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"d2", $"aid")).as("b"))
+          .select($"vec_id", $"b.aid".as("c1"), $"b.d2".as("d2_stage1"))
+        val resid = flat.as("f").join(s1, "vec_id")
+          .join(broadcast(cbA.as("ca")),
+            col("f.pos") === col("ca.pos") && $"c1" === col("ca.aid"))
+          .select($"vec_id", col("f.pos").as("pos"),
+            (col("f.v") - col("ca.av")).as("rv"), $"c1", $"d2_stage1")
+        val cbB = flat.filter($"vec_id" >= 8 && $"vec_id" < 16)
+          .select(($"vec_id" - 8).cast("int").as("bid"), $"pos",
+            ($"v" * 0.125d).as("bv"))
+        val s2 = resid.join(broadcast(cbB), "pos")
+          .groupBy($"vec_id", $"c1", $"d2_stage1", $"bid")
+          .agg(sum((($"rv" - $"bv") * ($"rv" - $"bv"))
+            .cast("decimal(30,12)")).cast("double").as("d2"))
+          .groupBy($"vec_id", $"c1", $"d2_stage1")
+          .agg(min(struct($"d2", $"bid")).as("b"))
+        s2.select($"vec_id", $"c1", $"b.bid".as("c2"),
+            round($"d2_stage1", 9).as("d2_stage1"),
+            round($"b.d2", 9).as("d2_stage2"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |cba AS (SELECT CAST(vec_id AS INT) AS aid, pos, v AS av
+             |        FROM flat WHERE vec_id < 8),
+             |s1d AS (
+             |  SELECT f.vec_id, c.aid,
+             |    CAST(SUM(CAST((f.v - c.av) * (f.v - c.av)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS d2
+             |  FROM flat f JOIN cba c ON c.pos = f.pos GROUP BY 1, 2),
+             |s1 AS (
+             |  SELECT vec_id, aid AS c1, d2 AS d2_stage1 FROM s1d
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d2, aid) = 1),
+             |resid AS (
+             |  SELECT f.vec_id, f.pos, f.v - c.av AS rv, s1.c1,
+             |    s1.d2_stage1
+             |  FROM flat f JOIN s1 USING (vec_id)
+             |  JOIN cba c ON c.pos = f.pos AND c.aid = s1.c1),
+             |cbb AS (SELECT CAST(vec_id - 8 AS INT) AS bid, pos,
+             |          v * 0.125 AS bv
+             |        FROM flat WHERE vec_id >= 8 AND vec_id < 16),
+             |s2d AS (
+             |  SELECT r.vec_id, r.c1, r.d2_stage1, b.bid,
+             |    CAST(SUM(CAST((r.rv - b.bv) * (r.rv - b.bv)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS d2
+             |  FROM resid r JOIN cbb b ON b.pos = r.pos
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT vec_id, c1, bid AS c2,
+             |  round(d2_stage1, 9) AS d2_stage1, round(d2, 9) AS d2_stage2
+             |FROM s2d
+             |QUALIFY row_number() OVER (PARTITION BY vec_id
+             |  ORDER BY d2, bid) = 1
+             |ORDER BY vec_id""".stripMargin))
+  )
+}
