@@ -6,10 +6,12 @@ import QueryDSL._
 
 /** Sixth-wave operators: closeness centrality by synchronous multi-source
   * BFS, Qini-curve uplift evaluation by treatment decile, additive
-  * Holt-Winters (level + trend + weekly seasonality) forecasting, and
-  * two-stage residual vector quantization. Determinism rules as everywhere:
-  * integer counts, decimal sums for order-sensitive reductions, pinned IEEE
-  * recursions mirrored by unrolled / recursive oracle CTEs. */
+  * Holt-Winters (level + trend + weekly seasonality) forecasting, two-stage
+  * residual vector quantization, PSI drift, lexicon/blocklist content
+  * gating, and binary-segmentation changepoint detection. Determinism rules
+  * as everywhere: integer counts, decimal sums for order-sensitive
+  * reductions, pinned IEEE recursions mirrored by unrolled / recursive
+  * oracle CTEs. */
 object Analytics3 {
 
   val queries: Seq[Q] = Seq(
@@ -393,6 +395,210 @@ object Analytics3 {
              |FROM s2d
              |QUALIFY row_number() OVER (PARTITION BY vec_id
              |  ORDER BY d2, bid) = 1
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Population Stability Index — the industry-standard model-monitoring
+    // drift score (credit-risk / feature-drift reports), complementing the
+    // KS (continuous) and total-variation (categorical) drifts already
+    // here: value distribution binned into fixed-width buckets (cap
+    // bucket at 19), first half-month as reference vs second as current,
+    // per-bin contribution (p−q)·ln(p/q). Counts exact; shares are single
+    // divisions; ln is spelled identically on both engines (the
+    // temperature-weights precedent). One shuffle on bin.
+    Q("dq_psi_drift",
+      (s, dir) => {
+        import s.implicits._
+        val binned = graft.Tables.events(s, dir)
+          .select(least(lit(19L), floor($"value" / 25.0d).cast("long"))
+            .as("bin"),
+            ($"ts" >= "2024-01-16").as("cur"))
+          .groupBy($"bin")
+          .agg(sum(when(!$"cur", 1L).otherwise(0L)).as("n_ref"),
+            sum(when($"cur", 1L).otherwise(0L)).as("n_cur"))
+          // PSI is undefined for one-sided bins (ln of 0 or 1/0); standard
+          // practice is merge-or-drop — drop, then renormalize over kept
+          // bins so the shares still sum to 1 on both sides
+          .filter($"n_ref" > 0L && $"n_cur" > 0L)
+        val tot = binned.agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))
+        binned.crossJoin(broadcast(tot))
+          .select($"bin", $"n_ref", $"n_cur",
+            ($"n_ref".cast("double") / $"tr".cast("double")).as("p"),
+            ($"n_cur".cast("double") / $"tc".cast("double")).as("q"))
+          .select($"bin", $"n_ref", $"n_cur",
+            round($"p", 9).as("p_ref"), round($"q", 9).as("p_cur"),
+            round(($"p" - $"q") * log($"p" / $"q"), 9).as("psi_contrib"))
+          .orderBy($"bin")
+      },
+      Some("""WITH b AS (
+             |  SELECT least(19, CAST(floor(value / 25.0) AS BIGINT)) AS bin,
+             |    ts >= TIMESTAMP '2024-01-16' AS cur
+             |  FROM events),
+             |c AS (SELECT bin,
+             |        CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_ref,
+             |        CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_cur
+             |      FROM b GROUP BY 1
+             |      HAVING SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) > 0
+             |         AND SUM(CASE WHEN cur THEN 1 ELSE 0 END) > 0),
+             |t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+             |        CAST(SUM(n_cur) AS DOUBLE) AS tc FROM c)
+             |SELECT bin, n_ref, n_cur,
+             |  round(CAST(n_ref AS DOUBLE) / t.tr, 9) AS p_ref,
+             |  round(CAST(n_cur AS DOUBLE) / t.tc, 9) AS p_cur,
+             |  round((CAST(n_ref AS DOUBLE) / t.tr
+             |    - CAST(n_cur AS DOUBLE) / t.tc) *
+             |    ln((CAST(n_ref AS DOUBLE) / t.tr) /
+             |       (CAST(n_cur AS DOUBLE) / t.tc)), 9) AS psi_contrib
+             |FROM c, t ORDER BY bin""".stripMargin)),
+
+    // Lexicon-based content scoring — the blocklist/toxicity gate of a
+    // curation pipeline: severity-weighted term hits over a fixed lexicon,
+    // normalized per token. The synthetic corpus contains no flagged
+    // terms, so deterministic fixtures are injected per doc-id residue
+    // (the PII-scrub pattern): 0-3 terms across two severity tiers, so
+    // hit counts, scores, and the gate verdict all vary. Map-only.
+    Q("text_lexicon_gate",
+      (s, dir) => {
+        import s.implicits._
+        val aug = concat($"text",
+          when($"doc_id" % 3 === 0, lit(" badword1")).otherwise(lit("")),
+          when($"doc_id" % 4 === 1, lit(" badword1 badword2"))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 2, lit(" sevword1")).otherwise(lit("")))
+        def hits(term: String, c: org.apache.spark.sql.Column) =
+          (length(c) - length(regexp_replace(c, term, ""))) / term.length
+        t(s, dir, "documents").filter($"doc_id" < 300)
+          .select($"doc_id", aug.as("atext"))
+          .select($"doc_id",
+            hits("badword1", $"atext").cast("long").as("n_mild1"),
+            hits("badword2", $"atext").cast("long").as("n_mild2"),
+            hits("sevword1", $"atext").cast("long").as("n_severe"),
+            graft.llm.TextFunctions.tokenCount($"atext").as("n_tokens"))
+          .select($"doc_id", $"n_mild1", $"n_mild2", $"n_severe",
+            $"n_tokens",
+            ($"n_mild1" + $"n_mild2" + lit(4L) * $"n_severe").as("wscore"))
+          .withColumn("rate_x1000", expr("wscore * 1000 div n_tokens"))
+          .withColumn("blocked", $"n_severe" > 0 || $"wscore" >= 3L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' badword1' ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 1 THEN ' badword1 badword2'
+             |       ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 2 THEN ' sevword1' ELSE '' END
+             |      AS atext
+             |  FROM documents WHERE doc_id < 300),
+             |h AS (
+             |  SELECT doc_id,
+             |    (length(atext) - length(replace(atext, 'badword1', '')))
+             |      // 8 AS n_mild1,
+             |    (length(atext) - length(replace(atext, 'badword2', '')))
+             |      // 8 AS n_mild2,
+             |    (length(atext) - length(replace(atext, 'sevword1', '')))
+             |      // 8 AS n_severe,
+             |    len(list_filter(regexp_split_to_array(lower(atext),
+             |      '[^\p{L}\p{N}]+'), x -> x <> '')) AS n_tokens
+             |  FROM aug)
+             |SELECT doc_id, n_mild1, n_mild2, n_severe, n_tokens,
+             |  n_mild1 + n_mild2 + 4 * n_severe AS wscore,
+             |  ((n_mild1 + n_mild2 + 4 * n_severe) * 1000) // n_tokens
+             |    AS rate_x1000,
+             |  n_severe > 0 OR (n_mild1 + n_mild2 + 4 * n_severe) >= 3
+             |    AS blocked
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Changepoint detection by binary segmentation (the ruptures-style
+    // mean-shift search): over the 30-day global event-count series, the
+    // split point maximizes the scaled CUSUM statistic — spelled ENTIRELY
+    // in integers via cross-multiplication (|n·P_t − t·T| instead of
+    // deviations from the irrational mean), so the argmax is exact, with
+    // earliest-day tie-break. Depth 2: the winning split divides the
+    // series and the same integer statistic runs inside each segment —
+    // three changepoints total, each with its integer score. Aggregate
+    // 30-row frames throughout; the two single-row split-point crosses
+    // are sanctioned scalar fan-ins.
+    Q("events_changepoint_binseg",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy(dayofmonth($"ts").cast("long").as("t"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
+        // cumulative sums via a bounded triangular self-join over the
+        // 30-row day frame (the qini pattern — not an empty-partition
+        // window, which the lint's 1partWin contract forbids)
+        val cum = daily.as("a").join(daily.as("b"), $"b.t" <= $"a.t")
+          .groupBy($"a.t".as("t")).agg(sum($"b.x").as("p"))
+          .localCheckpoint()
+        val totF = cum.agg(max($"p").as("tot"))
+        val tau1 = cum.crossJoin(broadcast(totF))
+          .filter($"t" < 30)
+          .select($"t", abs(lit(30L) * $"p" - $"t" * $"tot").as("score"))
+          .agg(min(struct((-$"score").as("ns"), $"t")).as("b"))
+          .select($"b.t".as("tau1"), (-$"b.ns").as("score1"))
+        // depth 2: re-run the same integer statistic inside each side
+        val pTau = cum.crossJoin(broadcast(tau1))
+          .filter($"t" === $"tau1").select($"p".as("ptau"))
+        val enriched = cum.crossJoin(broadcast(tau1))
+          .crossJoin(broadcast(totF))
+          .crossJoin(broadcast(pTau)).localCheckpoint()
+        val leftBest = enriched.filter($"t" < $"tau1")
+          .select($"t",
+            abs($"tau1" * $"p" - $"t" * $"ptau").as("score"))
+          .agg(min(struct((-$"score").as("ns"), $"t")).as("b"))
+          .select(lit("left").as("segment"), $"b.t".as("changepoint"),
+            (-$"b.ns").as("score"))
+        val rightBest = enriched.filter($"t" > $"tau1" && $"t" < 30)
+          .select($"t",
+            abs((lit(30L) - $"tau1") * ($"p" - $"ptau") -
+              ($"t" - $"tau1") * ($"tot" - $"ptau")).as("score"))
+          .agg(min(struct((-$"score").as("ns"), $"t")).as("b"))
+          .select(lit("right").as("segment"), $"b.t".as("changepoint"),
+            (-$"b.ns").as("score"))
+        val rootBest = tau1
+          .select(lit("root").as("segment"), $"tau1".as("changepoint"),
+            $"score1".as("score"))
+        rootBest.unionByName(leftBest).unionByName(rightBest)
+          .orderBy($"segment")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(day(ts) AS BIGINT) AS t, COUNT(*) AS x
+             |  FROM events GROUP BY 1),
+             |cum AS (SELECT t, CAST(SUM(x) OVER (ORDER BY t) AS BIGINT)
+             |          AS p FROM daily),
+             |tot AS (SELECT MAX(p) AS tot FROM cum),
+             |root AS (
+             |  SELECT t AS tau1, abs(30 * p - t * tot.tot) AS score1
+             |  FROM cum, tot WHERE t < 30
+             |  QUALIFY row_number() OVER (
+             |    ORDER BY abs(30 * p - t * tot.tot) DESC, t) = 1),
+             |ptau AS (SELECT c.p AS ptau FROM cum c, root
+             |         WHERE c.t = root.tau1),
+             |leftb AS (
+             |  SELECT 'left' AS segment, c.t AS changepoint,
+             |    abs(root.tau1 * c.p - c.t * ptau.ptau) AS score
+             |  FROM cum c, root, ptau WHERE c.t < root.tau1
+             |  QUALIFY row_number() OVER (
+             |    ORDER BY abs(root.tau1 * c.p - c.t * ptau.ptau) DESC,
+             |      c.t) = 1),
+             |rightb AS (
+             |  SELECT 'right' AS segment, c.t AS changepoint,
+             |    abs((30 - root.tau1) * (c.p - ptau.ptau)
+             |      - (c.t - root.tau1) * (tot.tot - ptau.ptau)) AS score
+             |  FROM cum c, root, ptau, tot
+             |  WHERE c.t > root.tau1 AND c.t < 30
+             |  QUALIFY row_number() OVER (
+             |    ORDER BY abs((30 - root.tau1) * (c.p - ptau.ptau)
+             |      - (c.t - root.tau1) * (tot.tot - ptau.ptau)) DESC,
+             |      c.t) = 1)
+             |SELECT 'root' AS segment, tau1 AS changepoint,
+             |  CAST(score1 AS BIGINT) AS score FROM root
+             |UNION ALL SELECT segment, changepoint, CAST(score AS BIGINT)
+             |FROM leftb
+             |UNION ALL SELECT segment, changepoint, CAST(score AS BIGINT)
+             |FROM rightb
+             |ORDER BY segment""".stripMargin))
   )
 }
