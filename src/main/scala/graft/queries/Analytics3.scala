@@ -599,6 +599,251 @@ object Analytics3 {
              |FROM leftb
              |UNION ALL SELECT segment, changepoint, CAST(score AS BIGINT)
              |FROM rightb
-             |ORDER BY segment""".stripMargin))
+             |ORDER BY segment""".stripMargin)),
+
+    // Unigram-LM Viterbi tokenization (the SentencePiece inference step —
+    // the OTHER neural tokenizer family next to BPE and WordPiece): piece
+    // inventory = every single character plus the top-60 corpus
+    // 2-4-grams, piece probability = corpus-weighted count over the
+    // inventory total, and per word the maximum-likelihood segmentation by
+    // Viterbi DP over end positions. The DP multiplies doubles in the
+    // identical order on both engines (best[k-len]·p), with a total
+    // tie-break (prob desc, piece count asc, segmentation asc), so the
+    // winning path — and its probability — are bit-stable. Scale shape:
+    // inventory building is two distributed aggs; the selected inventory
+    // is a bounded broadcast model artifact; the apply step is map-side.
+    // The oracle unrolls the 8-position DP as CTEs (max corpus word = 8
+    // chars), each picking its argmax via QUALIFY.
+    Q("text_unigram_viterbi",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(graft.llm.TextFunctions.tokens($"text")).as("w"))
+        val wf = toks.groupBy($"w").agg(count(lit(1)).as("nw"))
+          .localCheckpoint()
+        val sub = wf
+          .select($"w", $"nw",
+            explode(sequence(lit(0), length($"w") - 1)).as("pos"))
+          .select($"w", $"nw", $"pos",
+            explode(sequence(lit(1),
+              least(lit(4), length($"w") - $"pos"))).as("len"))
+          .select($"w", $"nw", $"pos", $"len",
+            expr("substring(w, pos + 1, len)").as("gram"))
+        val grams = sub.groupBy($"gram").agg(sum($"nw").as("cnt"))
+        val inv = grams.filter(length($"gram") > 1)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"gram")))
+          .filter($"rk" <= 60).select($"gram", $"cnt")
+          .unionByName(grams.filter(length($"gram") === 1))
+        // bounded model artifact: ≤60 + charset entries, with probabilities
+        val invRows = inv.collect()
+        val tt = invRows.map(_.getLong(1)).sum.toDouble
+        val pr: Map[String, Double] =
+          invRows.map(r => r.getString(0) -> r.getLong(1) / tt).toMap
+        val out = wf.select($"w".as[String], $"nw".as[Long])
+          .map { case (word, nw) =>
+            val L = word.length
+            // best(k) = (prob, nPieces, seg) of the ML segmentation of
+            // word[0, k)
+            val best = new Array[(Double, Int, String)](L + 1)
+            best(0) = (1.0d, 0, "")
+            var k = 1
+            while (k <= L) {
+              var bp: (Double, Int, String) = null
+              var len = 1
+              while (len <= math.min(4, k)) {
+                val gram = word.substring(k - len, k)
+                val p = pr.get(gram)
+                if (p.isDefined && best(k - len) != null) {
+                  val (pp, np, seg) = best(k - len)
+                  val cand = (pp * p.get, np + 1,
+                    if (seg.isEmpty) gram else seg + "|" + gram)
+                  if (bp == null ||
+                      cand._1 > bp._1 ||
+                      (cand._1 == bp._1 && (cand._2 < bp._2 ||
+                        (cand._2 == bp._2 && cand._3 < bp._3))))
+                    bp = cand
+                }
+                len += 1
+              }
+              best(k) = bp
+              k += 1
+            }
+            val (prob, np, seg) = best(L)
+            (word, nw, np.toLong, seg, prob)
+          }
+          .toDF("w", "nw", "n_pieces", "seg", "prob")
+        out.orderBy($"w")
+      },
+      Some {
+        val toksSql =
+          "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+        // bK = ML segmentation of word[0, K): argmax over pieces ending at
+        // K of b(K-len)·p, via union of the up-to-4 reachable prior states
+        val bk = (k: Int) => {
+          val prevs = (math.max(0, k - 4) until k).map { j =>
+            if (j == 0)
+              "SELECT w, nw, 0 AS e, CAST(1.0 AS DOUBLE) AS prob, " +
+                "0 AS np, '' AS seg FROM wf"
+            else s"SELECT w, nw, $j AS e, prob, np, seg FROM b$j"
+          }.mkString("\n|    UNION ALL ")
+          s"""b$k AS (
+             |  SELECT c.w, pb.nw, pb.prob * c.pr AS prob,
+             |    pb.np + 1 AS np,
+             |    CASE WHEN pb.seg = '' THEN c.gram
+             |         ELSE pb.seg || '|' || c.gram END AS seg
+             |  FROM cand c JOIN (
+             |    $prevs) pb
+             |    ON pb.w = c.w AND c.pos = pb.e AND c.pos + c.len = $k
+             |  QUALIFY row_number() OVER (PARTITION BY c.w
+             |    ORDER BY pb.prob * c.pr DESC, pb.np + 1,
+             |      CASE WHEN pb.seg = '' THEN c.gram
+             |           ELSE pb.seg || '|' || c.gram END) = 1)""".stripMargin
+        }
+        val finals = (1 to 8).map(k =>
+          s"SELECT w, nw, $k AS e, prob, np, seg FROM b$k")
+          .mkString("\n|  UNION ALL ")
+        s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+           |wf AS (SELECT w, COUNT(*) AS nw FROM toks GROUP BY 1),
+           |sub AS (
+           |  SELECT w, nw, pos, len, substring(w, pos + 1, len) AS gram
+           |  FROM wf, unnest(range(0, length(w))) p(pos),
+           |       unnest(range(1, 5)) l(len)
+           |  WHERE pos + len <= length(w)),
+           |grams AS (SELECT gram, CAST(SUM(nw) AS BIGINT) AS cnt
+           |          FROM sub GROUP BY 1),
+           |inv AS (
+           |  SELECT gram, cnt FROM grams WHERE length(gram) > 1
+           |  QUALIFY row_number() OVER (ORDER BY cnt DESC, gram) <= 60
+           |  UNION ALL
+           |  SELECT gram, cnt FROM grams WHERE length(gram) = 1),
+           |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tt FROM inv),
+           |p AS (SELECT gram, CAST(cnt AS DOUBLE) / tot.tt AS pr
+           |      FROM inv, tot),
+           |cand AS (SELECT s.w, s.pos, s.len, s.gram, p.pr
+           |         FROM sub s JOIN p USING (gram)),
+           |${(1 to 8).map(bk).mkString(",\n")},
+           |fin AS (
+           |  $finals)
+           |SELECT f.w, f.nw, CAST(f.np AS BIGINT) AS n_pieces, f.seg,
+           |  f.prob
+           |FROM fin f JOIN wf ON wf.w = f.w AND f.e = length(f.w)
+           |ORDER BY f.w""".stripMargin
+      }),
+
+    // Sharp regression discontinuity — the fourth causal-inference design
+    // next to DiD, Shapley, and Qini: running variable = first-week
+    // activity, cutoff c = 15, outcome = month purchase count. Within the
+    // ±5 bandwidth, both the naive mean difference and the local-linear
+    // estimate (per-side OLS of y on s−c, intercepts evaluated AT the
+    // cutoff — the estimator that doesn't confuse slope with jump). Every
+    // moment is an exact integer sum folded in ONE bounded-state global
+    // aggregation; the estimates are pinned IEEE expressions of those
+    // integers. Map-side partials at any scale.
+    Q("events_regression_discontinuity",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        val sc = ev.filter($"ts" < "2024-01-08")
+          .groupBy($"user_id").agg(count(lit(1)).as("sscore"))
+        val outc = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(count(lit(1)).as("y"))
+        val u = sc.join(outc, Seq("user_id"), "left")
+          .select($"sscore", coalesce($"y", lit(0L)).as("y"))
+          .filter($"sscore" >= 10 && $"sscore" < 20)
+          .select(($"sscore" >= 15).as("r"), ($"sscore" - 15L).as("x"), $"y")
+        def side(p: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          sum(when(p, e).otherwise(lit(0L)))
+        val m = u.agg(
+          side($"r", lit(1L)).as("nr"), side(!$"r", lit(1L)).as("nl"),
+          side($"r", $"x").as("sxr"), side(!$"r", $"x").as("sxl"),
+          side($"r", $"y").as("syr"), side(!$"r", $"y").as("syl"),
+          side($"r", $"x" * $"y").as("sxyr"), side(!$"r", $"x" * $"y").as("sxyl"),
+          side($"r", $"x" * $"x").as("sxxr"), side(!$"r", $"x" * $"x").as("sxxl"))
+        def b1(n: String, sxy: String, sx: String, sy: String, sxx: String) =
+          (col(n).cast("double") * col(sxy).cast("double") -
+            col(sx).cast("double") * col(sy).cast("double")) /
+            (col(n).cast("double") * col(sxx).cast("double") -
+              col(sx).cast("double") * col(sx).cast("double"))
+        val b1r = b1("nr", "sxyr", "sxr", "syr", "sxxr")
+        val b1l = b1("nl", "sxyl", "sxl", "syl", "sxxl")
+        m.select($"nl", $"nr",
+            ($"syl".cast("double") / $"nl".cast("double")).as("mean_left"),
+            ($"syr".cast("double") / $"nr".cast("double")).as("mean_right"),
+            b1l.as("slope_left"), b1r.as("slope_right"),
+            // per-side OLS intercepts AT the cutoff (x = 0)
+            (($"syr".cast("double") - b1r * $"sxr".cast("double")) /
+              $"nr".cast("double")).as("int_right"),
+            (($"syl".cast("double") - b1l * $"sxl".cast("double")) /
+              $"nl".cast("double")).as("int_left"))
+          .select($"nl", $"nr",
+            round($"mean_left", 9).as("mean_left"),
+            round($"mean_right", 9).as("mean_right"),
+            round($"mean_right" - $"mean_left", 9).as("rd_naive"),
+            round($"slope_left", 9).as("slope_left"),
+            round($"slope_right", 9).as("slope_right"),
+            round($"int_right" - $"int_left", 9).as("rd_local_linear"))
+      },
+      Some("""WITH sc AS (SELECT user_id, COUNT(*) AS s FROM events
+             |            WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+             |oc AS (SELECT user_id, COUNT(*) AS y FROM events
+             |       WHERE event_type = 'purchase' GROUP BY 1),
+             |u AS (
+             |  SELECT sc.s >= 15 AS r, sc.s - 15 AS x,
+             |    COALESCE(oc.y, 0) AS y
+             |  FROM sc LEFT JOIN oc USING (user_id)
+             |  WHERE sc.s >= 10 AND sc.s < 20),
+             |m AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+             |    CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nl,
+             |    CAST(SUM(CASE WHEN r THEN x ELSE 0 END) AS BIGINT) AS sxr,
+             |    CAST(SUM(CASE WHEN NOT r THEN x ELSE 0 END) AS BIGINT)
+             |      AS sxl,
+             |    CAST(SUM(CASE WHEN r THEN y ELSE 0 END) AS BIGINT) AS syr,
+             |    CAST(SUM(CASE WHEN NOT r THEN y ELSE 0 END) AS BIGINT)
+             |      AS syl,
+             |    CAST(SUM(CASE WHEN r THEN x * y ELSE 0 END) AS BIGINT)
+             |      AS sxyr,
+             |    CAST(SUM(CASE WHEN NOT r THEN x * y ELSE 0 END) AS BIGINT)
+             |      AS sxyl,
+             |    CAST(SUM(CASE WHEN r THEN x * x ELSE 0 END) AS BIGINT)
+             |      AS sxxr,
+             |    CAST(SUM(CASE WHEN NOT r THEN x * x ELSE 0 END) AS BIGINT)
+             |      AS sxxl
+             |  FROM u)
+             |SELECT nl, nr,
+             |  round(CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE), 9)
+             |    AS mean_left,
+             |  round(CAST(syr AS DOUBLE) / CAST(nr AS DOUBLE), 9)
+             |    AS mean_right,
+             |  round(CAST(syr AS DOUBLE) / CAST(nr AS DOUBLE)
+             |    - CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE), 9) AS rd_naive,
+             |  round((CAST(nl AS DOUBLE) * CAST(sxyl AS DOUBLE)
+             |    - CAST(sxl AS DOUBLE) * CAST(syl AS DOUBLE)) /
+             |    (CAST(nl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+             |    - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE)), 9)
+             |    AS slope_left,
+             |  round((CAST(nr AS DOUBLE) * CAST(sxyr AS DOUBLE)
+             |    - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE)) /
+             |    (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |    - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE)), 9)
+             |    AS slope_right,
+             |  round(
+             |    (CAST(syr AS DOUBLE)
+             |      - ((CAST(nr AS DOUBLE) * CAST(sxyr AS DOUBLE)
+             |          - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE)) /
+             |         (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |          - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE)))
+             |        * CAST(sxr AS DOUBLE)) / CAST(nr AS DOUBLE)
+             |    - (CAST(syl AS DOUBLE)
+             |      - ((CAST(nl AS DOUBLE) * CAST(sxyl AS DOUBLE)
+             |          - CAST(sxl AS DOUBLE) * CAST(syl AS DOUBLE)) /
+             |         (CAST(nl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+             |          - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE)))
+             |        * CAST(sxl AS DOUBLE)) / CAST(nl AS DOUBLE), 9)
+             |    AS rd_local_linear
+             |FROM m""".stripMargin))
   )
 }
