@@ -245,4 +245,56 @@ class MultimodalSpec extends AnyFunSuite {
     val p12 = got.find(f => f.py == 1 && f.px == 2).get
     assert(p12.sum_r == sr && p12.n_px == 16L)
   }
+
+  test("sobelStats: uniform image has zero gradient everywhere") {
+    import spark.implicits._
+    // constant gray image: every kernel response must be exactly 0
+    val w = 8; val h = 6
+    val rgb = Array.fill(w * h * 3)(77.toByte)
+    val rec = MediaRecord(1L, "image/bmp", Bmp.encode(Bmp.Image(w, h, rgb)))
+    val st = Multimodal.sobelStats(spark, Seq(rec).toDS(), 10).collect().head
+    assert(st.n_interior == (w - 2).toLong * (h - 2))
+    assert(st.sum_mag == 0L && st.max_mag == 0L && st.n_edges == 0L)
+  }
+
+  test("sobelStats: single vertical step edge scores the known kernel response") {
+    import spark.implicits._
+    // left half black, right half white (one column boundary), 6x5
+    val w = 6; val h = 5
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb((y * w + x) * 3 + c) = if (x >= 3) 60.toByte else 0
+    val rec = MediaRecord(2L, "image/bmp", Bmp.encode(Bmp.Image(w, h, rgb)))
+    val st = Multimodal.sobelStats(spark, Seq(rec).toDS(), 500).collect().head
+    // gray step = 3*60 = 180; |gx| at the two columns flanking the edge =
+    // 4*180 = 720 (full kernel weight), gy = 0 elsewhere
+    assert(st.max_mag == 720L)
+    assert(st.n_edges == 2L * (h - 2)) // both flanking columns, every interior row
+  }
+
+  test("goertzelPower: pure tone at the target bin dominates DC") {
+    import spark.implicits._
+    val n = 200
+    val coeff = 1.9753766811902755 // 2*cos(2*pi*5/200)
+    val samples = Array.tabulate[Short](n)(i =>
+      (1000.0 * math.sin(2.0 * math.Pi * 5.0 * i / n)).toShort)
+    val rec = MediaRecord(3L, "audio/wav",
+      Wav.encode(Wav.Pcm(8000, 1, samples)))
+    val g = Multimodal.goertzelPower(spark, Seq(rec).toDS(), n, coeff)
+      .collect().head
+    assert(g.p_target > 100.0 * math.max(g.p_dc, 1.0))
+  }
+
+  test("goertzelPower rejects stereo input") {
+    import spark.implicits._
+    val rec = MediaRecord(4L, "audio/wav",
+      Wav.encode(Wav.Pcm(8000, 2, new Array[Short](400))))
+    val ex = intercept[Throwable] {
+      Multimodal.goertzelPower(spark, Seq(rec).toDS(), 100, 2.0).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("mono"))))
+  }
 }
