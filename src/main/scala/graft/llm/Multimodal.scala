@@ -50,6 +50,12 @@ case class SobelStats(doc_id: Long, n_interior: Long, sum_mag: Long,
   * cheap tone-detection primitive (DTMF/beep gates) that needs no FFT. */
 case class GoertzelPower(doc_id: Long, n: Int, p_target: Double, p_dc: Double)
 
+/** Per-block integer moment partials between two frames (grayscale sums,
+  * sums of squares, cross sum) — everything SSIM needs, kept exact so the
+  * downstream SSIM expression is pinned IEEE on exact inputs. */
+case class SsimBlock(doc_id: Long, by: Int, bx: Int, n_px: Long,
+    sx: Long, sy: Long, sxx: Long, syy: Long, sxy: Long)
+
 /** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video)
   * is carried as opaque `binary` columns plus a typed metadata struct; decode /
   * feature-extraction / resize / frame-sampling run partition-wise
@@ -559,6 +565,45 @@ object Multimodal {
       GoertzelPower(rec.doc_id, nSamples,
         s1 * s1 + s2 * s2 - coeff * s1 * s2,
         d1 * d1 + d2 * d2 - 2.0d * d1 * d2)
+    })
+  }
+
+  /** Decode the first two frames of each multi-frame payload and emit
+    * per-`p`×`p`-block integer moment partials of the grayscale (r+g+b)
+    * channels — the inputs of a blockwise SSIM between consecutive frames.
+    * One codec-stage pass; whole blocks only (the SSIM crop convention). */
+  def ssimBlocks(spark: SparkSession, media: Dataset[MediaRecord],
+      p: Int): Dataset[SsimBlock] = {
+    import spark.implicits._
+    require(p > 0, s"block size must be positive, got $p")
+    media.mapPartitions(_.flatMap { rec =>
+      val frames = Bmp.splitFrames(rec.payload).take(2)
+        .map { case (_, bytes) => Bmp.decode(bytes) }.toArray
+      if (frames.length < 2) Iterator.empty
+      else {
+        val a = frames(0); val b = frames(1)
+        def g(img: Bmp.Image, x: Int, y: Int): Long =
+          img.r(x, y).toLong + img.g(x, y) + img.b(x, y)
+        val bw = a.width / p; val bh = a.height / p
+        (0 until bh).iterator.flatMap { by =>
+          (0 until bw).iterator.map { bx =>
+            var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L
+            var sxy = 0L
+            var y = by * p
+            while (y < by * p + p) {
+              var x = bx * p
+              while (x < bx * p + p) {
+                val gx = g(a, x, y); val gy = g(b, x, y)
+                sx += gx; sy += gy
+                sxx += gx * gx; syy += gy * gy; sxy += gx * gy
+                x += 1
+              }
+              y += 1
+            }
+            SsimBlock(rec.doc_id, by, bx, p.toLong * p, sx, sy, sxx, syy, sxy)
+          }
+        }
+      }
     })
   }
 

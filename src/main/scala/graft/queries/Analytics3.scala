@@ -844,6 +844,93 @@ object Analytics3 {
              |          - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE)))
              |        * CAST(sxl AS DOUBLE)) / CAST(nl AS DOUBLE), 9)
              |    AS rd_local_linear
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Blockwise SSIM between consecutive video frames (Wang et al. 2004) —
+    // the perceptual-similarity metric behind video keyframe/quality
+    // gates, on top of the real multi-frame container walk: per 4×4 block,
+    // grayscale means/variances/covariance from INTEGER partials emitted
+    // in the codec pass, then the standard SSIM ratio with the L=765
+    // constants (c1=(0.01L)², c2=(0.03L)², CAST AS DOUBLE — DuckDB parses
+    // bare literals as DECIMAL). Per-doc mean SSIM via decimal sum.
+    // The oracle recomputes both frames' pixels from the closed-form
+    // formula (frame term 17·f), so container walking, block addressing,
+    // and the SSIM arithmetic are all hash-pinned. One codec pass + one
+    // bounded per-doc agg.
+    Q("multimodal_video_ssim",
+      (s, dir) => {
+        import s.implicits._
+        val blocks = graft.llm.Multimodal.ssimBlocks(s,
+            graft.llm.Multimodal.syntheticVideos(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)), 4)
+          .toDF()
+        val n = lit(16.0d)
+        val c1 = lit(58.5225d)  // (0.01*765)^2
+        val c2 = lit(526.7025d) // (0.03*765)^2
+        val mux = $"sx".cast("double") / n
+        val muy = $"sy".cast("double") / n
+        val vx = ($"sxx".cast("double") - $"sx".cast("double") * mux) / n
+        val vy = ($"syy".cast("double") - $"sy".cast("double") * muy) / n
+        val cov = ($"sxy".cast("double") - $"sx".cast("double") * muy) / n
+        val ssim = ((lit(2.0d) * mux * muy + c1) * (lit(2.0d) * cov + c2)) /
+          ((mux * mux + muy * muy + c1) * (vx + vy + c2))
+        blocks.select($"doc_id", ssim.as("ssim"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            round(sum($"ssim".cast("decimal(30,12)")).cast("double") /
+              count(lit(1)).cast("double"), 9).as("mean_ssim"),
+            round(min($"ssim"), 9).as("min_ssim"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def g(f: String, xe: String, ye: String) =
+          s"""((doc_id*31 + $f*17 + ($xe)*7 + ($ye)*13) % 256
+             | + (doc_id*31 + $f*17 + ($xe)*7 + ($ye)*13 + 101) % 256
+             | + (doc_id*31 + $f*17 + ($xe)*7 + ($ye)*13 + 202) % 256)"""
+            .stripMargin.replaceAll("\\s+", " ")
+        s"""WITH dims AS (
+           |  SELECT doc_id, 12 + doc_id % 6 AS w, 10 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id < 100),
+           |xs AS (SELECT doc_id, h, unnest(range(0, (w // 4) * 4)) AS x
+           |       FROM dims),
+           |xy AS (SELECT doc_id, x, unnest(range(0, (h // 4) * 4)) AS y
+           |       FROM xs),
+           |px AS (
+           |  SELECT doc_id, y // 4 AS by, x // 4 AS bx,
+           |    ${g("0", "x", "y")} AS gx,
+           |    ${g("1", "x", "y")} AS gy
+           |  FROM xy),
+           |blk AS (
+           |  SELECT doc_id, by, bx,
+           |    CAST(SUM(gx) AS BIGINT) AS sx, CAST(SUM(gy) AS BIGINT) AS sy,
+           |    CAST(SUM(gx * gx) AS BIGINT) AS sxx,
+           |    CAST(SUM(gy * gy) AS BIGINT) AS syy,
+           |    CAST(SUM(gx * gy) AS BIGINT) AS sxy
+           |  FROM px GROUP BY 1, 2, 3),
+           |sm AS (
+           |  SELECT doc_id,
+           |    ((2.0::DOUBLE * (CAST(sx AS DOUBLE) / 16.0::DOUBLE)
+           |        * (CAST(sy AS DOUBLE) / 16.0::DOUBLE)
+           |      + CAST(58.5225 AS DOUBLE))
+           |     * (2.0::DOUBLE * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+           |          * (CAST(sy AS DOUBLE) / 16.0::DOUBLE)) / 16.0::DOUBLE)
+           |      + CAST(526.7025 AS DOUBLE))) /
+           |    (((CAST(sx AS DOUBLE) / 16.0::DOUBLE)
+           |        * (CAST(sx AS DOUBLE) / 16.0::DOUBLE)
+           |      + (CAST(sy AS DOUBLE) / 16.0::DOUBLE)
+           |        * (CAST(sy AS DOUBLE) / 16.0::DOUBLE)
+           |      + CAST(58.5225 AS DOUBLE))
+           |     * (((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+           |          * (CAST(sx AS DOUBLE) / 16.0::DOUBLE)) / 16.0::DOUBLE)
+           |      + ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+           |          * (CAST(sy AS DOUBLE) / 16.0::DOUBLE)) / 16.0::DOUBLE)
+           |      + CAST(526.7025 AS DOUBLE))) AS ssim
+           |  FROM blk)
+           |SELECT doc_id, COUNT(*) AS n_blocks,
+           |  round(CAST(SUM(CAST(ssim AS DECIMAL(30,12))) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_ssim,
+           |  round(MIN(ssim), 9) AS min_ssim
+           |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })
   )
 }
