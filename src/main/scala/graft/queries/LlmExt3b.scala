@@ -656,13 +656,16 @@ object LlmExt3b {
             // than the double ulp (the QueryDSL cast-divergence hazard);
             // 1e-4 stays coarser and the inputs carry <= 4 decimal digits
             davg($"l_extendedprice" * $"l_extendedprice").as("myy"))
+        // round(9) guard: at sf0.001 the unrounded r2 diverged by one ulp
+        // between engines (FMA-contraction class — same expression tree,
+        // different fused rounding on one operand combination)
         m.select($"l_returnflag", $"n",
-            (($"mxy" - $"mx" * $"my") / ($"mxx" - $"mx" * $"mx"))
+            round(($"mxy" - $"mx" * $"my") / ($"mxx" - $"mx" * $"mx"), 9)
               .as("slope"),
-            ($"my" - (($"mxy" - $"mx" * $"my") /
-              ($"mxx" - $"mx" * $"mx")) * $"mx").as("intercept"),
-            ((($"mxy" - $"mx" * $"my") * ($"mxy" - $"mx" * $"my")) /
-              (($"mxx" - $"mx" * $"mx") * ($"myy" - $"my" * $"my")))
+            round($"my" - (($"mxy" - $"mx" * $"my") /
+              ($"mxx" - $"mx" * $"mx")) * $"mx", 9).as("intercept"),
+            round((($"mxy" - $"mx" * $"my") * ($"mxy" - $"mx" * $"my")) /
+              (($"mxx" - $"mx" * $"mx") * ($"myy" - $"my" * $"my")), 9)
               .as("r2"))
           .orderBy($"l_returnflag")
       },
@@ -675,10 +678,11 @@ object LlmExt3b {
               |    ${sqlDavg("l_extendedprice * l_extendedprice")} AS myy
               |  FROM lineitem GROUP BY 1)
               |SELECT l_returnflag, n,
-              |  (mxy - mx * my) / (mxx - mx * mx) AS slope,
-              |  my - ((mxy - mx * my) / (mxx - mx * mx)) * mx AS intercept,
-              |  ((mxy - mx * my) * (mxy - mx * my)) /
-              |    ((mxx - mx * mx) * (myy - my * my)) AS r2
+              |  round((mxy - mx * my) / (mxx - mx * mx), 9) AS slope,
+              |  round(my - ((mxy - mx * my) / (mxx - mx * mx)) * mx, 9)
+              |    AS intercept,
+              |  round(((mxy - mx * my) * (mxy - mx * my)) /
+              |    ((mxx - mx * mx) * (myy - my * my)), 9) AS r2
               |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // Deterministic UUIDv3-style ID minting — stable document identifiers
