@@ -931,6 +931,162 @@ object Analytics3 {
            |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_ssim,
            |  round(MIN(ssim), 9) AS min_ssim
            |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Harmonic centrality — closeness's disconnection-robust sibling
+    // (Σ 1/d instead of (n−1)/Σd: unreachable nodes contribute 0 rather
+    // than poisoning the sum, so the metric stays comparable across
+    // components). Same multi-source BFS frame as
+    // graph_closeness_centrality over the heavy-trade backbone; the only
+    // new arithmetic is the per-pair reciprocal summed in decimal. The
+    // two metrics RANK DIFFERENTLY on this graph, which is the point of
+    // having both.
+    Q("graph_harmonic_centrality",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter($"w" >= 150).select($"src", $"dst")
+        val edges = e0.unionByName(
+            e0.select($"dst".as("src"), $"src".as("dst")))
+          .distinct().localCheckpoint()
+        val nodes = edges.select($"src".as("node")).distinct()
+          .localCheckpoint()
+        var dist = nodes.select($"node".as("s"), $"node".as("v"),
+          lit(0).as("d"))
+        (1 to 6).foreach { _ =>
+          val nxt = dist.join(edges, $"v" === $"src")
+            .select($"s", $"dst".as("v"), ($"d" + 1).as("d"))
+          dist = dist.unionByName(nxt)
+            .groupBy($"s", $"v").agg(min($"d").as("d"))
+            .localCheckpoint()
+        }
+        dist.filter($"d" > 0)
+          .select($"s", (lit(1.0d) / $"d".cast("double")).as("inv"))
+          .groupBy($"s".as("node"))
+          .agg(count(lit(1)).as("n_reached"),
+            round(sum($"inv".cast("decimal(30,12)")).cast("double"), 9)
+              .as("harmonic"))
+          .orderBy($"node")
+      },
+      Some {
+        val round = (k: Int) =>
+          s"""d$k AS (
+             |  SELECT s, v, MIN(d) AS d FROM (
+             |    SELECT s, v, d FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT p.s, e.dst AS v, p.d + 1 AS d
+             |    FROM d${k - 1} p JOIN edges e ON e.src = p.v)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT c_nationkey AS src, s_nationkey AS dst
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+           |edges AS (SELECT src, dst FROM e0
+           |          UNION SELECT dst, src FROM e0),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |d0 AS (SELECT node AS s, node AS v, 0 AS d FROM nodes),
+           |${(1 to 6).map(round).mkString(",\n")}
+           |SELECT s AS node, COUNT(*) AS n_reached,
+           |  round(CAST(SUM(CAST(1.0::DOUBLE / CAST(d AS DOUBLE)
+           |    AS DECIMAL(30,12))) AS DOUBLE), 9) AS harmonic
+           |FROM d6 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // MIPS-to-L2 reduction audit (Bachrach et al. 2014 / the XBOX
+    // transform): augmenting each corpus vector with √(M²−‖v‖²) (M = max
+    // corpus norm) and each query with 0 turns maximum-inner-product
+    // search into nearest-neighbor search — the reduction every
+    // L2/cosine ANN index relies on to serve MIPS workloads. The audit
+    // runs both sides for 10 probes — brute-force argmax⟨q,v⟩ and argmin
+    // of the augmented L2 distance (computed from its components,
+    // including the squared extra dimension e·e) — and pins that they
+    // pick the SAME neighbor. Dots and norms are decimal-exact; the
+    // probe×corpus scan is the sanctioned bounded brute-force shape; the
+    // single-row M² cross is a scalar fan-in.
+    Q("sim_mips_reduction",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vec_dot_exact
+        val vecs = t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding",
+            vec_dot_exact($"embedding", $"embedding").as("self"))
+          .localCheckpoint()
+        val m2 = vecs.agg(max($"self").as("m2"))
+        val probes = vecs.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"),
+            $"self".as("qself"))
+        val pairs = probes.join(vecs, $"vec_id" =!= $"qid")
+          .crossJoin(broadcast(m2))
+          .select($"qid",
+            $"vec_id".as("vid"),
+            vec_dot_exact($"qv", $"embedding").as("ip"),
+            ($"qself" + $"self" -
+              lit(2.0d) * vec_dot_exact($"qv", $"embedding")).as("l2"),
+            sqrt($"m2" - $"self").as("e"))
+          .select($"qid", $"vid", $"ip",
+            ($"l2" + $"e" * $"e").as("aug_d2"))
+          .localCheckpoint()
+        val mips = pairs
+          .groupBy($"qid")
+          .agg(min(struct((-$"ip").as("nip"), $"vid")).as("b"))
+          .select($"qid", $"b.vid".as("mips_id"), (-$"b.nip").as("max_ip"))
+        val nn = pairs
+          .groupBy($"qid".as("q2"))
+          .agg(min(struct($"aug_d2", $"vid")).as("b"))
+          .select($"q2", $"b.vid".as("l2aug_id"), $"b.aug_d2".as("min_d2"))
+        mips.join(nn, $"qid" === $"q2")
+          .select($"qid", $"mips_id", round($"max_ip", 9).as("max_ip"),
+            $"l2aug_id", round($"min_d2", 9).as("min_aug_d2"),
+            ($"mips_id" === $"l2aug_id").as("agree"))
+          .orderBy($"qid")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |selfs AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE) AS self
+             |  FROM flat GROUP BY 1),
+             |m2 AS (SELECT MAX(self) AS m2 FROM selfs),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE)
+             |      AS ip
+             |  FROM flat q JOIN flat c
+             |    ON c.pos = q.pos AND c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT d.qid, d.vid, d.ip,
+             |    (sq.self + sc.self - 2.0::DOUBLE * d.ip)
+             |      + sqrt(m2.m2 - sc.self) * sqrt(m2.m2 - sc.self)
+             |      AS aug_d2
+             |  FROM dots d
+             |  JOIN selfs sq ON sq.vec_id = d.qid
+             |  JOIN selfs sc ON sc.vec_id = d.vid
+             |  CROSS JOIN m2),
+             |mips AS (
+             |  SELECT qid, vid AS mips_id, ip AS max_ip FROM pairs
+             |  QUALIFY row_number() OVER (PARTITION BY qid
+             |    ORDER BY ip DESC, vid) = 1),
+             |nn AS (
+             |  SELECT qid, vid AS l2aug_id, aug_d2 AS min_d2 FROM pairs
+             |  QUALIFY row_number() OVER (PARTITION BY qid
+             |    ORDER BY aug_d2, vid) = 1)
+             |SELECT m.qid, m.mips_id, round(m.max_ip, 9) AS max_ip,
+             |  n.l2aug_id, round(n.min_d2, 9) AS min_aug_d2,
+             |  m.mips_id = n.l2aug_id AS agree
+             |FROM mips m JOIN nn n USING (qid) ORDER BY m.qid""".stripMargin))
   )
 }
