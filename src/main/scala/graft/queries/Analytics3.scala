@@ -1087,6 +1087,74 @@ object Analytics3 {
              |SELECT m.qid, m.mips_id, round(m.max_ip, 9) AS max_ip,
              |  n.l2aug_id, round(n.min_d2, 9) AS min_aug_d2,
              |  m.mips_id = n.l2aug_id AS agree
-             |FROM mips m JOIN nn n USING (qid) ORDER BY m.qid""".stripMargin))
+             |FROM mips m JOIN nn n USING (qid) ORDER BY m.qid""".stripMargin)),
+
+    // Croston's method (1972) — the intermittent-demand forecaster
+    // (spare-parts / sparse-purchase series, where SES over the raw series
+    // is biased toward zero): on each user's purchase DAYS only, smooth
+    // the demand size z ← α·d + (1−α)·z and the inter-demand interval
+    // p ← α·q + (1−α)·p with dyadic α = 0.25; forecast rate = z/p. Init:
+    // first demand size / first demand day. Per-user bounded typed fold
+    // (the Holt pattern); the oracle's recursive CTE steps identical IEEE
+    // arithmetic over the ranked demand days.
+    Q("events_croston_intermittent",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id", dayofmonth($"ts").as("day"))
+          .agg(count(lit(1)).as("d"))
+          .select($"user_id".as[Long], $"day".as[Int], $"d".as[Long])
+        daily.groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val ds = it.toArray.sortBy(_._2)
+            if (ds.isEmpty) Iterator.empty
+            else {
+              var z = ds(0)._3.toDouble
+              var p = ds(0)._2.toDouble
+              var i = 1
+              while (i < ds.length) {
+                val q = (ds(i)._2 - ds(i - 1)._2).toDouble
+                z = 0.25d * ds(i)._3.toDouble + 0.75d * z
+                p = 0.25d * q + 0.75d * p
+                i += 1
+              }
+              Iterator.single((uid, ds.length.toLong, z, p, z / p))
+            }
+          }
+          .toDF("user_id", "n_demand_days", "z", "p", "rate")
+          .select($"user_id", $"n_demand_days",
+            round($"z", 9).as("demand_size"),
+            round($"p", 9).as("interval"),
+            round($"rate", 9).as("forecast_rate"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH RECURSIVE dd AS (
+             |  SELECT user_id, day(ts) AS day, COUNT(*) AS d
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT user_id, day, d,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS rn,
+             |    lag(day) OVER (PARTITION BY user_id ORDER BY day)
+             |      AS prev_day
+             |  FROM dd),
+             |nn AS (SELECT user_id, MAX(rn) AS n FROM idx GROUP BY 1),
+             |h AS (
+             |  SELECT user_id, 1 AS rn, CAST(d AS DOUBLE) AS z,
+             |    CAST(day AS DOUBLE) AS p
+             |  FROM idx WHERE rn = 1
+             |  UNION ALL
+             |  SELECT h.user_id, h.rn + 1,
+             |    0.25 * CAST(i.d AS DOUBLE) + 0.75 * h.z,
+             |    0.25 * CAST(i.day - i.prev_day AS DOUBLE) + 0.75 * h.p
+             |  FROM h JOIN idx i
+             |    ON i.user_id = h.user_id AND i.rn = h.rn + 1)
+             |SELECT h.user_id, CAST(nn.n AS BIGINT) AS n_demand_days,
+             |  round(h.z, 9) AS demand_size,
+             |  round(h.p, 9) AS interval,
+             |  round(h.z / h.p, 9) AS forecast_rate
+             |FROM h JOIN nn ON nn.user_id = h.user_id AND h.rn = nn.n
+             |ORDER BY h.user_id""".stripMargin))
   )
 }

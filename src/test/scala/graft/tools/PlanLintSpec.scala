@@ -15,6 +15,14 @@ class PlanLintSpec extends AnyFunSuite {
     assert(s.forall(n => n.matches("[a-z0-9_]+")), s"bad entries: $s")
   }
 
+  test("every sanctioned name is a registered query (rename/typo guard)") {
+    // a renamed query (fn_uuid5_mint -> fn_uuid3_mint happened once) would
+    // otherwise leave a phantom sanction that only a full lint run catches
+    val registered = graft.SparkEntry.queries.keySet
+    val phantom = PlanLint.sanctionedBnlj() -- registered
+    assert(phantom.isEmpty, s"sanctioned but not registered: $phantom")
+  }
+
   test("clean full run → no violations") {
     assert(PlanLint.violations(
       bnljFlagged = sanctioned, win1pFlagged = Set.empty,
