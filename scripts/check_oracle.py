@@ -17,7 +17,7 @@ import sys
 
 import duckdb
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, lenient_vacuity=False):
     con = duckdb.connect()
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p)[: -len(".parquet")]
@@ -27,6 +27,7 @@ def main(sf_dir, out_dir):
 
     n_pass = n_fail = n_noracle = 0
     vacuity_stale = set(VACUITY_SANCTIONED)
+    hash_passed = set()
     have = {os.path.basename(d.rstrip("/"))
             for d in glob.glob(os.path.join(out_dir, "*/"))}
     for name in sorted(oracle.keys() - have):
@@ -60,8 +61,16 @@ def main(sf_dir, out_dir):
             for e in errs[:6]:
                 print(f"      {e}")
         else:
+            hash_passed.add(name)
             vac = vacuity(got)
-            if vac and name not in VACUITY_SANCTIONED:
+            if vac and lenient_vacuity:
+                # cross-scale sweep mode: at sf0.001 some queries are
+                # legitimately vacuous (0-row graph backbones, saturated
+                # counts) — scale artifacts, not defects. The strict vacuity
+                # gate runs at sf0.01; here vacuity is a warning only.
+                n_pass += 1
+                print(f"  {name}: ok rows={len(got)} [vacuous-at-this-sf: {vac}]")
+            elif vac and name not in VACUITY_SANCTIONED:
                 n_fail += 1
                 print(f"  {name}: VACUOUS ({vac}) — hash-green but proves "
                       "nothing; fix the query or sanction it with a rationale")
@@ -71,7 +80,11 @@ def main(sf_dir, out_dir):
                 print(f"  {name}: ok rows={len(got)}{tag}")
             if not vac:
                 vacuity_stale.discard(name)
-    for name in sorted(vacuity_stale & have):
+    # Stale-sanction sweep runs only over queries whose hash check PASSED: a
+    # sanctioned query that hash-fails is already reported once as a FAIL —
+    # also flagging it stale would double-report one defect. Skipped entirely
+    # in lenient mode (sanctions are defined against the strict sf0.01 gate).
+    for name in sorted(set() if lenient_vacuity else (vacuity_stale & hash_passed)):
         n_fail += 1
         print(f"  {name}: STALE VACUITY SANCTION (result is no longer vacuous "
               "— remove from VACUITY_SANCTIONED so the list can't rot)")
@@ -204,4 +217,6 @@ def eq(a, b, tolerant=False):
     return str(a) == str(b)
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(argv[0], argv[1],
+                  lenient_vacuity="--lenient-vacuity" in sys.argv))

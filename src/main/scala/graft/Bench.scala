@@ -71,28 +71,26 @@ object Bench {
     // baselines) and emit any query that got >30% AND >0.15s slower. Queries
     // only on one side are skipped (set drift between rounds isn't a
     // regression).
+    def parseSnapshot(p: java.nio.file.Path): Option[Map[String, Double]] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) None
+        else {
+          val qsec = txt.indexOf("\"queries\":{")
+          if (qsec < 0) None else {
+            val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
+            val m = "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r
+              .findAllMatchIn(body)
+              .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+            if (m.nonEmpty) Some(m) else None
+          }
+        }
+      } catch { case _: Throwable => None }
     val baseline: Map[String, Double] =
       (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(java.nio.file.Paths.get(_)).toSeq ++
         Seq(java.nio.file.Paths.get("BENCH_LOCAL.json"),
           java.nio.file.Paths.get("target/bench_queries.json")))
-        .iterator
-        .flatMap { p =>
-          try {
-            val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            if (!txt.contains("\"sf\":\"" + sfDir + "\"")) None
-            else {
-              val qsec = txt.indexOf("\"queries\":{")
-              if (qsec < 0) None else {
-                val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
-                val m = "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r
-                  .findAllMatchIn(body)
-                  .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-                if (m.nonEmpty) Some(m) else None
-              }
-            }
-          } catch { case _: Throwable => None }
-        }
-        .nextOption().getOrElse(Map.empty)
+        .iterator.flatMap(parseSnapshot(_)).nextOption().getOrElse(Map.empty)
     // Host-speed normalization: two runs of the SAME code can differ by a
     // uniform 10-30% (VM steal, cache state), which would flag dozens of
     // phantom regressions. Scale the baseline by the common-query total
@@ -114,13 +112,16 @@ object Bench {
     // actually report clean.
     val retested = scala.collection.mutable.Map[String, Double]()
     common.filter(k => regressed(k, best(k))).foreach { k =>
-      val t = (1 to 2).map { _ =>
+      // A retest pass that THROWS must not contribute its (fast) time-to-fail:
+      // that would clear a genuine regression with a near-zero elapsed. Failed
+      // retest passes are dropped; if every retest pass fails, best(k) stands.
+      val ts = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { consume(SparkEntry.queries(k)(spark, sfDir)) }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      retested(k) = math.min(best(k), t)
+        val ok = try { consume(SparkEntry.queries(k)(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      retested(k) = math.min(best(k), if (ts.nonEmpty) ts.min else best(k))
     }
     val regressions = common.filter(k =>
       regressed(k, retested.getOrElse(k, best(k))))
@@ -146,10 +147,29 @@ object Bench {
         full.getBytes("UTF-8"))
       // Durable round-over-round baseline (committed): only the canonical
       // driver configuration updates it, so ad-hoc local runs at other SFs
-      // or pass counts can't poison the comparison base.
-      if (sfDir == "/root/testdata/sf0.1" && passes >= 2 && errors.isEmpty)
+      // or pass counts can't poison the comparison base. Two further guards:
+      // (1) only REGRESSION-FREE runs advance the base — otherwise a real
+      //     regression is reported once and then becomes its own baseline,
+      //     self-resetting the gate; (2) the refresh MIN-MERGES per query
+      //     against the prior committed floor (same best-of-passes philosophy
+      //     as the in-run min) — a wholesale overwrite would let one noisy
+      //     host window inflate a query's floor 2-3x and blind the >30% gate
+      //     for it in every later round. Dropped queries leave the file;
+      //     comparison skips one-sided names anyway.
+      if (sfDir == "/root/testdata/sf0.1" && passes >= 2 && errors.isEmpty
+          && regressions.isEmpty) {
+        val prior = parseSnapshot(java.nio.file.Paths.get("BENCH_LOCAL.json"))
+          .getOrElse(Map.empty)
+        val merged = names.filterNot(k => best(k).isInfinity).map { k =>
+          k -> math.min(best(k), prior.getOrElse(k, Double.PositiveInfinity))
+        }
+        val mq = merged.map { case (k, v) => "\"" + k + "\":" + v.toString }
+          .mkString("{", ",", "}")
+        val mtotal = merged.map(_._2).sum
+        val mjson = s"""{"metric":"total","value":$mtotal,"unit":"sec","n_errors":0,"errors":{},"n_regressions":0,"regressions":{},"queries":$mq,"sf":"$sfDir","passes":$passes}"""
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-          full.getBytes("UTF-8"))
+          mjson.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")

@@ -630,10 +630,14 @@ object Analytics3 {
           .select($"w", $"nw", $"pos", $"len",
             expr("substring(w, pos + 1, len)").as("gram"))
         val grams = sub.groupBy($"gram").agg(sum($"nw").as("cnt"))
+        // top-60 via orderBy+limit (plans as TakeOrderedAndProject): a
+        // row_number over partitionBy(lit(1)) would shuffle the whole gram
+        // frame onto one effective partition while reporting constant
+        // HashPartitioning — the exact shape PlanLint's foldable-partition
+        // rule now rejects.
         val inv = grams.filter(length($"gram") > 1)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"gram")))
-          .filter($"rk" <= 60).select($"gram", $"cnt")
+          .orderBy($"cnt".desc, $"gram").limit(60)
+          .select($"gram", $"cnt")
           .unionByName(grams.filter(length($"gram") === 1))
         // bounded model artifact: ≤60 + charset entries, with probabilities
         val invRows = inv.collect()
