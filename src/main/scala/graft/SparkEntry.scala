@@ -25,8 +25,10 @@ object SparkEntry {
     SqlSurface.queries,
     Headline.queries,
     Llm.queries,
+    Llmb.queries,
     LlmExt.queries,
     LlmExt2.queries,
+    LlmExt2b.queries,
     SpecQ.queries,
     Scale.queries,
     Extras.queries,
@@ -37,7 +39,8 @@ object SparkEntry {
     LlmExt3b.queries,
     LlmExt3c.queries,
     Analytics2.queries,
-    Analytics3.queries
+    Analytics3.queries,
+    Analytics4.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

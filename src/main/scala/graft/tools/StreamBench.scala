@@ -40,8 +40,28 @@ object StreamBench {
           id % 997, types((id % 4).toInt), (id % 100).toDouble / 4.0)
       }
 
-    def probe(op: String, mode: OutputMode = OutputMode.Update())(
-        mk: DataFrame => DataFrame): Unit = {
+    var gateFailures = 0
+
+    // Per-batch state-store size (StateOperatorProgress.numRowsTotal, summed
+    // over the query's state operators): throughput catches slow, this catches
+    // LEAKING. Every watermarked/key-bounded processor must reach steady state
+    // — state growing batch-over-batch, not rows/sec, is the real 100-TB
+    // streaming killer (the store eventually evicts to disk or OOMs).
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(0L)
+
+    /** Flat = the final batch's state is within 1.5x of the mid-run state.
+      * Bounded processors sit near 1.0 (eviction keeps pace with arrival);
+      * a per-row leak grows state linearly, putting last/mid at ~(n+1)/(n/2+1)
+      * ≈ 1.7 for the 4-batch default — reliably over the line. */
+    def flat(series: Seq[Long]): Boolean = {
+      val mid = series(series.length / 2 - 1).max(1L)
+      series.last.toDouble / mid <= 1.5
+    }
+
+    def probe(op: String, mode: OutputMode = OutputMode.Update(),
+        expectBounded: Boolean = true)(mk: DataFrame => DataFrame): Unit = {
       val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
       val events = in.toDF()
         .toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -52,14 +72,25 @@ object StreamBench {
         in.addData(batch(0)) // warm-up batch: codegen + state-store init
         q.processAllAvailable()
         val t0 = System.nanoTime()
-        (1 to nBatches).foreach { b =>
+        val states = (1 to nBatches).map { b =>
           in.addData(batch(b))
           q.processAllAvailable()
+          stateRows(q)
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = rowsPerBatch.toLong * nBatches
+        val isFlat = flat(states)
+        if (isFlat != expectBounded) {
+          gateFailures += 1
+          val what = if (expectBounded) "STATE-GROWTH (leak?)"
+            else "UNBOUNDED PROBE CAME OUT FLAT (gate can't trip?)"
+          System.err.println(s"[streambench] FAIL $op: $what state=" +
+            states.mkString(","))
+        }
         println(f"""{"op":"$op","rows":$rows,"batches":$nBatches,""" +
-          f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f}""")
+          f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,""" +
+          s""""state_rows":${states.mkString("[", ",", "]")},""" +
+          s""""state_flat":$isFlat,"expect_bounded":$expectBounded}""")
       } finally q.stop()
     }
 
@@ -115,6 +146,18 @@ object StreamBench {
       Streaming.timerSessions(spark, _, 300000L, "30 minutes").toDF())
     probeForeachBatch("foreachbatch_sink")(
       Streaming.tumblingCounts(_, "10 minutes", "30 minutes"))
+    // Deliberately UNBOUNDED control probe: per-event_id running aggregation
+    // with no watermark — every row mints a new state key, so state grows
+    // linearly with input. Proves the flatness assertion can trip; if this
+    // ever reports flat, the state-growth gate itself is broken.
+    probe("unbounded_control", expectBounded = false)(df =>
+      df.groupBy(org.apache.spark.sql.functions.col("event_id"))
+        .count())
+    if (gateFailures > 0) {
+      System.err.println(s"[streambench] $gateFailures state-growth gate failure(s)")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }
