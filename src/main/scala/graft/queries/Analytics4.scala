@@ -498,6 +498,618 @@ object Analytics4 {
              |SELECT n_test, sum_ae, n_naive, sum_naive,
              |  round((CAST(sum_ae AS DOUBLE) / n_test) /
              |        (CAST(sum_naive AS DOUBLE) / n_naive), 9) AS mase
-             |FROM fc, nv""".stripMargin))
+             |FROM fc, nv""".stripMargin)),
+
+    // Per-document character-level Shannon entropy — the gibberish /
+    // encoding-health screen next to text_utf8_density (random byte soup and
+    // base64 blobs sit near log2-alphabet; templated boilerplate sits low).
+    // Char histogram by explode, each −p·ln p term through DECIMAL before the
+    // per-doc sum (the events_entropy_diversity discipline: unordered double
+    // sums are partitioning-dependent; decimal sums are exact). Pure
+    // scan-shape: rows = total corpus characters, one doc-keyed shuffle.
+    Q("text_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val chars = t(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", "")).as("ch"))
+          .filter(length($"ch") === 1)
+        val cnt = chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy($"doc_id").agg(sum($"c").as("n"))
+        val p = $"c".cast("double") / $"n"
+        cnt.join(tot, Seq("doc_id"))
+          .select($"doc_id", $"n",
+            (-(p * log(p))).cast("decimal(30,12)").as("e"))
+          .groupBy($"doc_id")
+          .agg(max($"n").cast("long").as("n_chars"),
+            count(lit(1)).cast("long").as("n_distinct_chars"),
+            round(sum($"e").cast("double"), 9).as("entropy"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(text)),
+             |      i -> substring(text, CAST(i AS INTEGER), 1))) AS ch
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+             |        FROM cnt GROUP BY 1),
+             |e AS (
+             |  SELECT cnt.doc_id, n,
+             |    CAST(-((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+             |      AS DECIMAL(30,12)) AS e
+             |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+             |SELECT doc_id, MAX(n) AS n_chars,
+             |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             |  round(CAST(SUM(e) AS DOUBLE), 9) AS entropy
+             |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Katz centrality (attenuated path counting: c = α·Mᵀc + 1, unlike
+    // PageRank no rank conservation — prestige accumulates along ALL walks,
+    // weighted α^length): 6 synchronous iterations over the row-normalized
+    // trade matrix, α = 0.5. Same Pregel-by-joins shape and decimal-exact
+    // inflow sums as graph_pagerank / personalized variant; converges since
+    // α < 1 and M is substochastic. Unrolled-CTE oracle.
+    Q("graph_katz_centrality",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+            $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val ow = e.groupBy($"src".as("osrc")).agg(sum($"w").as("ow"))
+        val ew = e.join(ow, $"src" === $"osrc")
+          .select($"src", $"dst", ($"w" / $"ow").as("frac"))
+          .localCheckpoint()
+        val nodes = ew.select($"src".as("node"))
+          .union(ew.select($"dst".as("node"))).distinct().localCheckpoint()
+        var katz = nodes.withColumn("c", lit(1.0d))
+        for (_ <- 1 to 6) {
+          val inflow = ew.join(katz, $"src" === $"node")
+            .select($"dst", ($"c" * $"frac").cast("decimal(30,12)").as("t"))
+            .groupBy($"dst").agg(sum($"t").cast("double").as("inflow"))
+          katz = nodes.join(inflow, $"node" === $"dst", "left")
+            .select($"node",
+              (lit(1.0d) + lit(0.5d) * coalesce($"inflow", lit(0.0d))).as("c"))
+        }
+        katz.select($"node", round($"c", 9).as("katz")).orderBy($"node")
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""r$k AS (SELECT n.node,
+             |  1.0 + 0.5 * COALESCE(i.inflow, 0.0) AS c
+             |  FROM n LEFT JOIN (
+             |    SELECT ew.dst,
+             |      CAST(SUM(CAST(r.c * ew.frac AS DECIMAL(30,12))) AS DOUBLE)
+             |        AS inflow
+             |    FROM ew JOIN r${k - 1} r ON ew.src = r.node GROUP BY ew.dst) i
+             |  ON n.node = i.dst)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+           |ew AS (SELECT e.src, e.dst, e.w / ow.ow AS frac
+           |       FROM e JOIN ow ON e.src = ow.src),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS c FROM n),
+           |${(1 to 6).map(iter).mkString(",\n")}
+           |SELECT node, round(c, 9) AS katz FROM r6 ORDER BY node""".stripMargin
+      }),
+
+    // Radius (range) similarity search: every corpus vector within cosine
+    // >= 0.35 of each probe — the fixed-threshold companion to top-k ANN
+    // (dedup wants "all near-dups", not "the k nearest"). Probe set bounded
+    // (vec_id < 10); candidate dots pair probe and corpus flats via an
+    // equi-join on dimension position — linear in the corpus, never a cross.
+    // Dots and norms accumulate in decimal; the cosine threshold compare runs
+    // on identical doubles both engines.
+    Q("sim_range_search_radius",
+      (s, dir) => {
+        import s.implicits._
+        val flat = t(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
+          .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
+          .localCheckpoint()
+        val norms = flat.groupBy($"vec_id")
+          .agg(sqrt(sum(($"v" * $"v").cast("decimal(30,12)")).cast("double"))
+            .as("nrm"))
+        val probes = flat.filter($"vec_id" < 10)
+        val dots = probes.as("q")
+          .join(flat.as("c"),
+            $"q.pos" === $"c.pos" && $"q.vec_id" =!= $"c.vec_id")
+          .groupBy($"q.vec_id".as("probe_id"), $"c.vec_id".as("cand_id"))
+          .agg(sum(($"q.v" * $"c.v").cast("decimal(30,12)"))
+            .cast("double").as("dot"))
+        dots.join(norms.select($"vec_id".as("probe_id"), $"nrm".as("n1")),
+            Seq("probe_id"))
+          .join(norms.select($"vec_id".as("cand_id"), $"nrm".as("n2")),
+            Seq("cand_id"))
+          .select($"probe_id", $"cand_id",
+            ($"dot" / ($"n1" * $"n2")).as("cosine"))
+          .filter($"cosine" >= 0.35d)
+          .select($"probe_id", $"cand_id", round($"cosine", 9).as("cosine"))
+          .orderBy($"probe_id", $"cand_id")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE))
+             |      AS nrm
+             |  FROM flat GROUP BY 1),
+             |dots AS (
+             |  SELECT q.vec_id AS probe_id, c.vec_id AS cand_id,
+             |    CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             |  FROM flat q JOIN flat c
+             |    ON q.pos = c.pos AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+             |cos AS (
+             |  SELECT probe_id, cand_id, dot / (n1.nrm * n2.nrm) AS cosine
+             |  FROM dots
+             |  JOIN norms n1 ON n1.vec_id = probe_id
+             |  JOIN norms n2 ON n2.vec_id = cand_id)
+             |SELECT probe_id, cand_id, round(cosine, 9) AS cosine
+             |FROM cos WHERE cosine >= 0.35
+             |ORDER BY probe_id, cand_id""".stripMargin)),
+
+    // 10% trimmed mean per group (the robust location estimate between mean
+    // and median: drop the lowest and highest decile by rank, average the
+    // middle 80%). Ranks are group-partitioned windows (fully parallel —
+    // ranks never cross groups), the trim boundary is integer floor(n/10),
+    // and the kept values sum in decimal. Complements feat_winsorize
+    // (clamping) with dropping.
+    Q("agg_trimmed_mean",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag")
+          .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+        val ranked = t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_quantity", $"l_orderkey",
+            $"l_linenumber")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"l_returnflag")))
+        ranked
+          .filter($"rn" > floor($"n" / 10) && $"rn" <= $"n" - floor($"n" / 10))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_kept"),
+            round(dsum($"l_quantity") / count(lit(1)), 9)
+              .as("trimmed_mean"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT l_returnflag, l_quantity,
+              |    row_number() OVER (PARTITION BY l_returnflag
+              |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+              |    count(*) OVER (PARTITION BY l_returnflag) AS n
+              |  FROM lineitem)
+              |SELECT l_returnflag, count(*) AS n_kept,
+              |  round(${sqlDsum("l_quantity")} / count(*), 9) AS trimmed_mean
+              |FROM r
+              |WHERE rn > floor(n / 10) AND rn <= n - floor(n / 10)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // b-bit minhash operating-curve audit (Li & König 2010, public): keep
+    // only the LOW BIT of each of 16 salted minhashes (signatures shrink 64x
+    // vs 64-bit values; Jaccard recovers from the bit-match fraction m as
+    // 2m-1), then report the screen's precision per match threshold against
+    // exact shingle Jaccard computed ONLY for screened candidates — the
+    // production order (cheap filter, exact confirm) AND the honest readout:
+    // on this 31-token corpus the bit votes are heavily correlated, so only
+    // the all-16-match bucket isolates the true near-dups; the curve shows
+    // exactly that (the classic small-b/small-vocabulary failure mode the
+    // audit exists to expose). Bounded probe set (doc_id < 300); pairs form
+    // via an equi-join on salt position, never a cross.
+    Q("dedup_minhash_bbit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Dedup
+        val docs = t(s, dir, "documents").filter($"doc_id" < 300)
+        val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 16)
+        val bits = wide.select($"doc_id",
+            posexplode(array((0 until 16).map(i => col(s"mh$i")): _*))
+              .as(Seq("salt", "mh")))
+          .select($"doc_id", $"salt", ($"mh" % 2).cast("int").as("bit"))
+        val cand = bits.as("a")
+          .join(bits.as("b"),
+            $"a.salt" === $"b.salt" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+          .agg(sum(when($"a.bit" === $"b.bit", 1L).otherwise(0L))
+            .as("n_match"))
+          .filter($"n_match" >= 12)
+        val scored = Dedup.jaccardFromShingles(cand.select($"id1", $"id2"),
+            sh.withColumnRenamed("doc_id", "jid"))
+          .join(cand, Seq("id1", "id2"))
+          .select($"n_match", $"jaccard")
+          .localCheckpoint(true)
+        sh.unpersist()
+        scored
+          .select(explode(array((12 to 16).map(lit): _*)).as("threshold"),
+            $"n_match", $"jaccard")
+          .filter($"n_match" >= $"threshold")
+          .groupBy($"threshold")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"jaccard" >= 0.5d, 1L).otherwise(0L)).as("n_true"),
+            round(sum(when($"jaccard" >= 0.5d, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("screen_precision"),
+            round(lit(2.0d) * $"threshold" / 16.0d - 1.0d, 6)
+              .as("jacc_implied"))
+          .orderBy($"threshold")
+      },
+      Some(s"""WITH ${Llm.duckShingleBase.replace("FROM documents",
+                 "FROM documents WHERE doc_id < 300")},
+              |hs AS (
+              |  SELECT doc_id,
+              |    ${sqlHexInt("md5(shingle)", 1, 7)} AS h1,
+              |    ${sqlHexInt("md5(shingle)", 8, 7)} AS h2
+              |  FROM shing),
+              |mh AS (
+              |  SELECT doc_id, salt, min(h1 + salt * h2) % 2 AS bit
+              |  FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS salt)
+              |  GROUP BY doc_id, salt),
+              |cand AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(SUM(CASE WHEN a.bit = b.bit THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_match
+              |  FROM mh a JOIN mh b
+              |    ON a.salt = b.salt AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING n_match >= 12),
+              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.id1, c.id2, COUNT(*) AS n_shared
+              |  FROM cand c
+              |  JOIN shing s1 ON s1.doc_id = c.id1
+              |  JOIN shing s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+              |  GROUP BY c.id1, c.id2),
+              |scored AS (
+              |  SELECT c.n_match,
+              |    COALESCE(i.n_shared, 0) * 1.0 /
+              |      (z1.sz + z2.sz - COALESCE(i.n_shared, 0)) AS jaccard
+              |  FROM cand c
+              |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+              |  JOIN sz z1 ON z1.doc_id = c.id1
+              |  JOIN sz z2 ON z2.doc_id = c.id2),
+              |fan AS (
+              |  SELECT CAST(unnest(range(12, 17)) AS INTEGER) AS threshold,
+              |    s.n_match, s.jaccard
+              |  FROM scored s)
+              |SELECT threshold, COUNT(*) AS n_candidates,
+              |  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_true,
+              |  round(CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / COUNT(*), 6) AS screen_precision,
+              |  round(2.0 * threshold / 16.0 - 1.0, 6) AS jacc_implied
+              |FROM fan WHERE n_match >= threshold
+              |GROUP BY threshold ORDER BY threshold""".stripMargin)),
+
+    // Brown-Forsythe test (the robust Levene variant: one-way ANOVA on
+    // absolute deviations from the GROUP MEDIAN — the variance-homogeneity
+    // check that gates pooled-variance methods): group medians are positional
+    // picks from group-partitioned ranks (fully parallel, integer-exact on
+    // the integer-quantity column), deviations are exact integers, and both
+    // ANOVA sums of squares accumulate in decimal before the single F
+    // division (round 9). Output: k, N, df, F — plus the per-group mean
+    // deviations so the readout is falsifiable beyond one statistic.
+    Q("stats_brown_forsythe",
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val x = t(s, dir, "lineitem")
+          .select($"l_returnflag".as("g"), $"l_quantity".cast("long").as("x"),
+            $"l_orderkey", $"l_linenumber")
+        val ranked = x
+          .withColumn("rn", row_number().over(W.partitionBy($"g")
+            .orderBy($"x", $"l_orderkey", $"l_linenumber")))
+          .withColumn("n", count(lit(1)).over(W.partitionBy($"g")))
+        val med = ranked.filter($"rn" === floor(($"n" + 1) / 2))
+          .select($"g", $"x".as("med"))
+        val z = x.join(med, Seq("g"))
+          .select($"g", abs($"x" - $"med").as("z"))
+        val pg = z.groupBy($"g")
+          .agg(count(lit(1)).as("ng"),
+            sum($"z".cast("decimal(38,0)")).as("sz"),
+            sum(($"z" * $"z").cast("decimal(38,0)")).as("szz"))
+          .localCheckpoint()
+        val tot = pg.agg(
+          count(lit(1)).cast("long").as("k"),
+          sum($"ng").cast("long").as("nn"),
+          sum($"sz").cast("double").as("tsz"))
+        val withTot = pg.crossJoin(broadcast(tot))
+          .withColumn("meang", $"sz".cast("double") / $"ng")
+          .withColumn("mean", $"tsz" / $"nn")
+        val parts = withTot.agg(
+          max($"k").as("k"), max($"nn").as("n"),
+          sum(($"ng" * ($"meang" - $"mean") * ($"meang" - $"mean"))
+            .cast("decimal(30,12)")).cast("double").as("ssb"),
+          sum(($"szz".cast("double") - $"ng" * $"meang" * $"meang")
+            .cast("decimal(30,12)")).cast("double").as("ssw"))
+        parts.select($"k", $"n",
+          round(($"ssb" / ($"k" - 1)) / ($"ssw" / ($"n" - $"k")), 9).as("f"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |r AS (SELECT g, x,
+             |    row_number() OVER (PARTITION BY g
+             |      ORDER BY x, l_orderkey, l_linenumber) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM x),
+             |med AS (SELECT g, x AS med FROM r WHERE rn = floor((n + 1) / 2)),
+             |z AS (SELECT x.g, abs(x.x - med.med) AS z
+             |      FROM x JOIN med ON x.g = med.g),
+             |pg AS (SELECT g, COUNT(*) AS ng,
+             |    SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+             |    SUM(CAST(z * z AS DECIMAL(38,0))) AS szz
+             |  FROM z GROUP BY g),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(ng) AS BIGINT) AS nn,
+             |    CAST(SUM(sz) AS DOUBLE) AS tsz FROM pg),
+             |wt AS (SELECT pg.*, tot.k, tot.nn,
+             |    CAST(sz AS DOUBLE) / ng AS meang, tsz / nn AS mean
+             |  FROM pg CROSS JOIN tot),
+             |parts AS (SELECT MAX(k) AS k, MAX(nn) AS n,
+             |    CAST(SUM(CAST(ng * (meang - mean) * (meang - mean)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS ssb,
+             |    CAST(SUM(CAST(CAST(szz AS DOUBLE) - ng * meang * meang
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS ssw
+             |  FROM wt)
+             |SELECT k, n,
+             |  round((ssb / (k - 1)) / (ssw / (n - k)), 9) AS f
+             |FROM parts""".stripMargin)),
+
+    // Additive weekly decomposition of the daily event-count series (the
+    // classical-decomposition core of STL: trend = centered 7-day moving
+    // average, seasonal = day-of-week means of the detrended series
+    // re-centered to sum zero, remainder = y - trend - seasonal). Everything
+    // runs on the |days| grain frame; the moving-average sum is an exact
+    // integer, seasonal means go through decimal, and day-of-week is epoch
+    // arithmetic (engine-neutral, no locale). The calendar-grain global
+    // window is on the 1partWin allowlist.
+    Q("events_stl_weekly",
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val wma = W.orderBy($"day").rowsBetween(-3, 3)
+        val tr = daily
+          .withColumn("nw", count(lit(1)).over(wma))
+          .withColumn("trend", sum($"c").over(wma).cast("double") / 7.0d)
+          .filter($"nw" === 7)
+          .withColumn("dow",
+            pmod(datediff($"day", lit("2024-01-01").cast("date")), lit(7)))
+          .withColumn("d", $"c".cast("double") - $"trend")
+        val seas = tr.groupBy($"dow")
+          .agg((sum($"d".cast("decimal(30,12)")).cast("double") /
+            count(lit(1))).as("s_raw"))
+          .withColumn("s_mean",
+            (sum($"s_raw".cast("decimal(30,12)")).over(W.partitionBy())
+              .cast("double")) / 7.0d)
+          .select($"dow", ($"s_raw" - $"s_mean").as("seasonal"))
+        tr.join(seas, Seq("dow"))
+          .select($"day", $"c",
+            round($"trend", 9).as("trend"),
+            round($"seasonal", 9).as("seasonal"),
+            round($"d" - $"seasonal", 9).as("remainder"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+             |  FROM events GROUP BY 1),
+             |tr AS (
+             |  SELECT day, c,
+             |    count(*) OVER w AS nw,
+             |    CAST(SUM(c) OVER w AS DOUBLE) / 7.0 AS trend,
+             |    (day - DATE '2024-01-01') % 7 AS dow
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+             |               AND 3 FOLLOWING)),
+             |tf AS (SELECT day, c, trend, dow,
+             |    CAST(c AS DOUBLE) - trend AS d
+             |  FROM tr WHERE nw = 7),
+             |seas0 AS (
+             |  SELECT dow,
+             |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+             |      AS s_raw
+             |  FROM tf GROUP BY dow),
+             |seas AS (
+             |  SELECT dow, s_raw -
+             |    CAST(SUM(CAST(s_raw AS DECIMAL(30,12))) OVER () AS DOUBLE)
+             |      / 7.0 AS seasonal
+             |  FROM seas0)
+             |SELECT tf.day, tf.c,
+             |  round(tf.trend, 9) AS trend,
+             |  round(seas.seasonal, 9) AS seasonal,
+             |  round(tf.d - seas.seasonal, 9) AS remainder
+             |FROM tf JOIN seas ON tf.dow = seas.dow
+             |ORDER BY tf.day""".stripMargin)),
+
+    // Jensen-Shannon divergence drift (the bounded, symmetric member of the
+    // drift family beside PSI/KS/TV/CUSUM): per-bin 0.5·p·ln(p/m) +
+    // 0.5·q·ln(q/m) against the mixture m = (p+q)/2. Unlike PSI, JSD is
+    // DEFINED for one-sided bins (a p=0 term contributes 0; ln(q/m) stays
+    // finite since m >= q/2), so no drop-and-renormalize step — the whole
+    // histogram participates. Same single-scan shape as dq_psi_drift: one
+    // binned rollup, totals via the sanctioned single-row broadcast cross.
+    Q("dq_jsd_drift",
+      (s, dir) => {
+        import s.implicits._
+        val binned = graft.Tables.events(s, dir)
+          .select(floor($"value" / 2.0d).cast("long").as("bin"),
+            ($"ts" >= "2024-01-16").as("cur"))
+          .groupBy($"bin")
+          .agg(sum(when(!$"cur", 1L).otherwise(0L)).as("n_ref"),
+            sum(when($"cur", 1L).otherwise(0L)).as("n_cur"))
+        val tot = binned.agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))
+        binned.crossJoin(broadcast(tot))
+          .select($"bin", $"n_ref", $"n_cur",
+            ($"n_ref".cast("double") / $"tr".cast("double")).as("p"),
+            ($"n_cur".cast("double") / $"tc".cast("double")).as("q"))
+          .withColumn("m", ($"p" + $"q") / 2.0d)
+          .select($"bin", $"n_ref", $"n_cur",
+            round($"p", 9).as("p_ref"), round($"q", 9).as("p_cur"),
+            round(
+              coalesce(when($"p" > 0d, $"p" * log($"p" / $"m") / 2.0d),
+                lit(0.0d)) +
+              coalesce(when($"q" > 0d, $"q" * log($"q" / $"m") / 2.0d),
+                lit(0.0d)), 9).as("jsd_contrib"))
+          .orderBy($"bin")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(value / 2.0) AS BIGINT) AS bin,
+             |    ts >= TIMESTAMP '2024-01-16' AS cur
+             |  FROM events),
+             |c AS (SELECT bin,
+             |        CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_ref,
+             |        CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_cur
+             |      FROM b GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+             |        CAST(SUM(n_cur) AS DOUBLE) AS tc FROM c),
+             |pq AS (SELECT bin, n_ref, n_cur,
+             |    CAST(n_ref AS DOUBLE) / t.tr AS p,
+             |    CAST(n_cur AS DOUBLE) / t.tc AS q,
+             |    (CAST(n_ref AS DOUBLE) / t.tr
+             |      + CAST(n_cur AS DOUBLE) / t.tc) / 2.0 AS m
+             |  FROM c, t)
+             |SELECT bin, n_ref, n_cur,
+             |  round(p, 9) AS p_ref, round(q, 9) AS p_cur,
+             |  round(COALESCE(CASE WHEN p > 0 THEN p * ln(p / m) / 2.0 END, 0)
+             |    + COALESCE(CASE WHEN q > 0 THEN q * ln(q / m) / 2.0 END, 0),
+             |    9) AS jsd_contrib
+             |FROM pq ORDER BY bin""".stripMargin)),
+
+    // Cohen's d / Hedges' g standardized effect size (the magnitude readout
+    // that belongs next to every significance test — a tiny p with a tiny d
+    // is noise you can afford to ignore): urgent vs low-priority order
+    // values, exact decimal moments (inputs cast to DECIMAL before squaring
+    // — the agg_stats_exact discipline, since 1e5-magnitude squares land
+    // off the double->decimal rounding grid), pooled SD, and the
+    // small-sample Hedges correction 1 - 3/(4N-9). One grouped scan, a
+    // 2-row rollup, scalar math.
+    Q("stats_cohens_d",
+      (s, dir) => {
+        import s.implicits._
+        val x = t(s, dir, "orders")
+          .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+          .select(when($"o_orderpriority" === "1-URGENT", 1)
+              .otherwise(2).as("g"),
+            $"o_totalprice".cast("decimal(18,2)").as("x"))
+        val pg = x.groupBy($"g")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").cast("decimal(38,4)").as("sx"),
+            sum($"x" * $"x").cast("decimal(38,4)").as("sxx"))
+          .withColumn("mean", $"sx".cast("double") / $"n")
+          .withColumn("ss",
+            $"sxx".cast("double") - $"n" * $"mean" * $"mean")
+        val w = pg.agg(
+          sum(when($"g" === 1, $"n").otherwise(0L)).cast("long").as("n1"),
+          sum(when($"g" === 2, $"n").otherwise(0L)).cast("long").as("n2"),
+          sum(when($"g" === 1, $"mean").otherwise(0d)).as("m1"),
+          sum(when($"g" === 2, $"mean").otherwise(0d)).as("m2"),
+          sum(when($"g" === 1, $"ss").otherwise(0d)).as("ss1"),
+          sum(when($"g" === 2, $"ss").otherwise(0d)).as("ss2"))
+        val sp = sqrt(($"ss1" + $"ss2") / ($"n1" + $"n2" - 2))
+        val d = ($"m1" - $"m2") / sp
+        w.select($"n1", $"n2", round(d, 9).as("cohens_d"),
+          round(d * (lit(1.0d) -
+            lit(3.0d) / (lit(4.0d) * ($"n1" + $"n2") - 9)), 9)
+            .as("hedges_g"))
+      },
+      Some("""WITH x AS (
+             |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+             |      AS g,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |pg AS (SELECT g, COUNT(*) AS n,
+             |    CAST(SUM(x) AS DECIMAL(38,4)) AS sx,
+             |    CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx
+             |  FROM x GROUP BY g),
+             |m AS (SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
+             |    CAST(sxx AS DOUBLE)
+             |      - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+             |      AS ss
+             |  FROM pg),
+             |w AS (SELECT
+             |    CAST(SUM(CASE WHEN g = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN g = 2 THEN n ELSE 0 END) AS BIGINT) AS n2,
+             |    SUM(CASE WHEN g = 1 THEN mean ELSE 0 END) AS m1,
+             |    SUM(CASE WHEN g = 2 THEN mean ELSE 0 END) AS m2,
+             |    SUM(CASE WHEN g = 1 THEN ss ELSE 0 END) AS ss1,
+             |    SUM(CASE WHEN g = 2 THEN ss ELSE 0 END) AS ss2
+             |  FROM m)
+             |SELECT n1, n2,
+             |  round((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2)), 9)
+             |    AS cohens_d,
+             |  round((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2))
+             |    * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)), 9) AS hedges_g
+             |FROM w""".stripMargin)),
+
+    // View-to-purchase conversion-lag histogram (the latency distribution
+    // behind funnel timing: how long after first exposure does conversion
+    // land?): per user, first view and the first purchase AFTER it pair in
+    // one grouped pass (conditional min-aggregates — no self-join); the lag
+    // in seconds buckets by binary order of magnitude via length(bin(x)) —
+    // pure integer arithmetic, no float log2 boundary. Ordered by bucket.
+    Q("events_conversion_lag",
+      (s, dir) => {
+        import s.implicits._
+        val firstView = graft.Tables.events(s, dir)
+          .filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+        val lag = graft.Tables.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .join(firstView, Seq("user_id"))
+          .filter($"ts" >= $"v_ts")
+          .groupBy($"user_id", $"v_ts").agg(min($"ts").as("p_ts"))
+          .select($"user_id",
+            (unix_timestamp($"p_ts") - unix_timestamp($"v_ts"))
+              .as("lag_sec"))
+          .filter($"lag_sec" > 0)
+        lag.select($"user_id", $"lag_sec",
+            length(bin($"lag_sec")).as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_users"),
+            min($"lag_sec").as("min_sec"), max($"lag_sec").as("max_sec"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, MIN(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |lag AS (
+             |  -- truncate each side to whole seconds BEFORE differencing:
+             |  -- Spark's unix_timestamp floors per-timestamp, and flooring
+             |  -- the difference of fractional epochs is NOT the same number
+             |  SELECT e.user_id,
+             |    CAST(epoch(date_trunc('second', MIN(e.ts)))
+             |      - epoch(date_trunc('second', fv.v_ts)) AS BIGINT)
+             |      AS lag_sec
+             |  FROM events e JOIN fv ON e.user_id = fv.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= fv.v_ts
+             |  GROUP BY e.user_id, fv.v_ts),
+             |lb AS (SELECT user_id, lag_sec,
+             |    CAST(length(bin(lag_sec)) AS INTEGER) AS bucket
+             |  FROM lag WHERE lag_sec > 0)
+             |SELECT bucket, COUNT(*) AS n_users,
+             |  MIN(lag_sec) AS min_sec, MAX(lag_sec) AS max_sec
+             |FROM lb GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -38,7 +38,7 @@ object Llm {
        |sh AS (SELECT doc_id, $bitVal AS simhash16 FROM votes)""".stripMargin
   }
 
-  private val duckShingleBase =
+  private[queries] val duckShingleBase =
     s"""toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
        |shing AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks)""".stripMargin
 
