@@ -40,7 +40,8 @@ object SparkEntry {
     LlmExt3c.queries,
     Analytics2.queries,
     Analytics3.queries,
-    Analytics4.queries
+    Analytics4.queries,
+    Analytics5.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -50,6 +50,27 @@ case class SobelStats(doc_id: Long, n_interior: Long, sum_mag: Long,
   * cheap tone-detection primitive (DTMF/beep gates) that needs no FFT. */
 case class GoertzelPower(doc_id: Long, n: Int, p_target: Double, p_dc: Double)
 
+/** Per-image 3x3 box-blur statistics over the interior pixels — integer
+  * truncating division (sum of the 9 grayscale neighbors `div` 9), with a
+  * position-weighted checksum that pins kernel addressing. */
+case class BlurStats(doc_id: Long, n_interior: Long, sum_blur: Long,
+    max_blur: Long, wsum_blur: Long)
+
+/** Per-image ordered-dithering statistics: Bayer 4x4 threshold matrix over
+  * the grayscale (r+g+b) field, 1-bit output — on-pixel count plus the
+  * position-weighted checksum that pins the matrix addressing. */
+case class DitherStats(doc_id: Long, n_pix: Long, n_on: Long, wsum_on: Long)
+
+/** Per-image Otsu threshold pick: the argmax level plus the below-class
+  * count/sum at the optimum — integer witnesses that pin the whole scan. */
+case class OtsuStats(doc_id: Long, n_pix: Long, t_opt: Int, w0: Long, s0: Long)
+
+/** Per-recording local-maxima statistics above a threshold: peak count,
+  * index-sum checksum (pins peak POSITIONS, not just their number), and the
+  * loudest peak value. */
+case class PeakStats(doc_id: Long, n_samples: Long, n_peaks: Long,
+    sum_peak_idx: Long, max_peak: Int)
+
 /** Per-block integer moment partials between two frames (grayscale sums,
   * sums of squares, cross sum) — everything SSIM needs, kept exact so the
   * downstream SSIM expression is pinned IEEE on exact inputs. */
@@ -536,6 +557,145 @@ object Multimodal {
         y += 1
       }
       SobelStats(rec.doc_id, n, sum, mx, edges)
+    })
+  }
+
+  /** Decode → 3×3 box-blur statistics over the grayscale (r+g+b) interior:
+    * blur(x,y) = (Σ of the 9 neighbors) div 9 — integer truncating division,
+    * the smoothing-kernel archetype next to [[sobelStats]]'s edge kernel.
+    * Per-image sum / max plus the (x + 2y)-weighted checksum that makes any
+    * addressing mistake (offset, border, transpose) flip the hash. Same
+    * scale shape: the kernel runs inside the one codec-stage pass with
+    * direct neighbor indexing — pure per-record CPU, no pixel shuffle. */
+  def boxBlurStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[BlurStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      def g(x: Int, y: Int): Long =
+        img.r(x, y).toLong + img.g(x, y) + img.b(x, y)
+      var sum = 0L; var mx = 0L; var wsum = 0L; var n = 0L
+      var y = 1
+      while (y < img.height - 1) {
+        var x = 1
+        while (x < img.width - 1) {
+          val b = (g(x - 1, y - 1) + g(x, y - 1) + g(x + 1, y - 1) +
+            g(x - 1, y) + g(x, y) + g(x + 1, y) +
+            g(x - 1, y + 1) + g(x, y + 1) + g(x + 1, y + 1)) / 9
+          sum += b; if (b > mx) mx = b; wsum += (x + 2L * y) * b
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      BlurStats(rec.doc_id, n, sum, mx, wsum)
+    })
+  }
+
+  /** Bayer 4×4 ordered dithering to 1-bit over the grayscale (r+g+b) field:
+    * on(x,y) ⟺ 32·g(x,y) > 765·(2·B[y%4][x%4]+1) — the classic index-matrix
+    * threshold (g/765 > (B+0.5)/16) cross-multiplied into pure integers so
+    * there is no float boundary to diverge on. Per-image on-count plus the
+    * (x + 2y)-weighted checksum that makes any matrix-addressing mistake
+    * (row/col swap, offset) flip the hash. Same scale shape as the other
+    * codec stages: one partition-wise decode pass, per-record bounded state,
+    * no pixel shuffle. */
+  def ditherStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[DitherStats] = {
+    import spark.implicits._
+    val bayer = Array(
+      Array(0, 8, 2, 10), Array(12, 4, 14, 6),
+      Array(3, 11, 1, 9), Array(15, 7, 13, 5))
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      var nOn = 0L; var wsum = 0L
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val g = img.r(x, y).toLong + img.g(x, y) + img.b(x, y)
+          if (32L * g > 765L * (2L * bayer(y % 4)(x % 4) + 1L)) {
+            nOn += 1; wsum += x + 2L * y
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DitherStats(rec.doc_id, img.width.toLong * img.height, nOn, wsum)
+    })
+  }
+
+  /** Otsu's threshold over the 256-level grayscale field (level = (r+g+b)
+    * div 3): maximize the between-class variance, written as the exact
+    * integer rational (S0·w1 − S1·w0)² / (w0·w1) — numerator ≤ ~5e14 and
+    * denominator ≤ ~6e4 are both exactly representable doubles, so the one
+    * IEEE division is correctly rounded identically on every engine, and
+    * ties break to the LOWEST level (strict `>` improvement scan ⟺ the
+    * oracle's ORDER BY crit DESC, t ASC). Emits integer witnesses (w0, S0
+    * at the optimum) so the hash pins the argmax, not a huge float. The
+    * histogram is bounded per-record state (256 ints) inside the one
+    * codec-stage pass — no pixel shuffle at any scale. */
+  def otsuStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[OtsuStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val hist = new Array[Long](256)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val lv = ((img.r(x, y) + img.g(x, y) + img.b(x, y)) / 3).toInt
+          hist(lv) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.width.toLong * img.height
+      var sTot = 0L
+      var lv = 0
+      while (lv < 256) { sTot += lv * hist(lv); lv += 1 }
+      var w0 = 0L; var s0 = 0L
+      var best = -1.0d; var bestT = -1; var bestW0 = 0L; var bestS0 = 0L
+      var t = 0
+      while (t < 255) {
+        w0 += hist(t); s0 += t * hist(t)
+        val w1 = n - w0
+        if (w0 > 0 && w1 > 0) {
+          val d = s0 * w1 - (sTot - s0) * w0
+          val crit = (d.toDouble * d.toDouble) / (w0.toDouble * w1)
+          if (crit > best) { best = crit; bestT = t; bestW0 = w0; bestS0 = s0 }
+        }
+        t += 1
+      }
+      OtsuStats(rec.doc_id, n, bestT, bestW0, bestS0)
+    })
+  }
+
+  /** Decode → strict local-maxima peak detection above `thresh`: sample i is
+    * a peak iff s(i) > s(i−1) ∧ s(i) > s(i+1) ∧ s(i) ≥ thresh (interior
+    * samples only — endpoints can't be maxima without a padding convention).
+    * Pure integer comparisons on the decoded PCM, one codec-stage pass,
+    * per-record O(1) state; the index-sum checksum makes a one-off peak
+    * position flip the hash. Records with zero peaks emit no row (mirrors
+    * the oracle's GROUP BY over peak rows). Mono only. */
+  def peakStats(spark: SparkSession, media: Dataset[MediaRecord],
+      thresh: Int): Dataset[PeakStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val pcm = Wav.decode(rec.payload)
+      require(pcm.channels == 1, "peakStats is mono-only")
+      val s = pcm.samples
+      var nP = 0L; var sIdx = 0L; var mx = Int.MinValue
+      var i = 1
+      while (i < s.length - 1) {
+        if (s(i) > s(i - 1) && s(i) > s(i + 1) && s(i) >= thresh) {
+          nP += 1; sIdx += i; if (s(i) > mx) mx = s(i)
+        }
+        i += 1
+      }
+      if (nP == 0) None
+      else Some(PeakStats(rec.doc_id, s.length.toLong, nP, sIdx, mx))
     })
   }
 
