@@ -868,6 +868,245 @@ object Analytics5 {
            |  CAST(SUM(i) AS BIGINT) AS sum_peak_idx,
            |  CAST(MAX(s_i) AS INTEGER) AS max_peak
            |FROM pk GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Matryoshka prefix-energy audit per label: L2 norm of the FIRST 16 of
+    // 64 dimensions through the decimal-exact codegen'd dot
+    // (vec_dot_exact(v,v) → one IEEE sqrt — bit-equal to the oracle's
+    // DECIMAL(30,12) sum), per-row norms recast to decimal before the group
+    // mean. The full-vector norm is uniformly 1 on this corpus (normalized
+    // embeddings — auditing it would prove nothing); the PREFIX norm is the
+    // quantity Matryoshka truncation actually spends, and it varies per
+    // vector. Map-only norm pass + one grouped reduction — scales linearly.
+    Q("embed_norm_audit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Similarity
+        t(s, dir, "embeddings")
+          .select($"label",
+            Similarity.normExact(slice($"embedding", 1, 16)).as("nrm"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum($"nrm".cast("decimal(30,12)")).cast("double").as("nrm_sum"),
+            min($"nrm").as("mn"), max($"nrm").as("mx"))
+          .select($"label", $"n_vecs",
+            round($"nrm_sum" / $"n_vecs", 6).as("mean_norm"),
+            round($"mn", 6).as("min_norm"),
+            round($"mx", 6).as("max_norm"))
+          .orderBy($"label")
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, label, unnest(embedding) AS v,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id, ANY_VALUE(label) AS label,
+             |    sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+             |      AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+             |  FROM flat WHERE pos <= 16 GROUP BY vec_id)
+             |SELECT label, COUNT(*) AS n_vecs,
+             |  round(CAST(SUM(CAST(nrm AS DECIMAL(30,12))) AS DOUBLE)
+             |    / COUNT(*), 6) AS mean_norm,
+             |  round(MIN(nrm), 6) AS min_norm,
+             |  round(MAX(nrm), 6) AS max_norm
+             |FROM norms GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Per-state transition entropy of the user event chain (the Markov
+    // uncertainty profile: which states have predictable successors), plus
+    // each state's contribution to the corpus entropy rate (empirical state
+    // frequency × state entropy). Transition counts from the one lag() pass
+    // over user partitions; per-row p·log₂p terms recast to decimal before
+    // both reductions; the 1-row grand total attaches via the sanctioned
+    // scalar cross. All log magnitudes are O(1), so round-6 is far outside
+    // any engine's ulp on log2.
+    Q("events_transition_entropy",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val trans = graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type")
+          .agg(count(lit(1)).as("nij"))
+          // bounded ≤|states|² transition frame feeds three consumers —
+          // checkpoint so the fact-sized lag pass runs once
+          .localCheckpoint()
+        val states = trans.groupBy($"prev_type")
+          .agg(sum($"nij").cast("long").as("ni"),
+            count(lit(1)).as("k_out"))
+        val ent = trans.join(states, Seq("prev_type"))
+          .select($"prev_type", $"ni", $"k_out",
+            (($"nij".cast("double") / $"ni") *
+              log(2.0, $"nij".cast("double") / $"ni"))
+              .cast("decimal(30,12)").as("term"))
+          .groupBy($"prev_type")
+          .agg(max($"ni").as("ni"), max($"k_out").as("k_out"),
+            (-sum($"term").cast("double")).as("h_bits"))
+        val tot = ent.agg(sum($"ni").cast("long").as("n_tot"))
+        ent.crossJoin(broadcast(tot))
+          .select($"prev_type", $"ni", $"k_out",
+            round($"h_bits", 6).as("h_bits"),
+            round(($"ni".cast("double") / $"n_tot") * $"h_bits", 6)
+              .as("rate_contrib"))
+          .orderBy($"prev_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type,
+             |    event_type
+             |  FROM events),
+             |c AS (SELECT prev_type, event_type, COUNT(*) AS nij
+             |      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |st AS (SELECT prev_type, CAST(SUM(nij) AS BIGINT) AS ni,
+             |         COUNT(*) AS k_out
+             |       FROM c GROUP BY prev_type),
+             |e AS (
+             |  SELECT c.prev_type, MAX(ni) AS ni, MAX(k_out) AS k_out,
+             |    -CAST(SUM(CAST(
+             |      (CAST(nij AS DOUBLE) / ni) *
+             |        log2(CAST(nij AS DOUBLE) / ni)
+             |      AS DECIMAL(30,12))) AS DOUBLE) AS h_bits
+             |  FROM c JOIN st ON c.prev_type = st.prev_type
+             |  GROUP BY c.prev_type),
+             |t AS (SELECT CAST(SUM(ni) AS BIGINT) AS n_tot FROM e)
+             |SELECT prev_type, ni, k_out,
+             |  round(h_bits, 6) AS h_bits,
+             |  round((CAST(ni AS DOUBLE) / n_tot) * h_bits, 6)
+             |    AS rate_contrib
+             |FROM e CROSS JOIN t ORDER BY prev_type""".stripMargin)),
+
+    // Held-out bigram-LM perplexity: train add-one-smoothed bigram MLE on
+    // even doc_ids, evaluate mean log₂-likelihood and perplexity on odd
+    // doc_ids — the model-eval half of the n-gram family (Kneser-Ney built
+    // the smoothed model; this scores held-out data with a train/test
+    // split, the decontamination-adjacent eval every LM data pipeline
+    // runs). Per-bigram log terms recast to decimal before the mean;
+    // corpus scalars (V, totals) attach via sanctioned 1-row crosses;
+    // unseen contexts fall back to 1/V smoothing mass.
+    Q("text_bigram_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        def bigrams(docs: org.apache.spark.sql.DataFrame) = docs
+          .select($"doc_id",
+            posexplode(graft.llm.TextFunctions.tokens($"text"))
+              .as(Seq("pos", "w")))
+          .withColumn("w2", lead($"w", 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"pos")))
+          .filter($"w2".isNotNull)
+          .select($"w".as("w1"), $"w2")
+        val docs = t(s, dir, "documents")
+        val train = bigrams(docs.filter($"doc_id" % 2 === 0))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint()
+        val ctx = train.groupBy($"w1").agg(sum($"c12").cast("long").as("c1"))
+        val vocab = docs.filter($"doc_id" % 2 === 0)
+          .select(explode(graft.llm.TextFunctions.tokens($"text")).as("w"))
+          .agg(countDistinct($"w").as("v"))
+        val eval0 = bigrams(docs.filter($"doc_id" % 2 === 1))
+          .join(train, Seq("w1", "w2"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select((coalesce($"c12", lit(0L)) + 1).cast("double")
+            ./((coalesce($"c1", lit(0L)) + $"v").cast("double")).as("p"))
+        val agg = eval0.agg(count(lit(1)).as("n_eval"),
+          sum(log(2.0, $"p").cast("decimal(30,12)")).cast("double")
+            .as("logp_sum"))
+        agg.crossJoin(broadcast(vocab))
+          .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train_bg"))))
+          .select($"v".as("v_size"), $"n_train_bg", $"n_eval",
+            round($"logp_sum" / $"n_eval", 6).as("avg_log2p"),
+            round(pow(lit(2.0d), -round($"logp_sum" / $"n_eval", 6)), 4)
+              .as("perplexity"))
+      },
+      Some(s"""WITH tr_toks AS (
+              |  SELECT doc_id, unnest(${Llm.duckToks("text")}) AS w,
+              |    generate_subscripts(${Llm.duckToks("text")}, 1) AS pos
+              |  FROM documents WHERE doc_id % 2 = 0),
+              |tr_bg AS (
+              |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id
+              |    ORDER BY pos) AS w2
+              |  FROM tr_toks),
+              |train AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr_bg
+              |          WHERE w2 IS NOT NULL GROUP BY 1, 2),
+              |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+              |        FROM train GROUP BY w1),
+              |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tr_toks),
+              |ev_toks AS (
+              |  SELECT doc_id, unnest(${Llm.duckToks("text")}) AS w,
+              |    generate_subscripts(${Llm.duckToks("text")}, 1) AS pos
+              |  FROM documents WHERE doc_id % 2 = 1),
+              |ev_bg AS (
+              |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id
+              |    ORDER BY pos) AS w2
+              |  FROM ev_toks),
+              |ev AS (
+              |  SELECT CAST(coalesce(c12, 0) + 1 AS DOUBLE) /
+              |         CAST(coalesce(c1, 0) + v AS DOUBLE) AS p
+              |  FROM (SELECT * FROM ev_bg WHERE w2 IS NOT NULL) b
+              |  LEFT JOIN train USING (w1, w2)
+              |  LEFT JOIN ctx USING (w1)
+              |  CROSS JOIN vocab),
+              |a AS (
+              |  SELECT COUNT(*) AS n_eval,
+              |    CAST(SUM(CAST(log2(p) AS DECIMAL(30,12))) AS DOUBLE)
+              |      AS logp_sum
+              |  FROM ev)
+              |SELECT v AS v_size,
+              |  (SELECT COUNT(*) FROM train) AS n_train_bg, n_eval,
+              |  round(logp_sum / n_eval, 6) AS avg_log2p,
+              |  round(pow(2.0, -round(logp_sum / n_eval, 6)), 4)
+              |    AS perplexity
+              |FROM a CROSS JOIN vocab""".stripMargin)),
+
+    // RAKE keyword scores (stopword-delimited co-occurrence): split each
+    // document's token stream into phrases at the stopwords {a, the}
+    // (gaps-and-islands: pos − rank-among-content-tokens is constant within
+    // a phrase), then score each content word by degree(w)/freq(w) where
+    // degree sums the lengths of every phrase the occurrence sits in —
+    // co-occurring words inflate each other, the RAKE signal. Integer
+    // degree/freq, one final ratio; keyed windows only; top 25 by score
+    // via distributed TakeOrdered.
+    Q("text_rake_keywords",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select($"doc_id",
+            posexplode(graft.llm.TextFunctions.tokens($"text"))
+              .as(Seq("pos", "w")))
+        val content = toks.filter(!$"w".isin("a", "the"))
+          .withColumn("grp", $"pos" - row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"pos")))
+        val phrases = content.groupBy($"doc_id", $"grp")
+          .agg(count(lit(1)).as("plen"))
+        content.join(phrases, Seq("doc_id", "grp"))
+          .groupBy($"w")
+          .agg(count(lit(1)).as("freq"),
+            sum($"plen").cast("long").as("degree"))
+          .select($"w", $"freq", $"degree",
+            round($"degree".cast("double") / $"freq", 6).as("rake_score"))
+          .orderBy($"rake_score".desc, $"freq".desc, $"w").limit(25)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(${Llm.duckToks("text")}) AS w,
+              |    generate_subscripts(${Llm.duckToks("text")}, 1) AS pos
+              |  FROM documents),
+              |content AS (
+              |  SELECT doc_id, w, pos,
+              |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY pos) AS grp
+              |  FROM toks WHERE w NOT IN ('a', 'the')),
+              |phrases AS (SELECT doc_id, grp, COUNT(*) AS plen
+              |            FROM content GROUP BY 1, 2)
+              |SELECT w, COUNT(*) AS freq,
+              |  CAST(SUM(plen) AS BIGINT) AS degree,
+              |  round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+              |    AS rake_score
+              |FROM content JOIN phrases USING (doc_id, grp)
+              |GROUP BY w
+              |ORDER BY rake_score DESC, freq DESC, w LIMIT 25""".stripMargin))
   )
 }
