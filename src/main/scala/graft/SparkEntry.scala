@@ -41,7 +41,8 @@ object SparkEntry {
     Analytics2.queries,
     Analytics3.queries,
     Analytics4.queries,
-    Analytics5.queries
+    Analytics5.queries,
+    Analytics6.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -71,6 +71,12 @@ case class OtsuStats(doc_id: Long, n_pix: Long, t_opt: Int, w0: Long, s0: Long)
 case class PeakStats(doc_id: Long, n_samples: Long, n_peaks: Long,
     sum_peak_idx: Long, max_peak: Int)
 
+/** Per-image integral-image (summed-area table) witnesses: the total-mass
+  * corner, a center probe, and an interior-rectangle sum evaluated VIA the
+  * SAT corner identity — a prefix-sum bug flips it. */
+case class IntegralStats(doc_id: Long, n_pix: Long, total: Long,
+    center: Long, interior: Long)
+
 /** Per-block integer moment partials between two frames (grayscale sums,
   * sums of squares, cross sum) — everything SSIM needs, kept exact so the
   * downstream SSIM expression is pinned IEEE on exact inputs. */
@@ -696,6 +702,44 @@ object Multimodal {
       }
       if (nP == 0) None
       else Some(PeakStats(rec.doc_id, s.length.toLong, nP, sIdx, mx))
+    })
+  }
+
+  /** Integral image (summed-area table) over the grayscale (r+g+b) field —
+    * the O(1)-region-sum structure behind box filters and Haar features at
+    * scale. Builds the SAT with the standard recurrence
+    * I(x,y) = g + I(x−1,y) + I(x,y−1) − I(x−1,y−1) and emits three integer
+    * witnesses: the total-mass corner I(w−1,h−1), the center probe
+    * I(w/2,h/2), and the interior rectangle [2,w−3]×[2,h−3] evaluated via
+    * the four-corner identity A−B−C+D — so a prefix-sum or identity bug
+    * flips the hash even when the raw totals are right. One codec-stage
+    * pass, per-record SAT buffer, no pixel shuffle. */
+  def integralStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[IntegralStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      val sat = Array.ofDim[Long](h, w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = img.r(x, y).toLong + img.g(x, y) + img.b(x, y)
+          sat(y)(x) = g +
+            (if (x > 0) sat(y)(x - 1) else 0L) +
+            (if (y > 0) sat(y - 1)(x) else 0L) -
+            (if (x > 0 && y > 0) sat(y - 1)(x - 1) else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      // rect [x1,x2]×[y1,y2] = I(x2,y2) − I(x1−1,y2) − I(x2,y1−1) + I(x1−1,y1−1)
+      val (x1, y1, x2, y2) = (2, 2, w - 3, h - 3)
+      val interior = sat(y2)(x2) - sat(y2)(x1 - 1) - sat(y1 - 1)(x2) +
+        sat(y1 - 1)(x1 - 1)
+      IntegralStats(rec.doc_id, w.toLong * h, sat(h - 1)(w - 1),
+        sat(h / 2)(w / 2), interior)
     })
   }
 
