@@ -77,6 +77,12 @@ case class PeakStats(doc_id: Long, n_samples: Long, n_peaks: Long,
 case class IntegralStats(doc_id: Long, n_pix: Long, total: Long,
     center: Long, interior: Long)
 
+/** Per-video block-matching summary between the first two frames: block
+  * count, total best-offset SAD, net motion components, and a
+  * position-weighted motion checksum that pins WHICH block moved where. */
+case class MotionStats(doc_id: Long, n_blocks: Long, sum_sad: Long,
+    sum_dx: Long, sum_dy: Long, wsum_mv: Long)
+
 /** Per-block integer moment partials between two frames (grayscale sums,
   * sums of squares, cross sum) — everything SSIM needs, kept exact so the
   * downstream SSIM expression is pinned IEEE on exact inputs. */
@@ -740,6 +746,67 @@ object Multimodal {
         sat(y1 - 1)(x1 - 1)
       IntegralStats(rec.doc_id, w.toLong * h, sat(h - 1)(w - 1),
         sat(h / 2)(w / 2), interior)
+    })
+  }
+
+  /** Block-matching motion estimation between the first two frames of each
+    * multi-frame payload — the video-compression primitive. For each 4×4
+    * block of frame 1, search offsets (dx,dy) ∈ [−2,2]² in frame 0 (only
+    * offsets that keep the block in bounds), minimizing the integer SAD of
+    * the grayscale field; ties break lexicographically on (dy,dx) — the
+    * scan order both engines replay. Emits per-video aggregates including
+    * the (bx + 7·by)·(dx + 5·dy) checksum, so a single block matched to the
+    * wrong offset flips the hash. One codec-stage pass, per-record bounded
+    * search (≤25 offsets × 16 pixels per block). */
+  def motionStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[MotionStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val frames = Bmp.splitFrames(rec.payload).take(2)
+        .map { case (_, bytes) => Bmp.decode(bytes) }.toArray
+      if (frames.length < 2) Iterator.empty
+      else {
+        val f0 = frames(0); val f1 = frames(1)
+        val w = f1.width; val h = f1.height
+        def g(img: Bmp.Image, x: Int, y: Int): Long =
+          img.r(x, y).toLong + img.g(x, y) + img.b(x, y)
+        var nB = 0L; var sSad = 0L; var sDx = 0L; var sDy = 0L; var wMv = 0L
+        var by = 0
+        while ((by + 1) * 4 <= h) {
+          var bx = 0
+          while ((bx + 1) * 4 <= w) {
+            var best = Long.MaxValue; var bestDx = 0; var bestDy = 0
+            var dy = -2
+            while (dy <= 2) {
+              var dx = -2
+              while (dx <= 2) {
+                if (bx * 4 + dx >= 0 && bx * 4 + 3 + dx < w &&
+                    by * 4 + dy >= 0 && by * 4 + 3 + dy < h) {
+                  var sad = 0L
+                  var py = 0
+                  while (py < 4) {
+                    var px = 0
+                    while (px < 4) {
+                      val x = bx * 4 + px; val y = by * 4 + py
+                      sad += math.abs(g(f1, x, y) - g(f0, x + dx, y + dy))
+                      px += 1
+                    }
+                    py += 1
+                  }
+                  if (sad < best) { best = sad; bestDx = dx; bestDy = dy }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            nB += 1; sSad += best; sDx += bestDx; sDy += bestDy
+            wMv += (bx + 7L * by) * (bestDx + 5L * bestDy)
+            bx += 1
+          }
+          by += 1
+        }
+        Some(MotionStats(rec.doc_id, nB, sSad, sDx, sDy, wMv))
+      }
     })
   }
 

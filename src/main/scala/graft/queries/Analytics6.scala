@@ -282,6 +282,277 @@ object Analytics6 {
              |  CAST(SUM(delta) AS BIGINT) AS delta_sum,
              |  COUNT(*) * CAST(ceil(CAST(width AS DOUBLE) / 7) AS BIGINT)
              |    AS varint_bytes
-             |FROM f GROUP BY width ORDER BY width""".stripMargin))
+             |FROM f GROUP BY width ORDER BY width""".stripMargin)),
+
+    // Block-matching motion estimation between the first two frames of the
+    // multi-frame payloads — the video-compression primitive (4×4 blocks,
+    // ±2 full-search, integer SAD over the grayscale field, ties
+    // lexicographic on (dy,dx)). Per-video aggregates carry the
+    // (bx+7·by)·(dx+5·dy) checksum, so one block matched to the wrong
+    // offset flips the hash; the oracle replays the whole search from the
+    // closed-form pixel formula (frame term 17·f) and the same tie order.
+    Q("multimodal_video_motion_vectors",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Multimodal
+        Multimodal.motionStats(s,
+            Multimodal.syntheticVideos(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some {
+        def gg(f: String, xe: String, ye: String) =
+          s"""((doc_id*31 + ($f)*17 + ($xe)*7 + ($ye)*13) % 256
+             | + (doc_id*31 + ($f)*17 + ($xe)*7 + ($ye)*13 + 101) % 256
+             | + (doc_id*31 + ($f)*17 + ($xe)*7 + ($ye)*13 + 202) % 256)"""
+            .stripMargin.replaceAll("\\s+", " ")
+        s"""WITH dims AS (
+           |  SELECT doc_id, 12 + doc_id % 6 AS w, 10 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id < 100),
+           |bxs AS (SELECT doc_id, w, h, unnest(range(0, w // 4)) AS bx
+           |        FROM dims),
+           |blocks AS (SELECT doc_id, w, h, bx, unnest(range(0, h // 4)) AS by
+           |           FROM bxs),
+           |offs AS (SELECT doc_id, w, h, bx, by, unnest(range(-2, 3)) AS dy
+           |         FROM blocks),
+           |offs2 AS (SELECT doc_id, w, h, bx, by, dy,
+           |            unnest(range(-2, 3)) AS dx
+           |          FROM offs
+           |          WHERE by * 4 + dy >= 0 AND by * 4 + 3 + dy < h),
+           |valid AS (SELECT * FROM offs2
+           |          WHERE bx * 4 + dx >= 0 AND bx * 4 + 3 + dx < w),
+           |pxs AS (SELECT doc_id, bx, by, dx, dy,
+           |          unnest(range(0, 4)) AS px
+           |        FROM valid),
+           |pxy AS (SELECT doc_id, bx, by, dx, dy, px,
+           |          unnest(range(0, 4)) AS py
+           |        FROM pxs),
+           |sad AS (
+           |  SELECT doc_id, bx, by, dx, dy,
+           |    SUM(abs(
+           |      ${gg("1", "bx*4 + px", "by*4 + py")} -
+           |      ${gg("0", "bx*4 + px + dx", "by*4 + py + dy")})) AS sad
+           |  FROM pxy GROUP BY doc_id, bx, by, dx, dy),
+           |best AS (
+           |  SELECT doc_id, bx, by, dx, dy, sad FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, bx, by
+           |      ORDER BY sad, dy, dx) AS rn
+           |    FROM sad) WHERE rn = 1)
+           |SELECT doc_id, COUNT(*) AS n_blocks,
+           |  CAST(SUM(sad) AS BIGINT) AS sum_sad,
+           |  CAST(SUM(dx) AS BIGINT) AS sum_dx,
+           |  CAST(SUM(dy) AS BIGINT) AS sum_dy,
+           |  CAST(SUM((bx + 7*by) * (dx + 5*dy)) AS BIGINT) AS wsum_mv
+           |FROM best GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Iterative proportional fitting (survey raking): adjust the
+    // event_type × ISO-dow contingency weights to match uniform target
+    // margins (total/5 per type, total/7 per dow) with 5 row/column scaling
+    // rounds. The per-round margin sums go through decimal recasts so every
+    // reduction is partitioning-independent; the cell grid stays
+    // |types|×|dows| rows after the one fact-sized pass; scalars attach via
+    // the sanctioned single-row cross. The oracle unrolls the same 10
+    // scaling steps. Converged weights hash at round-6.
+    Q("stats_ipf_raking",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+          .select($"event_type",
+            (((dayofweek(to_date($"ts")) + lit(5)) % 7) + 1).as("dow"))
+        val tot = ev.agg(count(lit(1)).as("n_tot"))
+        var cells = ev.groupBy($"event_type", $"dow")
+          .agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(tot))
+          .select($"event_type", $"dow", $"n_obs",
+            $"n_obs".cast("double").as("wgt"),
+            ($"n_tot".cast("double") / 5).as("rt"),
+            ($"n_tot".cast("double") / 7).as("ct"))
+          .localCheckpoint()
+        for (_ <- 1 to 5) {
+          val rs = cells.groupBy($"event_type".as("et2"))
+            .agg(sum($"wgt".cast("decimal(30,12)")).cast("double").as("rsum"))
+          cells = cells.join(broadcast(rs), $"event_type" === $"et2")
+            .select($"event_type", $"dow", $"n_obs",
+              ($"wgt" * ($"rt" / $"rsum")).as("wgt"), $"rt", $"ct")
+          val cs = cells.groupBy($"dow".as("dw2"))
+            .agg(sum($"wgt".cast("decimal(30,12)")).cast("double").as("csum"))
+          cells = cells.join(broadcast(cs), $"dow" === $"dw2")
+            .select($"event_type", $"dow", $"n_obs",
+              ($"wgt" * ($"ct" / $"csum")).as("wgt"), $"rt", $"ct")
+            .localCheckpoint()
+        }
+        cells.select($"event_type", $"dow", $"n_obs",
+            round($"wgt", 6).as("w_raked"),
+            round($"wgt" / $"n_obs", 6).as("rake_factor"))
+          .orderBy($"event_type", $"dow")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""r$r AS (
+             |  SELECT c.event_type, c.dow, c.n_obs,
+             |    c.wgt * (c.rt / m.rsum) AS wgt, c.rt, c.ct
+             |  FROM c${r - 1} c JOIN (
+             |    SELECT event_type,
+             |      CAST(SUM(CAST(wgt AS DECIMAL(30,12))) AS DOUBLE) AS rsum
+             |    FROM c${r - 1} GROUP BY event_type) m
+             |    ON c.event_type = m.event_type),
+             |c$r AS (
+             |  SELECT c.event_type, c.dow, c.n_obs,
+             |    c.wgt * (c.ct / m.csum) AS wgt, c.rt, c.ct
+             |  FROM r$r c JOIN (
+             |    SELECT dow,
+             |      CAST(SUM(CAST(wgt AS DECIMAL(30,12))) AS DOUBLE) AS csum
+             |    FROM r$r GROUP BY dow) m
+             |    ON c.dow = m.dow)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (
+           |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow
+           |  FROM events),
+           |tot AS (SELECT COUNT(*) AS n_tot FROM ev),
+           |c0 AS (
+           |  SELECT event_type, dow, COUNT(*) AS n_obs,
+           |    CAST(COUNT(*) AS DOUBLE) AS wgt,
+           |    CAST(n_tot AS DOUBLE) / 5 AS rt,
+           |    CAST(n_tot AS DOUBLE) / 7 AS ct
+           |  FROM ev CROSS JOIN tot
+           |  GROUP BY event_type, dow, n_tot),
+           |$rounds
+           |SELECT event_type, dow, n_obs,
+           |  round(wgt, 6) AS w_raked,
+           |  round(wgt / n_obs, 6) AS rake_factor
+           |FROM c5 ORDER BY event_type, dow""".stripMargin
+      }),
+
+    // Isotonic (monotone-increasing) regression of the daily mean value via
+    // the minimax formula iso(i) = max_{j≤i} min_{k≥j} avg(y[j..k]) — the
+    // closed form of pool-adjacent-violators, expressed entirely as bounded
+    // join algebra (no sequential pooling): decimal-exact prefix sums, the
+    // 30×30 segment lattice, one min per start, one max per position. Every
+    // frame after the daily agg is ≤n_days² rows (sanctioned bounded
+    // crosses); segment averages are single IEEE divisions of exact sums.
+    Q("stats_isotonic_minimax",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum($"value".cast("decimal(20,6)")).as("sv"))
+          .select($"day", $"cnt", $"sv",
+            datediff($"day", lit("2024-01-01").cast("date")).as("t"))
+          .localCheckpoint()
+        val segs = daily.select($"t".as("j"), $"sv".as("svj"), $"cnt".as("cj"))
+          .join(daily.select($"t".as("k"), $"sv".as("svk"),
+            $"cnt".as("ck")), $"j" <= $"k")
+        // avg over [j..k] from prefix-free pairwise sums: recompute the
+        // segment sum as Σ over rows in [j,k] via a second bounded join
+        val members = daily.select($"t".as("m"), $"sv".as("svm"),
+          $"cnt".as("cm"))
+        val segAvg = segs.select($"j", $"k")
+          .join(members, $"m" >= $"j" && $"m" <= $"k")
+          .groupBy($"j", $"k")
+          .agg((sum($"svm").cast("double") /
+            sum($"cm").cast("double")).as("avg"))
+        val minPerStart = segAvg.groupBy($"j").agg(min($"avg").as("mj"))
+        val iso = daily.select($"t".as("i"), $"day", $"sv", $"cnt")
+          .join(minPerStart, $"j" <= $"i")
+          .groupBy($"i", $"day", $"sv", $"cnt")
+          .agg(max($"mj").as("iso"))
+        iso.select($"day",
+            round($"sv".cast("double") / $"cnt", 6).as("y_mean"),
+            round($"iso", 6).as("y_iso"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+             |    SUM(CAST(value AS DECIMAL(20,6))) AS sv,
+             |    CAST(ts AS DATE) - DATE '2024-01-01' AS t
+             |  FROM events GROUP BY 1, 4),
+             |segavg AS (
+             |  SELECT j.t AS j, k.t AS k,
+             |    CAST(SUM(m.sv) AS DOUBLE) / CAST(SUM(m.cnt) AS DOUBLE)
+             |      AS avg
+             |  FROM daily j JOIN daily k ON j.t <= k.t
+             |  JOIN daily m ON m.t >= j.t AND m.t <= k.t
+             |  GROUP BY j.t, k.t),
+             |mins AS (SELECT j, MIN(avg) AS mj FROM segavg GROUP BY j),
+             |iso AS (
+             |  SELECT d.t, d.day, d.sv, d.cnt, MAX(m.mj) AS iso
+             |  FROM daily d JOIN mins m ON m.j <= d.t
+             |  GROUP BY d.t, d.day, d.sv, d.cnt)
+             |SELECT day,
+             |  round(CAST(sv AS DOUBLE) / cnt, 6) AS y_mean,
+             |  round(iso, 6) AS y_iso
+             |FROM iso ORDER BY day""".stripMargin)),
+
+    // Gap-filling by linear interpolation: synthetically blind every fifth
+    // day of the daily revenue series, then reconstruct each missing day
+    // from its nearest present neighbors — value = prev + (next−prev)·
+    // (d−dp)/(dn−dp), exact date arithmetic, single IEEE interpolation of
+    // decimal-exact day totals. The neighbor lookups are bounded non-equi
+    // joins over the ≤|days| daily frame (the LOCF query's forward-fill
+    // generalized to two-sided). Output marks real vs interpolated rows.
+    Q("events_gapfill_interpolate",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(sum($"value".cast("decimal(20,6)")).as("sv"))
+          .select($"day", $"sv",
+            datediff($"day", lit("2024-01-01").cast("date")).as("d"))
+          .localCheckpoint()
+        val present = daily.filter($"d" % 5 =!= 2)
+          .select($"day", $"d", $"sv".cast("double").as("v"))
+        val missing = daily.filter($"d" % 5 === 2)
+          .select($"day".as("mday"), $"d".as("md"))
+        val prev = missing.join(present.select($"d".as("pd"),
+            $"v".as("pv")), $"pd" < $"md")
+          .groupBy($"mday", $"md")
+          .agg(max(struct($"pd", $"pv")).as("p"))
+          .select($"mday", $"md", $"p.pd".as("pd"), $"p.pv".as("pv"))
+        val nxt = missing.join(present.select($"d".as("nd"),
+            $"v".as("nv")), $"nd" > $"md")
+          .groupBy($"mday", $"md")
+          .agg(min(struct($"nd", $"nv")).as("q"))
+          .select($"mday", $"md", $"q.nd".as("nd"), $"q.nv".as("nv"))
+        val interp = prev.join(nxt, Seq("mday", "md"))
+          .select($"mday".as("day"),
+            ($"pv" + ($"nv" - $"pv") *
+              (($"md" - $"pd").cast("double") /
+               ($"nd" - $"pd").cast("double"))).as("v"),
+            lit(1).as("interpolated"))
+        present.select($"day", $"v", lit(0).as("interpolated"))
+          .union(interp)
+          .select($"day", round($"v", 6).as("value"), $"interpolated")
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    SUM(CAST(value AS DECIMAL(20,6))) AS sv,
+             |    CAST(ts AS DATE) - DATE '2024-01-01' AS d
+             |  FROM events GROUP BY 1, 3),
+             |present AS (SELECT day, d, CAST(sv AS DOUBLE) AS v
+             |            FROM daily WHERE d % 5 <> 2),
+             |missing AS (SELECT day AS mday, d AS md
+             |            FROM daily WHERE d % 5 = 2),
+             |prev AS (
+             |  SELECT mday, md, MAX(d) AS pd,
+             |    MAX_BY(v, d) AS pv
+             |  FROM missing JOIN present ON d < md GROUP BY mday, md),
+             |nxt AS (
+             |  SELECT mday, md, MIN(d) AS nd,
+             |    MIN_BY(v, d) AS nv
+             |  FROM missing JOIN present ON d > md GROUP BY mday, md),
+             |interp AS (
+             |  SELECT p.mday AS day,
+             |    pv + (nv - pv) * (CAST(md - pd AS DOUBLE) /
+             |      CAST(nd - pd AS DOUBLE)) AS v,
+             |    1 AS interpolated
+             |  FROM prev p JOIN nxt n USING (mday, md))
+             |SELECT day, round(v, 6) AS value, interpolated FROM (
+             |  SELECT day, v, 0 AS interpolated FROM present
+             |  UNION ALL SELECT day, v, interpolated FROM interp)
+             |ORDER BY day""".stripMargin))
   )
 }
