@@ -42,7 +42,8 @@ object SparkEntry {
     Analytics3.queries,
     Analytics4.queries,
     Analytics5.queries,
-    Analytics6.queries
+    Analytics6.queries,
+    Analytics7.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

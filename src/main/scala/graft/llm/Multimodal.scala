@@ -83,6 +83,38 @@ case class IntegralStats(doc_id: Long, n_pix: Long, total: Long,
 case class MotionStats(doc_id: Long, n_blocks: Long, sum_sad: Long,
     sum_dx: Long, sum_dy: Long, wsum_mv: Long)
 
+/** Per-image histogram-equalization witnesses: distinct remapped levels,
+  * remapped min/max, and the position-weighted remap checksum. */
+case class EqualizeStats(doc_id: Long, n_pix: Long, n_levels_out: Long,
+    min_out: Int, max_out: Int, wsum_out: Long)
+
+/** Per-image binary-morphology witnesses on the thresholded grayscale
+  * field: on-pixel counts after threshold / 3×3 erosion / 3×3 dilation,
+  * plus the position-weighted erosion checksum. */
+case class MorphStats(doc_id: Long, n_pix: Long, n_on: Long, n_eroded: Long,
+    n_dilated: Long, wsum_eroded: Long)
+
+/** One DFT-bin power of one recording (decimal-exact accumulation over the
+  * pinned coefficient table). */
+case class BinPower(doc_id: Long, bin: Int, power: Double)
+
+/** Per-image 3×3 median-filter witnesses over the interior grayscale
+  * field: filtered sum, min/max, and the position-weighted checksum. */
+case class MedianStats(doc_id: Long, n_interior: Long, sum_med: Long,
+    min_med: Int, max_med: Int, wsum_med: Long)
+
+/** Per-image run-length-encoding audit of the thresholded binary field:
+  * total horizontal runs, on-runs, longest on-run, and the 2-byte-per-run
+  * RLE size estimate. */
+case class RleStats(doc_id: Long, n_pix: Long, n_on: Long, n_runs: Long,
+    n_runs_on: Long, max_run_on: Long, rle_bytes: Long)
+
+/** Per-image 3-3-2 palette-quantization witnesses: distinct codes, exact
+  * per-channel absolute reconstruction error sums, and the
+  * position-weighted code checksum. */
+case class QuantStats(doc_id: Long, n_pix: Long, n_codes: Long,
+    err_r: Long, err_g: Long, err_b: Long, wsum_code: Long)
+
 /** Per-block integer moment partials between two frames (grayscale sums,
   * sums of squares, cross sum) — everything SSIM needs, kept exact so the
   * downstream SSIM expression is pinned IEEE on exact inputs. */
@@ -806,6 +838,274 @@ object Multimodal {
           by += 1
         }
         Some(MotionStats(rec.doc_id, nB, sSad, sDx, sDy, wMv))
+      }
+    })
+  }
+
+  /** Histogram equalization over the 256-level grayscale field (level =
+    * (r+g+b) div 3): remap each level to (cdf(level)·255) div n — pure
+    * integer (cumulative count times 255, truncating division), the
+    * contrast-normalization step before most classical vision features.
+    * Emits per-image witnesses: distinct output levels, min/max output,
+    * and the (x + 2y)-weighted remap checksum — a cumulative-histogram bug
+    * flips the checksum even when the level histogram is right. Bounded
+    * per-record state (256 ints) inside the one codec pass. */
+  def equalizeStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[EqualizeStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      val n = w.toLong * h
+      val hist = new Array[Long](256)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          hist((img.r(x, y) + img.g(x, y) + img.b(x, y)) / 3) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val remap = new Array[Int](256)
+      var cum = 0L
+      var lv = 0
+      while (lv < 256) {
+        cum += hist(lv)
+        remap(lv) = ((cum * 255L) / n).toInt
+        lv += 1
+      }
+      var nLevels = 0L
+      val seen = new Array[Boolean](256)
+      var mn = 255; var mx = 0; var wsum = 0L
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = remap((img.r(x, y) + img.g(x, y) + img.b(x, y)) / 3)
+          if (!seen(o)) { seen(o) = true; nLevels += 1 }
+          if (o < mn) mn = o
+          if (o > mx) mx = o
+          wsum += (x + 2L * y) * o
+          x += 1
+        }
+        y += 1
+      }
+      EqualizeStats(rec.doc_id, n, nLevels, mn, mx, wsum)
+    })
+  }
+
+  /** Binary 3×3 morphology on the thresholded grayscale field (on ⟺
+    * r+g+b > 382, the midpoint): erosion keeps an interior pixel only if
+    * all 9 neighbors are on; dilation turns a pixel on if any of the 9 is —
+    * the despeckle/fill primitives of classical segmentation. Erosion and
+    * dilation are counted over the INTERIOR (border pixels have no full
+    * neighborhood — the no-padding convention, like [[sobelStats]]); the
+    * threshold count covers the full frame. Integer comparisons only; one
+    * codec pass; the (x + 2y)-weighted erosion checksum pins neighborhood
+    * addressing. */
+  def morphStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[MorphStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      def on(x: Int, y: Int): Boolean =
+        img.r(x, y) + img.g(x, y) + img.b(x, y) > 382
+      var nOn = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { if (on(x, y)) nOn += 1; x += 1 }
+        y += 1
+      }
+      var nEr = 0L; var nDi = 0L; var wEr = 0L
+      y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          var all = true; var any = false
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              if (on(x + dx, y + dy)) any = true else all = false
+              dx += 1
+            }
+            dy += 1
+          }
+          if (all) { nEr += 1; wEr += x + 2L * y }
+          if (any) nDi += 1
+          x += 1
+        }
+        y += 1
+      }
+      MorphStats(rec.doc_id, w.toLong * h, nOn, nEr, nDi, wEr)
+    })
+  }
+
+  /** 3×3 median filter over the grayscale field (level = (r+g+b) div 3),
+    * interior pixels only (the valid-mode crop convention shared with
+    * [[morphStats]]): per pixel, the exact middle of the 9 sorted
+    * neighborhood levels — the classical salt-and-pepper denoiser. Emits
+    * per-image witnesses: filtered sum, min/max, and the (x+2y)-weighted
+    * checksum (a neighborhood-addressing bug flips it even when the value
+    * histogram survives). Bounded per-record state; one codec pass. */
+  def medianStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[MedianStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      def lv(x: Int, y: Int): Int =
+        (img.r(x, y) + img.g(x, y) + img.b(x, y)) / 3
+      val nb = new Array[Int](9)
+      var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0; var n = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          var k = 0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) { nb(k) = lv(x + dx, y + dy); k += 1; dx += 1 }
+            dy += 1
+          }
+          java.util.Arrays.sort(nb)
+          val med = nb(4)
+          sum += med; wsum += (x + 2L * y) * med
+          if (med < mn) mn = med
+          if (med > mx) mx = med
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      MedianStats(rec.doc_id, n, sum, mn, mx, wsum)
+    })
+  }
+
+  /** Run-length audit of the thresholded binary field (on = r+g+b > 382,
+    * the [[morphStats]] threshold): horizontal runs per image, on-runs,
+    * the longest on-run, and the 2-bytes-per-run RLE size estimate — the
+    * compressibility diagnostic behind bitmap/mask storage choices.
+    * Bounded per-record state; one codec pass. */
+  def rleStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[RleStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      def on(x: Int, y: Int): Boolean =
+        img.r(x, y) + img.g(x, y) + img.b(x, y) > 382
+      var nOn = 0L; var nRuns = 0L; var nRunsOn = 0L
+      var maxRunOn = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        var cur = 0L
+        while (x < w) {
+          val o = on(x, y)
+          if (o) nOn += 1
+          if (x == 0 || o != on(x - 1, y)) {
+            nRuns += 1
+            if (o) { nRunsOn += 1; cur = 0L }
+          }
+          if (o) { cur += 1; if (cur > maxRunOn) maxRunOn = cur }
+          x += 1
+        }
+        y += 1
+      }
+      RleStats(rec.doc_id, w.toLong * h, nOn, nRuns, nRunsOn, maxRunOn,
+        2L * nRuns)
+    })
+  }
+
+  /** 3-3-2 palette quantization (top 3 bits of R and G, top 2 of B →
+    * one 8-bit code; reconstruction at each cell's midpoint): distinct
+    * codes used, exact per-channel |err| sums, and the position-weighted
+    * code checksum — the palette-compression quality audit, pure integer.
+    * Bounded per-record state (256 seen-flags); one codec pass. */
+  def quantStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[QuantStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      val seen = new Array[Boolean](256)
+      var nCodes = 0L; var er = 0L; var eg = 0L; var eb = 0L; var wsum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = img.r(x, y); val g = img.g(x, y); val b = img.b(x, y)
+          val code = (r / 32) * 32 + (g / 32) * 4 + b / 64
+          if (!seen(code)) { seen(code) = true; nCodes += 1 }
+          er += math.abs(r - ((r / 32) * 32 + 16))
+          eg += math.abs(g - ((g / 32) * 32 + 16))
+          eb += math.abs(b - ((b / 64) * 64 + 32))
+          wsum += (x + 2L * y) * code
+          x += 1
+        }
+        y += 1
+      }
+      QuantStats(rec.doc_id, w.toLong * h, nCodes, er, eg, eb, wsum)
+    })
+  }
+
+  /** Pinned DFT coefficient table for N=256 as INTEGERS: cos/sin(2π·m/256)
+    * rounded HALF_UP to 12 decimals then scaled by 10¹² — the
+    * no-runtime-libm discipline, made exactly mirrorable: sample·coef
+    * products and their sums are pure Long arithmetic (max |Σ| ≈
+    * 1024·10¹²·256 ≈ 2.7e17, well inside Long), so both engines do zero
+    * float rounding until one final ÷10¹². Index by m = (k·i) mod 256 to
+    * get the bin-k position-i coefficient; the whole 8-bin basis needs
+    * only 256 pinned values (mirrored verbatim as the oracle's 256-row
+    * VALUES table of BIGINTs). */
+  private[llm] lazy val dftCoef256: (Array[Long], Array[Long]) = {
+    val c = new Array[Long](256); val s = new Array[Long](256)
+    var m = 0
+    while (m < 256) {
+      c(m) = BigDecimal(math.cos(2.0 * math.Pi * m / 256))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue.longValueExact
+      s(m) = BigDecimal(math.sin(2.0 * math.Pi * m / 256))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue.longValueExact
+      m += 1
+    }
+    (c, s)
+  }
+
+  /** Decode → DFT power at bins 1..`nBins` over the first 256 samples.
+    * The correlation sums run entirely in Long (integer samples × the
+    * ×10¹²-scaled pinned coefficients), so a DuckDB
+    * `SUM(s_bigint * coef_bigint)` is bit-identical; the only float ops —
+    * one long→double conversion, one ÷1e12, and a·a+b·b — are the same
+    * IEEE ops on the same bits on both engines, so the emitted powers are
+    * hashable doubles. Bounded per-record state (2·nBins Longs); one
+    * codec pass. */
+  def dftBinPowers(spark: SparkSession, media: Dataset[MediaRecord],
+      nBins: Int): Dataset[BinPower] = {
+    import spark.implicits._
+    val (cosT, sinT) = dftCoef256
+    media.mapPartitions(_.flatMap { rec =>
+      val pcm = Wav.decode(rec.payload)
+      require(pcm.channels == 1, "dftBinPowers is mono-only")
+      require(pcm.samples.length >= 256, "need at least 256 samples")
+      (1 to nBins).map { k =>
+        var a = 0L; var b = 0L
+        var i = 0
+        while (i < 256) {
+          val m = (k * i) % 256
+          val x = pcm.samples(i).toLong
+          a += x * cosT(m)
+          b += x * sinT(m)
+          i += 1
+        }
+        val av = a.toDouble / 1e12; val bv = b.toDouble / 1e12
+        BinPower(rec.doc_id, k, av * av + bv * bv)
       }
     })
   }

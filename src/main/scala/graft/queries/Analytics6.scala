@@ -553,6 +553,457 @@ object Analytics6 {
              |SELECT day, round(v, 6) AS value, interpolated FROM (
              |  SELECT day, v, 0 AS interpolated FROM present
              |  UNION ALL SELECT day, v, interpolated FROM interp)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // Ljung–Box portmanteau test on the daily event-count series:
+    // autocorrelations ρ₁..ρ₇ from decimal-exact demeaned products (the
+    // events_period_detect demeaning discipline), then the cumulative
+    // Q(h) = n(n+2)·Σ_{j≤h} ρ_j²/(n−j) per lag — the is-it-white-noise
+    // gate before fitting any forecast model. Every frame after the daily
+    // agg is ≤|days| rows; the lag fan-out is a sanctioned 7-row cross.
+    Q("stats_ljung_box",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .select(datediff($"day", lit("2024-01-01").cast("date")).as("t"),
+            $"c")
+          .localCheckpoint()
+        val mean = daily.agg(sum($"c").cast("long").as("sc"),
+          count(lit(1)).cast("long").as("nd"))
+        val dm = daily.crossJoin(broadcast(mean))
+          .select($"t", $"nd",
+            ($"c".cast("double") - $"sc".cast("double") / $"nd").as("cd"))
+          .localCheckpoint()
+        val s0 = dm.agg(sum(($"cd" * $"cd").cast("decimal(30,8)"))
+          .cast("double").as("s0"))
+        val ks = (1 to 7).toDF("k")
+        val lagged = dm.crossJoin(broadcast(ks))
+          .select($"k", ($"t" + $"k").as("t2"), $"cd".as("cd1"), $"nd")
+          .join(dm.select($"t".as("t2"), $"cd".as("cd2")), Seq("t2"))
+          .groupBy($"k")
+          .agg(max($"nd").as("n"),
+            sum(($"cd1" * $"cd2").cast("decimal(30,8)")).cast("double")
+              .as("sk"))
+          .crossJoin(broadcast(s0))
+          .select($"k", $"n", ($"sk" / $"s0").as("rho"))
+          .localCheckpoint()
+        val cum = lagged.select($"k", $"n", $"rho")
+          .join(lagged.select($"k".as("j"), $"n".as("nj"), $"rho".as("rhoj")),
+            $"j" <= $"k")
+          .groupBy($"k", $"n", $"rho")
+          .agg(sum((($"rhoj" * $"rhoj") /
+            ($"nj" - $"j").cast("double")).cast("decimal(30,12)"))
+            .cast("double").as("ssum"))
+        cum.select($"k", round($"rho", 6).as("rho"),
+            round($"n" * ($"n" + 2).cast("double") * $"ssum", 6)
+              .as("q_cum"))
+          .orderBy($"k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) - DATE '2024-01-01' AS t,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT CAST(SUM(c) AS BIGINT) AS sc,
+             |        CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+             |dm AS (SELECT t, nd,
+             |    CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nd AS cd
+             |  FROM daily, m),
+             |s0 AS (SELECT CAST(SUM(CAST(cd * cd AS DECIMAL(30,8)))
+             |         AS DOUBLE) AS s0 FROM dm),
+             |ks AS (SELECT unnest(range(1, 8)) AS k),
+             |lagged AS (
+             |  SELECT k, MAX(d1.nd) AS n,
+             |    CAST(SUM(CAST(d1.cd * d2.cd AS DECIMAL(30,8))) AS DOUBLE)
+             |      AS sk
+             |  FROM dm d1 CROSS JOIN ks JOIN dm d2 ON d2.t = d1.t + k
+             |  GROUP BY k),
+             |rhos AS (SELECT k, n, sk / s0 AS rho FROM lagged, s0),
+             |cum AS (
+             |  SELECT a.k, a.n, a.rho,
+             |    CAST(SUM(CAST((b.rho * b.rho) /
+             |      CAST(b.n - b.k AS DOUBLE) AS DECIMAL(30,12)))
+             |      AS DOUBLE) AS ssum
+             |  FROM rhos a JOIN rhos b ON b.k <= a.k
+             |  GROUP BY a.k, a.n, a.rho)
+             |SELECT k, round(rho, 6) AS rho,
+             |  round(n * CAST(n + 2 AS DOUBLE) * ssum, 6) AS q_cum
+             |FROM cum ORDER BY k""".stripMargin)),
+
+    // Hill tail-index estimator over the top-200 order statistics of the
+    // event value distribution (the peaks-over-threshold companion of the
+    // IQR report: HOW heavy is the right tail, not just how many points
+    // cross a fence): α̂ = 1/mean(ln(x_i/x_(k+1))), plus the mean excess
+    // over the threshold. Top-201 via distributed TakeOrdered (no global
+    // sort); the only window runs over that limit-bounded frame; log terms
+    // recast to decimal before the mean.
+    Q("stats_hill_tail_index",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // no checkpoint: the TakeOrderedAndProject must stay in-plan so the
+        // downstream global window is visibly limit-bounded (201 rows)
+        val top = graft.Tables.events(s, dir)
+          .select($"value", $"event_id")
+          .orderBy($"value".desc, $"event_id").limit(201)
+        val ranked = top.withColumn("rn",
+          row_number().over(Window.orderBy($"value".desc, $"event_id")))
+        val thr = ranked.filter($"rn" === 201)
+          .select($"value".as("x_thr"))
+        ranked.filter($"rn" <= 200)
+          .crossJoin(broadcast(thr))
+          .agg(count(lit(1)).as("k"),
+            max($"x_thr").as("x_threshold"),
+            sum(log($"value" / $"x_thr").cast("decimal(30,12)"))
+              .cast("double").as("lsum"),
+            sum(($"value" - $"x_thr").cast("decimal(20,6)")).cast("double")
+              .as("esum"))
+          .select($"k", round($"x_threshold", 6).as("x_threshold"),
+            round($"lsum" / $"k", 6).as("hill_mean"),
+            round($"k" / $"lsum", 6).as("alpha"),
+            round($"esum" / $"k", 6).as("mean_excess"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT value,
+             |    ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+             |  FROM events),
+             |thr AS (SELECT value AS x_thr FROM ranked WHERE rn = 201),
+             |a AS (
+             |  SELECT COUNT(*) AS k, MAX(x_thr) AS x_threshold,
+             |    CAST(SUM(CAST(ln(value / x_thr) AS DECIMAL(30,12)))
+             |      AS DOUBLE) AS lsum,
+             |    CAST(SUM(CAST(value - x_thr AS DECIMAL(20,6))) AS DOUBLE)
+             |      AS esum
+             |  FROM ranked CROSS JOIN thr WHERE rn <= 200)
+             |SELECT k, round(x_threshold, 6) AS x_threshold,
+             |  round(lsum / k, 6) AS hill_mean,
+             |  round(k / lsum, 6) AS alpha,
+             |  round(esum / k, 6) AS mean_excess
+             |FROM a""".stripMargin)),
+
+    // Histogram equalization through the real BMP decode: remap each
+    // 256-level grayscale value to (cdf·255) div n — pure integer contrast
+    // normalization, the preprocessing step before most classical vision
+    // features. Output hashes distinct-output-level count, output range,
+    // and the (x+2y)-weighted remap checksum; the oracle rebuilds the CDF
+    // remap from the closed-form pixel formula with a window cumsum.
+    Q("multimodal_image_hist_equalize",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Multimodal
+        Multimodal.equalizeStats(s,
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 60)))
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some {
+        val gray =
+          """((doc_id*31 + x*7 + y*13) % 256
+            | + (doc_id*31 + x*7 + y*13 + 101) % 256
+            | + (doc_id*31 + x*7 + y*13 + 202) % 256)""".stripMargin
+            .replaceAll("\\s+", " ")
+        s"""WITH dims AS (
+           |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id < 60),
+           |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+           |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+           |px AS (SELECT doc_id, w, h, x, y, ($gray) // 3 AS lv FROM xy),
+           |hist AS (SELECT doc_id, lv, COUNT(*) AS c
+           |         FROM px GROUP BY doc_id, lv),
+           |cdf AS (
+           |  SELECT doc_id, lv,
+           |    SUM(c) OVER (PARTITION BY doc_id ORDER BY lv) AS cum
+           |  FROM hist),
+           |remap AS (
+           |  SELECT cdf.doc_id, cdf.lv,
+           |    (cum * 255) // (w * h) AS o
+           |  FROM cdf JOIN dims ON dims.doc_id = cdf.doc_id),
+           |outp AS (
+           |  SELECT px.doc_id, px.x, px.y, remap.o
+           |  FROM px JOIN remap ON remap.doc_id = px.doc_id
+           |                    AND remap.lv = px.lv)
+           |SELECT doc_id, COUNT(*) AS n_pix,
+           |  COUNT(DISTINCT o) AS n_levels_out,
+           |  CAST(MIN(o) AS INTEGER) AS min_out,
+           |  CAST(MAX(o) AS INTEGER) AS max_out,
+           |  CAST(SUM((x + 2*y) * o) AS BIGINT) AS wsum_out
+           |FROM outp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Lorenz-curve decile table of customer revenue concentration: rank the
+    // per-customer revenue totals with the two-level banded global
+    // row-number (no single-reducer sort), cut exact ANSI deciles with
+    // ntileFromRank, and report each decile's customer count, revenue, and
+    // cumulative revenue share — the table behind the Gini coefficient the
+    // agg family already computes. Decimal revenue sums end-to-end; the
+    // cumulative share is a bounded ≤10-row triangular join.
+    Q("agg_lorenz_deciles",
+      (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey")
+          .agg(sum($"l_extendedprice".cast("decimal(20,2)")).as("rev"))
+        val ranked = bandedRowNumber(rev,
+          floor($"rev" / 100000).cast("long"),
+          Seq($"rev", $"o_custkey"), "rnk", "tot")
+        val dec = ranked
+          .withColumn("decile", ntileFromRank($"rnk", $"tot", 10))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_cust"),
+            sum($"rev").as("dec_rev"))
+          .localCheckpoint()
+        val total = dec.agg(sum($"dec_rev").as("tot_rev"))
+        val cum = dec.join(dec.select($"decile".as("d2"),
+            $"dec_rev".as("r2")), $"d2" <= $"decile")
+          .groupBy($"decile", $"n_cust", $"dec_rev")
+          .agg(sum($"r2").as("cum_rev"))
+        cum.crossJoin(broadcast(total))
+          .select($"decile", $"n_cust",
+            $"dec_rev".cast("double").as("dec_rev"),
+            round($"cum_rev".cast("double") / $"tot_rev".cast("double"), 6)
+              .as("cum_share"))
+          .orderBy($"decile")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS rev
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY o_custkey),
+             |d AS (
+             |  SELECT o_custkey, rev,
+             |    NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+             |  FROM rev),
+             |dec AS (
+             |  SELECT decile, COUNT(*) AS n_cust, SUM(rev) AS dec_rev
+             |  FROM d GROUP BY decile),
+             |tot AS (SELECT SUM(dec_rev) AS tot_rev FROM dec),
+             |cum AS (
+             |  SELECT a.decile, a.n_cust, a.dec_rev, SUM(b.dec_rev) AS cum_rev
+             |  FROM dec a JOIN dec b ON b.decile <= a.decile
+             |  GROUP BY a.decile, a.n_cust, a.dec_rev)
+             |SELECT decile, n_cust,
+             |  CAST(dec_rev AS DOUBLE) AS dec_rev,
+             |  round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+             |    AS cum_share
+             |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin)),
+
+    // Linear-counting set-algebra estimation: estimate |clickers ∩
+    // purchasers| by inclusion–exclusion over three 4096-bucket occupancy
+    // counts (A, B, A∪B — each deterministic integer work, the
+    // agg_linear_counting machinery), pinned against the exact intersection
+    // with relative error. The sketch-union identity (occupancy of A∪B from
+    // one pass over both sets) is what production actually merges at scale;
+    // bucket rollups only, never the fact table, after the dedup shuffles.
+    Q("sketch_set_intersection_est",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        def users(typ: String) = ev.filter($"event_type" === typ)
+          .select($"user_id").distinct()
+        def occ(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.select((conv(substring(md5($"user_id".cast("string")), 1, 6),
+              16, 10).cast("long") % 4096).as("bucket"))
+            .agg(countDistinct($"bucket").as(name))
+        def lc(occCol: org.apache.spark.sql.Column) =
+          lit(4096.0d) * log(lit(4096.0d) / (lit(4096L) - occCol))
+        val a = users("click"); val b = users("purchase")
+        val exact = a.join(b, Seq("user_id"))
+          .agg(count(lit(1)).as("n_exact"))
+        occ(a, "occ_a")
+          .crossJoin(broadcast(occ(b, "occ_b")))
+          .crossJoin(broadcast(occ(a.union(b).distinct(), "occ_u")))
+          .crossJoin(broadcast(exact))
+          .select($"occ_a", $"occ_b", $"occ_u", $"n_exact",
+            round(lc($"occ_a") + lc($"occ_b") - lc($"occ_u"), 4)
+              .as("est_intersect"),
+            round((lc($"occ_a") + lc($"occ_b") - lc($"occ_u") - $"n_exact")
+              / $"n_exact", 6).as("rel_err"))
+      },
+      Some(s"""WITH a AS (SELECT DISTINCT user_id FROM events
+              |          WHERE event_type = 'click'),
+              |b AS (SELECT DISTINCT user_id FROM events
+              |      WHERE event_type = 'purchase'),
+              |oa AS (SELECT COUNT(DISTINCT
+              |    ${sqlHexInt("md5(CAST(user_id AS VARCHAR))", 1, 6)} % 4096)
+              |    AS occ_a FROM a),
+              |ob AS (SELECT COUNT(DISTINCT
+              |    ${sqlHexInt("md5(CAST(user_id AS VARCHAR))", 1, 6)} % 4096)
+              |    AS occ_b FROM b),
+              |u AS (SELECT user_id FROM a UNION SELECT user_id FROM b),
+              |ou AS (SELECT COUNT(DISTINCT
+              |    ${sqlHexInt("md5(CAST(user_id AS VARCHAR))", 1, 6)} % 4096)
+              |    AS occ_u FROM u),
+              |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+              |      FROM a JOIN b USING (user_id))
+              |SELECT occ_a, occ_b, occ_u, n_exact,
+              |  round(4096.0 * ln(4096.0 / (4096 - occ_a))
+              |      + 4096.0 * ln(4096.0 / (4096 - occ_b))
+              |      - 4096.0 * ln(4096.0 / (4096 - occ_u)), 4)
+              |    AS est_intersect,
+              |  round((4096.0 * ln(4096.0 / (4096 - occ_a))
+              |      + 4096.0 * ln(4096.0 / (4096 - occ_b))
+              |      - 4096.0 * ln(4096.0 / (4096 - occ_u)) - n_exact)
+              |    / n_exact, 6) AS rel_err
+              |FROM oa, ob, ou, x""".stripMargin)),
+
+    // Lincoln–Petersen / Chapman capture–recapture: estimate the active
+    // population from two daily "capture" samples (day-1 users, day-2
+    // users, their overlap) — N̂ = (n1+1)(n2+1)/(m+1) − 1 — pinned against
+    // the true month-wide distinct count. The ecology estimator is exactly
+    // the dedup-rate math of overlapping crawl snapshots. Three distinct
+    // shuffles + 1-row crosses; integer inputs, one final ratio.
+    Q("stats_capture_recapture",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        def dayUsers(d: String) = ev
+          .filter(to_date($"ts") === lit(d).cast("date"))
+          .select($"user_id").distinct()
+        val d1 = dayUsers("2024-01-01"); val d2 = dayUsers("2024-01-02")
+        val n1 = d1.agg(count(lit(1)).as("n1"))
+        val n2 = d2.agg(count(lit(1)).as("n2"))
+        val m = d1.join(d2, Seq("user_id")).agg(count(lit(1)).as("m"))
+        val tot = ev.select($"user_id").distinct()
+          .agg(count(lit(1)).as("n_true"))
+        n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+          .crossJoin(broadcast(tot))
+          .select($"n1", $"n2", $"m", $"n_true",
+            round((($"n1" + 1) * ($"n2" + 1)).cast("double") / ($"m" + 1)
+              - 1, 4).as("n_hat"),
+            round(((($"n1" + 1) * ($"n2" + 1)).cast("double") / ($"m" + 1)
+              - 1 - $"n_true") / $"n_true", 6).as("rel_err"))
+      },
+      Some("""WITH d1 AS (SELECT DISTINCT user_id FROM events
+             |           WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+             |d2 AS (SELECT DISTINCT user_id FROM events
+             |       WHERE CAST(ts AS DATE) = DATE '2024-01-02'),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM d1),
+             |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM d2),
+             |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+             |      FROM d1 JOIN d2 USING (user_id)),
+             |t AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+             |      FROM events)
+             |SELECT n1, n2, m, n_true,
+             |  round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1, 4)
+             |    AS n_hat,
+             |  round((CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1
+             |    - n_true) / n_true, 6) AS rel_err
+             |FROM a, b, c, t""".stripMargin)),
+
+    // Binary 3×3 morphology through the real BMP decode: threshold at the
+    // grayscale midpoint, then erosion (all 9 neighbors on) and dilation
+    // (any of 9 on) over the interior — the despeckle/fill primitives of
+    // classical segmentation, pure integer comparisons. The oracle
+    // re-evaluates every neighborhood from the closed-form pixel formula;
+    // the erosion checksum pins neighborhood addressing.
+    Q("multimodal_image_morphology",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Multimodal
+        Multimodal.morphStats(s,
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 60)))
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some {
+        def onExpr(xe: String, ye: String) =
+          s"""(((doc_id*31 + ($xe)*7 + ($ye)*13) % 256
+             | + (doc_id*31 + ($xe)*7 + ($ye)*13 + 101) % 256
+             | + (doc_id*31 + ($xe)*7 + ($ye)*13 + 202) % 256) > 382)"""
+            .stripMargin.replaceAll("\\s+", " ")
+        val nine = (for { dy <- -1 to 1; dx <- -1 to 1 }
+          yield onExpr(s"x+$dx", s"y+$dy"))
+        val allOn = nine.map(e => s"CASE WHEN $e THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ") = 9")
+        val anyOn = nine.map(e => s"CASE WHEN $e THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ") >= 1")
+        s"""WITH dims AS (
+           |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id < 60),
+           |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+           |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+           |fullf AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN ${onExpr("x", "y")} THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_on,
+           |    ANY_VALUE(w * h) AS n_pix
+           |  FROM xy GROUP BY doc_id),
+           |interior AS (
+           |  SELECT doc_id, x, y,
+           |    CASE WHEN $allOn THEN 1 ELSE 0 END AS er,
+           |    CASE WHEN $anyOn THEN 1 ELSE 0 END AS di
+           |  FROM xy
+           |  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2),
+           |mi AS (
+           |  SELECT doc_id, CAST(SUM(er) AS BIGINT) AS n_eroded,
+           |    CAST(SUM(di) AS BIGINT) AS n_dilated,
+           |    CAST(SUM((x + 2*y) * er) AS BIGINT) AS wsum_eroded
+           |  FROM interior GROUP BY doc_id)
+           |SELECT f.doc_id, n_pix, n_on, n_eroded, n_dilated, wsum_eroded
+           |FROM fullf f JOIN mi ON mi.doc_id = f.doc_id
+           |ORDER BY f.doc_id""".stripMargin
+      }),
+
+    // Session bounce rate per day: sessionize each user's stream with the
+    // standard 30-minute inactivity gap (the events_sessionize window
+    // shape), then per session-start day report sessions, single-event
+    // "bounce" sessions, and the bounce rate — the engagement-quality
+    // metric layered on top of sessionization. User-keyed windows, session and
+    // day aggs — every frame after the lag pass is grouped.
+    Q("events_bounce_rate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sess = graft.Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id")
+          .withColumn("new_sess",
+            when(unix_millis($"ts") -
+              unix_millis(lag($"ts", 1).over(w)) > 1800000L, 1L)
+              .when(lag($"ts", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_id",
+            sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy($"user_id", $"sess_id")
+          .agg(min($"ts").as("start_ts"), count(lit(1)).as("n_events"))
+        sess.groupBy(to_date($"start_ts").as("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when($"n_events" === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_bounce"))
+          .select($"day", $"n_sessions", $"n_bounce",
+            round($"n_bounce".cast("double") / $"n_sessions", 6)
+              .as("bounce_rate"))
+          .orderBy($"day")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sess_id
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sess_id, MIN(ts) AS start_ts,
+             |    COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, sess_id)
+             |SELECT CAST(start_ts AS DATE) AS day,
+             |  COUNT(*) AS n_sessions,
+             |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bounce,
+             |  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+             |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
