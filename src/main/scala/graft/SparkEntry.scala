@@ -43,7 +43,8 @@ object SparkEntry {
     Analytics4.queries,
     Analytics5.queries,
     Analytics6.queries,
-    Analytics7.queries
+    Analytics7.queries,
+    Analytics8.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
