@@ -1,0 +1,98 @@
+#!/usr/bin/env bash
+# End-of-round freshness gate (VERDICT r10 ask #1): refuse the end-of-round
+# snapshot while ANY gate artifact is stale. Rounds 9 and 10 both shipped
+# queries whose gate artifacts (shuffle budget, PLANS.md, SCALES.md,
+# SCALING.md, SURVEY declarations) lagged the code — this script makes
+# "regenerate + enforce everything" one command.
+#
+# Steps (each nonzero-exit fails the gate):
+#   1. sbt test                         — full ScalaTest suite
+#   2. PlanLint full @ canonical SF     — BNLJ/1partWin/shuffle-budget gates,
+#                                         then regenerates PLANS.md's LINT body
+#   3. check_declared.py                — registered ⊆ SURVEY-declared
+#   4. StreamBench                      — stateful state-growth gate
+#   5. cross_scale_gate.sh              — Verify+DuckDB oracle @ sf0.001+sf0.01
+#                                         (writes SCALES.md)
+#   6. Bench @ sf0.01 and sf0.1         — errors/regressions gate, then
+#      check_scaling.py                 — superlinearity probe (writes SCALING.md)
+#
+# Wall-clock ~35-40 min. GATE_SKIP_BENCH=1 skips step 6 (fast mode for
+# mid-round checks; the end-of-round run must be full).
+set -u
+cd "$(dirname "$0")/.."
+fail=0
+step() { echo; echo "===== round_gate: $* ====="; }
+
+step "1/6 sbt test"
+if ! sbt -batch test > target/gate_test.log 2>&1; then
+  echo "FAIL: sbt test (see target/gate_test.log)"
+  grep -E "\*\*\* FAILED|TESTS FAILED" target/gate_test.log | head -10
+  fail=1
+else
+  tail -2 target/gate_test.log
+fi
+
+step "2/6 PlanLint (full, canonical SF)"
+if ! sbt -batch 'runMain graft.tools.PlanLint /root/testdata/sf0.001' \
+    > target/gate_planlint.log 2>&1; then
+  echo "FAIL: PlanLint (see target/gate_planlint.log)"
+  grep "^FAIL" target/gate_planlint.log | head -10
+  fail=1
+else
+  grep -c '^LINT' target/gate_planlint.log | xargs echo "PLANLINT OK, queries:"
+  # Regenerate PLANS.md's LINT body from this run (header kept verbatim).
+  awk '/^```$/{exit} {print}' PLANS.md > target/plans_header.txt
+  { cat target/plans_header.txt; echo '```'
+    grep '^LINT' target/gate_planlint.log; echo '```'; } > PLANS.md
+  echo "PLANS.md regenerated"
+fi
+
+step "3/6 declared-vs-registered"
+python3 scripts/check_declared.py || fail=1
+
+step "4/6 StreamBench state-growth gate"
+if ! sbt -batch 'runMain graft.tools.StreamBench' \
+    > target/gate_streambench.log 2>&1; then
+  echo "FAIL: StreamBench (see target/gate_streambench.log)"
+  grep -E "STATE-GROWTH|FAIL" target/gate_streambench.log | head -10
+  fail=1
+else
+  echo "StreamBench OK (state flat on all bounded shapes)"
+fi
+
+step "5/6 cross-scale oracle gate"
+bash scripts/cross_scale_gate.sh || fail=1
+
+if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then
+  step "6/6 bench+scaling SKIPPED (GATE_SKIP_BENCH=1 — not valid for the end-of-round run)"
+else
+  step "6/6 bench @ sf0.01 + sf0.1, scaling probe"
+  for sf in 0.01 0.1; do
+    if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf$sf sbt -batch 'runMain graft.Bench' \
+        > "target/gate_bench_sf$sf.log" 2>&1; then
+      echo "FAIL: Bench sf$sf (see target/gate_bench_sf$sf.log)"
+      fail=1
+    fi
+    cp target/bench_queries.json "target/gate_bench_sf$sf.json"
+    python3 - "target/gate_bench_sf$sf.json" <<'EOF' || fail=1
+import json, sys
+d = json.load(open(sys.argv[1]))
+ne, nr = d.get("n_errors", -1), d.get("n_regressions", -1)
+print(f"{sys.argv[1]}: total={d.get('value'):.1f}s errors={ne} regressions={nr}")
+if ne != 0:
+    print("FAIL: bench errors:", list(d.get("errors", {}))[:10]); sys.exit(1)
+if nr != 0:
+    print("FAIL: bench regressions:", d.get("regressions", {})); sys.exit(1)
+EOF
+  done
+  python3 scripts/check_scaling.py target/gate_bench_sf0.01.json \
+    target/gate_bench_sf0.1.json || fail=1
+fi
+
+echo
+if [ $fail -ne 0 ]; then
+  echo "ROUND GATE: RED — do NOT snapshot; fix and rerun"
+else
+  echo "ROUND GATE: GREEN — all artifacts fresh (PLANS.md, SCALES.md, SCALING.md, shuffle budget, SURVEY declarations); commit them"
+fi
+exit $fail

@@ -33,6 +33,7 @@ object SparkEntry {
     Scale.queries,
     Extras.queries,
     Analytics.queries,
+    Analyticsb.queries,
     Retrieval.queries,
     SketchQ.queries,
     LlmExt3.queries,

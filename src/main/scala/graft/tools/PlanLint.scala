@@ -122,7 +122,10 @@ object PlanLint {
   def main(args: Array[String]): Unit = {
     val writeBudget = args.contains("--write-shuffle-budget")
     val pos = args.filterNot(_.startsWith("--"))
-    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
+    // Default aligned with the canonical budget SF so a bare `runMain
+    // graft.tools.PlanLint` enforces the shuffle budget (a default run that
+    // silently skipped the budget gate was an audit finding).
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
     // optional second arg: regex over query names (fast local iteration; the
     // committed PLANS.md snapshot is always the full, unfiltered run)
     val nameFilter = pos.lift(1).map(_.r)
@@ -209,6 +212,10 @@ object PlanLint {
       println(s"wrote ${shuffleCounts.size} budgets to $ShuffleBudgetPath")
     }
 
+    if (!writeBudget && budgetSf != sfDir)
+      println(s"NOTICE shuffle-budget check SKIPPED: run sf=$sfDir != " +
+        s"budget sf=$budgetSf (the budget gate only enforces at its " +
+        "canonical SF — rerun at " + budgetSf + " for full enforcement)")
     val failures = violations(bnljFlagged.toSet, win1pFlagged.toSet,
       planErrors.toSet, sanctioned, winSanctioned, ran.toSet,
       fullRun = nameFilter.isEmpty) ++

@@ -56,7 +56,8 @@ object StreamBench {
       * a per-row leak grows state linearly, putting last/mid at ~(n+1)/(n/2+1)
       * ≈ 1.7 for the 4-batch default — reliably over the line. */
     def flat(series: Seq[Long]): Boolean = {
-      val mid = series(series.length / 2 - 1).max(1L)
+      // max(0) guards nBatches=1 (mid index would be -1).
+      val mid = series((series.length / 2 - 1).max(0)).max(1L)
       series.last.toDouble / mid <= 1.5
     }
 
