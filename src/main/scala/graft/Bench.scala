@@ -123,14 +123,34 @@ object Bench {
       }
       retested(k) = math.min(best(k), if (ts.nonEmpty) ts.min else best(k))
     }
-    val regressions = common.filter(k =>
+    val perQueryRegressions = common.filter(k =>
       regressed(k, retested.getOrElse(k, best(k))))
-    val regJson = regressions.map(k =>
-        "\"" + k + "\":[" + baseline(k) + "," + retested.getOrElse(k, best(k)) + "]")
-      .mkString("{", ",", "}")
-    regressions.foreach(k =>
+    // Top-10 aggregate budget (VERDICT r10 ask #6): per-query floors alone
+    // don't stop the expensive tail from creeping — individually sub-30%
+    // increases across the top of the bench compound unnoticed as operators
+    // are added. Gate Σ(top-10) of this run against Σ(top-10) of the
+    // host-scaled baseline floors, over COMMON queries only (a legitimately
+    // expensive NEW query is set drift, not creep; it enters the floor file
+    // on the next clean refresh). Flags as the pseudo-regression
+    // `_top10_aggregate`, which also blocks the baseline refresh below.
+    val topN = 10
+    val runTop = common.map(k => retested.getOrElse(k, best(k)))
+      .sorted.takeRight(topN).sum
+    val baseTop = common.map(k => baseline(k) * scale).sorted.takeRight(topN).sum
+    val top10Regressed =
+      common.size >= topN && runTop > baseTop * 1.3 && runTop - baseTop > 1.5
+    val regressions = perQueryRegressions ++
+      (if (top10Regressed) Seq("_top10_aggregate") else Nil)
+    val regJson = regressions.map {
+        case "_top10_aggregate" => "\"_top10_aggregate\":[" + baseTop + "," + runTop + "]"
+        case k => "\"" + k + "\":[" + baseline(k) + "," + retested.getOrElse(k, best(k)) + "]"
+      }.mkString("{", ",", "}")
+    perQueryRegressions.foreach(k =>
       System.err.println(f"[bench] REGRESSION $k: ${baseline(k)}%.3f -> " +
         f"${retested.getOrElse(k, best(k))}%.3f s (host-scale ${scale}%.2f)"))
+    if (top10Regressed)
+      System.err.println(f"[bench] REGRESSION top-10 aggregate: " +
+        f"$baseTop%.2f -> $runTop%.2f s (host-scale ${scale}%.2f)")
     // Full per-query map: to a file (+ one stdout line for humans). The FINAL stdout
     // line is a short total-only JSON so a tail-capture can never truncate it mid-line.
     def jq(s: String): String = "\"" + s.flatMap {
@@ -140,7 +160,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
       .mkString("{", ",", "}")
     errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"n_regressions":${regressions.size},"regressions":$regJson,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"n_regressions":${regressions.size},"regressions":$regJson,"top10_sec":$runTop,"top10_base_sec":$baseTop,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),

@@ -13,13 +13,20 @@ object Keys {
   private def canon(k: String): String = k.replace('-', '_').toLowerCase
 
   /** Case-insensitive, -/_-interchangeable lookup. */
-  def fuzzyGet[V](m: Map[String, V], key: String): Option[V] = {
+  def fuzzyGet[V](m: scala.collection.Map[String, V], key: String): Option[V] = {
     m.get(key).orElse {
       val c = canon(key)
       m.collectFirst { case (k, v) if canon(k) == c => v }
     }
   }
 
-  def conformRoot(m: Map[String, Any]): Map[String, Any] = m.map { case (k, v) => snake(k) -> v }
-  def conformEnv(m: Map[String, Any]): Map[String, Any] = m.map { case (k, v) => envKey(k) -> v }
+  // Conforming preserves insertion order (VectorMap): the resolver is
+  // single-pass in declaration order (reference dicts are ordered;
+  // test_job.py:471-501 pins the observable consequences).
+  def conformRoot(m: Map[String, Any]): Map[String, Any] =
+    scala.collection.immutable.VectorMap.from(
+      m.iterator.map { case (k, v) => snake(k) -> v })
+  def conformEnv(m: Map[String, Any]): Map[String, Any] =
+    scala.collection.immutable.VectorMap.from(
+      m.iterator.map { case (k, v) => envKey(k) -> v })
 }

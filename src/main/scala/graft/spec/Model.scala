@@ -109,7 +109,8 @@ final case class Command(
     name: Option[String],
     task: String,
     env: Map[String, EnvValue] = Map.empty,
-    skip: Boolean = false)
+    skip: Boolean = false,
+    description: Option[String] = None)
 
 /** The job manifest (reference job.py:30-109). */
 final case class Job(

@@ -13,7 +13,11 @@ object Yaml {
 
   private def asMap(any: Any, what: String): Map[String, Any] = any match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, v) => String.valueOf(k) -> (v: Any) }.toMap
+      // snakeyaml hands back a LinkedHashMap: keep declaration order (the
+      // resolver is single-pass in declaration order, like the reference's
+      // ordered dicts)
+      scala.collection.immutable.VectorMap.from(
+        m.asScala.iterator.map { case (k, v) => String.valueOf(k) -> (v: Any) })
     case other => throw SpecError(s"$what must be a mapping, got: $other")
   }
 
@@ -43,8 +47,10 @@ object Yaml {
     // (reference load_host_env, job.py:121-130)
     val hostEnv = root.get("host_env") match {
       case None => env.keys.toList.sorted
-      case Some(s: String) => List(Keys.envKey(s))
-      case Some(l) => asList(l).map(x => Keys.envKey(x.toString))
+      case Some(null) => Nil // explicit `host-env: null` disables inheritance
+      case Some(s: String) => List(if (s == "*") s else Keys.envKey(s))
+      case Some(l) => asList(l).map(_.toString)
+        .map(x => if (x == "*") x else Keys.envKey(x))
     }
     val tasks = root.get("tasks") match {
       case None => Nil
@@ -52,23 +58,35 @@ object Yaml {
       case Some(l) => asList(l).map(_.toString)
     }
     val commands = root.get("commands").map(asList).getOrElse(Nil).map(parseCommand)
+    // Paths containing placeholders are expanded AFTER resolution
+    // (Placeholders.resolve calls expandPath on the resolved value —
+    // reference job.py:437-449 expands ("job","data")/("job","tasks") inside
+    // the resolution traverse, so `data: $DATA_PATH/path` is legal even when
+    // the manifest is loaded from a string).
     val resolvePath = (p: String) =>
-      if (Paths.get(p).isAbsolute || p.startsWith("~")) p
-      else basedir match {
-        case Some(b) => Paths.get(b, p).toString
-        case None => throw SpecError(
-          s"relative path '$p' requires a basedir (job loaded from a file)")
-      }
+      if (p.contains("$")) p else expandPath(expandHome(p), basedir)
     Job(
       name = name,
       description = root.get("description").map(_.toString),
       basedir = basedir,
-      data = resolvePath(expandHome(dataRaw)),
+      data = resolvePath(dataRaw),
       hostEnv = hostEnv,
       env = env,
-      tasks = tasks.map(t => resolvePath(expandHome(t))),
+      tasks = tasks.map(resolvePath),
       commands = commands)
   }
+
+  /** Reference expand_path (job.py:220-228): absolute (or already-expanded
+    * home) paths pass through; relative paths expand against the manifest
+    * basedir and error when the job was loaded from a string. */
+  private[spec] def expandPath(p: String, basedir: Option[String]): String =
+    if (Paths.get(p).isAbsolute || p.startsWith("~")) p
+    else basedir match {
+      case Some(b) => Paths.get(b, p).normalize().toString
+      case None => throw SpecError(
+        "Relative paths cannot be used when the job manifest is loaded from " +
+          s"a string: $p")
+    }
 
   private val commandNameOk = "^[a-z0-9-_]+$".r
 
@@ -86,7 +104,8 @@ object Yaml {
       skip = m.get("skip").exists {
         case b: java.lang.Boolean => b
         case s => s.toString.toBoolean
-      })
+      },
+      description = m.get("description").map(_.toString))
   }
 
   // ---- Task ---------------------------------------------------------------

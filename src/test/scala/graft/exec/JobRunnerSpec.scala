@@ -275,10 +275,11 @@ class JobRunnerSpec extends AnyFunSuite {
     val log = scala.collection.mutable.ListBuffer[String]()
     runner(log).execute(job, dryrun = true)
     val expected = List(
-      // resolution-time warnings precede the dump: host_env defaults to the job env
-      // keys (R2/R3 warn-on-missing) and job env propagates into every command's
-      // env (R4), where the tasks don't declare it (R10 warn-on-unknown)
-      "WARNING: host env variable 'BASE_QTY' is not set",
+      // resolution-time warnings precede the dump: job env propagates into every
+      // command's env (R4), where the tasks don't declare it (R10
+      // warn-on-unknown). No missing-host-var warning: BASE_QTY has a job-env
+      // default, and the reference only warns for allowlisted names missing
+      // from BOTH host and job env (inherit_env, job.py:246-250).
       "WARNING: unknown input 'BASE_QTY' for task 'read-parquet'",
       "WARNING: unknown input 'BASE_QTY' for task 'filter'",
       "DRYRUN: job 'dry-gold' — manifest parsed as:",

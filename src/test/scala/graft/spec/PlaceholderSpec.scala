@@ -82,20 +82,24 @@ class PlaceholderSpec extends AnyFunSuite {
     assert(resolve(j).commands(1).env("IN") == Str("kept"))
   }
 
-  test("bare $VAR resolves in current merged env, recursively") {
+  test("bare $VAR resolves in current merged env, single-pass in order") {
     val j = job(env = Map("BASE" -> Str("/data")),
       commands = List(Command(None, "t", Map(
         "DIR" -> Str("$BASE/sub"), "FILE" -> Str("$DIR/f.txt")))))
     val r = resolve(j).commands.head.env
     assert(r("DIR") == Str("/data/sub"))
-    assert(r("FILE") == Str("/data/sub/f.txt"))
+    assert(r("FILE") == Str("/data/sub/f.txt")) // DIR resolved before FILE
   }
 
-  test("circular bare references error") {
+  test("later/self bare references substitute raw, once (single-pass)") {
+    // Reference semantics (test_job.py:471-501): resolution is one ordered
+    // pass; a reference to a later or self env entry substitutes that entry's
+    // CURRENT raw text and is not rescanned — no error, no recursion.
     val j = job(commands = List(Command(None, "t", Map(
       "A" -> Str("x$B"), "B" -> Str("y$A")))))
-    val e = intercept[SpecError](resolve(j))
-    assert(e.getMessage.contains("circular"))
+    val r = resolve(j).commands.head.env
+    assert(r("A") == Str("xy$A")) // B raw at A's turn, substituted once
+    assert(r("B") == Str("yxy$A")) // A resolved by B's turn
   }
 
   test("drill-down with list index: ${job.commands.0.env.VAR1}") {
