@@ -45,7 +45,8 @@ object SparkEntry {
     Analytics5.queries,
     Analytics6.queries,
     Analytics7.queries,
-    Analytics8.queries
+    Analytics8.queries,
+    Analytics9.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

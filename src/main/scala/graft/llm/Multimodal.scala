@@ -121,6 +121,12 @@ case class QuantStats(doc_id: Long, n_pix: Long, n_codes: Long,
 case class SsimBlock(doc_id: Long, by: Int, bx: Int, n_px: Long,
     sx: Long, sy: Long, sxx: Long, syy: Long, sxy: Long)
 
+case class GammaStats(doc_id: Long, n_pix: Long, n_levels_out: Long,
+    min_out: Int, max_out: Int, wsum_out: Long)
+
+case class ClipStats(doc_id: Long, n_samples: Long, n_clipped: Long,
+    max_clip_run: Long, first_clip_idx: Long)
+
 /** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video)
   * is carried as opaque `binary` columns plus a typed metadata struct; decode /
   * feature-extraction / resize / frame-sampling run partition-wise
@@ -892,6 +898,73 @@ object Multimodal {
         y += 1
       }
       EqualizeStats(rec.doc_id, n, nLevels, mn, mx, wsum)
+    })
+  }
+
+  /** Gamma-0.5 brightening through an integer LUT: o = ⌊√(lv·255)⌋ — the
+    * exposure-correction codec stage, kept EXACT by using the integer square
+    * root (sqrt of a ≤16-bit integer is correctly rounded IEEE, so its floor
+    * is engine-identical; no 1/2.2 pow() whose last ulp could differ). Same
+    * witnesses as [[equalizeStats]]: distinct output levels, range, and the
+    * position-weighted checksum that pins the remap to pixel coordinates. */
+  def gammaStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[GammaStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      val lut = new Array[Int](256)
+      var lv = 0
+      while (lv < 256) {
+        lut(lv) = math.sqrt(lv * 255.0).toInt
+        lv += 1
+      }
+      var nLevels = 0L
+      val seen = new Array[Boolean](256)
+      var mn = 255; var mx = 0; var wsum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = lut((img.r(x, y) + img.g(x, y) + img.b(x, y)) / 3)
+          if (!seen(o)) { seen(o) = true; nLevels += 1 }
+          if (o < mn) mn = o
+          if (o > mx) mx = o
+          wsum += (x + 2L * y) * o
+          x += 1
+        }
+        y += 1
+      }
+      GammaStats(rec.doc_id, w.toLong * h, nLevels, mn, mx, wsum)
+    })
+  }
+
+  /** Clipping audit over the decoded PCM stream: samples at or beyond the
+    * threshold magnitude count as clipped; the longest CONSECUTIVE clipped
+    * run (the audible artifact — isolated peaks are fine, runs are not) and
+    * the first clipped index are found in the same single decode pass.
+    * Integer comparisons only. */
+  def clipStats(spark: SparkSession, media: Dataset[MediaRecord],
+      threshold: Int): Dataset[ClipStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val pcm = Wav.decode(rec.payload)
+      var nClip = 0L
+      var run = 0L
+      var maxRun = 0L
+      var first = -1L
+      var i = 0
+      while (i < pcm.samples.length) {
+        val clipped = math.abs(pcm.samples(i).toInt) >= threshold
+        if (clipped) {
+          nClip += 1
+          run += 1
+          if (run > maxRun) maxRun = run
+          if (first < 0) first = i
+        } else run = 0
+        i += 1
+      }
+      ClipStats(rec.doc_id, pcm.samples.length.toLong, nClip, maxRun, first)
     })
   }
 
