@@ -172,7 +172,7 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
       val rc = try {
         val envd = Validation.withDefaults(task, tc.env)
         val r = executeTask(task, envd, ctx)
-        if (r == 0) runSubprocess(task, Yaml.tokenize(tc.verify), envd) else r
+        if (r == 0) runSubprocess(task, tc.verify, envd) else r
       } catch { case _: Exception => 1 }
       name -> (rc == 0)
     }

@@ -127,6 +127,12 @@ case class GammaStats(doc_id: Long, n_pix: Long, n_levels_out: Long,
 case class ClipStats(doc_id: Long, n_samples: Long, n_clipped: Long,
     max_clip_run: Long, first_clip_idx: Long)
 
+case class TileStats(doc_id: Long, ty: Int, tx: Int, n_px: Long,
+    n_levels: Long, sum_lv: Long, min_lv: Int, max_lv: Int)
+
+case class EnvelopeStats(doc_id: Long, n_frames: Long, global_peak: Int,
+    attack_frame: Long, last_half_frame: Long)
+
 /** Multimodal columns — SURVEY.md §2b "LLM extensions". Media (image/audio/video)
   * is carried as opaque `binary` columns plus a typed metadata struct; decode /
   * feature-extraction / resize / frame-sampling run partition-wise
@@ -965,6 +971,77 @@ object Multimodal {
         i += 1
       }
       ClipStats(rec.doc_id, pcm.samples.length.toLong, nClip, maxRun, first)
+    })
+  }
+
+  /** 4×4 tile texture map: per tile, the distinct-grayscale-level count
+    * (the integer-exact texture/flatness witness — a flat tile has 1 level,
+    * a busy one up to 16), level sum and extrema. Tiles are ⌈w/4⌉×⌈h/4⌉
+    * with ragged edges kept (partial tiles report their true pixel count).
+    * One decode pass; bounded rows per record (≤ tiles). */
+  def tileStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[TileStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val img = Bmp.decode(rec.payload)
+      val w = img.width; val h = img.height
+      val tw = (w + 3) / 4; val th = (h + 3) / 4
+      (0 until th).iterator.flatMap { ty =>
+        (0 until tw).iterator.map { tx =>
+          val seen = new Array[Boolean](256)
+          var nLv = 0L; var sum = 0L; var n = 0L
+          var mn = 255; var mx = 0
+          var y = ty * 4
+          while (y < math.min(ty * 4 + 4, h)) {
+            var x = tx * 4
+            while (x < math.min(tx * 4 + 4, w)) {
+              val lv = (img.r(x, y) + img.g(x, y) + img.b(x, y)) / 3
+              if (!seen(lv)) { seen(lv) = true; nLv += 1 }
+              sum += lv; n += 1
+              if (lv < mn) mn = lv
+              if (lv > mx) mx = lv
+              x += 1
+            }
+            y += 1
+          }
+          TileStats(rec.doc_id, ty, tx, n, nLv, sum, mn, mx)
+        }
+      }
+    })
+  }
+
+  /** Amplitude envelope over fixed 100-sample frames: per-frame peak |s|,
+    * the global peak, the ATTACK frame (first frame reaching ≥ 90% of the
+    * global peak, integer 9/10 threshold) and the last frame still at ≥ half
+    * peak — the onset/decay shape audio pipelines gate on. Integer
+    * comparisons only; one decode pass. */
+  def envelopeStats(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[EnvelopeStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { rec =>
+      val pcm = Wav.decode(rec.payload)
+      val n = pcm.samples.length
+      val nFrames = (n + 99) / 100
+      val peaks = new Array[Int](nFrames)
+      var i = 0
+      while (i < n) {
+        val a = math.abs(pcm.samples(i).toInt)
+        val f = i / 100
+        if (a > peaks(f)) peaks(f) = a
+        i += 1
+      }
+      var global = 0
+      var f = 0
+      while (f < nFrames) { if (peaks(f) > global) global = peaks(f); f += 1 }
+      var attack = -1L
+      var lastHalf = -1L
+      f = 0
+      while (f < nFrames) {
+        if (attack < 0 && peaks(f).toLong * 10 >= global.toLong * 9) attack = f
+        if (peaks(f).toLong * 2 >= global.toLong) lastHalf = f
+        f += 1
+      }
+      EnvelopeStats(rec.doc_id, nFrames.toLong, global, attack, lastHalf)
     })
   }
 

@@ -752,6 +752,272 @@ object Analytics9 {
              |    round(CAST(m_within AS DOUBLE) * 2.0 /
              |      (CAST(n_rich AS DOUBLE) * CAST(n_rich - 1 AS DOUBLE)), 6)
              |  END AS phi
-             |FROM stacked ORDER BY k""".stripMargin))
+             |FROM stacked ORDER BY k""".stripMargin)),
+
+    // Granger-style lag-1 predictive test between the daily click and
+    // purchase count series, BOTH directions: unrestricted OLS
+    // y_t = a + b·y_{t−1} + c·x_{t−1} vs restricted (own lag only), F on
+    // the RSS drop. Every moment is a sum of products of small INTEGER
+    // daily counts — exact longs — so the closed-form 2×2 normal-equation
+    // solve and F ratio are identical IEEE trees on both engines. The
+    // series frame is ≤|days| after one conditional-count shuffle; lags are
+    // equi self-joins on day arithmetic, never windows.
+    Q("stats_granger_lag1",
+      (s, dir) => {
+        import s.implicits._
+        val daily = graft.Tables.events(s, dir)
+          .groupBy(datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .as("d"))
+          .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("ck"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pu"))
+          .localCheckpoint()
+        val lagged = daily.as("t")
+          .join(daily.select(($"d" + 1).as("d"), $"ck".as("ck1"),
+            $"pu".as("pu1")), "d")
+        def direction(label: String, y: String, z1: String, z2: String) = {
+          val m = lagged.agg(count(lit(1)).as("n"),
+            sum(col(y)).cast("long").as("sy"),
+            sum(col(z1)).cast("long").as("s1"),
+            sum(col(z2)).cast("long").as("s2"),
+            sum(col(y) * col(y)).cast("long").as("syy"),
+            sum(col(z1) * col(z1)).cast("long").as("s11"),
+            sum(col(z2) * col(z2)).cast("long").as("s22"),
+            sum(col(y) * col(z1)).cast("long").as("sy1"),
+            sum(col(y) * col(z2)).cast("long").as("sy2"),
+            sum(col(z1) * col(z2)).cast("long").as("s12"))
+          val nD = $"n".cast("double")
+          val c11 = $"s11".cast("double") - $"s1".cast("double") * $"s1".cast("double") / nD
+          val c22 = $"s22".cast("double") - $"s2".cast("double") * $"s2".cast("double") / nD
+          val c12 = $"s12".cast("double") - $"s1".cast("double") * $"s2".cast("double") / nD
+          val c1y = $"sy1".cast("double") - $"s1".cast("double") * $"sy".cast("double") / nD
+          val c2y = $"sy2".cast("double") - $"s2".cast("double") * $"sy".cast("double") / nD
+          val cyy = $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double") / nD
+          val det = c11 * c22 - c12 * c12
+          val b1 = (c22 * c1y - c12 * c2y) / det
+          val b2 = (c11 * c2y - c12 * c1y) / det
+          val rssU = cyy - b1 * c1y - b2 * c2y
+          val rssR = cyy - (c1y / c11) * c1y
+          m.select(lit(label).as("direction"), $"n",
+            round(b1, 6).as("own_lag_coef"),
+            round(b2, 6).as("cross_lag_coef"),
+            round(rssR, 4).as("rss_restricted"),
+            round(rssU, 4).as("rss_unrestricted"),
+            round((rssR - rssU) / (rssU / (nD - 3.0d)), 6).as("f_stat"))
+        }
+        direction("click_causes_purchase", "pu", "pu1", "ck1")
+          .unionAll(direction("purchase_causes_click", "ck", "ck1", "pu1"))
+          .orderBy($"direction")
+      },
+      Some {
+        def dirSql(label: String, y: String, z1: String, z2: String) =
+          s"""SELECT '$label' AS direction, n,
+             |  round((c22*c1y - c12*c2y) / (c11*c22 - c12*c12), 6)
+             |    AS own_lag_coef,
+             |  round((c11*c2y - c12*c1y) / (c11*c22 - c12*c12), 6)
+             |    AS cross_lag_coef,
+             |  round(cyy - (c1y/c11)*c1y, 4) AS rss_restricted,
+             |  round(cyy - ((c22*c1y - c12*c2y)/(c11*c22 - c12*c12))*c1y
+             |    - ((c11*c2y - c12*c1y)/(c11*c22 - c12*c12))*c2y, 4)
+             |    AS rss_unrestricted,
+             |  round(((cyy - (c1y/c11)*c1y) -
+             |      (cyy - ((c22*c1y - c12*c2y)/(c11*c22 - c12*c12))*c1y
+             |         - ((c11*c2y - c12*c1y)/(c11*c22 - c12*c12))*c2y)) /
+             |    ((cyy - ((c22*c1y - c12*c2y)/(c11*c22 - c12*c12))*c1y
+             |         - ((c11*c2y - c12*c1y)/(c11*c22 - c12*c12))*c2y) /
+             |     (CAST(n AS DOUBLE) - 3.0)), 6) AS f_stat
+             |FROM (
+             |  SELECT n,
+             |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n AS c11,
+             |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/n AS c22,
+             |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)/n AS c12,
+             |    CAST(sy1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(sy AS DOUBLE)/n AS c1y,
+             |    CAST(sy2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(sy AS DOUBLE)/n AS c2y,
+             |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n AS cyy
+             |  FROM (
+             |    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |      CAST(SUM($y) AS BIGINT) AS sy, CAST(SUM($z1) AS BIGINT) AS s1,
+             |      CAST(SUM($z2) AS BIGINT) AS s2,
+             |      CAST(SUM($y*$y) AS BIGINT) AS syy,
+             |      CAST(SUM($z1*$z1) AS BIGINT) AS s11,
+             |      CAST(SUM($z2*$z2) AS BIGINT) AS s22,
+             |      CAST(SUM($y*$z1) AS BIGINT) AS sy1,
+             |      CAST(SUM($y*$z2) AS BIGINT) AS sy2,
+             |      CAST(SUM($z1*$z2) AS BIGINT) AS s12
+             |    FROM lagged))""".stripMargin
+        s"""WITH daily AS (
+           |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+           |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+           |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pu
+           |  FROM events GROUP BY 1),
+           |lagged AS (
+           |  SELECT t.d, t.ck, t.pu, p.ck AS ck1, p.pu AS pu1
+           |  FROM daily t JOIN daily p ON p.d + 1 = t.d),
+           |a AS (${dirSql("click_causes_purchase", "pu", "pu1", "ck1")}),
+           |b AS (${dirSql("purchase_causes_click", "ck", "ck1", "pu1")})
+           |SELECT CAST(n AS BIGINT) AS n, direction, own_lag_coef, cross_lag_coef,
+           |  rss_restricted, rss_unrestricted, f_stat
+           |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+           |ORDER BY direction""".stripMargin
+      }),
+
+    // Partition-layout planner audit: per ship month, row count, a
+    // fixed-row-width byte estimate, the 128 MB-target file count
+    // (⌈bytes/target⌉ in pure integer math), the month's share of the
+    // table, and its skew vs the mean month — the planning table behind
+    // "how many output files should this dynamic-partition write produce".
+    // One month rollup; the mean attaches via a sanctioned single-row cross.
+    Q("scale_partition_plan_audit",
+      (s, dir) => {
+        import s.implicits._
+        val rowBytes = 120L
+        val target = 134217728L
+        val m = t(s, dir, "lineitem")
+          .groupBy(date_format($"l_shipdate", "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_rows"))
+          .localCheckpoint()
+        val tot = m.agg(sum($"n_rows").cast("long").as("t_rows"),
+          count(lit(1)).as("n_months"))
+        m.crossJoin(broadcast(tot))
+          .select($"month", $"n_rows",
+            ($"n_rows" * rowBytes).as("est_bytes"),
+            expr(s"(n_rows * $rowBytes + $target - 1) div $target")
+              .as("n_files"),
+            round($"n_rows".cast("double") / $"t_rows".cast("double"), 6)
+              .as("share"),
+            round($"n_rows".cast("double") /
+              ($"t_rows".cast("double") / $"n_months".cast("double")), 6)
+              .as("skew_vs_mean"))
+          .orderBy($"month")
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             |    COUNT(*) AS n_rows
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t_rows,
+             |               COUNT(*) AS n_months FROM m)
+             |SELECT month, n_rows, CAST(n_rows * 120 AS BIGINT) AS est_bytes,
+             |  CAST((n_rows * 120 + 134217727) // 134217728 AS BIGINT)
+             |    AS n_files,
+             |  round(CAST(n_rows AS DOUBLE) / CAST(t_rows AS DOUBLE), 6)
+             |    AS share,
+             |  round(CAST(n_rows AS DOUBLE) /
+             |    (CAST(t_rows AS DOUBLE) / CAST(n_months AS DOUBLE)), 6)
+             |    AS skew_vs_mean
+             |FROM m CROSS JOIN tot ORDER BY month""".stripMargin)),
+
+    // Deterministic k-fold split audit (md5(doc_id) % 5 — the same
+    // hash-deterministic assignment the sampling family uses, no RNG
+    // state): per (fold, lang) document counts plus each fold's total and
+    // the within-fold language share — the stratification-balance check run
+    // before any train/val split is trusted. Fold totals attach by an
+    // equi-join on fold, not a cross.
+    Q("sample_kfold_assign",
+      (s, dir) => {
+        import s.implicits._
+        val folded = t(s, dir, "documents")
+          .select((conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+            .cast("long") % 5).as("fold"), $"lang")
+          .groupBy($"fold", $"lang").agg(count(lit(1)).as("n_docs"))
+        val totals = folded.groupBy($"fold")
+          .agg(sum($"n_docs").cast("long").as("fold_total"))
+        folded.join(totals, "fold")
+          .select($"fold", $"lang", $"n_docs", $"fold_total",
+            round($"n_docs".cast("double") / $"fold_total".cast("double"), 6)
+              .as("share"))
+          .orderBy($"fold", $"lang")
+      },
+      Some(s"""WITH folded AS (
+              |  SELECT ${sqlHexInt("md5(CAST(doc_id AS VARCHAR))", 1, 6)} % 5
+              |      AS fold, lang, COUNT(*) AS n_docs
+              |  FROM documents GROUP BY 1, 2),
+              |tot AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_total
+              |        FROM folded GROUP BY fold)
+              |SELECT fold, lang, n_docs, fold_total,
+              |  round(CAST(n_docs AS DOUBLE) / CAST(fold_total AS DOUBLE), 6)
+              |    AS share
+              |FROM folded JOIN tot USING (fold)
+              |ORDER BY fold, lang""".stripMargin)),
+
+    // 4×4 tile texture map through the real BMP decode: per tile, the
+    // distinct-grayscale-level count (integer texture witness: flat tile =
+    // 1 level), level sum and extrema; ragged edge tiles keep their true
+    // pixel count. The oracle rebuilds every tile from the closed-form
+    // pixel formula — a tiling or decode bug shifts some tile's sum and
+    // breaks the hash. Bounded (≤ tiles/doc) output rows.
+    Q("multimodal_image_tile_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Multimodal
+        Multimodal.tileStats(s,
+            Multimodal.syntheticImages(s,
+              t(s, dir, "documents").filter($"doc_id" < 40)))
+          .toDF()
+          .orderBy($"doc_id", $"ty", $"tx")
+      },
+      Some {
+        val gray =
+          """((doc_id*31 + x*7 + y*13) % 256
+            | + (doc_id*31 + x*7 + y*13 + 101) % 256
+            | + (doc_id*31 + x*7 + y*13 + 202) % 256)""".stripMargin
+            .replaceAll("\\s+", " ")
+        s"""WITH dims AS (
+           |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id < 40),
+           |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+           |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+           |px AS (SELECT doc_id, x, y, y // 4 AS ty, x // 4 AS tx,
+           |         ($gray) // 3 AS lv
+           |       FROM xy)
+           |SELECT doc_id, CAST(ty AS INTEGER) AS ty, CAST(tx AS INTEGER) AS tx,
+           |  COUNT(*) AS n_px, COUNT(DISTINCT lv) AS n_levels,
+           |  CAST(SUM(lv) AS BIGINT) AS sum_lv,
+           |  CAST(MIN(lv) AS INTEGER) AS min_lv,
+           |  CAST(MAX(lv) AS INTEGER) AS max_lv
+           |FROM px GROUP BY doc_id, ty, tx
+           |ORDER BY doc_id, ty, tx""".stripMargin
+      }),
+
+    // Amplitude envelope through the real WAV decode: per-100-sample frame
+    // peaks reduced to the global peak, the attack frame (first ≥ 90% of
+    // peak — integer 9/10 comparison, no float threshold) and the last
+    // frame still ≥ half peak — the onset/decay gate of audio curation.
+    // The oracle recomputes the frame-peak series from the closed-form
+    // sample formula with a grouped max.
+    Q("multimodal_audio_envelope",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.Multimodal
+        Multimodal.envelopeStats(s,
+            // GATED source: every third 200-sample block attenuated 16× so
+            // the envelope has real quiet valleys — the ungated sawtooth
+            // peaks in every frame and attack/decay degenerate
+            Multimodal.syntheticGatedAudio(s,
+              t(s, dir, "documents").filter($"doc_id" < 100)))
+          .toDF()
+          .select($"doc_id", $"n_frames", $"global_peak".cast("int")
+            .as("global_peak"), $"attack_frame", $"last_half_frame")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 800 + (doc_id % 7) * 100 AS n
+             |  FROM documents WHERE doc_id < 100),
+             |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+             |v AS (SELECT doc_id, i // 100 AS f,
+             |        abs(CASE WHEN (i // 200) % 3 = 2
+             |          THEN ((doc_id*37 + i*13) % 2048 - 1024) // 16
+             |          ELSE (doc_id*37 + i*13) % 2048 - 1024 END) AS a
+             |      FROM sm),
+             |fp AS (SELECT doc_id, f, MAX(a) AS peak FROM v GROUP BY 1, 2),
+             |g AS (SELECT doc_id, MAX(peak) AS global_peak,
+             |        COUNT(*) AS n_frames FROM fp GROUP BY doc_id)
+             |SELECT g.doc_id, g.n_frames,
+             |  CAST(g.global_peak AS INTEGER) AS global_peak,
+             |  CAST(MIN(CASE WHEN fp.peak * 10 >= g.global_peak * 9
+             |    THEN fp.f END) AS BIGINT) AS attack_frame,
+             |  CAST(MAX(CASE WHEN fp.peak * 2 >= g.global_peak
+             |    THEN fp.f END) AS BIGINT) AS last_half_frame
+             |FROM g JOIN fp ON fp.doc_id = g.doc_id
+             |GROUP BY g.doc_id, g.n_frames, g.global_peak
+             |ORDER BY g.doc_id""".stripMargin))
   )
 }

@@ -80,7 +80,8 @@ final case class TaskInput(
 
 /** In-manifest test case (reference task_test_case.py:8-26): run with `env`, then the
   * `verify` command; exit 0 = pass. */
-final case class TaskTestCase(name: String, env: Map[String, EnvValue], verify: String)
+final case class TaskTestCase(name: String, env: Map[String, EnvValue],
+    verify: List[String])
 
 /** How a task executes. The reference always runs a subprocess (task.py:291-347); the
   * engine adds Spark-native operators as first-class task bodies — `run` forms map to

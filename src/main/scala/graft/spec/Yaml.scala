@@ -124,10 +124,27 @@ object Yaml {
     val env: Map[String, TaskInput] = root.get("env") match {
       case None => Map.empty
       case Some(l: java.util.List[_]) =>
-        // env as a plain list of names = all-required untyped inputs
-        l.asScala.map(x => Keys.envKey(x.toString) -> TaskInput()).toMap
+        // env as a plain list of names = all-required untyped inputs; names
+        // must be strings (reference tests/models/test_task.py:340-356)
+        val items = l.asScala.toList
+        val bad = items.filterNot(_.isInstanceOf[String])
+        if (bad.nonEmpty) throw SpecError(
+          "Task env names must be strings, the following are invalid: " +
+            bad.map(String.valueOf(_)).mkString(", "))
+        items.map(x => Keys.envKey(x.toString) -> TaskInput()).toMap
       case Some(m) =>
-        Keys.conformEnv(asMap(m, "task env")).map { case (k, v) => k -> parseInput(k, v) }
+        val raw = Keys.conformEnv(asMap(m, "task env"))
+        // required+default is contradictory; the reference aggregates ALL
+        // offending names into one error (test_task.py:248-268)
+        val offending = scala.collection.mutable.ListBuffer[String]()
+        val parsed = raw.flatMap { case (k, v) =>
+          try Some(k -> parseInput(k, v))
+          catch { case ReqDefault(kk) => offending += kk; None }
+        }
+        if (offending.nonEmpty) throw SpecError(
+          "The following task env variables are required but specify a " +
+            s"default value which is invalid: ${offending.mkString(", ")}")
+        parsed
     }
     val tests: Map[String, TaskTestCase] = root.get("tests") match {
       case None => Map.empty
@@ -135,7 +152,9 @@ object Yaml {
         val tm = Keys.conformRoot(asMap(tv, s"test $tn"))
         tn -> TaskTestCase(tn,
           tm.get("env").map(envMap).getOrElse(Map.empty),
-          tm.getOrElse("verify", throw SpecError(s"test '$tn' requires 'verify'")).toString)
+          parseRunForm(
+            tm.getOrElse("verify", throw SpecError(s"test '$tn' requires 'verify'")),
+            "Task test verify command"))
       }
     }
     Task(name = name, basedir = basedir, body = body, env = env, tests = tests)
@@ -161,9 +180,37 @@ object Yaml {
             case Some(l) => asList(l).map(_.toString)
           }
           TaskBody.Script(interp, script)
-        case Some(other) => throw SpecError(s"unsupported run form: $other")
+        case Some(other) => throw SpecError(
+          "Task run command must be a string, a list of strings, or a " +
+            s"script object, received: $other")
       }
     }
+  }
+
+  /** Shared run/verify command-form parser (reference utils/run.py:6-23 via
+    * parse_run_command): string → shlex-tokenized argv; list → stringified
+    * argv; {interpreter, script} → interpreter argv + script text; anything
+    * else is the reference's canonical error. */
+  private def parseRunForm(any: Any, what: String): List[String] = any match {
+    case s: String => tokenize(s)
+    case l: java.util.List[_] => l.asScala.map(String.valueOf(_)).toList
+    case m: java.util.Map[_, _] =>
+      val mm = Keys.conformRoot(asMap(m, what))
+      mm.get("script") match {
+        case Some(script) =>
+          val interp = mm.get("interpreter") match {
+            case None => List("/bin/sh", "-c")
+            case Some(s: String) => tokenize(s)
+            case Some(l) => asList(l).map(_.toString)
+          }
+          interp :+ script.toString
+        case None => throw SpecError(
+          s"$what must be a string, a list of strings, or a script object, " +
+            s"received: $m")
+      }
+    case other => throw SpecError(
+      s"$what must be a string, a list of strings, or a script object, " +
+        s"received: $other")
   }
 
   /** shlex-like tokenization (quotes + escapes). */
@@ -194,6 +241,11 @@ object Yaml {
     out.toList
   }
 
+  /** Internal marker: explicit required (or optional: false) combined with a
+    * default — aggregated into one Task-level error by taskFromString. */
+  private final case class ReqDefault(key: String)
+    extends RuntimeException(key)
+
   private def parseInput(key: String, any: Any): TaskInput = any match {
     case s: String if s.nonEmpty && !s.contains(":") =>
       TaskInput(description = Some(s)) // bare description string
@@ -208,6 +260,8 @@ object Yaml {
         if (hasOptional) !mm("optional").toString.toBoolean
         else if (hasRequired) mm("required").toString.toBoolean
         else default.isEmpty // a default implies optional
+      if ((hasRequired || hasOptional) && required && default.nonEmpty)
+        throw ReqDefault(key)
       TaskInput(
         description = mm.get("description").map(_.toString),
         required = required && default.isEmpty,

@@ -1,0 +1,325 @@
+package graft.spec
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Case-by-case port of the reference's task-model test matrix — every test
+  * id in `/root/reference/tests/models/test_task.py` (42 tests) is either
+  * ported below (cited by reference line) or mapped to the suite that covers
+  * it:
+  *
+  *   - discovery family (:89, :102, :114, :136, :171, :201) -> ported below;
+  *     test_discover_tasks_ignore_unknown_errors (:153) is mock-injected in
+  *     the reference — the same Exception-wide skip-with-warning catch is
+  *     exercised here by the invalid-yaml row (Registry.discover catches all)
+  *   - deserialization (:215-:516) -> ported below row by row (env schema
+  *     variants, run forms, error messages); the type-spelling matrix is also
+  *     covered by YamlSpec "type spellings"
+  *   - tests: blocks (:517, :533, :559) -> ported below (verify normalizes to
+  *     an argv list through the shared run-form parser)
+  *   - execute family (:601-:664, :811-:866): subprocess execution, kill on
+  *     error, dryrun transcript, bash script paths -> JobRunnerSpec (golden
+  *     dryrun transcript, fail-fast abort, --test-task); the env-validation
+  *     rows it runs before executing (:685, :713, :732, :749, :765, :789)
+  *     are ported below against Validation.validate (the same code the
+  *     runner calls first)
+  */
+class RefMatrixTaskSpec extends AnyFunSuite {
+
+  import EnvValue._
+
+  private def tmp(): Path = Files.createTempDirectory("graft-reftask")
+
+  private def writeTask(root: Path, dir: String, name: String,
+      file: String = "manifest.yml",
+      body: String = null): Path = {
+    val d = root.resolve(dir)
+    Files.createDirectories(d)
+    val text = if (body != null) body
+      else s"name: $name\nrun: python run.py\n"
+    Files.writeString(d.resolve(file), text)
+    d
+  }
+
+  // --- discovery (test_task.py:89-213) --------------------------------------
+
+  test("test_discover_tasks (:89): finds every manifest, keeps basedirs") {
+    val root = tmp()
+    val dirs = Seq("tasks/splitter" -> "splitter", "tasks/download" -> "download",
+      "tasks/parser" -> "parser").map { case (d, n) => writeTask(root, d, n) }
+    val r = Registry.discover(Seq(root.toString))
+    assert(r.names.sorted == List("download", "parser", "splitter"))
+    dirs.foreach { d =>
+      val name = d.getFileName.toString
+      assert(r.get(name).flatMap(_.basedir) == Some(d.toString),
+        s"basedir of $name")
+    }
+  }
+
+  test("test_discover_tasks_ignore_dirs_without_manifests (:102)") {
+    val root = tmp()
+    Seq("splitter", "download", "parser").foreach(n => writeTask(root, s"tasks/$n", n))
+    // a file named `manifest` (no .yml) is not a manifest
+    writeTask(root, "not-a-task", "x", file = "manifest",
+      body = "not really a manifest")
+    val r = Registry.discover(Seq(root.toString))
+    assert(r.names.sorted == List("download", "parser", "splitter"))
+  }
+
+  test("test_discover_tasks_ignore_test_dirs (:114): tests/ subtrees skipped, nested too") {
+    val root = tmp()
+    Seq("splitter", "download", "parser").foreach(n => writeTask(root, s"tasks/$n", n))
+    writeTask(root, "tasks/parser/tests", "intests")
+    writeTask(root, "tasks/parser/tests/nested/deeply", "innested")
+    val r = Registry.discover(Seq(root.toString))
+    assert(r.names.sorted == List("download", "parser", "splitter"))
+    assert(r.get("intests").isEmpty && r.get("innested").isEmpty)
+  }
+
+  test("test_discover_tasks_ignore_invalid_yaml_manifest (:136): skip + warn, others kept") {
+    val root = tmp()
+    Seq("splitter", "download", "parser").foreach(n => writeTask(root, s"tasks/$n", n))
+    writeTask(root, "invalid-yaml-task", "x", body = "not really a manifest")
+    var warned = List.empty[String]
+    val r = Registry.discover(Seq(root.toString), w => warned ::= w)
+    assert(r.names.sorted == List("download", "parser", "splitter"))
+    assert(warned.exists(_.contains("invalid-yaml-task")))
+  }
+
+  test("test_discover_tasks_ignore_missing_required_manifest_field (:171): name and run rows") {
+    Seq("run: python run.py\n" /* missing name */,
+        "name: invalid-manifest-task\n" /* missing run */).foreach { body =>
+      val root = tmp()
+      Seq("splitter", "download", "parser").foreach(n => writeTask(root, s"tasks/$n", n))
+      writeTask(root, "invalid-task", "x", body = body)
+      var warned = List.empty[String]
+      val r = Registry.discover(Seq(root.toString), w => warned ::= w)
+      assert(r.names.sorted == List("download", "parser", "splitter"))
+      assert(warned.exists(_.contains("invalid-task")))
+    }
+  }
+
+  test("test_discover_tasks_list_of_paths (:201): one task per repo path") {
+    val root = tmp()
+    val d1 = writeTask(root, "tasks1/download", "download")
+    val d2 = writeTask(root, "tasks2/parser", "parser")
+    val r = Registry.discover(Seq(
+      d1.getParent.toString, d2.getParent.toString))
+    assert(r.names.sorted == List("download", "parser"))
+  }
+
+  // --- deserialization (test_task.py:215-516) --------------------------------
+
+  test("test_load_task_from_file (:215): basedir injected from the file location") {
+    val root = tmp()
+    val d = writeTask(root, "tasks/simple", "simple-task")
+    val t = Yaml.taskFromFile(d.resolve("manifest.yml").toString)
+    assert(t.name == "simple-task")
+    assert(t.basedir == Some(d.toString))
+  }
+
+  test("test_task_env_optional_with_default_value (:230)") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  VAR1:\n    optional: true\n    default: booya\nrun: python run.py\n")
+    assert(t.env("VAR1").required == false)
+    assert(t.env("VAR1").default == Some(Str("booya")))
+  }
+
+  test("test_task_env_required_with_default_value_raises (:248): aggregated error") {
+    val e = intercept[SpecError](Yaml.taskFromString(
+      """name: t
+        |env:
+        |  VAR1:
+        |    required: true
+        |    default: default1
+        |  VAR2:
+        |    optional: false
+        |    default: default2
+        |run: python run.py
+        |""".stripMargin))
+    assert(e.getMessage.contains("required but specify a default value which is invalid"))
+    assert(e.getMessage.contains("VAR1") && e.getMessage.contains("VAR2"))
+  }
+
+  test("test_task_env_default_implicitly_optional (:270)") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  VAR1:\n    default: booya\nrun: python run.py\n")
+    assert(t.env("VAR1").required == false,
+      "automatically optional when a default is specified")
+  }
+
+  test("test_task_env_all_defaults (:284) and just-descriptions (:302)") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  A:\n    default: 1\n  B:\n    default: x\nrun: r\n")
+    assert(t.env("A").default == Some(IntV(1)) && !t.env("A").required)
+    val t2 = Yaml.taskFromString(
+      "name: t\nenv:\n  A: a description\n  B: another\nrun: r\n")
+    assert(t2.env("A").description == Some("a description"))
+    assert(t2.env("A").required, "a bare description stays required")
+  }
+
+  test("test_task_env_list_of_keys (:322): all-required untyped inputs") {
+    val t = Yaml.taskFromString("name: t\nenv:\n  - FOO\n  - BAR\nrun: r\n")
+    assert(t.env.keySet == Set("FOO", "BAR"))
+    assert(t.env.values.forall(i => i.required && i.inputType.isEmpty))
+  }
+
+  test("test_task_env_invalid (:340): non-string names listed in the error") {
+    val e = intercept[SpecError](Yaml.taskFromString(
+      "name: t\nenv:\n  - 1\n  - GOOD\n  - 2.2\n  - 3-fine\nrun: r\n"))
+    assert(e.getMessage.contains("Task env names must be strings"))
+    assert(e.getMessage.contains("1") && e.getMessage.contains("2.2"))
+    assert(!e.getMessage.contains("GOOD"))
+  }
+
+  test("test_task_env_all_explicit (:357) / optional variants (:383)") {
+    val t = Yaml.taskFromString(
+      """name: t
+        |env:
+        |  FOO:
+        |    description: foo description
+        |    required: false
+        |    default: booya
+        |    type: string
+        |  BAR:
+        |    description: bar description
+        |    required: true
+        |    type: boolean
+        |run: r
+        |""".stripMargin)
+    assert(t.env("FOO") == TaskInput(Some("foo description"), required = false,
+      default = Some(Str("booya")), inputType = Some(InputType.TString)))
+    assert(t.env("BAR").required && t.env("BAR").default.isEmpty &&
+      t.env("BAR").inputType == Some(InputType.TBool))
+    val t2 = Yaml.taskFromString(
+      "name: t\nenv:\n  FOO:\n    optional: true\n  BAR:\n    optional: false\nrun: r\n")
+    assert(!t2.env("FOO").required && t2.env("BAR").required)
+  }
+
+  test("test_task_env_specify_both_optional_and_required (:405)") {
+    val e = intercept[SpecError](Yaml.taskFromString(
+      "name: t\nenv:\n  FOO:\n    optional: true\n    required: true\nrun: r\n"))
+    assert(e.getMessage.toLowerCase.contains("required") &&
+      e.getMessage.toLowerCase.contains("optional"))
+  }
+
+  test("run forms (:422, :434, :446, :459, :487): string/script/interpreter/multiline/list") {
+    assert(Yaml.taskFromString("name: t\nrun: python run.py --arg 'two words'\n")
+      .body == TaskBody.Exec(List("python", "run.py", "--arg", "two words")))
+    assert(Yaml.taskFromString("name: t\nrun:\n  script: echo hi\n")
+      .body == TaskBody.Script(List("/bin/sh", "-c"), "echo hi"))
+    assert(Yaml.taskFromString(
+      "name: t\nrun:\n  interpreter: /bin/bash -c\n  script: echo hi\n")
+      .body == TaskBody.Script(List("/bin/bash", "-c"), "echo hi"))
+    val multi = Yaml.taskFromString(
+      "name: t\nrun:\n  script: |\n    line1\n    line2\n")
+    assert(multi.body == TaskBody.Script(List("/bin/sh", "-c"), "line1\nline2\n"))
+    assert(Yaml.taskFromString("name: t\nrun:\n  - python\n  - run.py\n")
+      .body == TaskBody.Exec(List("python", "run.py")))
+  }
+
+  test("test_task_run_invalid_object (:501): canonical error message") {
+    val e = intercept[SpecError](Yaml.taskFromString(
+      "name: t\nrun:\n  foo: bar\n"))
+    assert(e.getMessage.contains(
+      "must be a string, a list of strings, or a script object") ||
+      e.getMessage.contains("run object requires 'script'"))
+  }
+
+  // --- tests: blocks (:517, :533, :559) --------------------------------------
+
+  test("test_task_tests_command (:517): verify normalizes to an argv list") {
+    val t = Yaml.taskFromString(
+      "name: t\nrun: ./run.sh\ntests:\n  my-test:\n    env:\n      FOO: bar\n    verify: verify.py\n")
+    val tc = t.tests("my-test")
+    assert(tc.env == Map("FOO" -> Str("bar")))
+    assert(tc.verify == List("verify.py"))
+  }
+
+  test("test_task_tests_script (:533): interpreter argv + script text") {
+    val t = Yaml.taskFromString(
+      """name: t
+        |run: ./run.sh
+        |tests:
+        |  my-test:
+        |    env:
+        |      FOO: bar
+        |    verify:
+        |      interpreter: /bin/bash -c
+        |      script: |
+        |        if [ -f /tmp/foo.txt ]; then
+        |            cat /tmp/foo.txt
+        |        fi
+        |""".stripMargin)
+    assert(t.tests("my-test").verify == List("/bin/bash", "-c",
+      "if [ -f /tmp/foo.txt ]; then\n    cat /tmp/foo.txt\nfi\n"))
+  }
+
+  test("test_task_tests_invalid (:559): verify object without script errors") {
+    val e = intercept[SpecError](Yaml.taskFromString(
+      "name: t\nrun: ./run.sh\ntests:\n  my-test:\n    env:\n      FOO: bar\n    verify:\n      foo: bar\n"))
+    assert(e.getMessage.contains(
+      "Task test verify command must be a string, a list of strings, or a script object"))
+  }
+
+  // --- execute-time env validation (:685, :713, :732, :749, :765, :789) ------
+
+  private def typedTask(tpe: String): Task = Yaml.taskFromString(
+    s"name: simple-task\nenv:\n  INPUT:\n    type: $tpe\nrun: r\n")
+
+  test("test_execute_task_valid_env_value_and_type (:685): matching types pass") {
+    Seq("str" -> Str("string"), "int" -> IntV(1), "float" -> FloatV(1.23),
+        "bool" -> BoolV(true)).foreach { case (tpe, v) =>
+      assert(Validation.validate(typedTask(tpe), Map("INPUT" -> v)).isEmpty,
+        s"$tpe should accept ${v.render}")
+    }
+  }
+
+  test("test_execute_task_invalid_env_value_types (:713): strict, int is not float") {
+    Seq("str" -> IntV(1), "str" -> BoolV(false), "int" -> Str("one"),
+        "float" -> IntV(1), "float" -> Str("one"), "bool" -> IntV(1))
+      .foreach { case (tpe, v) =>
+        val errs = Validation.validate(typedTask(tpe), Map("INPUT" -> v))
+        assert(errs.nonEmpty, s"$tpe must reject ${v.render}")
+        assert(errs.head.contains("INPUT"))
+      }
+  }
+
+  test("test_execute_task_defaults_to_any_type (:732): untyped input accepts anything") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  INPUT: description, default has no type validation\nrun: r\n")
+    Seq(IntV(1), FloatV(1.23), BoolV(true), Str("string")).foreach { v =>
+      assert(Validation.validate(t, Map("INPUT" -> v)).isEmpty)
+    }
+  }
+
+  test("test_execute_normalizes_env_keys (:749): fuzzy respellings all land") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  SOME-INPUT: a description\nrun: r\n")
+    Seq("some-input", "SOME_INPUT", "Some-Input").foreach { k =>
+      var warned = List.empty[String]
+      val errs = Validation.validate(t, Map(Keys.envKey(k) -> Str("value")),
+        w => warned ::= w)
+      assert(errs.isEmpty && warned.isEmpty, s"respelling $k")
+    }
+  }
+
+  test("test_execute_task_unknown_env_variable (:765): warns, does not error") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  INPUT1: d1\n  INPUT2: d2\nrun: r\n")
+    var warned = List.empty[String]
+    val errs = Validation.validate(t,
+      Map("INPUT1" -> Str("a"), "INPUT2" -> Str("b"), "INPUT3" -> Str("c")),
+      w => warned ::= w)
+    assert(errs.isEmpty)
+    assert(warned.exists(_.contains("INPUT3")))
+  }
+
+  test("test_execute_task_valid_missing_required_fields (:789): missing required errors") {
+    val t = Yaml.taskFromString(
+      "name: t\nenv:\n  NEEDED:\n    required: true\nrun: r\n")
+    val errs = Validation.validate(t, Map.empty)
+    assert(errs.exists(_.contains("NEEDED")))
+  }
+}
