@@ -17,9 +17,11 @@ object Main {
     "[-l|--log-style box|compact|plain|gaudy|moderate|minimal] [-t|--no-timestamps] " +
     "[--test-task NAME]"
 
+  // Reference spellings are canonical (ContextLogger renders the reference's
+  // golden transcripts); this engine's earlier names remain as aliases.
   private val styleAliases = Map(
-    "box" -> "box", "compact" -> "compact", "plain" -> "plain",
-    "gaudy" -> "box", "moderate" -> "compact", "minimal" -> "plain")
+    "gaudy" -> "gaudy", "moderate" -> "moderate", "minimal" -> "minimal",
+    "box" -> "gaudy", "compact" -> "moderate", "plain" -> "minimal")
 
   def main(args: Array[String]): Unit = {
     def usageExit(msg: String): Nothing = {
@@ -66,12 +68,14 @@ object Main {
     try {
       val ctx = new ContextLogger(println, style, timestamps)
       val runner = new JobRunner(spark, println, Some(ctx))
+      ctx.info(s"Loading job manifest at: $path")
       testTask match {
         case Some(name) =>
           val results = runner.testTask(Yaml.jobFromFile(path), name)
           if (results.values.exists(!_)) { spark.stop(); sys.exit(1) }
         case None =>
           runner.execute(Yaml.jobFromFile(path), commands, dryrun)
+          ctx.info("Done! \\o/")
       }
     } catch {
       case TaskFailure(_, rc) => spark.stop(); sys.exit(rc)

@@ -33,7 +33,24 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
     context.map(_.line(msg)).getOrElse(log(msg))
 
   private def buildRegistry(resolved: Job): Registry = {
-    val discovered = Registry.discover(resolved.tasks, w => out(s"WARNING: $w"))
+    // With a log context, discovery narrates like the reference
+    // (test_end_to_end.py:352-433 goldens): per-manifest "Loading task at:"
+    // then the detected-task catalogue.
+    val info: String => Unit =
+      if (context.isDefined) out else _ => ()
+    if (context.isDefined) {
+      if (resolved.tasks.nonEmpty)
+        out("Discovering tasks at paths: " +
+          resolved.tasks.map(t => s"'$t'").mkString("[", ", ", "]"))
+      else out("WARNING: The property `tasks` is not defined in the job " +
+        "manifest, no tasks will be available")
+    }
+    val discovered = Registry.discover(resolved.tasks,
+      w => out(s"WARNING: $w"), info)
+    if (context.isDefined && discovered.names.nonEmpty) {
+      out("Available tasks detected:")
+      discovered.names.foreach(n => out(s" - $n"))
+    }
     Ops.taskSpecs.values.foldLeft(discovered) { (r, spec) =>
       if (r.get(spec.name).isDefined) r else r.withTask(spec)
     }
@@ -59,6 +76,12 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
   def execute(job: Job, commands: Option[Seq[String]] = None,
       dryrun: Boolean = false): Unit = {
     val resolved = Placeholders.resolve(job, sys.env, w => out(s"WARNING: $w"))
+    // reference job.py:159: the JOB frame opens first; discovery and the
+    // parsed-manifest line narrate inside it
+    context.foreach { c =>
+      c.jobStart(resolved.name)
+      c.info(s"Parsed manifest for job: ${resolved.name}")
+    }
     val registry = buildRegistry(resolved)
 
     val filter = commands.map(_.flatMap(_.split(",")).map(c => Keys.snake(c.trim)).toSet)
@@ -107,27 +130,53 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
           out(s"  env: ${renderEnv(env)}")
         }
       }
+      context.foreach(_.jobEnd(resolved.name)) // close the dryrun JOB frame
       return
     }
 
-    context.foreach(_.jobStart(resolved.name))
     val ctx = new JobContext(spark, resolved.data, out)
     val n = selected.size
     selected.zipWithIndex.foreach { case ((cmd, _), i) =>
       val label = cmd.name.getOrElse(cmd.task)
-      if (cmd.skip) out(s"COMMAND [${i + 1}/$n] '$label' skipped")
-      else {
+      if (cmd.skip) {
+        if (context.isDefined)
+          out(s"Skipping command `$label` from job '${resolved.name}'")
+        else out(s"COMMAND [${i + 1}/$n] '$label' skipped")
+      } else {
         context.map(_.commandStart(label, i + 1, n))
           .getOrElse(log(s"COMMAND [${i + 1}/$n] '$label' (task ${cmd.task})"))
+        // reference command echo (test_end_to_end goldens): the resolved
+        // command model, 2-space indented, nulls explicit
+        context.foreach(_ => commandEcho(cmd).foreach(l => out(s"  $l")))
         val task = registry.get(cmd.task).get
         val env = Validation.withDefaults(task, cmd.env)
+        // reference command.py:79-85: the task execution is its own COMMAND
+        // frame, closed by a "Return code: N" footer
+        context.foreach(_.taskStart(cmd.task))
         val rc = executeTask(task, env, ctx)
+        context.foreach(_.taskEnd(rc))
         context.foreach(_.commandEnd())
         if (rc != 0) throw TaskFailure(label, rc)
       }
     }
     context.map(_.jobEnd(resolved.name))
       .getOrElse(log(s"JOB '${resolved.name}' completed"))
+  }
+
+  /** The reference's pre-execution command dump (explicit nulls, full
+    * field set — unlike the dryrun manifest render, which is exclude_unset). */
+  private def commandEcho(c: Command): List[String] = {
+    val b = List.newBuilder[String]
+    b += s"name: ${c.name.getOrElse("null")}"
+    b += s"description: ${c.description.getOrElse("null")}"
+    b += s"task: ${c.task}"
+    if (c.env.nonEmpty) {
+      b += "env:"
+      c.env.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        b += s"  $k: ${v.render}" }
+    }
+    b += s"skip: ${if (c.skip) "true" else "false"}"
+    b.result()
   }
 
   private def renderEnv(env: Map[String, EnvValue]): String =
@@ -160,7 +209,9 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
       new java.io.InputStreamReader(proc.getInputStream))
     try {
       var line = reader.readLine()
-      while (line != null) { out(s"  ${task.name}: $line"); line = reader.readLine() }
+      // raw stdout lines (the COMMAND frame supplies the visual context;
+      // reference streams them unprefixed — e2e goldens)
+      while (line != null) { out(line); line = reader.readLine() }
     } finally reader.close()
     proc.waitFor()
   }

@@ -19,7 +19,8 @@ object Registry {
   def apply(tasks: Seq[Task]): Registry =
     new Registry(tasks.map(t => Keys.snake(t.name) -> t).toMap)
 
-  def discover(paths: Seq[String], warn: String => Unit = _ => ()): Registry = {
+  def discover(paths: Seq[String], warn: String => Unit = _ => (),
+      info: String => Unit = _ => ()): Registry = {
     val found = scala.collection.mutable.LinkedHashMap[String, Task]()
     paths.foreach { p =>
       val root = Paths.get(p)
@@ -29,6 +30,7 @@ object Registry {
             !f.iterator().asScala.exists(_.toString == "tests"))
           .toList.sortBy(_.toString)
         manifests.foreach { m =>
+          info(s"Loading task at: $m")
           try {
             val t = Yaml.taskFromFile(m.toString)
             found(Keys.snake(t.name)) = t

@@ -181,18 +181,23 @@ class JobRunnerSpec extends AnyFunSuite {
          |      path: $sf/region.parquet
          |      output: fr_regions
          |""".stripMargin)
+    // Reference frame semantics (logging goldens in RefMatrixLogSpec): the
+    // runner opens a gaudy JOB frame, a TASK frame per command, and a
+    // COMMAND frame around the task execution with a Return-code footer
+    // (command.py:76-85). `box` stays as a gaudy alias.
     val buf = scala.collection.mutable.ListBuffer[String]()
     val ctx = new ContextLogger(m => buf += m, style = "box", timestamps = false)
     new JobRunner(spark, m => buf += m, Some(ctx)).execute(job)
-    assert(buf.exists(_.startsWith("╔══ JOB framed")))
-    assert(buf.exists(_.contains("┌─ COMMAND [1/1] load")))
-    assert(buf.exists(_.startsWith("╚══ JOB framed complete")))
-    // plain style has no frames, indentation only
+    assert(buf.exists(_.startsWith("╭──╴Executing job: framed")))
+    assert(buf.exists(_.startsWith("┏━━╸Executing command: load (1 of 1)")))
+    assert(buf.exists(_.startsWith("┃╭──╴Executing task: read-parquet")))
+    assert(buf.exists(_.startsWith("┃╰──╴Return code: 0")))
+    // minimal style (alias plain) has bare headers, no frames
     val buf2 = scala.collection.mutable.ListBuffer[String]()
     val ctx2 = new ContextLogger(m => buf2 += m, style = "plain", timestamps = false)
     new JobRunner(spark, m => buf2 += m, Some(ctx2)).execute(job)
-    assert(buf2.exists(_.startsWith("JOB framed")))
-    assert(!buf2.exists(_.contains("╔")))
+    assert(buf2.exists(_.startsWith("Executing job: framed")))
+    assert(!buf2.exists(_.contains("╭")))
   }
 
   test("nested job via run-job op: inner manifest executes on the same session") {
