@@ -63,6 +63,42 @@ object ArgParse {
     }
   }
 
+  /** argparse-style help text (reference test_argparser.py:46-86 golden):
+    * a wrapped usage line — required inputs bare, optional ones bracketed,
+    * continuations aligned under the prog name — the task description, then
+    * the options table with help text at column 24 (next line when the
+    * invocation is wider, exactly argparse's HelpFormatter rule). */
+  def helpLines(task: Task, prog: String): List[String] = {
+    val items = "[-h]" +: task.env.toList.map { case (k, in) =>
+      val inv = s"--${argNameForEnv(k)} $k"
+      if (in.required) inv else s"[$inv]"
+    }
+    val lead = s"usage: $prog "
+    val width = 80
+    val usage = scala.collection.mutable.ListBuffer[String]()
+    var line = new StringBuilder(lead)
+    items.foreach { it =>
+      if (line.length + it.length > width && line.toString.trim != "usage:"
+          && line.length > lead.length) {
+        usage += line.toString.stripTrailing()
+        line = new StringBuilder(" " * lead.length)
+      }
+      line.append(it).append(' ')
+    }
+    usage += line.toString.stripTrailing()
+    val opts = ("-h, --help", "show this help message and exit") +:
+      task.env.toList.map { case (k, in) =>
+        (s"--${argNameForEnv(k)} $k", in.description.getOrElse(""))
+      }
+    val optLines = opts.flatMap { case (inv, help) =>
+      if (inv.length <= 21) List(f"  $inv%-21s $help".stripTrailing())
+      else List(s"  $inv", s"${" " * 24}$help".stripTrailing())
+    }
+    usage.toList ++ List("") ++
+      task.description.toList ++ (if (task.description.isDefined) List("") else Nil) ++
+      List("options:") ++ optLines
+  }
+
   private def convert(name: String, s: String, t: Option[InputType]): EnvValue =
     t match {
       case None | Some(InputType.TString) => EnvValue.Str(s)

@@ -102,7 +102,8 @@ final case class Task(
     basedir: Option[String] = None,
     body: TaskBody,
     env: Map[String, TaskInput] = Map.empty,
-    tests: Map[String, TaskTestCase] = Map.empty)
+    tests: Map[String, TaskTestCase] = Map.empty,
+    description: Option[String] = None)
 
 /** One pipeline node (reference command.py:15-68): `name` is optional but, when
   * present, restricted to `[a-z0-9-_]`; `task` lookup is case-insensitive. */

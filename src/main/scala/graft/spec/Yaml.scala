@@ -157,7 +157,8 @@ object Yaml {
             "Task test verify command"))
       }
     }
-    Task(name = name, basedir = basedir, body = body, env = env, tests = tests)
+    Task(name = name, basedir = basedir, body = body, env = env, tests = tests,
+      description = root.get("description").map(_.toString))
   }
 
   /** Run-command forms (reference utils/run.py:6-23): string → tokenized; list →

@@ -86,4 +86,74 @@ class ArgParseSpec extends AnyFunSuite {
     assert(intercept[SpecError](ArgParse.parseArgs(task,
       Seq("--follow-redirects=maybe"), fullEnv)).getMessage.contains("bool"))
   }
+
+  // --- remaining reference ids (tests/test_argparser.py), case-by-case ------
+
+  test("test_argument_parser_from_file_or_task (:42): file- and string-built tasks parse alike") {
+    val root = java.nio.file.Files.createTempDirectory("graft-argp")
+    java.nio.file.Files.writeString(root.resolve("manifest.yml"),
+      "name: download\nenv:\n  URL:\n    type: str\nrun: download\n")
+    val fromFile = Yaml.taskFromFile(root.resolve("manifest.yml").toString)
+    val r = ArgParse.parseArgs(fromFile, Seq("--url=http://x"), Map.empty)
+    assert(r("URL") == EnvValue.Str("http://x"))
+  }
+
+  test("test_argument_parser_help (:46): argparse-format help golden") {
+    val t = Yaml.taskFromString(
+      """name: download
+        |description: Download files from a remote server
+        |env:
+        |  URL:
+        |    description: URL to download
+        |    type: str
+        |    required: true
+        |  THROTTLE:
+        |    description: Seconds to wait between downloads
+        |    type: float
+        |    optional: true
+        |  FOLLOW_REDIRECTS:
+        |    description: Follow HTTP redirects
+        |    type: bool
+        |    optional: true
+        |run: python -m download
+        |""".stripMargin)
+    assert(ArgParse.helpLines(t, "python -m download") == List(
+      "usage: python -m download [-h] --url URL [--throttle THROTTLE]",
+      "                          [--follow-redirects FOLLOW_REDIRECTS]",
+      "",
+      "Download files from a remote server",
+      "",
+      "options:",
+      "  -h, --help            show this help message and exit",
+      "  --url URL             URL to download",
+      "  --throttle THROTTLE   Seconds to wait between downloads",
+      "  --follow-redirects FOLLOW_REDIRECTS",
+      "                        Follow HTTP redirects"))
+  }
+
+  test("test_argument_parser_types (:90): typed conversion per declared type") {
+    def t(tpe: String) = Yaml.taskFromString(
+      s"name: dummy\nenv:\n  VAR:\n    type: $tpe\n    required: true\nrun: d\n")
+    assert(ArgParse.parseArgs(t("int"), Seq("--var=1"), Map.empty)("VAR") == EnvValue.IntV(1))
+    assert(ArgParse.parseArgs(t("float"), Seq("--var=1.1"), Map.empty)("VAR") == EnvValue.FloatV(1.1))
+    assert(ArgParse.parseArgs(t("bool"), Seq("--var=true"), Map.empty)("VAR") == EnvValue.BoolV(true))
+    assert(ArgParse.parseArgs(t("str"), Seq("--var=one"), Map.empty)("VAR") == EnvValue.Str("one"))
+  }
+
+  test("test_argument_parser_required (:110): missing required errors; optional is null") {
+    val req = Yaml.taskFromString(
+      "name: dummy\nenv:\n  VAR:\n    required: true\nrun: d\n")
+    val e = intercept[SpecError](ArgParse.parseArgs(req, Nil, Map.empty))
+    assert(e.getMessage.contains("--var"))
+    val opt = Yaml.taskFromString(
+      "name: dummy\nenv:\n  VAR:\n    required: false\nrun: d\n")
+    assert(ArgParse.parseArgs(opt, Nil, Map.empty)("VAR") == EnvValue.NullV)
+  }
+
+  test("test_argument_parser_default (:133) / default_argv (:154): default fills, CLI overrides") {
+    val t = Yaml.taskFromString(
+      "name: dummy\nenv:\n  VAR:\n    optional: true\n    type: int\n    default: 1\nrun: d\n")
+    assert(ArgParse.parseArgs(t, Nil, Map.empty)("VAR") == EnvValue.IntV(1))
+    assert(ArgParse.parseArgs(t, Seq("--var=2"), Map.empty)("VAR") == EnvValue.IntV(2))
+  }
 }
