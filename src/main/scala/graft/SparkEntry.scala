@@ -46,7 +46,8 @@ object SparkEntry {
     Analytics6.queries,
     Analytics7.queries,
     Analytics8.queries,
-    Analytics9.queries
+    Analytics9.queries,
+    Analytics10.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
