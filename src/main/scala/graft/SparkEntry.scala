@@ -47,7 +47,8 @@ object SparkEntry {
     Analytics7.queries,
     Analytics8.queries,
     Analytics9.queries,
-    Analytics10.queries
+    Analytics10.queries,
+    Analytics11.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
