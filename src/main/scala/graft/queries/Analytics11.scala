@@ -280,6 +280,186 @@ object Analytics11 {
               |  UNION ALL
               |  SELECT 0.9, n_candidates, CAST(p7 AS BIGINT),
               |    CAST(r7 AS BIGINT) FROM row0)
-              |ORDER BY threshold""".stripMargin))
+              |ORDER BY threshold""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis /
+    // Gumbel trick: each doc draws an exact dyadic md5 uniform u and keys
+    // on ln(u)/w (equivalent to u^(1/w)); the top-5 keys per source ARE a
+    // w-weighted sample without replacement — fully deterministic, no RNG
+    // state, one source-partitioned window. The length-weighted per-source
+    // pick every mixing pipeline needs when "sample 5 docs proportional to
+    // length" must be reproducible across reruns and engines.
+    Q("sample_gumbel_topk",
+      (s, dir) => {
+        import s.implicits._
+        val scale16 = math.pow(16.0, 12)
+        val keyed = t(s, dir, "documents")
+          .select($"source", $"doc_id", $"n_chars",
+            ((conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+              .cast("long").cast("double") + 0.5d) / scale16).as("u"))
+          .select($"source", $"doc_id", $"n_chars",
+            (log($"u") / $"n_chars".cast("double")).as("k"))
+        keyed
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"source")
+              .orderBy($"k".desc, $"doc_id")))
+          .filter($"rk" <= 5)
+          .select($"source", $"rk", $"doc_id", $"n_chars",
+            round($"k", 10).as("es_key"))
+          .orderBy($"source", $"rk")
+      },
+      Some(s"""WITH keyed AS (
+              |  SELECT source, doc_id, n_chars,
+              |    ln((CAST(${sqlHexInt("md5(CAST(doc_id AS VARCHAR))", 1, 12)}
+              |        AS DOUBLE) + 0.5) / 281474976710656.0)
+              |      / CAST(n_chars AS DOUBLE) AS k
+              |  FROM documents),
+              |rk AS (
+              |  SELECT source, doc_id, n_chars, k,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY k DESC, doc_id) AS rk
+              |  FROM keyed)
+              |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+              |  round(k, 10) AS es_key
+              |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // Restricted mean survival time at the 3-day horizon — the single
+    // number clinical/retention analyses quote from the KM curve the
+    // events_survival_km query already fits: RMST(3) = ∫₀³S(t)dt =
+    // S(0)+S(1)+S(2) for the daily step function. Same identical-recursion
+    // contract as KM (a FIXED-order product of ≤4 factors — double
+    // multiplication is not associative, so both engines must step the
+    // same sequence; the recursive CTE does).
+    Q("events_survival_rmst",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.events(s, dir)
+        val firsts = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+        val conv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        val per = firsts.join(conv, Seq("user_id"), "left")
+          .select(
+            when(datediff(to_date($"p_ts"), to_date($"first_ts")).isNotNull &&
+              datediff(to_date($"p_ts"), to_date($"first_ts")) <= 3,
+              datediff(to_date($"p_ts"), to_date($"first_ts")))
+              .otherwise(lit(3)).as("dur"),
+            (!(datediff(to_date($"p_ts"), to_date($"first_ts")).isNotNull &&
+              datediff(to_date($"p_ts"), to_date($"first_ts")) <= 3))
+              .as("censored"))
+        val byDur = per.groupBy($"dur")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(!$"censored", 1L).otherwise(0L)).as("d"))
+          .select($"dur".as[Int], $"n_total".as[Long], $"d".as[Long])
+        byDur.groupByKey(_ => 0)
+          .mapGroups { (_, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            var atRisk = rows.map(_._2).sum
+            var surv = 1.0d
+            val sAt = Array.fill(4)(1.0d)
+            rows.foreach { case (dur, nTotal, d) =>
+              if (d > 0) surv = surv * ((atRisk - d).toDouble / atRisk.toDouble)
+              atRisk -= nTotal
+              var t = dur
+              while (t <= 3) { sAt(t) = surv; t += 1 }
+            }
+            // sAt(t) = survival AFTER day-t deaths; later days overwrite
+            (3L, sAt(0), sAt(1), sAt(2), sAt(0) + sAt(1) + sAt(2))
+          }
+          .toDF("horizon_days", "s0", "s1", "s2", "rmst")
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+             |c AS (
+             |  SELECT user_id, min(ts) AS p_ts FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |tp AS (
+             |  SELECT f.user_id,
+             |    date_diff('day', CAST(f.first_ts AS DATE),
+             |      CAST(c.p_ts AS DATE)) AS t_p
+             |  FROM f LEFT JOIN c USING (user_id)),
+             |per AS (
+             |  SELECT CASE WHEN t_p IS NOT NULL AND t_p <= 3 THEN t_p
+             |    ELSE 3 END AS dur,
+             |    NOT (t_p IS NOT NULL AND t_p <= 3) AS censored
+             |  FROM tp),
+             |byd AS (
+             |  SELECT dur, COUNT(*) AS n_total,
+             |    SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
+             |  FROM per GROUP BY 1),
+             |ord AS (
+             |  SELECT dur, n_total, d,
+             |    row_number() OVER (ORDER BY dur) AS rn,
+             |    (SELECT COUNT(*) FROM per) -
+             |      COALESCE(CAST(SUM(n_total) OVER (ORDER BY dur
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS BIGINT), 0) AS at_risk
+             |  FROM byd),
+             |km AS (
+             |  SELECT dur, rn,
+             |    CASE WHEN d > 0
+             |      THEN CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE)
+             |      ELSE CAST(1 AS DOUBLE) END AS s
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.dur, o.rn,
+             |    km.s * (CASE WHEN o.d > 0
+             |      THEN CAST(o.at_risk - o.d AS DOUBLE) /
+             |        CAST(o.at_risk AS DOUBLE)
+             |      ELSE CAST(1 AS DOUBLE) END)
+             |  FROM km JOIN ord o ON o.rn = km.rn + 1),
+             |sat AS (
+             |  SELECT t.t,
+             |    COALESCE((SELECT s FROM km WHERE km.dur <= t.t
+             |              ORDER BY km.dur DESC LIMIT 1), 1.0) AS s
+             |  FROM (SELECT unnest([0, 1, 2]) AS t) t)
+             |SELECT CAST(3 AS BIGINT) AS horizon_days,
+             |  MAX(CASE WHEN t = 0 THEN s END) AS s0,
+             |  MAX(CASE WHEN t = 1 THEN s END) AS s1,
+             |  MAX(CASE WHEN t = 2 THEN s END) AS s2,
+             |  MAX(CASE WHEN t = 0 THEN s END) +
+             |    MAX(CASE WHEN t = 1 THEN s END) +
+             |    MAX(CASE WHEN t = 2 THEN s END) AS rmst
+             |FROM sat""".stripMargin)),
+
+    // Broadcast-threshold planning audit: per dimension table, rows × a
+    // fixed per-table width model → estimated bytes, broadcastable under
+    // the audit threshold, and how many scan partitions the table would
+    // occupy — the join-strategy cheat sheet a 100 TB plan review starts
+    // from. The thresholds are audit PARAMETERS (512 KB / 256 KB here) set
+    // to exercise the decision boundary at test scale — at production
+    // scale the same formula runs with 10 MB / 128 MB; an all-constant
+    // "everything broadcasts" report would prove nothing (the vacuity gate
+    // agrees). Six independent 1-row counts unioned; pure integers.
+    Q("scale_broadcast_threshold_audit",
+      (s, dir) => {
+        import s.implicits._
+        def one(name: String, width: Long) =
+          t(s, dir, name).agg(count(lit(1)).as("n_rows"))
+            .select(lit(name).as("table_name"), $"n_rows",
+              lit(width).as("row_bytes"),
+              ($"n_rows" * width).as("est_bytes"),
+              ($"n_rows" * width <= 524288L).as("broadcastable"),
+              expr(s"(n_rows * $width + 262143) div 262144")
+                .as("scan_partitions"))
+        Seq(("region", 30L), ("nation", 40L), ("supplier", 60L),
+          ("customer", 80L), ("part", 90L), ("orders", 70L))
+          .map { case (n, w) => one(n, w) }
+          .reduce(_ unionAll _)
+          .orderBy($"table_name")
+      },
+      Some("""WITH a AS (
+             |  SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+             |    30 AS row_bytes FROM region
+             |  UNION ALL SELECT 'nation', COUNT(*), 40 FROM nation
+             |  UNION ALL SELECT 'supplier', COUNT(*), 60 FROM supplier
+             |  UNION ALL SELECT 'customer', COUNT(*), 80 FROM customer
+             |  UNION ALL SELECT 'part', COUNT(*), 90 FROM part
+             |  UNION ALL SELECT 'orders', COUNT(*), 70 FROM orders)
+             |SELECT table_name, n_rows, CAST(row_bytes AS BIGINT) AS row_bytes,
+             |  CAST(n_rows * row_bytes AS BIGINT) AS est_bytes,
+             |  n_rows * row_bytes <= 524288 AS broadcastable,
+             |  CAST((n_rows * row_bytes + 262143) // 262144 AS BIGINT)
+             |    AS scan_partitions
+             |FROM a ORDER BY table_name""".stripMargin))
   )
 }
