@@ -46,15 +46,16 @@ object Analytics9 {
         // trigram-shingle vocabulary, not unigrams: the synthetic corpus has
         // only ~31 distinct tokens (the hash-collision-audit fixture
         // precedent), so the unigram V(n) saturates instantly and beta
-        // degenerates to 0 — trigram vocabulary keeps growing corpus-wide
-        val base = t(s, dir, "documents")
-          .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "w")))
-        val dw = Window.partitionBy($"doc_id").orderBy($"pos")
-        val toks = base
-          .withColumn("w2", lead($"w", 1).over(dw))
-          .withColumn("w3", lead($"w", 2).over(dw))
-          .filter($"w3".isNotNull)
-          .select($"doc_id", concat_ws(" ", $"w", $"w2", $"w3").as("w"))
+        // degenerates to 0 — trigram vocabulary keeps growing corpus-wide.
+        // Trigrams come from the map-side ngrams HOF (one array transform
+        // per doc), not a window pass — zero shuffles before the rollups.
+        // The token array is STAGED as a real column first: HOF lambdas
+        // re-evaluate free subexpressions per position, so an inline
+        // tokens() would re-run the regex split once per trigram (the
+        // shingleFrame staging rule — measured 30× slower inline).
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("tk"))
+          .select($"doc_id", explode(TF.ngrams($"tk", 3)).as("w"))
         val cuts = Seq(32, 64, 128, 256)
         // conditional one-row aggregates: V_c = tokens first seen before the
         // cutoff; N_c = token occurrences before the cutoff
@@ -80,18 +81,15 @@ object Analytics9 {
           round(exp(sy / 4.0d - beta * (sx / 4.0d)), 6).as("k_coef"))
           .withColumnRenamed("n0", "n_cut32").withColumnRenamed("v0", "v_cut32")
       },
-      Some(s"""WITH t0 AS (
-              |  SELECT doc_id, unnest(${Llm.duckToks("text")}) AS w,
-              |    generate_subscripts(${Llm.duckToks("text")}, 1) AS pos
-              |  FROM documents),
-              |t1 AS (
-              |  SELECT doc_id, w,
-              |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-              |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-              |  FROM t0),
+      Some(s"""WITH tk0 AS (
+              |  SELECT doc_id, ${Llm.duckToks("text")} AS tk FROM documents),
               |toks AS (
-              |  SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS w
-              |  FROM t1 WHERE w3 IS NOT NULL),
+              |  SELECT doc_id,
+              |    unnest(CASE WHEN len(tk) >= 3
+              |      THEN list_transform(range(1, len(tk) - 1),
+              |             i -> array_to_string(tk[i:i+2], ' '))
+              |      ELSE [] END) AS w
+              |  FROM tk0),
               |vrow AS (
               |  SELECT
               |    SUM(CASE WHEN fd < 32 THEN 1 ELSE 0 END) AS v0,

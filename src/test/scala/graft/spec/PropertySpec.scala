@@ -1,7 +1,7 @@
 package graft.spec
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** ScalaCheck properties for the spec layer (SURVEY.md §5): key conforming is
   * idempotent, fuzzy lookup is spelling-invariant, `$$` escaping round-trips through
@@ -110,4 +110,71 @@ object PropertySpec extends Properties("spec") {
         case EnvValue.NullV => parsed == null
       }
     }
+
+  // --- round-11 resolver laws (single-pass declaration-order semantics) -----
+
+  /** VectorMap-ordered env with unique upper-snake keys. */
+  private val orderedEnvGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(2, 6)
+    keys <- Gen.listOfN(n, keyGen).map(_.map(Keys.envKey).distinct)
+    vals <- Gen.listOfN(keys.length, litGen)
+  } yield keys.zip(vals)
+
+  private def orderedResolve(entries: List[(String, EnvValue)]): Map[String, EnvValue] =
+    Placeholders.resolve(
+      Job(name = "p", data = tmpData,
+        commands = List(Command(None, "t",
+          scala.collection.immutable.VectorMap.from(entries)))))
+      .commands.head.env
+
+  property("earlier entries are seen RESOLVED by later references") =
+    forAll(orderedEnvGen.suchThat(_.length >= 2), litGen) { (kvs, base) =>
+      // A -> literal; every later entry chains to its predecessor. Single-pass
+      // order means the chain fully collapses front-to-back.
+      val names = kvs.map(_._1)
+      val entries = names.zipWithIndex.map { case (k, i) =>
+        if (i == 0) k -> EnvValue.Str(base)
+        else k -> EnvValue.Str("${" + names(i - 1) + "}")
+      }
+      val r = orderedResolve(entries)
+      names.forall(n => r(n) == EnvValue.Str(base))
+    }
+
+  property("references to LATER entries substitute the raw text, once") =
+    forAll(keyGen, keyGen, litGen) { (a0, b0, v) =>
+      val a = Keys.envKey("A" + a0); val b = Keys.envKey("B" + b0)
+      (a != b) ==> {
+        // A references B (declared later): A receives B's CURRENT (raw)
+        // value at A's turn — which for a literal-valued B equals v — and
+        // B itself resolves to v afterwards (test_job.py:471-501 semantics;
+        // the single substitution is not rescanned)
+        val r = orderedResolve(List(
+          a -> EnvValue.Str("${" + b + "}"),
+          b -> EnvValue.Str(v)))
+        r(a) == EnvValue.Str(v) && r(b) == EnvValue.Str(v)
+      }
+    }
+
+  property("self-reference is a fixed point (raw text survives)") =
+    forAll(keyGen) { k0 =>
+      val k = Keys.envKey("S" + k0)
+      val raw = "${" + k + "}"
+      val r = orderedResolve(List(k -> EnvValue.Str(raw)))
+      r(k) == EnvValue.Str(raw)
+    }
+
+  property("resolution is insensitive to UNREFERENCED entry values") =
+    forAll(orderedEnvGen.suchThat(_.length >= 3), litGen) { (kvs, v2) =>
+      // changing a never-referenced entry's value cannot change any other
+      // resolved value (no hidden cross-talk in the single-pass state)
+      val names = kvs.map(_._1)
+      val entries = names.map(k => k -> EnvValue.Str(kvs.toMap.apply(k)))
+        .map { case (k, ev) => k -> (ev: EnvValue) }
+      val mutated = entries.updated(entries.length - 1,
+        entries.last._1 -> (EnvValue.Str(v2): EnvValue))
+      val r1 = orderedResolve(entries).removed(entries.last._1)
+      val r2 = orderedResolve(mutated).removed(entries.last._1)
+      r1 == r2
+    }
+
 }
