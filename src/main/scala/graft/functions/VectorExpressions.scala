@@ -88,6 +88,12 @@ case class FloatVecDotExact(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // Can return NULL even for non-null inputs (length mismatch, decimal
+  // overflow) — without this override, non-nullable children make ev.isNull
+  // a codegen LITERAL and the `isNull = true` branch fails Janino
+  // compilation ("not an rvalue"), silently dropping the whole stage to
+  // interpreted execution.
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot_exact"
 
@@ -185,6 +191,10 @@ case class LongVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // NULL on length mismatch / null element even for non-null inputs — same
+  // nullable-override requirement as FloatVecDotExact (Janino "not an
+  // rvalue" fallback otherwise).
+  override def nullable: Boolean = true
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "ivec_dot"
 
