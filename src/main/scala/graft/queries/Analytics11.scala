@@ -210,8 +210,10 @@ object Analytics11 {
           .filter($"df".between(2, 50)).select("shingle")
         val shc = sh.join(capped, "shingle")
         val sizes = sh.groupBy($"doc_id").agg(countDistinct($"shingle").as("sz"))
-        val inter = shc.select($"shingle", $"doc_id".as("id1")).distinct()
-          .join(shc.select($"shingle", $"doc_id".as("id2")).distinct(), "shingle")
+        // shingleFrame is already per-doc distinct (array_distinct before the
+        // explode) — no dedup pass needed before the candidate equi-join
+        val inter = shc.select($"shingle", $"doc_id".as("id1"))
+          .join(shc.select($"shingle", $"doc_id".as("id2")), "shingle")
           .filter($"id1" < $"id2")
           .groupBy($"id1", $"id2").agg(count(lit(1)).as("shared"))
         val jacc = inter
