@@ -74,8 +74,9 @@ object Main {
           val results = runner.testTask(Yaml.jobFromFile(path), name)
           if (results.values.exists(!_)) { spark.stop(); sys.exit(1) }
         case None =>
+          // "Done! \o/" is logged by JobRunner.execute inside the job frame
+          // (reference job.py:209) — not here after the frame closes.
           runner.execute(Yaml.jobFromFile(path), commands, dryrun)
-          ctx.info("Done! \\o/")
       }
     } catch {
       case TaskFailure(_, rc) => spark.stop(); sys.exit(rc)

@@ -103,6 +103,10 @@ final class ContextLogger(sink: String => Unit, style: String = "gaudy",
         if (!stamped) ""
         else if (st == "minimal") gray(clock())
         else gray(clock()) + frame("┊")
+      // NOTE (adjudicated vs golden test_logging.py:161): in colored mode the
+      // reference's `colored("")` is a TRUTHY non-empty ANSI span, so
+      // `prefix = f"{prefix} " if prefix else ""` (logging.py:168) keeps the
+      // empty span + leading space even with no context — reference-exact.
       sink(frame(pre) + stampSeg + " " + body)
     } else {
       val sep =
@@ -120,8 +124,14 @@ final class ContextLogger(sink: String => Unit, style: String = "gaudy",
   // --- runner compatibility surface (reference header texts) ----------------
   def jobStart(name: String): Unit = push("job", s"Executing job: $name")
   def jobEnd(name: String): Unit = pop(None)
-  def commandStart(label: String, i: Int, n: Int): Unit =
-    push("task", s"Executing command: $label ($i of $n)")
+  /** Reference header forms (command.py:70-74): named commands get
+    * "Executing command: <name> (i of n)"; unnamed ones get the bare
+    * "Executing command i of n" — no colon, no label, no parens. */
+  def commandStart(name: Option[String], i: Int, n: Int): Unit =
+    push("task", name match {
+      case Some(nm) => s"Executing command: $nm ($i of $n)"
+      case None => s"Executing command $i of $n"
+    })
   def commandEnd(): Unit = pop(None)
   def taskStart(taskName: String): Unit =
     push("command", s"Executing task: $taskName")

@@ -130,6 +130,7 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
           out(s"  env: ${renderEnv(env)}")
         }
       }
+      context.foreach(_.info("Done! \\o/")) // reference prints Done after dryrun too
       context.foreach(_.jobEnd(resolved.name)) // close the dryrun JOB frame
       return
     }
@@ -139,11 +140,13 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
     selected.zipWithIndex.foreach { case ((cmd, _), i) =>
       val label = cmd.name.getOrElse(cmd.task)
       if (cmd.skip) {
+        // reference skip label (job.py:205): `#N` for unnamed commands
+        val skipLabel = cmd.name.getOrElse(s"#${i + 1}")
         if (context.isDefined)
-          out(s"Skipping command `$label` from job '${resolved.name}'")
+          out(s"Skipping command `$skipLabel` from job '${resolved.name}'")
         else out(s"COMMAND [${i + 1}/$n] '$label' skipped")
       } else {
-        context.map(_.commandStart(label, i + 1, n))
+        context.map(_.commandStart(cmd.name, i + 1, n))
           .getOrElse(log(s"COMMAND [${i + 1}/$n] '$label' (task ${cmd.task})"))
         // reference command echo (test_end_to_end goldens): the resolved
         // command model, 2-space indented, nulls explicit
@@ -159,6 +162,9 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
         if (rc != 0) throw TaskFailure(label, rc)
       }
     }
+    // Reference logs "Done! \o/" INSIDE the job frame (job.py:209; gaudy
+    // golden test_end_to_end.py:346 shows `│ Done! \o/`), before it closes.
+    context.foreach(_.info("Done! \\o/"))
     context.map(_.jobEnd(resolved.name))
       .getOrElse(log(s"JOB '${resolved.name}' completed"))
   }
@@ -172,11 +178,21 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
     b += s"task: ${c.task}"
     if (c.env.nonEmpty) {
       b += "env:"
-      c.env.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        b += s"  $k: ${v.render}" }
+      // Reference echo is yaml.dump(sort_keys=False): env entries keep
+      // INSERTION order (VectorMap preserves it) and scalars render as
+      // YAML — lowercase true/false, not Python's True/False.
+      c.env.foreach { case (k, v) => b += s"  $k: ${yamlScalar(v)}" }
     }
     b += s"skip: ${if (c.skip) "true" else "false"}"
     b.result()
+  }
+
+  /** YAML scalar form for the command echo (yaml.dump semantics for the
+    * scalar types the spec layer carries). */
+  private def yamlScalar(v: EnvValue): String = v match {
+    case EnvValue.BoolV(b) => if (b) "true" else "false"
+    case EnvValue.NullV => "null"
+    case other => other.render
   }
 
   private def renderEnv(env: Map[String, EnvValue]): String =

@@ -21,7 +21,8 @@ import scala.collection.immutable.VectorMap
   *    referencing other envs are resolved"); unknown single names fall
   *    through to the named-command namespace before erroring
   *  - `${job.*}`, `${previous.*}`, `${<named-command>.*}` drill-downs;
-  *    `previous` advances per command; named references may only point
+  *    `previous` advances only past NAMED commands and is cleared by an
+  *    unnamed one (job.py:458-464); named references may only point
   *    backwards (forward references error); skipped commands still resolve
   *    and remain referenceable
   *  - `${tmp.dir}` / `${tmp.file}` allocate fresh scratch paths under
@@ -118,7 +119,11 @@ object Placeholders {
           description = cdesc)
         resolvedCmds :+= rc
         cname.foreach(n => named += Keys.snake(n) -> rc)
-        previous = Some(rc) // skipped commands still advance and resolve
+        // Reference (job.py:458-464): `previous` is only set when the
+        // command has a name, and is DELETED after an unnamed command —
+        // `${previous.*}` after an unnamed command raises the first-command
+        // error rather than resolving to the unnamed command.
+        previous = if (cname.isDefined) Some(rc) else None
         rc
       }
       job.copy(commands = out)

@@ -38,13 +38,31 @@ object GenScale {
     /** Shift `keys` columns into disjoint per-copy universes; pass through
       * the rest. One cross with the tiny copies frame (broadcast), then a
       * projection — scales linearly, no shuffle until the write. */
+    /** One stride per KEY UNIVERSE, computed from the table that OWNS the
+      * key (the PK side) and reused by every FK column referencing it.
+      * Shifting an FK by its own table's local max would put copy-k FKs in
+      * the wrong sub-universe whenever the sampled slice's max(FK) <
+      * max(PK) — breaking the documented per-key fan-in preservation. */
+    val universeStride = scala.collection.mutable.Map.empty[String, Long]
+    def strideOf(owner: String, key: String): Long =
+      universeStride.getOrElseUpdate(key, {
+        val m = spark.read.parquet(s"$src/$owner.parquet")
+          .agg(max(col(key))).head().getAs[Number](0).longValue
+        m + 1L
+      })
+    // FK column -> (owning table, PK column) for keys referenced across tables
+    val fkUniverse = Map(
+      "o_custkey" -> ("customer", "c_custkey"),
+      "l_orderkey" -> ("orders", "o_orderkey"),
+      "l_partkey" -> ("part", "p_partkey"),
+      "l_suppkey" -> ("supplier", "s_suppkey"))
+
     def scale(table: String, keys: Seq[String],
         extra: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map.empty): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
-      val maxes = df.agg(
-        keys.head -> "max", keys.tail.map(_ -> "max"): _*).head()
-      val shift = keys.zipWithIndex.map { case (k, i) =>
-        k -> (maxes.getLong(i) + 1L)
+      val shift = keys.map { k =>
+        val (owner, pk) = fkUniverse.getOrElse(k, (table, k))
+        k -> strideOf(owner, pk)
       }.toMap
       val scaled = df.crossJoin(broadcast(copies))
         .select(df.columns.map { c =>

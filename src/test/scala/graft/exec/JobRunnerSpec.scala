@@ -200,6 +200,62 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(!buf2.exists(_.contains("╭")))
   }
 
+  test("unnamed command forms: bare header, #N skip label, Done inside frame (r12 ADVICE)") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: unnamed
+         |data: $data
+         |commands:
+         |  - task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: un_r
+         |  - task: read-parquet
+         |    skip: true
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: un_r2
+         |""".stripMargin)
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    val ctx = new ContextLogger(m => buf += m, style = "box", timestamps = false)
+    new JobRunner(spark, m => buf += m, Some(ctx)).execute(job)
+    // reference command.py:70-74: unnamed header has no colon/label/parens
+    assert(buf.exists(_.startsWith("┏━━╸Executing command 1 of 2")))
+    // reference job.py:205: unnamed skip label is `#N`
+    assert(buf.exists(_.contains("Skipping command `#2` from job 'unnamed'")))
+    // reference job.py:209: Done! \o/ logs INSIDE the job frame
+    assert(buf.exists(_.startsWith("│ Done! \\o/")))
+  }
+
+  test("command echo: env keys keep insertion order, booleans render lowercase (r12 ADVICE)") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: echoed
+         |data: $data
+         |commands:
+         |  - name: filt
+         |    task: filter
+         |    env:
+         |      input: ep_missing_view
+         |      ZULU: true
+         |      predicate: 1 = 1
+         |      ALPHA: false
+         |      output: ep_out
+         |""".stripMargin)
+    // The echo only renders on the real execution path (the dryrun branch
+    // uses ManifestRender); the task itself fails on the missing view AFTER
+    // the echo, which is all this test needs.
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    val ctx = new ContextLogger(m => buf += m, style = "plain", timestamps = false)
+    val r = new JobRunner(spark, m => buf += m, Some(ctx))
+    try r.execute(job) catch { case _: Exception => () }
+    val echo = buf.toList
+    val zi = echo.indexWhere(_.contains("ZULU: true"))
+    val ai = echo.indexWhere(_.contains("ALPHA: false"))
+    assert(zi >= 0 && ai >= 0 && zi < ai,
+      s"yaml.dump(sort_keys=False) echo order/boolean form; got: $echo")
+  }
+
   test("nested job via run-job op: inner manifest executes on the same session") {
     val data = tmp()
     val innerPath = s"$data/inner.yml"

@@ -66,8 +66,9 @@ class RefMatrixE2ESpec extends AnyFunSuite {
     val ctx = new ContextLogger(buf += _, style = style, timestamps = false)
     val runner = new JobRunner(spark, buf += _, Some(ctx))
     ctx.info(s"Loading job manifest at: $jobYml")
+    // "Done! \o/" is now logged by JobRunner.execute inside the job frame
+    // (reference job.py:209), matching Main's CLI body.
     runner.execute(Yaml.jobFromFile(jobYml))
-    ctx.info("Done! \\o/")
     (dir, buf.toList)
   }
 

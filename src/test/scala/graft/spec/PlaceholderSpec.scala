@@ -57,6 +57,18 @@ class PlaceholderSpec extends AnyFunSuite {
     assert(r(2).env("IN") == Str("b"))
   }
 
+  test("${previous} after an UNNAMED command errors (reference job.py:458-464)") {
+    // `previous` is only set by named commands and is cleared by an unnamed
+    // one — the reference raises the first-command error here rather than
+    // resolving against the unnamed command.
+    val j = job(commands = List(
+      Command(Some("one"), "t", Map("OUTPUT" -> Str("a"))),
+      Command(None, "t", Map("OUTPUT" -> Str("b"))),
+      Command(Some("three"), "t", Map("IN" -> Str("${previous.env.OUTPUT}")))))
+    val e = intercept[SpecError](resolve(j))
+    assert(e.getMessage.contains("Cannot use ${previous} placeholder on the first command"))
+  }
+
   test("named command references resolve backwards, fuzzy-matched") {
     val j = job(commands = List(
       Command(Some("load-data"), "t", Map("OUTPUT" -> Str("out1"))),
