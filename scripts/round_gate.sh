@@ -15,6 +15,10 @@
 #                                         (writes SCALES.md)
 #   6. Bench @ sf0.01 and sf0.1         — errors/regressions gate, then
 #      check_scaling.py                 — superlinearity probe (writes SCALING.md)
+#   7. provenance.py check              — every step above must have run at the
+#      CURRENT source state (PROVENANCE.json, committed with the snapshot);
+#      any late source commit makes the gate refuse until the affected steps
+#      are re-run (VERDICT r11 ask #1)
 #
 # Wall-clock ~35-40 min. GATE_SKIP_BENCH=1 skips step 6 (fast mode for
 # mid-round checks; the end-of-round run must be full).
@@ -30,6 +34,7 @@ if ! sbt -batch test > target/gate_test.log 2>&1; then
   fail=1
 else
   tail -2 target/gate_test.log
+  python3 scripts/provenance.py stamp sbt_test
 fi
 
 step "2/6 PlanLint (full, canonical SF)"
@@ -45,10 +50,13 @@ else
   { cat target/plans_header.txt; echo '```'
     grep '^LINT' target/gate_planlint.log; echo '```'; } > PLANS.md
   echo "PLANS.md regenerated"
+  python3 scripts/provenance.py stamp planlint
 fi
 
 step "3/6 declared-vs-registered + artifact-count cross-check"
-python3 scripts/check_declared.py || fail=1
+if python3 scripts/check_declared.py; then
+  python3 scripts/provenance.py stamp declared
+else fail=1; fi
 # Every artifact must cover the SAME query count: budget entries, PLANS.md
 # LINT lines, and (when present from step 5/6) the SCALES pass totals and
 # SCALING common-query count. A mismatch is exactly the
@@ -84,10 +92,13 @@ if ! sbt -batch 'runMain graft.tools.StreamBench' \
   fail=1
 else
   echo "StreamBench OK (state flat on all bounded shapes)"
+  python3 scripts/provenance.py stamp streambench
 fi
 
 step "5/6 cross-scale oracle gate"
-bash scripts/cross_scale_gate.sh || fail=1
+if bash scripts/cross_scale_gate.sh; then
+  python3 scripts/provenance.py stamp cross_scale
+else fail=1; fi
 
 if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then
   step "6/6 bench+scaling SKIPPED (GATE_SKIP_BENCH=1 — not valid for the end-of-round run)"
@@ -98,9 +109,11 @@ else
         > "target/gate_bench_sf$sf.log" 2>&1; then
       echo "FAIL: Bench sf$sf (see target/gate_bench_sf$sf.log)"
       fail=1
+      continue # stale bench_queries.json would pass the JSON check vacuously
     fi
     cp target/bench_queries.json "target/gate_bench_sf$sf.json"
-    python3 - "target/gate_bench_sf$sf.json" <<'EOF' || fail=1
+    benchok=1
+    python3 - "target/gate_bench_sf$sf.json" <<'EOF' || { fail=1; benchok=0; }
 import json, sys
 d = json.load(open(sys.argv[1]))
 ne, nr = d.get("n_errors", -1), d.get("n_regressions", -1)
@@ -110,10 +123,21 @@ if ne != 0:
 if nr != 0:
     print("FAIL: bench regressions:", d.get("regressions", {})); sys.exit(1)
 EOF
+    [ "$benchok" = "1" ] && python3 scripts/provenance.py stamp "bench_sf$sf"
   done
-  python3 scripts/check_scaling.py target/gate_bench_sf0.01.json \
-    target/gate_bench_sf0.1.json || fail=1
+  if python3 scripts/check_scaling.py target/gate_bench_sf0.01.json \
+      target/gate_bench_sf0.1.json; then
+    python3 scripts/provenance.py stamp scaling
+  else fail=1; fi
 fi
+
+step "7/7 gate provenance (SHA/source-state pinning)"
+# Refuse the snapshot if any step above ran at a different SOURCE state than
+# the current working tree (VERDICT r11 ask #1 — the r11 sbt-test log
+# silently predated a late source fix; this makes that impossible to miss).
+provargs=""
+[ "${GATE_SKIP_BENCH:-0}" = "1" ] && provargs="--no-bench"
+python3 scripts/provenance.py check $provargs || fail=1
 
 echo
 if [ $fail -ne 0 ]; then
