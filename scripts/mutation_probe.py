@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Mutation-test the oracle harness (VERDICT r11 ask #2).
+
+Falsifiability check: perturb randomly-chosen queries' SPARK-side code one at
+a time (flip a comparison, off-by-one a literal, swap a boolean operator) and
+assert the Verify + DuckDB-oracle pipeline FLAGS each one. A mutation that
+stays green would mean the oracle comparison for that query is vacuous.
+
+Per mutation: mutate the Q block's Scala region (never the oracle SQL), run
+`sbt runMain graft.Verify <sf> <tmp> ^name$`, prune oracle_sql.json to the
+one query, run check_oracle.py, and expect a FAIL (hash/row/schema mismatch,
+or the mutated query crashing in Verify → MISSING OUTPUT, which also counts
+as caught). The file is restored from git after each mutation.
+
+Equivalent mutants (e.g. a `>` → `>=` flip with no boundary row at this SF)
+are a false-alarm hazard of any mutation test — on survival the probe retries
+that query with a DIFFERENT mutation up to --retries times before declaring
+the query's oracle vacuous.
+
+Usage: mutation_probe.py [--n N] [--seed S] [--sf DIR] [--retries K]
+Writes MUTATION.md (committed artifact) and exits nonzero if any sampled
+query survives all its mutations.
+"""
+import argparse
+import json
+import os
+import random
+import re
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = "/tmp/graft_mutation"
+
+# (label, pattern, replacement) — applied to the SCALA region of a Q block.
+# Ordered by how unlikely they are to produce an equivalent mutant.
+MUTATIONS = [
+    ("and->or", re.compile(r" && "), " || "),
+    ("eq->neq", re.compile(r" === "), " =!= "),
+    ("between-hi+7", re.compile(r"\.between\((\d+), ?(\d+)\)"),
+     lambda m: f".between({m.group(1)}, {int(m.group(2)) + 7})"),
+    ("lit-int+7", re.compile(r"lit\((\d+)\)"),
+     lambda m: f"lit({int(m.group(1)) + 7})"),
+    ("float-lit*3", re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])"),
+     lambda m: f"{float(m.group(1)) * 3 + 0.011:.4f}"),
+    ("gt->lt", re.compile(r" > "), " < "),
+    ("geq->lt", re.compile(r" >= "), " < "),
+    ("leq->gt", re.compile(r" <= "), " > "),
+]
+
+
+def sh(cmd, **kw):
+    return subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True, **kw)
+
+
+def find_q_blocks():
+    """name -> (path, scala_start, scala_end) byte offsets of the Q block's
+    Spark-side code (from after Q("name" up to the oracle Some(\"\"\"/None)."""
+    blocks = {}
+    src = subprocess.run(
+        ["grep", "-rln", 'Q("', "src/main/scala/graft/queries"],
+        cwd=ROOT, capture_output=True, text=True).stdout.split()
+    for path in src:
+        text = open(os.path.join(ROOT, path)).read()
+        starts = [(m.start(), m.group(1))
+                  for m in re.finditer(r'Q\("([a-z0-9_]+)"', text)]
+        for i, (off, name) in enumerate(starts):
+            end = starts[i + 1][0] if i + 1 < len(starts) else len(text)
+            # Scala region ends where the oracle literal starts
+            osql = text.find('Some("""', off)
+            scala_end = osql if off < (osql if osql != -1 else -1) < end else end
+            blocks[name] = (path, off, scala_end)
+    return blocks
+
+
+def registered_oracle_names():
+    with open(os.path.join(OUT, "oracle_sql.json")) as f:
+        return set(json.load(f))
+
+
+def run_verify(name, sf):
+    """Compile + run the single query; True if check_oracle FLAGS it."""
+    sh(["rm", "-rf", OUT])
+    r = sh(["sbt", "-batch",
+            f"runMain graft.Verify {sf} {OUT} ^{name}$"], timeout=1200)
+    if r.returncode != 0:
+        # compile error from the mutation = the harness caught it trivially,
+        # but that weakens the probe — report as its own outcome
+        return "compile_error"
+    osql = os.path.join(OUT, "oracle_sql.json")
+    with open(osql) as f:
+        full = json.load(f)
+    if name not in full:
+        return "no_oracle"
+    with open(osql, "w") as f:
+        json.dump({name: full[name]}, f)
+    chk = sh(["python3", "scripts/check_oracle.py", sf, OUT])
+    caught = chk.returncode != 0
+    return "caught" if caught else "survived"
+
+
+def mutate_once(path, s0, s1, rng, used_labels):
+    """Apply ONE mutation inside [s0,s1) of path; return its label or None."""
+    text = open(os.path.join(ROOT, path)).read()
+    region = text[s0:s1]
+    order = MUTATIONS[:]
+    rng.shuffle(order)
+    for label, pat, rep in order:
+        if label in used_labels:
+            continue
+        m = pat.search(region)
+        if not m:
+            continue
+        mutated = region[:m.start()] + (
+            rep(m) if callable(rep) else pat.sub(rep, m.group(0), count=1)
+        ) + region[m.end():]
+        open(os.path.join(ROOT, path), "w").write(text[:s0] + mutated + text[s1:])
+        snippet = region[max(0, m.start() - 30):m.end() + 20].replace("\n", " ")
+        return label, snippet
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--retries", type=int, default=3)
+    args = ap.parse_args()
+
+    head = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
+    seed = args.seed if args.seed is not None else int(head[:8], 16)
+    rng = random.Random(seed)
+
+    dirty = sh(["git", "status", "--porcelain",
+                "src/main/scala/graft/queries"]).stdout.strip()
+    if dirty:
+        print("REFUSING: src/main/scala/graft/queries has uncommitted changes "
+              "(the probe restores files via git checkout)")
+        return 2
+
+    blocks = find_q_blocks()
+    # Build the oracle-backed name list from a cheap Verify dump of ONE query
+    # (any; we only need oracle_sql.json)
+    r = sh(["sbt", "-batch",
+            f"runMain graft.Verify {args.sf} {OUT} ^__none__$"], timeout=1200)
+    if r.returncode != 0:
+        print("baseline Verify dump failed"); return 2
+    oracle_names = registered_oracle_names()
+    candidates = sorted(n for n in blocks if n in oracle_names)
+    rng.shuffle(candidates)
+
+    results, failures = [], []
+    picked = 0
+    for name in candidates:
+        if picked >= args.n:
+            break
+        path, s0, s1 = blocks[name]
+        outcome, tried = None, []
+        used = set()
+        for _ in range(args.retries):
+            mut = mutate_once(path, s0, s1, rng, used)
+            if mut is None:
+                break
+            label, snippet = mut
+            used.add(label)
+            res = run_verify(name, args.sf)
+            sh(["git", "checkout", "--", path])
+            tried.append((label, res, snippet))
+            if res == "caught":
+                outcome = "caught"
+                break
+            if res == "compile_error":
+                continue  # pick a different mutation
+            if res == "survived":
+                continue  # possible equivalent mutant — try another
+        if not tried:
+            continue  # no applicable mutation in this block — not sampled
+        picked += 1
+        if outcome != "caught":
+            failures.append(name)
+        results.append((name, path, tried, outcome or "SURVIVED"))
+        print(f"[{picked}/{args.n}] {name}: {outcome or 'SURVIVED'} "
+              f"({', '.join(l + '->' + r for l, r, _ in tried)})")
+
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    with open(os.path.join(ROOT, "MUTATION.md"), "w") as f:
+        f.write(f"""# MUTATION — oracle-harness mutation probe
+
+Status: **{"GREEN" if not failures else "RED"}** ({ts}, HEAD {head[:9]},
+seed {seed}, sf {args.sf})
+
+`scripts/mutation_probe.py` perturbs sampled queries' Spark-side code one
+mutation at a time and asserts the Verify + DuckDB oracle pipeline flags each
+(hash/row/schema mismatch or a crash → MISSING OUTPUT both count as caught).
+A survival after {args.retries} distinct mutations = vacuous oracle = RED.
+Equivalent-mutant retries are listed per query.
+
+| query | file | mutations tried (label → outcome) | verdict |
+|---|---|---|---|
+""")
+        for name, path, tried, verdict in results:
+            t = "; ".join(f"`{l}` → {r}" for l, r, _ in tried)
+            f.write(f"| {name} | {path.split('/')[-1]} | {t} | {verdict} |\n")
+        f.write(f"\nSampled {picked} queries, caught "
+                f"{picked - len(failures)}, survived {len(failures)}"
+                f"{': ' + ', '.join(failures) if failures else ''}.\n")
+    print(f"MUTATION.md written: {picked} sampled, {len(failures)} survived")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

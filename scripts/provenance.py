@@ -38,7 +38,7 @@ PROV = os.path.join(ROOT, "PROVENANCE.json")
 CORE_STEPS = [
     "sbt_test", "planlint", "declared", "streambench", "cross_scale",
 ]
-BENCH_STEPS = ["bench_sf0.01", "bench_sf0.1", "scaling"]
+BENCH_STEPS = ["bench_sf0.01", "bench_sf0.1", "scaling", "mutation"]
 
 
 def git(*args: str) -> str:

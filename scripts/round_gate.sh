@@ -15,7 +15,9 @@
 #                                         (writes SCALES.md)
 #   6. Bench @ sf0.01 and sf0.1         — errors/regressions gate, then
 #      check_scaling.py                 — superlinearity probe (writes SCALING.md)
-#   7. provenance.py check              — every step above must have run at the
+#   7. mutation_probe.py (sampled)      — perturb sampled queries' Spark code,
+#      assert the oracle harness flags each (writes MUTATION.md)
+#   8. provenance.py check              — every step above must have run at the
 #      CURRENT source state (PROVENANCE.json, committed with the snapshot);
 #      any late source commit makes the gate refuse until the affected steps
 #      are re-run (VERDICT r11 ask #1)
@@ -27,7 +29,7 @@ cd "$(dirname "$0")/.."
 fail=0
 step() { echo; echo "===== round_gate: $* ====="; }
 
-step "1/6 sbt test"
+step "1/8 sbt test"
 if ! sbt -batch test > target/gate_test.log 2>&1; then
   echo "FAIL: sbt test (see target/gate_test.log)"
   grep -E "\*\*\* FAILED|TESTS FAILED" target/gate_test.log | head -10
@@ -37,7 +39,7 @@ else
   python3 scripts/provenance.py stamp sbt_test
 fi
 
-step "2/6 PlanLint (full, canonical SF)"
+step "2/8 PlanLint (full, canonical SF)"
 if ! sbt -batch 'runMain graft.tools.PlanLint /root/testdata/sf0.001' \
     > target/gate_planlint.log 2>&1; then
   echo "FAIL: PlanLint (see target/gate_planlint.log)"
@@ -53,7 +55,7 @@ else
   python3 scripts/provenance.py stamp planlint
 fi
 
-step "3/6 declared-vs-registered + artifact-count cross-check"
+step "3/8 declared-vs-registered + artifact-count cross-check"
 if python3 scripts/check_declared.py; then
   python3 scripts/provenance.py stamp declared
 else fail=1; fi
@@ -84,7 +86,7 @@ print("artifact-count cross-check:", "OK" if ok else "FAIL",
 sys.exit(0 if ok else 1)
 EOF
 
-step "4/6 StreamBench state-growth gate"
+step "4/8 StreamBench state-growth gate"
 if ! sbt -batch 'runMain graft.tools.StreamBench' \
     > target/gate_streambench.log 2>&1; then
   echo "FAIL: StreamBench (see target/gate_streambench.log)"
@@ -95,15 +97,15 @@ else
   python3 scripts/provenance.py stamp streambench
 fi
 
-step "5/6 cross-scale oracle gate"
+step "5/8 cross-scale oracle gate"
 if bash scripts/cross_scale_gate.sh; then
   python3 scripts/provenance.py stamp cross_scale
 else fail=1; fi
 
 if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then
-  step "6/6 bench+scaling SKIPPED (GATE_SKIP_BENCH=1 — not valid for the end-of-round run)"
+  step "6/8 bench+scaling SKIPPED (GATE_SKIP_BENCH=1 — not valid for the end-of-round run)"
 else
-  step "6/6 bench @ sf0.01 + sf0.1, scaling probe"
+  step "6/8 bench @ sf0.01 + sf0.1, scaling probe"
   for sf in 0.01 0.1; do
     if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf$sf sbt -batch 'runMain graft.Bench' \
         > "target/gate_bench_sf$sf.log" 2>&1; then
@@ -131,7 +133,22 @@ EOF
   else fail=1; fi
 fi
 
-step "7/7 gate provenance (SHA/source-state pinning)"
+if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then
+  step "7/8 mutation probe SKIPPED (GATE_SKIP_BENCH=1 fast mode)"
+else
+  step "7/8 oracle mutation probe (sampled, n=${MUTATION_N:-5})"
+  # Falsifiability: perturb sampled queries' Spark code and assert the oracle
+  # harness flags each (VERDICT r11 ask #2). Full 20-query artifact runs are
+  # manual (scripts/mutation_probe.py --n 20); the gate samples to bound cost.
+  if python3 scripts/mutation_probe.py --n "${MUTATION_N:-5}"; then
+    python3 scripts/provenance.py stamp mutation
+  else
+    echo "FAIL: mutation probe (a sampled query's oracle is vacuous — see MUTATION.md)"
+    fail=1
+  fi
+fi
+
+step "8/8 gate provenance (SHA/source-state pinning)"
 # Refuse the snapshot if any step above ran at a different SOURCE state than
 # the current working tree (VERDICT r11 ask #1 — the r11 sbt-test log
 # silently predated a late source fix; this makes that impossible to miss).
