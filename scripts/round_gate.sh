@@ -126,11 +126,26 @@ if nr != 0:
     print("FAIL: bench regressions:", d.get("regressions", {})); sys.exit(1)
 EOF
     [ "$benchok" = "1" ] && python3 scripts/provenance.py stamp "bench_sf$sf"
+    # Durable per-query history (VERDICT r11 ask #6): the driver's BENCH_r*.json
+    # parses only a short tail line, so the FULL per-query map is committed
+    # here — cross-round per-query diffs live in git, not transient files.
+    [ "$benchok" = "1" ] && [ "$sf" = "0.1" ] && \
+      python3 -m json.tool "target/gate_bench_sf$sf.json" > BENCH_FULL.json
   done
   if python3 scripts/check_scaling.py target/gate_bench_sf0.01.json \
       target/gate_bench_sf0.1.json; then
     python3 scripts/provenance.py stamp scaling
   else fail=1; fi
+fi
+
+if [ "${GATE_SF1:-0}" = "1" ]; then
+  step "6b/8 sf1 probe (true 10x step, top-20 + iterative graph family)"
+  if python3 scripts/sf1_probe.py; then
+    python3 scripts/provenance.py stamp sf1_probe
+  else
+    echo "FAIL: sf1 probe (superlinear query on a 10x row step — see scripts/sf1_probe.json)"
+    fail=1
+  fi
 fi
 
 if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then

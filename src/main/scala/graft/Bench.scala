@@ -192,7 +192,11 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
+    // The driver parses the LAST JSON line from a small tail-capture window,
+    // so this stays short (the full per-query map would blow the window and
+    // break the parse) — round_gate.sh commits the full map as
+    // BENCH_FULL.json, giving per-query history durable git provenance.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"top10_sec":$runTop,"top10_base_sec":$baseTop,"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }
