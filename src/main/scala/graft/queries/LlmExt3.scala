@@ -408,6 +408,13 @@ object LlmExt3 {
             .agg(min(struct((-$"wsum").as("nw"), $"lbl".as("l"))).as("m"))
             .select($"u".as("node"), $"m.l".as("lbl"))
         }
+        // ONE post-loop checkpoint (≤|V| rows): the final labels frame feeds
+        // THREE consumers (deg join + both sides of the within-community
+        // join) — unchecked, each consumer re-expands the full 3-round LPA
+        // lineage, tripling the plan. Per-round checkpointing was measured
+        // (r12) and the extra job barriers cost more than they save on this
+        // bounded ≤25-node frame; one barrier captures the 3x reuse win.
+        labels = labels.localCheckpoint()
         val deg = und.groupBy($"u").agg(sum($"w").as("du"))
         val m2 = und.agg(sum($"w").as("m2"))
         val ein = und
