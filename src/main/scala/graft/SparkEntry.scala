@@ -29,6 +29,7 @@ object SparkEntry {
     LlmExt.queries,
     LlmExt2.queries,
     LlmExt2b.queries,
+    LlmExt2c.queries,
     SpecQ.queries,
     Scale.queries,
     Extras.queries,
