@@ -40,12 +40,14 @@ object SparkEntry {
     LlmExt3.queries,
     LlmExt3b.queries,
     LlmExt3c.queries,
+    LlmExt3d.queries,
     Analytics2.queries,
     Analytics3.queries,
     Analytics4.queries,
     Analytics5.queries,
     Analytics6.queries,
     Analytics7.queries,
+    Analytics7b.queries,
     Analytics8.queries,
     Analytics9.queries,
     Analytics10.queries,
