@@ -40,13 +40,20 @@ MUTATIONS = [
     ("eq->neq", re.compile(r" === "), " =!= "),
     ("between-hi+7", re.compile(r"\.between\((\d+), ?(\d+)\)"),
      lambda m: f".between({m.group(1)}, {int(m.group(2)) + 7})"),
-    ("lit-int+7", re.compile(r"lit\((\d+)\)"),
+    # skip count(lit(N)) — count over ANY non-null literal is the same
+    # aggregate, a guaranteed equivalent mutant (r12 survivors agg_corr_exact
+    # and embed_ivf_balance were exactly this false-alarm class)
+    ("lit-int+7", re.compile(r"(?<!count\()lit\((\d+)\)"),
      lambda m: f"lit({int(m.group(1)) + 7})"),
-    ("float-lit*3", re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])"),
+    # matches Scala d/f-suffixed literals too (suffix preserved by lookahead)
+    ("float-lit*3", re.compile(r"(?<![\w.])(\d+\.\d+)(?=[df]?(?:[^\w.]|$))"),
      lambda m: f"{float(m.group(1)) * 3 + 0.011:.4f}"),
     ("gt->lt", re.compile(r" > "), " < "),
     ("geq->lt", re.compile(r" >= "), " < "),
     ("leq->gt", re.compile(r" <= "), " > "),
+    ("cmp-lit+7", re.compile(r" < (\d+)\b"),
+     lambda m: f" < {int(m.group(1)) + 7}"),
+    ("lt->gt", re.compile(r" < "), " > "),
 ]
 
 
@@ -127,6 +134,8 @@ def main():
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--retries", type=int, default=3)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated query names to probe (overrides sampling)")
     args = ap.parse_args()
 
     head = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
@@ -150,6 +159,9 @@ def main():
     oracle_names = registered_oracle_names()
     candidates = sorted(n for n in blocks if n in oracle_names)
     rng.shuffle(candidates)
+    if args.queries:
+        candidates = [q for q in args.queries.split(",") if q in blocks]
+        args.n = len(candidates)
 
     results, failures = [], []
     picked = 0
