@@ -51,7 +51,8 @@ object SparkEntry {
     Analytics8.queries,
     Analytics9.queries,
     Analytics10.queries,
-    Analytics11.queries
+    Analytics11.queries,
+    Analytics12.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
