@@ -59,32 +59,6 @@ step "3/8 declared-vs-registered + artifact-count cross-check"
 if python3 scripts/check_declared.py; then
   python3 scripts/provenance.py stamp declared
 else fail=1; fi
-# Every artifact must cover the SAME query count: budget entries, PLANS.md
-# LINT lines, and (when present from step 5/6) the SCALES pass totals and
-# SCALING common-query count. A mismatch is exactly the
-# artifacts-outrun-the-code staleness this gate exists to refuse.
-python3 - <<'EOF' || fail=1
-import re, sys
-budget = sum(1 for l in open('src/main/resources/planlint-shuffles.txt')
-             if l.strip() and not l.startswith('#'))
-plans = sum(1 for l in open('PLANS.md') if l.startswith('LINT '))
-ok = True
-if budget != plans:
-    print(f"COUNT-MISMATCH: budget={budget} PLANS.md LINT lines={plans}")
-    ok = False
-m = re.findall(r'PASS=(\d+) FAIL=(\d+) NO_ORACLE=(\d+)', open('SCALES.md').read())
-for p, f, n in m:
-    if int(p) + int(n) != budget or int(f) != 0:
-        print(f"COUNT-MISMATCH: SCALES.md PASS={p}+NO_ORACLE={n} vs budget={budget} (FAIL={f})")
-        ok = False
-sc = re.search(r'\((\d+) common queries', open('SCALING.md').read())
-if sc and int(sc.group(1)) != budget:
-    print(f"COUNT-MISMATCH: SCALING.md common={sc.group(1)} vs budget={budget}")
-    ok = False
-print("artifact-count cross-check:", "OK" if ok else "FAIL",
-      f"(budget={budget})")
-sys.exit(0 if ok else 1)
-EOF
 
 step "4/8 StreamBench state-growth gate"
 if ! sbt -batch 'runMain graft.tools.StreamBench' \
@@ -137,6 +111,36 @@ EOF
     python3 scripts/provenance.py stamp scaling
   else fail=1; fi
 fi
+
+step "6c/8 artifact-count cross-check (post-regeneration)"
+# Runs AFTER steps 5/6 regenerate SCALES.md/SCALING.md — in step 3 it read the
+# PREVIOUS round's totals and refused any round that adds queries (r12 flaw).
+# Every artifact must cover the SAME query count: budget entries, PLANS.md
+# LINT lines, and (when present from step 5/6) the SCALES pass totals and
+# SCALING common-query count. A mismatch is exactly the
+# artifacts-outrun-the-code staleness this gate exists to refuse.
+python3 - <<'EOF' || fail=1
+import re, sys
+budget = sum(1 for l in open('src/main/resources/planlint-shuffles.txt')
+             if l.strip() and not l.startswith('#'))
+plans = sum(1 for l in open('PLANS.md') if l.startswith('LINT '))
+ok = True
+if budget != plans:
+    print(f"COUNT-MISMATCH: budget={budget} PLANS.md LINT lines={plans}")
+    ok = False
+m = re.findall(r'PASS=(\d+) FAIL=(\d+) NO_ORACLE=(\d+)', open('SCALES.md').read())
+for p, f, n in m:
+    if int(p) + int(n) != budget or int(f) != 0:
+        print(f"COUNT-MISMATCH: SCALES.md PASS={p}+NO_ORACLE={n} vs budget={budget} (FAIL={f})")
+        ok = False
+sc = re.search(r'\((\d+) common queries', open('SCALING.md').read())
+if sc and int(sc.group(1)) != budget:
+    print(f"COUNT-MISMATCH: SCALING.md common={sc.group(1)} vs budget={budget}")
+    ok = False
+print("artifact-count cross-check:", "OK" if ok else "FAIL",
+      f"(budget={budget})")
+sys.exit(0 if ok else 1)
+EOF
 
 if [ "${GATE_SF1:-0}" = "1" ]; then
   step "6b/8 sf1 probe (true 10x step, top-20 + iterative graph family)"

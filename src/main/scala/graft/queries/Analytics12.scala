@@ -28,7 +28,14 @@ object Analytics12 {
     // ulp(1e10) ≈ 1.9e-6, still finer than the 1e-4 grid, safe per the
     // QueryDSL boundary rule); the k-group fold is a 3-row aggregate. The
     // chi-square statistic and Bartlett's small-sample correction are pinned
-    // IEEE expressions identical in the oracle.
+    // IEEE expressions identical in the oracle. Every ln() output is
+    // quantized to 9 decimals BEFORE further arithmetic: ln is libm, and the
+    // JVM and DuckDB can disagree in the last bit — unquantized, that 1-ulp
+    // input difference surfaced as a round-boundary flip at sf0.001
+    // (0.171708 vs 0.171709, caught by the cross-scale gate r12). The k-row
+    // fold sums decimal(30,6) (grid far coarser than ulp(1e4) addends, per
+    // the QueryDSL boundary rule); 1/(n−1) folds at scale 10 to keep its
+    // 5e-4 magnitude precise.
     Q("stats_bartlett_variance",
       (s, dir) => {
         import s.implicits._
@@ -42,16 +49,16 @@ object Analytics12 {
             (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("s2"))
         g.agg(count(lit(1)).as("k"),
             sum($"n").cast("long").as("n_total"),
-            sum(($"n" - 1) * log($"s2").cast("decimal(30,12)"))
+            sum((($"n" - 1) * round(log($"s2"), 9)).cast("decimal(30,6)"))
               .cast("double").as("sum_ln"),
-            sum((($"n" - 1) * $"s2").cast("decimal(30,12)"))
+            sum((($"n" - 1) * $"s2").cast("decimal(30,6)"))
               .cast("double").as("ss_pooled"),
-            sum((lit(1.0d) / ($"n" - 1)).cast("decimal(30,12)"))
+            sum((lit(1.0d) / ($"n" - 1)).cast("decimal(30,10)"))
               .cast("double").as("sum_inv"))
           .select($"k", $"n_total",
             round(
               ((($"n_total" - $"k").cast("double") *
-                log($"ss_pooled" / ($"n_total" - $"k").cast("double"))) -
+                round(log($"ss_pooled" / ($"n_total" - $"k").cast("double")), 9)) -
                 $"sum_ln") /
               (lit(1.0d) + ($"sum_inv" - lit(1.0d) /
                 ($"n_total" - $"k").cast("double")) /
@@ -72,17 +79,18 @@ object Analytics12 {
              |  SELECT n, (sxx - sx * sx / n) / (n - 1) AS s2 FROM g),
              |f AS (
              |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
-             |    CAST(SUM(CAST((n - 1) * ln(s2) AS DECIMAL(30,12)))
+             |    CAST(SUM(CAST((n - 1) * round(ln(s2), 9) AS DECIMAL(30,6)))
              |      AS DOUBLE) AS sum_ln,
-             |    CAST(SUM(CAST((n - 1) * s2 AS DECIMAL(30,12)))
+             |    CAST(SUM(CAST((n - 1) * s2 AS DECIMAL(30,6)))
              |      AS DOUBLE) AS ss_pooled,
-             |    CAST(SUM(CAST(1.0 / (n - 1) AS DECIMAL(30,12)))
+             |    CAST(SUM(CAST(1.0 / (n - 1) AS DECIMAL(30,10)))
              |      AS DOUBLE) AS sum_inv
              |  FROM s2)
              |SELECT k, n_total,
              |  round(
              |    ((CAST(n_total - k AS DOUBLE) *
-             |      ln(ss_pooled / CAST(n_total - k AS DOUBLE))) - sum_ln) /
+             |      round(ln(ss_pooled / CAST(n_total - k AS DOUBLE)), 9))
+             |      - sum_ln) /
              |    (1.0 + (sum_inv - 1.0 / CAST(n_total - k AS DOUBLE)) /
              |      (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS bartlett_chi2,
              |  CAST(k - 1 AS BIGINT) AS df
