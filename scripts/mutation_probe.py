@@ -74,9 +74,14 @@ def find_q_blocks():
                   for m in re.finditer(r'Q\("([a-z0-9_]+)"', text)]
         for i, (off, name) in enumerate(starts):
             end = starts[i + 1][0] if i + 1 < len(starts) else len(text)
-            # Scala region ends where the oracle literal starts
-            osql = text.find('Some("""', off)
-            scala_end = osql if off < (osql if osql != -1 else -1) < end else end
+            # Scala region ends where the oracle literal starts. BOTH plain
+            # and interpolated oracle forms must be detected — ~80 queries use
+            # Some(s"""...""") and missing that token would extend the "Scala
+            # region" through the oracle SQL, letting a mutation land in the
+            # oracle and be reported "caught" (r12 ADVICE item 1).
+            cands = [text.find(tok, off) for tok in ('Some("""', 'Some(s"""')]
+            cands = [c for c in cands if c != -1 and off < c < end]
+            scala_end = min(cands) if cands else end
             blocks[name] = (path, off, scala_end)
     return blocks
 
@@ -107,16 +112,58 @@ def run_verify(name, sf):
     return "caught" if caught else "survived"
 
 
+def mask_comments(region):
+    """Same-length copy of `region` with // and /* */ comment BODIES blanked
+    to spaces, so pattern matching can't land a mutation inside a comment (a
+    guaranteed-equivalent mutant; three in a row would falsely declare the
+    query's oracle vacuous — r12 ADVICE item 2). String literals stay visible:
+    expr("...") SQL fragments are real Spark-side code worth mutating. A //
+    inside a string literal is NOT treated as a comment."""
+    out = list(region)
+    i, n = 0, len(region)
+    in_str = None  # '"' or '"""'
+    while i < n:
+        c = region[i]
+        if in_str:
+            if region.startswith(in_str, i) and (
+                    in_str == '"""' or region[i - 1] != '\\'):
+                i += len(in_str)
+                in_str = None
+            else:
+                i += 1
+        elif region.startswith('"""', i):
+            in_str = '"""'; i += 3
+        elif c == '"':
+            in_str = '"'; i += 1
+        elif region.startswith('//', i):
+            j = region.find('\n', i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                out[k] = ' '
+            i = j
+        elif region.startswith('/*', i):
+            j = region.find('*/', i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                out[k] = ' '
+            i = j
+        else:
+            i += 1
+    return ''.join(out)
+
+
 def mutate_once(path, s0, s1, rng, used_labels):
     """Apply ONE mutation inside [s0,s1) of path; return its label or None."""
     text = open(os.path.join(ROOT, path)).read()
     region = text[s0:s1]
+    masked = mask_comments(region)
     order = MUTATIONS[:]
     rng.shuffle(order)
     for label, pat, rep in order:
         if label in used_labels:
             continue
-        m = pat.search(region)
+        # Search the comment-masked copy (same offsets), splice the original.
+        m = pat.search(masked)
         if not m:
             continue
         mutated = region[:m.start()] + (
@@ -181,6 +228,14 @@ def main():
             sh(["git", "checkout", "--", path])
             tried.append((label, res, snippet))
             if res == "caught":
+                outcome = "caught"
+                break
+            if res == "no_oracle":
+                # The mutation broke the query's ORACLE REGISTRATION (Verify
+                # ran but the name vanished from oracle_sql.json) — the
+                # harness flagged it, just at the registration layer. Letting
+                # this fall through to SURVIVED would mislabel a caught
+                # mutation as a vacuous oracle (r12 ADVICE item 5).
                 outcome = "caught"
                 break
             if res == "compile_error":

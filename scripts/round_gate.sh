@@ -106,6 +106,21 @@ EOF
     [ "$benchok" = "1" ] && [ "$sf" = "0.1" ] && \
       python3 -m json.tool "target/gate_bench_sf$sf.json" > BENCH_FULL.json
   done
+  # sf1 probe runs BEFORE check_scaling so SCALING.md folds a FRESH probe
+  # table — r12 ran it after and had to hand-fold the table (43faa9f). It is
+  # now UNCONDITIONAL in the full gate (VERDICT r12 ask #4); GATE_SF1=0 is an
+  # explicit escape hatch for emergencies only (end-of-round runs must probe).
+  if [ "${GATE_SF1:-1}" = "1" ]; then
+    step "6b/8 sf1 probe (true 10x step, top-20 + iterative graph family)"
+    if python3 scripts/sf1_probe.py; then
+      python3 scripts/provenance.py stamp sf1_probe
+    else
+      echo "FAIL: sf1 probe (superlinear query on a 10x row step — see scripts/sf1_probe.json)"
+      fail=1
+    fi
+  else
+    step "6b/8 sf1 probe SKIPPED (GATE_SF1=0 override — not valid for the end-of-round run)"
+  fi
   if python3 scripts/check_scaling.py target/gate_bench_sf0.01.json \
       target/gate_bench_sf0.1.json; then
     python3 scripts/provenance.py stamp scaling
@@ -133,24 +148,24 @@ for p, f, n in m:
     if int(p) + int(n) != budget or int(f) != 0:
         print(f"COUNT-MISMATCH: SCALES.md PASS={p}+NO_ORACLE={n} vs budget={budget} (FAIL={f})")
         ok = False
+# SCALING.md is only regenerated by step 6 — under GATE_SKIP_BENCH=1 it is
+# intentionally stale, so comparing it against a new-query budget would turn
+# the fast-mode gate RED in exactly the add-queries case fast mode exists
+# for (r12 ADVICE item 4). Warn instead of failing when bench was skipped.
+import os
+bench_skipped = os.environ.get('GATE_SKIP_BENCH', '0') == '1'
 sc = re.search(r'\((\d+) common queries', open('SCALING.md').read())
 if sc and int(sc.group(1)) != budget:
-    print(f"COUNT-MISMATCH: SCALING.md common={sc.group(1)} vs budget={budget}")
-    ok = False
+    if bench_skipped:
+        print(f"WARN: SCALING.md common={sc.group(1)} vs budget={budget} "
+              "(stale by design under GATE_SKIP_BENCH=1; full gate enforces)")
+    else:
+        print(f"COUNT-MISMATCH: SCALING.md common={sc.group(1)} vs budget={budget}")
+        ok = False
 print("artifact-count cross-check:", "OK" if ok else "FAIL",
       f"(budget={budget})")
 sys.exit(0 if ok else 1)
 EOF
-
-if [ "${GATE_SF1:-0}" = "1" ]; then
-  step "6b/8 sf1 probe (true 10x step, top-20 + iterative graph family)"
-  if python3 scripts/sf1_probe.py; then
-    python3 scripts/provenance.py stamp sf1_probe
-  else
-    echo "FAIL: sf1 probe (superlinear query on a 10x row step — see scripts/sf1_probe.json)"
-    fail=1
-  fi
-fi
 
 if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then
   step "7/8 mutation probe SKIPPED (GATE_SKIP_BENCH=1 fast mode)"

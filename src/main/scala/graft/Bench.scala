@@ -160,7 +160,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
       .mkString("{", ",", "}")
     errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"n_regressions":${regressions.size},"regressions":$regJson,"top10_sec":$runTop,"top10_base_sec":$baseTop,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"n_regressions":${regressions.size},"regressions":$regJson,"top10_sec":$runTop,"top10_base_sec":$baseTop,"scale":$scale,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
@@ -176,8 +176,23 @@ object Bench {
       //     host window inflate a query's floor 2-3x and blind the >30% gate
       //     for it in every later round. Dropped queries leave the file;
       //     comparison skips one-sided names anyway.
+      // Ratchet-leak guard (VERDICT r12 ask #2): the regression gate above
+      // host-normalizes by `scale`, so a UNIFORM slowdown never flags — and
+      // without this guard it would silently refresh into BENCH_LOCAL (new
+      // queries would enter the floor file at inflated times). BENCH_LOCAL's
+      // min-merged floors ARE the pinned epoch: `scale` vs them is exactly
+      // the cumulative drift since the all-time-best run, so a cumulative
+      // factor > 1.3x blocks the refresh (warn loudly; existing floors are
+      // min-merge-protected regardless, this keeps inflated NEW entries out
+      // and makes sustained drift visible in every run's "scale" field).
+      val scaleDriftBlocked = scale > 1.3
+      if (scaleDriftBlocked)
+        System.err.println(f"[bench] HOST-SCALE DRIFT $scale%.2fx vs committed " +
+          "floors exceeds 1.3x — BENCH_LOCAL refresh BLOCKED (uniform slowdown " +
+          "is invisible to the per-query gate by construction; investigate " +
+          "before refreshing the baseline)")
       if (sfDir == "/root/testdata/sf0.1" && passes >= 2 && errors.isEmpty
-          && regressions.isEmpty) {
+          && regressions.isEmpty && !scaleDriftBlocked) {
         val prior = parseSnapshot(java.nio.file.Paths.get("BENCH_LOCAL.json"))
           .getOrElse(Map.empty)
         val merged = names.filterNot(k => best(k).isInfinity).map { k =>
@@ -196,7 +211,7 @@ object Bench {
     // so this stays short (the full per-query map would blow the window and
     // break the parse) — round_gate.sh commits the full map as
     // BENCH_FULL.json, giving per-query history durable git provenance.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"top10_sec":$runTop,"top10_base_sec":$baseTop,"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"top10_sec":$runTop,"top10_base_sec":$baseTop,"scale":$scale,"sf":"$sfDir","passes":$passes,"queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }

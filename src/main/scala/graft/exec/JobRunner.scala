@@ -92,6 +92,20 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
     if (filter.isDefined && selected.isEmpty)
       throw SpecError(s"no commands match filter ${commands.get.mkString(",")}")
 
+    // Reference job.py:190-193: with a --commands filter active, each
+    // filtered-OUT command gets its own skip warning while the filtered list
+    // is built (manifest order, before validation). Python's f-string renders
+    // a missing name as `None`.
+    filter.foreach { _ =>
+      val kept = selected.map(_._2).toSet
+      resolved.commands.zipWithIndex.foreach { case (c, i) =>
+        if (!kept.contains(i)) {
+          val msg = s"Skipping command `${c.name.getOrElse("None")}`"
+          context.map(_.warning(msg)).getOrElse(out(s"WARNING: $msg"))
+        }
+      }
+    }
+
     if (!Files.isDirectory(Paths.get(resolved.data)))
       Files.createDirectories(Paths.get(resolved.data))
 
@@ -111,7 +125,9 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
       // reference task.py dryrun branch) without running anything.
       out(s"DRYRUN: job '${resolved.name}' — manifest parsed as:")
       ManifestRender.job(resolved).foreach(l => out(s"  $l"))
-      val n = selected.size
+      // Reference passes len(self.commands) — the UNFILTERED total — as n
+      // (job.py:207), so headers under a --commands filter read "1 of 3".
+      val n = resolved.commands.size
       selected.zipWithIndex.foreach { case ((cmd, _), i) =>
         val label = cmd.name.getOrElse(cmd.task)
         if (cmd.skip) out(s"DRYRUN: [${i + 1}/$n] '$label' skipped")
@@ -136,7 +152,8 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
     }
 
     val ctx = new JobContext(spark, resolved.data, out)
-    val n = selected.size
+    // n = UNFILTERED total, mirroring job.py:207's len(self.commands)
+    val n = resolved.commands.size
     selected.zipWithIndex.foreach { case ((cmd, _), i) =>
       val label = cmd.name.getOrElse(cmd.task)
       if (cmd.skip) {

@@ -227,6 +227,39 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(buf.exists(_.startsWith("│ Done! \\o/")))
   }
 
+  test("--commands filter: header total is the UNFILTERED count, filtered-out commands warn (r12 ADVICE)") {
+    val data = tmp()
+    val job = Yaml.jobFromString(
+      s"""name: filtered
+         |data: $data
+         |commands:
+         |  - name: one
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: fl_r1
+         |  - name: two
+         |    task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: fl_r2
+         |  - task: read-parquet
+         |    env:
+         |      path: $sf/region.parquet
+         |      output: fl_r3
+         |""".stripMargin)
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    val ctx = new ContextLogger(m => buf += m, style = "box", timestamps = false)
+    new JobRunner(spark, m => buf += m, Some(ctx)).execute(job, commands = Some(Seq("two")))
+    // reference job.py:207: total is len(self.commands) = 3, position is the
+    // FILTERED enumerate index = 1, so the selected command reads "1 of 3"
+    assert(buf.exists(_.startsWith("┏━━╸Executing command: two (1 of 3)")), buf.mkString("\n"))
+    // reference job.py:190-193: each filtered-out command warns by name;
+    // Python renders the unnamed command's missing name as `None`
+    assert(buf.exists(_.contains("Skipping command `one`")), buf.mkString("\n"))
+    assert(buf.exists(_.contains("Skipping command `None`")), buf.mkString("\n"))
+  }
+
   test("command echo: env keys keep insertion order, booleans render lowercase (r12 ADVICE)") {
     val data = tmp()
     val job = Yaml.jobFromString(
