@@ -131,27 +131,50 @@ object Similarity {
     * embeddings back by id — the shape that keeps shuffle payloads narrow at
     * 100 TB. Approximate — BENCH-only, never oracle-hashed. */
   def lshBandedTopK(vecs: DataFrame, k: Int, numPlanes: Int, bands: Int,
-      dims: Int): DataFrame = {
+      dims: Int): DataFrame =
+    lshBandedTopK(vecs, vecs, k, numPlanes, bands, dims, multiprobe = 0)
+
+  /** Query-vs-corpus form of [[lshBandedTopK]] with optional multi-probe (Lv et
+    * al., "Multi-Probe LSH", VLDB'07): with `multiprobe = 1` each QUERY probes,
+    * per band, its own bucket plus every bucket at Hamming distance 1 (one
+    * plane's sign flipped) — r+1 probes per band. On weak-similarity corpora
+    * (per-plane sign agreement p ≈ 0.6 here) this lifts per-band true-neighbor
+    * recall from p^r to p^r + r·p^(r-1)(1-p) (~6x at r = 8) for a bounded
+    * (r+1)x candidate-volume cost — and the probing explodes ONLY the query
+    * side, so corpus-side candidate volume stays linear in |Q|·|C|/2^r, never
+    * quadratic in the corpus. Approximate — BENCH-only, never oracle-hashed. */
+  def lshBandedTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
+      bands: Int, dims: Int, multiprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}
     require(numPlanes % bands == 0, s"bands ($bands) must divide numPlanes ($numPlanes)")
+    require(multiprobe >= 0 && multiprobe <= 1, "only Hamming-1 multi-probe is supported")
     val r = numPlanes / bands
     // compact candidate stream: (band index, band signature, id) — no vectors
-    val banded = lshBuckets(vecs, numPlanes, dims)
-      .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
-        substring(col("bucket"), b * r + 1, r)): _*)).as(Seq("band", "bsig")))
-    val cands = banded.select(col("band"), col("bsig"), col("vec_id").as("qid"))
-      .join(banded.select(col("band"), col("bsig"), col("vec_id").as("vid")),
-        Seq("band", "bsig"))
+    def bandSigs(df: DataFrame, idAs: String) =
+      lshBuckets(df, numPlanes, dims)
+        .select(col("vec_id").as(idAs), posexplode(array((0 until bands).map(b =>
+          substring(col("bucket"), b * r + 1, r)): _*)).as(Seq("band", "bsig")))
+    val qb = bandSigs(queries, "qid")
+    val qprobes = if (multiprobe == 0) qb else {
+      val variants = (col("bsig") +: (0 until r).map { i =>
+        val bit = substring(col("bsig"), i + 1, 1)
+        concat(substring(col("bsig"), 1, i),
+          when(bit === "1", lit("0")).otherwise(lit("1")),
+          substring(col("bsig"), i + 2, r - i - 1))
+      }): Seq[Column]
+      qb.select(col("qid"), col("band"), explode(array(variants: _*)).as("bsig"))
+    }
+    val cands = qprobes
+      .join(bandSigs(corpus, "vid"), Seq("band", "bsig"))
       .filter(col("qid") =!= col("vid"))
-      .select("qid", "vid").distinct() // a pair may share several bands — score once
+      .select("qid", "vid").distinct() // a pair may share several bands/probes — score once
     // fetch vectors for surviving pairs only, then score
-    val sides = vecs.select(col("vec_id"), col("embedding"),
-      vec_norm(col("embedding")).as("nrm"))
+    def side(df: DataFrame, idAs: String, vecAs: String, nAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        vec_norm(col("embedding")).as(nAs))
     val scored = cands
-      .join(sides.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("nrm").as("qn")), Seq("qid"))
-      .join(sides.select(col("vec_id").as("vid"), col("embedding").as("cvec"),
-        col("nrm").as("cn")), Seq("vid"))
+      .join(side(queries, "qid", "qvec", "qn"), Seq("qid"))
+      .join(side(corpus, "vid", "cvec", "cn"), Seq("vid"))
       .withColumn("cosine", vec_dot(col("qvec"), col("cvec")) /
         (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
