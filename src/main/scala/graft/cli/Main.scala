@@ -1,5 +1,7 @@
 package graft.cli
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import graft.exec.{ContextLogger, JobRunner, TaskFailure}
 import graft.spec.Yaml
@@ -19,9 +21,66 @@ object Main {
 
   // Reference spellings are canonical (ContextLogger renders the reference's
   // golden transcripts); this engine's earlier names remain as aliases.
+  // NOTE the reference's argparse choices list ALSO carries the ints 1/2/3
+  // (__main__.py:28), but argparse compares the CLI string "1" against the
+  // int 1 — those alternatives are unreachable, so only the three spellings
+  // are real; "-l 1" errors out (exit 2) there and here alike.
   private val styleAliases = Map(
     "gaudy" -> "gaudy", "moderate" -> "moderate", "minimal" -> "minimal",
     "box" -> "gaudy", "compact" -> "moderate", "plain" -> "minimal")
+
+  /** The reference keys color on `sys.stdout.isatty()` (logging.py:111-112);
+    * the JVM analog is an attached console — non-null exactly when the process
+    * runs interactively, null under redirects/tests/CI, so transcript
+    * comparisons always see the uncolored form, like the reference's. */
+  def autoColor: Boolean = System.console() != null
+
+  /** Post-argparse CLI body (reference __main__.py:41-63), testable: returns
+    * the process exit code, emits through `sink`, and only forces the
+    * SparkSession once the manifest is known to exist (it does NOT own the
+    * session lifecycle — `main` stops what it started).
+    *
+    * Reference exit paths, transcript-exact:
+    *  - missing manifest: plain "Job manifest file does not exist: <abspath>"
+    *    (a bare print, not a logger line — __main__.py:54-56), exit 1
+    *  - TaskFailure: "Task failed, terminating job." (logger.fatal at NONE
+    *    context renders bare — CRITICAL takes no ERROR/WARNING prefix,
+    *    logging.py:147-153), exit = the task's return code (__main__.py:61-63)
+    *  - any other error: exit 1 (the reference shows a traceback; the engine
+    *    renders one "ERROR: <message>" line) */
+  def runCli(manifest: String, commands: Option[Seq[String]], dryrun: Boolean,
+      style: String, timestamps: Boolean, testTask: Option[String],
+      colored: Boolean, sink: String => Unit,
+      sparkF: () => SparkSession): Int = {
+    val p = Paths.get(manifest).toAbsolutePath
+    if (!Files.exists(p)) {
+      sink(s"Job manifest file does not exist: $p")
+      return 1
+    }
+    try {
+      val spark = sparkF()
+      val ctx = new ContextLogger(sink, style, timestamps, colored)
+      val runner = new JobRunner(spark, sink, Some(ctx))
+      ctx.info(s"Loading job manifest at: $p")
+      testTask match {
+        case Some(name) =>
+          val results = runner.testTask(Yaml.jobFromFile(p.toString), name)
+          if (results.values.exists(!_)) 1 else 0
+        case None =>
+          // "Done! \o/" is logged by JobRunner.execute inside the job frame
+          // (reference job.py:209) — not here after the frame closes.
+          runner.execute(Yaml.jobFromFile(p.toString), commands, dryrun)
+          0
+      }
+    } catch {
+      case TaskFailure(_, rc) =>
+        sink("Task failed, terminating job.")
+        rc
+      case e: Exception =>
+        sink(s"ERROR: ${e.getMessage}")
+        1
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     def usageExit(msg: String): Nothing = {
@@ -56,34 +115,22 @@ object Main {
       }
     }
     val path = manifest.getOrElse(usageExit("missing job manifest path"))
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
-      val ctx = new ContextLogger(println, style, timestamps)
-      val runner = new JobRunner(spark, println, Some(ctx))
-      ctx.info(s"Loading job manifest at: $path")
-      testTask match {
-        case Some(name) =>
-          val results = runner.testTask(Yaml.jobFromFile(path), name)
-          if (results.values.exists(!_)) { spark.stop(); sys.exit(1) }
-        case None =>
-          // "Done! \o/" is logged by JobRunner.execute inside the job frame
-          // (reference job.py:209) — not here after the frame closes.
-          runner.execute(Yaml.jobFromFile(path), commands, dryrun)
-      }
-    } catch {
-      case TaskFailure(_, rc) => spark.stop(); sys.exit(rc)
-      case e: Exception =>
-        System.err.println(s"ERROR: ${e.getMessage}")
-        spark.stop(); sys.exit(1)
+    def buildSpark(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
     }
-    spark.stop()
+    val code = runCli(path, commands, dryrun, style, timestamps, testTask,
+      colored = autoColor, sink = println, sparkF = buildSpark _)
+    // stop only a session main actually started (missing-manifest exits early)
+    SparkSession.getActiveSession.foreach(_.stop())
+    sys.exit(code)
   }
 }

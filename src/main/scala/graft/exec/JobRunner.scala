@@ -9,6 +9,13 @@ import graft.spec._
 final case class TaskFailure(command: String, returncode: Int)
   extends RuntimeException(s"command '$command' failed with returncode $returncode")
 
+/** Raised when the job's `data` directory does not exist (reference
+  * JobDataDirectoryNotFound, job.py:26,211-214 + test_job.py:1119): the
+  * reference never creates it — a missing data dir is a fatal misconfiguration
+  * caught before any command runs (dryrun skips the check, job.py:195-196). */
+final case class JobDataDirectoryNotFound(dataDir: String)
+  extends RuntimeException(s"The job's `data` directory does not exist: $dataDir")
+
 /** Job execution (reference Job.execute, job.py:146-209) with the same control flow:
   *
   *  1. conform the optional command-name filter (comma string or list,
@@ -106,8 +113,14 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
       }
     }
 
-    if (!Files.isDirectory(Paths.get(resolved.data)))
-      Files.createDirectories(Paths.get(resolved.data))
+    // Reference job.py:195-196,211-214: a missing data dir is FATAL (the
+    // reference never creates it) — logger.fatal renders the bare message
+    // (CRITICAL carries no ERROR/WARNING prefix, logging.py:147-153), then
+    // JobDataDirectoryNotFound aborts. Dryrun skips the check.
+    if (!dryrun && !Files.exists(Paths.get(resolved.data))) {
+      out(s"The job's `data` directory does not exist: ${resolved.data}")
+      throw JobDataDirectoryNotFound(resolved.data)
+    }
 
     // fail-fast: validate ALL selected commands before running ANY (job.py:198-200)
     val errors = selected.flatMap { case (cmd, _) =>

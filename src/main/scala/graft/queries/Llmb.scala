@@ -611,6 +611,8 @@ object Llmb {
     Q("job_yaml_llm_pipeline",
       (s, dir) => {
         val data = s"${Sinks.scratchDir}/job_yaml_llm"
+        // pre-create: a missing data dir is fatal per the reference (job.py:211-214)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
         val manifest =
           s"""name: llm-pipeline
              |description: text-quality + exact dedup via job spec

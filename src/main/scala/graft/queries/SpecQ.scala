@@ -15,6 +15,9 @@ object SpecQ {
     Q("job_yaml_pipeline",
       (s, dir) => {
         val data = s"${Sinks.scratchDir}/job_yaml_pipeline"
+        // the reference never creates the data dir (job.py:211-214 aborts on
+        // a missing one) — the user pre-creates it, as this query does here
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
         val manifest =
           s"""name: oracle-pipeline
              |description: read -> filter -> aggregate via job spec

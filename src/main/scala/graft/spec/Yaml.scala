@@ -33,11 +33,45 @@ object Yaml {
 
   def jobFromFile(path: String): Job = {
     val p = Paths.get(path)
-    jobFromString(Files.readString(p), basedir = Some(p.toAbsolutePath.getParent.toString))
+    // Reference parse_yaml_file (utils/io.py:35-40): the read error chains as
+    // "Failed to load file; <cause>" and propagates unwrapped (load_file is
+    // called OUTSIDE the wrapping try); parse-stage errors wrap with the path
+    // ("Error while parsing YAML at path: <path>; <cause>" — ChainedException
+    // joins cause texts with "; ", io.py:4-6). Model-build errors (missing
+    // name, bad command…) are NOT wrapped — the reference raises pydantic
+    // errors from cls(**job) after parse_yaml_file returned (job.py:112-115).
+    val text =
+      try Files.readString(p)
+      catch { case e: java.io.IOException =>
+        throw SpecError(s"Failed to load file; $e") }
+    val root =
+      try parseRoot(text)
+      catch { case e: SpecError =>
+        throw SpecError(s"Error while parsing YAML at path: $path; ${e.getMessage}") }
+    jobFromRoot(root, basedir = Some(p.toAbsolutePath.getParent.toString))
   }
 
-  def jobFromString(text: String, basedir: Option[String] = None): Job = {
-    val root = Keys.conformRoot(asMap(load(text), "job manifest"))
+  /** Parse stage only (reference parse_yaml, utils/io.py:25-32): YAML text to
+    * a conformed root mapping. A scanner error chains as "Failed to parse
+    * YAML; <cause>" (cause text is SnakeYAML's, where the reference carries
+    * PyYAML's — library-specific by construction); a well-formed document
+    * whose root is not a mapping is the reference's canonical
+    * "Failed to parse YAML, expected a dictionary". */
+  private def parseRoot(text: String): Map[String, Any] = {
+    val any =
+      try load(text)
+      catch { case e: org.yaml.snakeyaml.error.YAMLException =>
+        throw SpecError(s"Failed to parse YAML; ${e.getMessage}") }
+    any match {
+      case m: java.util.Map[_, _] => Keys.conformRoot(asMap(m, "job manifest"))
+      case _ => throw SpecError("Failed to parse YAML, expected a dictionary")
+    }
+  }
+
+  def jobFromString(text: String, basedir: Option[String] = None): Job =
+    jobFromRoot(parseRoot(text), basedir)
+
+  private def jobFromRoot(root: Map[String, Any], basedir: Option[String]): Job = {
     val name = root.getOrElse("name",
       throw SpecError("job manifest requires a 'name'")).toString
     val dataRaw = root.getOrElse("data",

@@ -292,6 +292,8 @@ class JobRunnerSpec extends AnyFunSuite {
   test("nested job via run-job op: inner manifest executes on the same session") {
     val data = tmp()
     val innerPath = s"$data/inner.yml"
+    // data dirs must pre-exist (reference job.py:211-214 aborts otherwise)
+    Files.createDirectories(Paths.get(s"$data/inner-data"))
     Files.writeString(Paths.get(innerPath),
       s"""name: inner
          |data: $data/inner-data

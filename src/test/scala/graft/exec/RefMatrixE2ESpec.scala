@@ -43,6 +43,9 @@ class RefMatrixE2ESpec extends AnyFunSuite {
         |  - MESSAGE
         |run: sh -c 'echo "$MESSAGE"'
         |""".stripMargin)
+    // the reference aborts on a missing data dir (job.py:211-214) and its
+    // fixtures always pass an existing tmpdir — mirror that here
+    Files.createDirectories(dir.resolve("data"))
     val jobYml = dir.resolve("job.yml")
     Files.writeString(jobYml,
       s"""name: minimal-test-job
