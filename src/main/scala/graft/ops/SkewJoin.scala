@@ -15,7 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Replication cost is nSalts × |dim| — use only when dim is the small side
   * (the same precondition as broadcasting; salting applies when the dim is too big
-  * to broadcast but the fact's key histogram is spiked). */
+  * to broadcast but the fact's key histogram is spiked).
+  *
+  * POSTURE (measured adjudication, PLANS.md "AQE-vs-manual-salting"): AQE's
+  * runtime skew split beat this operator 0.71 s vs 1.18 s on an extreme-skew
+  * probe, so AQE is the BATCH default and no batch query may route through
+  * here except the demo `join_skew_salted`. PlanLint machine-enforces that
+  * (saltViolations: any plan carrying [[graft.tools.PlanLint.SaltColName]]
+  * outside the allowlist fails the gate). The operator's remaining production
+  * use is Structured Streaming stream-stream/stream-static joins, where AQE
+  * does not re-plan micro-batches and a hot key has no runtime remedy. */
 object SkewJoin {
 
   private val SaltCol = "__graft_salt"

@@ -58,6 +58,18 @@ object PlanLint {
   def sanctionedWin1p(): Set[String] =
     loadSanctions("/planlint-1partwin-sanctions.txt")
 
+  /** Salted-join allowlist (VERDICT r12 ask #8). The measured AQE-vs-salting
+    * adjudication (PLANS.md "AQE-vs-manual-salting") made AQE skew handling
+    * the BATCH default; `SkewJoin.salted` remains only as the documented
+    * fallback for contexts AQE cannot reach (Structured Streaming joins) plus
+    * the one demo query that exists to exercise the operator. Any other plan
+    * carrying the salt column means a batch query silently routed through the
+    * fallback — machine-refused here so the dead path cannot quietly revive. */
+  val sanctionedSalted: Set[String] = Set("join_skew_salted")
+
+  /** The salt column SkewJoin injects (kept in sync by SkewJoinSpec). */
+  val SaltColName = "__graft_salt"
+
   /** Per-query shuffle budget (name -> exchange count) plus the canonical
     * sfDir it was recorded at. Read from the working-tree file (PlanLint runs
     * from the repo root) so --write-shuffle-budget takes effect without a
@@ -155,6 +167,7 @@ object PlanLint {
     val (budgetSf, budget) = shuffleBudget()
     val bnljFlagged = scala.collection.mutable.Set[String]()
     val win1pFlagged = scala.collection.mutable.Set[String]()
+    val saltFlagged = scala.collection.mutable.Set[String]()
     val planErrors = scala.collection.mutable.Set[String]()
     val ran = scala.collection.mutable.Set[String]()
     val shuffleCounts = scala.collection.mutable.Map[String, Int]()
@@ -185,13 +198,20 @@ object PlanLint {
           cnt(Seq(plan), "Exchange rangepartitioning")
         val bcasts = cnt(Seq(plan), "BroadcastExchange")
         val win1p = singlePartitionWindows(exec)
+        // salted-join detection: the salt column in the FINAL plan or any
+        // construction-time plan (same capture rules as the cross check)
+        val salted =
+          (if (plan.contains(SaltColName)) 1 else 0) +
+            ctorPlans.count(_.contains(SaltColName))
         shuffleCounts(name) = shuffles
         if (cart + bnlj + ctorCross > 0) bnljFlagged += name
         if (win1p > 0) win1pFlagged += name
+        if (salted > 0) saltFlagged += name
         val flags = (if (cart > 0) s" CARTESIAN=$cart" else "") +
           (if (bnlj > 0) s" BNLJ=$bnlj" else "") +
           (if (ctorCross > 0) s" CTOR-CROSS=$ctorCross" else "") +
-          (if (win1p > 0) s" 1partWin=$win1p" else "")
+          (if (win1p > 0) s" 1partWin=$win1p" else "") +
+          (if (salted > 0) s" SALTED=$salted" else "")
         println(f"LINT $name%-28s shuffles=$shuffles%-3d bcast=$bcasts%-3d$flags")
       } catch { case e: Throwable =>
         planErrors += name
@@ -219,6 +239,8 @@ object PlanLint {
     val failures = violations(bnljFlagged.toSet, win1pFlagged.toSet,
       planErrors.toSet, sanctioned, winSanctioned, ran.toSet,
       fullRun = nameFilter.isEmpty) ++
+      saltViolations(saltFlagged.toSet, ran.toSet,
+        fullRun = nameFilter.isEmpty) ++
       (if (writeBudget) Seq.empty
        else shuffleViolations(shuffleCounts.toMap, budget,
          budgetMatchesRun = budgetSf == sfDir, fullRun = nameFilter.isEmpty))
@@ -255,6 +277,24 @@ object PlanLint {
     winStale.map(n => s"STALE-WIN-SANCTION $n (no longer flags — remove from " +
       "planlint-1partwin-sanctions.txt so the allowlist can't rot)") ++
     planErrors.toSeq.sorted.map(n => s"PLAN-ERROR $n")
+  }
+
+  /** Salted-join contract (pure, spec-drivable): any plan carrying the salt
+    * column outside [[sanctionedSalted]] fails (AQE is the batch skew
+    * default per the PLANS.md adjudication); a sanctioned query that no
+    * longer salts is a stale sanction — same anti-rot rule as the others. */
+  def saltViolations(saltFlagged: Set[String], ran: Set[String],
+      fullRun: Boolean): Seq[String] = {
+    val unsanctioned = (saltFlagged -- sanctionedSalted).toSeq.sorted
+    val staleBase =
+      if (fullRun) sanctionedSalted else sanctionedSalted.intersect(ran)
+    val stale = (staleBase -- saltFlagged).toSeq.sorted
+    unsanctioned.map(n => s"UNSANCTIONED-SALTED-JOIN $n (AQE handles batch " +
+      "skew by default — PLANS.md AQE-vs-manual-salting adjudication; use a " +
+      "plain equi-join, or add the query to PlanLint.sanctionedSalted with " +
+      "a rationale)") ++
+    stale.map(n => s"STALE-SALT-SANCTION $n (no longer salts — remove from " +
+      "PlanLint.sanctionedSalted so the allowlist can't rot)")
   }
 
   /** Shuffle-budget contract (pure, spec-drivable). Only enforced when the

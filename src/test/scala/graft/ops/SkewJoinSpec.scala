@@ -42,4 +42,32 @@ class SkewJoinSpec extends AnyFunSuite {
       SkewJoin.salted(df, df, "k", nSalts = 2, joinType = "full")
     }
   }
+
+  // VERDICT r12 ask #8 pins: the AQE adjudication made salting fallback-only.
+  // (1) PlanLint's detector and SkewJoin's injected column stay in sync — if
+  // either renames, the salted-join gate would silently stop seeing plans.
+  test("PlanLint detects the salt column SkewJoin actually injects") {
+    import spark.implicits._
+    val fact = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dim = Seq((1, "x")).toDF("k", "w")
+    val plan = SkewJoin.salted(fact, dim, "k", nSalts = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(graft.tools.PlanLint.SaltColName),
+      "SkewJoin's salt column no longer matches PlanLint.SaltColName — " +
+        "the salted-join gate is blind")
+  }
+
+  // (2) The batch allowlist is exactly the demo query: any other batch plan
+  // routing through SkewJoin.salted must fail the gate (streaming joins are
+  // the operator's only production context — AQE cannot re-plan micro-batches).
+  test("salted-join allowlist is the single sanctioned demo query") {
+    assert(graft.tools.PlanLint.sanctionedSalted == Set("join_skew_salted"))
+    val v = graft.tools.PlanLint.saltViolations(
+      Set("join_skew_salted", "some_other_query"), ran = Set.empty, fullRun = true)
+    assert(v.exists(_.startsWith("UNSANCTIONED-SALTED-JOIN some_other_query")))
+    assert(!v.exists(_.contains("join_skew_salted")))
+    val stale = graft.tools.PlanLint.saltViolations(
+      Set.empty, ran = Set.empty, fullRun = true)
+    assert(stale.exists(_.startsWith("STALE-SALT-SANCTION join_skew_salted")))
+  }
 }
