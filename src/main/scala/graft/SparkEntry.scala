@@ -52,7 +52,8 @@ object SparkEntry {
     Analytics9.queries,
     Analytics10.queries,
     Analytics11.queries,
-    Analytics12.queries
+    Analytics12.queries,
+    Analytics13.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
