@@ -342,7 +342,16 @@ object Analytics3 {
           .groupBy($"vec_id")
           .agg(min(struct($"d2", $"aid")).as("b"))
           .select($"vec_id", $"b.aid".as("c1"), $"b.d2".as("d2_stage1"))
-        val resid = flat.as("f").join(s1, "vec_id")
+        // The s1 join-back must never default-plan: flat scans as an
+        // ExistingRDD (checkpoint) with no stats, and the planner chose to
+        // BROADCAST THE FACT SIDE — the whole sf1 tail (measured r13 at the
+        // true 10x probe, full-query honest consume: 38.8 s mis-broadcast vs
+        // 6.5 s broadcast(s1) vs 4.7 s shuffle_hash). broadcast(s1) loses
+        // even locally (stage-1 executes inside the single-threaded
+        // broadcast build) AND s1 is one row per corpus vector, so it could
+        // never ship at cluster scale; the co-partitioned shuffle-hash join
+        // on vec_id wins at every scale and keeps one plan shape.
+        val resid = flat.as("f").join(s1.hint("shuffle_hash"), "vec_id")
           .join(broadcast(cbA.as("ca")),
             col("f.pos") === col("ca.pos") && $"c1" === col("ca.aid"))
           .select($"vec_id", col("f.pos").as("pos"),

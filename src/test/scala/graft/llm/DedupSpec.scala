@@ -40,6 +40,29 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.join(sh, Seq("doc_id", "shingle"), "left_anti").count() == 0)
   }
 
+  test("bandedCandidatesWide maxBucket drops oversized buckets, keeps the rest") {
+    import spark.implicits._
+    // 12 exact copies of one text (a 12-member bucket in EVERY band) plus two
+    // near-identical outliers that pair only with each other
+    val docs = ((0 until 12).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta")) ++
+      Seq((100L, "one two three four five six seven eight nine"),
+        (101L, "one two three four five six seven eight nine")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+    val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
+    val plain = Dedup.bandedCandidatesWide(wide, "doc_id", 8, 2)
+    val capped = Dedup.bandedCandidatesWide(wide, "doc_id", 8, 2, maxBucket = Some(5))
+    // uncapped: the 12-clone group alone yields C(12,2)=66 pairs
+    assert(plain.count() >= 66 + 1)
+    assert(plain.filter($"id1" === 100 && $"id2" === 101).count() == 1)
+    // capped: the hot bucket's 66 pairs are gone, the small pair survives
+    val cap = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap.contains((100L, 101L)))
+    assert(!cap.exists { case (a, b) => a < 12 && b < 12 })
+    // the cap only removes pairs — never invents them
+    assert(capped.join(plain, Seq("id1", "id2"), "left_anti").count() == 0)
+  }
+
   test("dfCap at tau >= max df is the identity") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
