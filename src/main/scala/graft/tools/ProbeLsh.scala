@@ -167,6 +167,90 @@ object ProbeLsh {
     }
     }
 
+    // Breusch–Pagan cost anatomy (VERDICT r12 ask #5): which aggregate of the
+    // aux pass carries the 2.3 s of data work at sf0.1?
+    if (mode == "bp") {
+      val xd = ($"l_quantity" - 25.0d).cast("decimal(18,2)")
+      val yd = ($"l_extendedprice" - 40000.0d).cast("decimal(18,2)")
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .select($"l_quantity", $"l_extendedprice")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      li.count()
+      val m1 = timed("bp: m1 moments pass") {
+        val m = li.agg(count(lit(1)).as("n"),
+            sum(xd).cast("double").as("sx"),
+            sum(xd * xd).cast("double").as("sxx"),
+            sum(yd).cast("double").as("sy"),
+            sum(xd * yd).cast("double").as("sxy"))
+          .select($"n",
+            (($"sxy" - $"sx" * $"sy" / $"n") /
+              ($"sxx" - $"sx" * $"sx" / $"n")).as("b"),
+            ($"sy" / $"n").as("ybar_d"), ($"sx" / $"n").as("xbar_d"))
+          .localCheckpoint()
+        m.count(); m
+      }
+      def aux = li.crossJoin(broadcast(m1))
+        .select($"l_quantity",
+          (($"l_extendedprice" - 40000.0d - $"ybar_d") -
+            $"b" * ($"l_quantity" - 25.0d - $"xbar_d")).as("e"))
+        .select((($"l_quantity" - 25.0d)).as("x"), ($"e" * $"e").as("e2"))
+      timed("bp: aux FULL (6 aggs incl decimal(38,4) see)") {
+        aux.agg(count(lit(1)).as("n"),
+          sum($"x".cast("decimal(18,2)")).cast("double").as("sx"),
+          sum(($"x" * $"x").cast("decimal(18,2)")).cast("double").as("sxx"),
+          sum($"e2".cast("decimal(30,4)")).cast("double").as("se"),
+          sum(($"e2" * $"e2").cast("decimal(38,4)")).cast("double").as("see"),
+          sum(($"x" * $"e2").cast("decimal(30,4)")).cast("double").as("sxe")).head()
+      }
+      timed("bp: aux without see") {
+        aux.agg(count(lit(1)).as("n"),
+          sum($"x".cast("decimal(18,2)")).cast("double").as("sx"),
+          sum(($"x" * $"x").cast("decimal(18,2)")).cast("double").as("sxx"),
+          sum($"e2".cast("decimal(30,4)")).cast("double").as("se"),
+          sum(($"x" * $"e2").cast("decimal(30,4)")).cast("double").as("sxe")).head()
+      }
+      timed("bp: aux only see") {
+        aux.agg(sum(($"e2" * $"e2").cast("decimal(38,4)")).cast("double").as("see")).head()
+      }
+      timed("bp: aux only x moments (18,2)") {
+        aux.agg(sum($"x".cast("decimal(18,2)")).cast("double").as("sx"),
+          sum(($"x" * $"x").cast("decimal(18,2)")).cast("double").as("sxx")).head()
+      }
+      // long-split candidate: sum a decimal(30,4) column as TWO long sums of
+      // its unscaled hi/lo halves, recombining exactly at the end. Validates
+      // (a) bit-identical value vs the BigDecimal-path sum, (b) speed.
+      timed("bp: se via decimal(30,4) sum x3 reps") {
+        (1 to 3).foreach { _ =>
+          aux.agg(sum($"e2".cast("decimal(30,4)")).cast("double")).head()
+        }
+      }
+      // split the per-row unscaled long with EXACT integer ops (div, %)
+      timed("bp: se via long-split x3 reps") {
+        (1 to 3).foreach { _ =>
+          aux.select(($"e2".cast("decimal(30,4)") * 10000L).cast("long").as("u"))
+            .select(expr("u div 1000000000L").as("q"), ($"u" % 1000000000L).as("r"))
+            .agg(((sum($"q").cast("decimal(38,4)") * 1000000000L +
+              sum($"r").cast("decimal(38,4)")) / 10000L).cast("double")).head()
+        }
+      }
+      timed("bp: cast-only (checkpoint the cast column) x1") {
+        val pre = aux.select($"e2".cast("decimal(30,4)").as("d")).localCheckpoint()
+        timed("bp: sum over pre-cast column x3 reps") {
+          (1 to 3).foreach { _ => pre.agg(sum($"d").cast("double")).head() }
+        }
+      }
+      timed("bp: double sum baseline x3 reps (not exact, cost floor)") {
+        (1 to 3).foreach { _ => aux.agg(sum($"e2")).head() }
+      }
+      val a1 = aux.agg(sum($"e2".cast("decimal(30,4)")).cast("double")).head().getDouble(0)
+      val a2 = aux.select(($"e2".cast("decimal(30,4)") * 10000L).cast("long").as("u"))
+        .select(expr("u div 1000000000L").as("q"), ($"u" % 1000000000L).as("r"))
+        .agg(((sum($"q").cast("decimal(38,4)") * 1000000000L +
+          sum($"r").cast("decimal(38,4)")) / 10000L).cast("double")).head().getDouble(0)
+      println(s"[probe] bp: se decimal=$a1 longsplit=$a2 equal=${a1 == a2}")
+      li.unpersist()
+    }
+
     // Exact replica of the embed_rq_encode query with a toggle: does
     // checkpointing the tiny s1 frame (one row per vector) change the sf1
     // behavior? (mode rqfull = as shipped; rqfull-ckpt = s1 checkpointed)
