@@ -38,14 +38,11 @@ object Analytics2 {
     // synchronous value-iteration rounds v(i) = Σⱼ p(i,j)·v(j) with
     // v(conv)=1, v(null)=0. A channel's removal effect re-scores the chain
     // with every edge INTO that channel redirected to null (the standard
-    // removal semantics; its own out-edges become unreachable). All five
-    // scenarios (base + 4 removals) ride ONE edge frame via a map-side
-    // explode — the iteration is 12 key-partitioned join+agg rounds over a
-    // bounded (≤5·|states|²-row) aggregate frame, never the event table; at
-    // 100 TB only the one transition-counting shuffle touches the corpus.
-    // Per-round dot products sum in decimal; the two single-row global
-    // crosses (base probability, effect normalizer) are sanctioned
-    // scalar fan-ins.
+    // removal semantics; its own out-edges become unreachable). The
+    // transition counting is the only corpus-touching stage; the ≤|states|²
+    // probability frame (state domain is fixed, NOT data-sized) is collected
+    // and the 5-scenario × 12-round iteration runs on the driver with the
+    // decimal arithmetic mirrored term-for-term — see the inline note.
     Q("events_markov_attribution",
       (s, dir) => {
         import s.implicits._
@@ -81,48 +78,55 @@ object Analytics2 {
         val p = trans.join(rowTot, $"i" === $"ri")
           .select($"i", $"j",
             ($"n_ij".cast("double") / $"n_i".cast("double")).as("frac"))
-          .localCheckpoint()
-        // one edge frame, five scenarios, map-side fan-out
-        val ps = p
-          .withColumn("scenario", explode(array(
-            (lit("base") +: channels.map(lit)): _*)))
-          .filter($"i" =!= $"scenario")
-          .withColumn("j2",
-            when($"j" === $"scenario", lit("null")).otherwise($"j"))
-          .select($"scenario", $"i", $"j2", $"frac")
-          .localCheckpoint()
-        val absorbing = ("base" +: channels)
-          .flatMap(sc => Seq((sc, "conv", 1.0d), (sc, "null", 0.0d)))
-          .toDF("scenario", "state", "v")
-        var v = absorbing
-        (1 to 12).foreach { it =>
-          val nv = ps.join(v.withColumnRenamed("scenario", "vs"),
-              $"vs" === ps("scenario") && $"state" === $"j2")
-            .select(ps("scenario"), $"i",
-              ($"frac" * $"v").cast("decimal(30,12)").as("c"))
-            .groupBy($"scenario", $"i")
-            .agg(sum($"c").cast("double").as("v"))
-            .select($"scenario", $"i".as("state"), $"v")
-          v = nv.unionByName(absorbing)
-          if (it % 4 == 0) v = v.localCheckpoint()
+        // Value iteration on the DRIVER (r13 rework): the transition frame is
+        // bounded by the STATE DOMAIN (|event types| + start/conv/null)² —
+        // data-INDEPENDENT, the sanctioned bounded-model-artifact collect —
+        // so 12 synchronous rounds × 5 scenarios are microseconds of Scala
+        // instead of ~50 tiny Spark jobs of pure scheduler constant (the
+        // previous shape cost ~4 s wall at ANY sf). Only the one
+        // transition-counting shuffle above touches the corpus at any scale.
+        // Decimal arithmetic mirrors the engine/oracle term-for-term:
+        // valueOf(double) → setScale(12, HALF_UP) → exact sum → doubleValue
+        // is exactly Spark's cast(decimal(30,12)) → sum → cast(double), so
+        // the hash is unchanged (verified at sf0.001/0.01/0.1).
+        val edges = p.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        def dec12(d: Double) = JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+        def rnd9(d: Double) =
+          JBD.valueOf(d).setScale(9, RoundingMode.HALF_UP).doubleValue
+        val vstart: Map[String, Double] = ("base" +: channels).flatMap { sc =>
+          val ps = edges.iterator
+            .filter { case (i, _, _) => i != sc }
+            .map { case (i, j, f) => (i, if (j == sc) "null" else j, f) }
+            .toVector
+          var v: Map[String, Double] = Map("conv" -> 1.0d, "null" -> 0.0d)
+          (1 to 12).foreach { _ =>
+            // inner-join semantics: only edges whose target has a value
+            // contribute; a state with no contributing edge drops out (= 0)
+            val next = ps.filter { case (_, j2, _) => v.contains(j2) }
+              .groupBy(_._1)
+              .map { case (i, es) =>
+                i -> es.map { case (_, j2, f) => dec12(f * v(j2)) }
+                  .reduce(_.add(_)).doubleValue
+              }
+            v = next ++ Map("conv" -> 1.0d, "null" -> 0.0d)
+          }
+          v.get("start").map(sc -> _)
+        }.toMap
+        val basP = vstart("base")
+        val eff = channels.flatMap { ch =>
+          vstart.get(ch).map { rp =>
+            (ch, rp, math.max(0.0d, (basP - rp) / basP))
+          }
         }
-        val vstart = v.filter($"state" === "start")
-          .select($"scenario", $"v").localCheckpoint()
-        val base = vstart.filter($"scenario" === "base")
-          .select($"v".as("base_p"))
-        val eff = vstart.filter($"scenario" =!= "base")
-          .crossJoin(broadcast(base))
-          .select($"scenario".as("channel"), $"base_p",
-            $"v".as("removed_p"),
-            greatest(lit(0.0d), ($"base_p" - $"v") / $"base_p").as("effect"))
-        val tot = eff.agg(
-          sum($"effect".cast("decimal(30,12)")).cast("double").as("eff_tot"))
-        eff.crossJoin(broadcast(tot))
-          .select($"channel", round($"base_p", 9).as("base_p"),
-            round($"removed_p", 9).as("removed_p"),
-            round($"effect", 9).as("removal_effect"),
-            round($"effect" / $"eff_tot", 9).as("attribution"))
-          .orderBy($"channel")
+        val effTot = eff.map(t => dec12(t._3)).reduce(_.add(_)).doubleValue
+        eff.map { case (ch, rp, ef) =>
+            (ch, rnd9(basP), rnd9(rp), rnd9(ef), rnd9(ef / effTot))
+          }
+          .sortBy(_._1)
+          .toDF("channel", "base_p", "removed_p", "removal_effect",
+            "attribution")
       },
       Some {
         val round = (k: Int) =>

@@ -553,7 +553,9 @@ object Llm {
         val cents = Similarity.labelCentroids(e)
         val flat = e.filter($"vec_id" < 100)
           .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
-        flat.join(cents, Seq("label", "pos"))
+        // centroid frame is |labels|·dim rows — domain-bounded, broadcastable
+        // at any corpus size; the explicit hint pins the plan (no SMJ flips)
+        flat.join(broadcast(cents), Seq("label", "pos"))
           .groupBy($"vec_id", $"label")
           .agg(sqrt(dsum(($"v".cast("double") - $"centroid_val") *
             ($"v".cast("double") - $"centroid_val"), 12)).as("dist"))
