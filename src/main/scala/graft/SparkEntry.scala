@@ -53,7 +53,8 @@ object SparkEntry {
     Analytics10.queries,
     Analytics11.queries,
     Analytics12.queries,
-    Analytics13.queries
+    Analytics13.queries,
+    Analytics14.queries
   )
 
   private lazy val allQueries: Seq[Q] = {

@@ -221,7 +221,19 @@ object PlanLint {
     spark.stop()
 
     if (writeBudget) {
-      val body = shuffleCounts.toSeq.sortBy(_._1)
+      // A FILTERED run merges into the existing budget instead of replacing
+      // it — otherwise a fast-iteration `PlanLint <sf> <regex>
+      // --write-shuffle-budget` silently drops every non-matching query's
+      // budget line and the next full `sbt test` fails the
+      // registered==budgeted contract (this bit wave 14).
+      if (nameFilter.isDefined && budgetSf != sfDir) {
+        System.err.println(s"REFUSING filtered budget write: run sf=$sfDir " +
+          s"!= existing budget sf=$budgetSf (a merge would mix SFs)")
+        sys.exit(2)
+      }
+      val merged =
+        if (nameFilter.isDefined) budget ++ shuffleCounts else shuffleCounts
+      val body = merged.toSeq.sortBy(_._1)
         .map { case (n, c) => s"$n $c" }.mkString("\n")
       val hdr = "# Per-query final-plan exchange counts at the canonical lint " +
         "SF.\n# Regenerate with: runMain graft.tools.PlanLint " + sfDir +
@@ -229,7 +241,10 @@ object PlanLint {
         "plan regression unless justified.\n# sf=" + sfDir + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(ShuffleBudgetPath),
         (hdr + body + "\n").getBytes("UTF-8"))
-      println(s"wrote ${shuffleCounts.size} budgets to $ShuffleBudgetPath")
+      println(s"wrote ${merged.size} budgets to $ShuffleBudgetPath" +
+        (if (nameFilter.isDefined)
+           s" (${shuffleCounts.size} refreshed, filtered-run merge)"
+         else ""))
     }
 
     if (!writeBudget && budgetSf != sfDir)
