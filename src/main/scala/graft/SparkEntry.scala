@@ -54,7 +54,8 @@ object SparkEntry {
     Analytics11.queries,
     Analytics12.queries,
     Analytics13.queries,
-    Analytics14.queries
+    Analytics14.queries,
+    Analytics15.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
