@@ -54,6 +54,10 @@ MUTATIONS = [
     ("cmp-lit+7", re.compile(r" < (\d+)\b"),
      lambda m: f" < {int(m.group(1)) + 7}"),
     ("lt->gt", re.compile(r" < "), " > "),
+    # aggregate swap — covers agg-only query bodies with no comparisons or
+    # numeric literals at all (agg_theil_inequality had NO applicable pattern
+    # in r13 and went unsampled). \bsum won't match inside dsum/davg.
+    ("sum->max", re.compile(r"\bsum\("), "max("),
 ]
 
 
@@ -152,26 +156,33 @@ def mask_comments(region):
     return ''.join(out)
 
 
-def mutate_once(path, s0, s1, rng, used_labels):
-    """Apply ONE mutation inside [s0,s1) of path; return its label or None."""
+def mutate_once(path, s0, s1, rng, used):
+    """Apply ONE mutation inside [s0,s1) of path; return (label, occ) or None.
+
+    `used` is a set of (label, occurrence) pairs already attempted. A pattern
+    that survived at its first match position retries at the NEXT position —
+    a query whose first float literal is a structurally-equivalent spot (e.g.
+    a bandedRowNumber band width, which cannot change ranks by construction)
+    must not exhaust the probe's one shot at that label and false-RED
+    (stats_kruskal_wallis, r13)."""
     text = open(os.path.join(ROOT, path)).read()
     region = text[s0:s1]
     masked = mask_comments(region)
     order = MUTATIONS[:]
     rng.shuffle(order)
     for label, pat, rep in order:
-        if label in used_labels:
-            continue
+        occ = sum(1 for (l, _) in used if l == label)
         # Search the comment-masked copy (same offsets), splice the original.
-        m = pat.search(masked)
-        if not m:
+        ms = list(pat.finditer(masked))
+        if occ >= len(ms):
             continue
+        m = ms[occ]
         mutated = region[:m.start()] + (
             rep(m) if callable(rep) else pat.sub(rep, m.group(0), count=1)
         ) + region[m.end():]
         open(os.path.join(ROOT, path), "w").write(text[:s0] + mutated + text[s1:])
         snippet = region[max(0, m.start() - 30):m.end() + 20].replace("\n", " ")
-        return label, snippet
+        return (label, occ), snippet
     return None
 
 
@@ -222,8 +233,9 @@ def main():
             mut = mutate_once(path, s0, s1, rng, used)
             if mut is None:
                 break
-            label, snippet = mut
-            used.add(label)
+            key, snippet = mut
+            used.add(key)
+            label = key[0] if key[1] == 0 else f"{key[0]}@{key[1]}"
             res = run_verify(name, args.sf)
             sh(["git", "checkout", "--", path])
             tried.append((label, res, snippet))
