@@ -55,7 +55,8 @@ object SparkEntry {
     Analytics12.queries,
     Analytics13.queries,
     Analytics14.queries,
-    Analytics15.queries
+    Analytics15.queries,
+    Analytics16.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
