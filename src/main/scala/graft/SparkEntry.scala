@@ -56,7 +56,8 @@ object SparkEntry {
     Analytics13.queries,
     Analytics14.queries,
     Analytics15.queries,
-    Analytics16.queries
+    Analytics16.queries,
+    Analytics17.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
