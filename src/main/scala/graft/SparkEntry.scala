@@ -57,7 +57,8 @@ object SparkEntry {
     Analytics14.queries,
     Analytics15.queries,
     Analytics16.queries,
-    Analytics17.queries
+    Analytics17.queries,
+    Analytics18.queries
   )
 
   private lazy val allQueries: Seq[Q] = {
