@@ -101,7 +101,18 @@ object Llm {
         // minhash aggregation (one row per doc — tiny at any scale)
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8, bandSize = 2)
+        // maxBucket=32 — the LSH df-cap IS the production path at scale
+        // (VERDICT r12 ask #1, r13 sf1 probe): a dup-heavy corpus makes
+        // candidate volume quadratic in the hot-bucket size (measured on the
+        // 10x clone-scaled probe: max bucket 15->150, pairs 13.5k->1.54M).
+        // Buckets over the cap are dropped whole — exact-dup mega-groups are
+        // the cheaper hash-collapse dedup's job (dedup_exact), LSH targets
+        // near-dups where buckets stay small. 32 > the measured max honest
+        // bucket (15 at sf0.1), so sub-cap corpora are bit-identical to
+        // uncapped; the oracle mirrors the cap so the hash check stays exact
+        // at every scale.
+        val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8,
+          bandSize = 2, maxBucket = Some(32))
         // materialize the (tiny) final result eagerly, then release both caches —
         // Verify/Bench share one session across all queries, so leaving the shingle
         // frame cached would squeeze execution memory for everything after
@@ -128,9 +139,17 @@ object Llm {
               |  SELECT doc_id, CAST(floor(salt / 2) AS INT) AS band,
               |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY salt) AS sig
               |  FROM mh GROUP BY doc_id, CAST(floor(salt / 2) AS INT)),
+              |keep AS (
+              |  SELECT band, sig FROM banded
+              |  GROUP BY band, sig HAVING COUNT(*) <= 32),
+              |bandedk AS (
+              |  SELECT b.doc_id, b.band, b.sig
+              |  FROM banded b JOIN keep k
+              |    ON k.band = b.band AND k.sig = b.sig),
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+              |  FROM bandedk a JOIN bandedk b
+              |    ON a.band = b.band AND a.sig = b.sig
               |  WHERE a.doc_id < b.doc_id),
               |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
               |inter AS (
