@@ -64,13 +64,29 @@ def main():
     print(f"probing {len(names)} queries: top-{args.top} by bench time "
           f"+ iterative graph family")
 
-    if args.regen or not os.path.isdir(os.path.join(ROOT, BIG_SF)):
-        print("building target/sf1 via GenScale (10x sf0.1)...")
-        r = sbt(f"runMain graft.tools.GenScale {BASE_SF} {BIG_SF} 10",
+    # mutate mode (round 14): clone-mutation perturbs cloned documents'
+    # shingles, translates basket/content FKs, and rotates embeddings, so
+    # near-dup and basket structure scale like a real corpus instead of
+    # manufacturing occupancy artifacts (see GenScale scaladoc). A stamp file
+    # marks which mode built the current target/sf1 so a pre-mutation tree is
+    # rebuilt automatically.
+    stamp = os.path.join(ROOT, BIG_SF, ".genscale_mode")
+    def stamped_mode():
+        try:
+            with open(stamp) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+    if (args.regen or not os.path.isdir(os.path.join(ROOT, BIG_SF))
+            or stamped_mode() != "mutate"):
+        print("building target/sf1 via GenScale (10x sf0.1, mutate mode)...")
+        r = sbt(f"runMain graft.tools.GenScale {BASE_SF} {BIG_SF} 10 mutate",
                 timeout=7200)
         if r.returncode != 0:
             print(f"FAIL: GenScale rc={r.returncode}: {r.stdout[-800:]}")
             return 1
+        with open(stamp, "w") as f:
+            f.write("mutate")
 
     base = time_queries(names, BASE_SF, args.reps)
     big = time_queries(names, BIG_SF, args.reps)
@@ -88,8 +104,9 @@ def main():
 
     with open(os.path.join(ROOT, "scripts/sf1_probe.json"), "w") as f:
         json.dump({
-            "sf": "target/sf1 (10x sf0.1 via graft.tools.GenScale, "
-                  "FK-stride-correct)",
+            "sf": "target/sf1 (10x sf0.1 via graft.tools.GenScale mutate "
+                  "mode: FK-stride-correct, clone-mutated text/baskets/"
+                  "embeddings)",
             "base_sf": BASE_SF,
             "row_ratio": 10.0,
             "max_ratio_gate": args.max_ratio,

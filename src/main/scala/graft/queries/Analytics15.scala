@@ -51,10 +51,18 @@ object Analytics15 {
             .select($"o_orderpriority", $"o_totalprice", $"o_orderkey"),
           floor($"o_totalprice" / 5000.0d),
           Seq($"o_totalprice", $"o_orderkey"), "rk", "__n")
+        // Group rank sums grow as O(N²): accumulate in DECIMAL(38,0) on
+        // both engines (the stats_mann_whitney precedent) so they cannot
+        // silently wrap an i64 at very large N. The decimal→double readout
+        // is identical to the old long→double path at any N where the long
+        // path was valid.
+        val DEC38 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)
         val g = ranked.groupBy($"o_orderpriority")
-          .agg(count(lit(1)).as("n_g"), sum($"rk").as("rsum"))
+          .agg(count(lit(1)).as("n_g"),
+            sum($"rk".cast(DEC38)).cast(DEC38).as("rsum"))
           .select($"o_orderpriority".as[String], $"n_g".as[Long],
-            $"rsum".as[Long])
+            $"rsum".as[java.math.BigDecimal])
         g.groupByKey(_ => 0)
           .mapGroups { (_, it) =>
             val rows = it.toArray.sortBy(_._1)
@@ -62,7 +70,7 @@ object Analytics15 {
             val rbar = (n + 1).toDouble / 2.0d
             var ssb = 0.0d
             rows.foreach { case (_, ng, rsum) =>
-              val dev = rsum.toDouble / ng.toDouble - rbar
+              val dev = rsum.doubleValue / ng.toDouble - rbar
               ssb += ng.toDouble * (dev * dev)
             }
             (n, rows.length.toLong,
@@ -77,7 +85,8 @@ object Analytics15 {
              |  FROM orders),
              |g AS (
              |  SELECT o_orderpriority, COUNT(*) AS n_g,
-             |    CAST(SUM(rk) AS BIGINT) AS rsum
+             |    CAST(SUM(CAST(rk AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |      AS rsum
              |  FROM rk GROUP BY 1),
              |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
              |             COUNT(*) AS k_groups FROM g)
@@ -112,13 +121,18 @@ object Analytics15 {
           .withColumn("absdiff", abs($"diff"))
         val ranked = bandedRowNumber(per, floor($"absdiff" / 500),
           Seq($"absdiff", $"user_id"), "rk", "__n")
+        // n(n+1)(2n+1) is computed in DOUBLE, not BIGINT: the integer
+        // product overflows i64 near n≈1.66M (silent wrap on Spark, error
+        // on DuckDB). For n below 2^17 the double products are exact
+        // integers, so the readout is bit-identical to the old long path.
+        val nd = $"n".cast("double")
         ranked.agg(count(lit(1)).as("n"),
             sum(when($"diff" > 0, $"rk").otherwise(0L)).as("w_plus"),
             sum(when($"diff" < 0, $"rk").otherwise(0L)).as("w_minus"))
           .select($"n", $"w_plus", $"w_minus",
             round(($"w_plus".cast("double") -
-              ($"n" * ($"n" + 1)).cast("double") / 4.0d) /
-              sqrt(($"n" * ($"n" + 1) * ($"n" * 2 + 1)).cast("double") /
+              nd * (nd + 1.0d) / 4.0d) /
+              sqrt(nd * (nd + 1.0d) * (nd * 2.0d + 1.0d) /
                 24.0d), 6).as("z"))
       },
       Some("""WITH per AS (
@@ -144,9 +158,11 @@ object Analytics15 {
              |    AS w_minus,
              |  round((CAST(SUM(CASE WHEN diff > 0 THEN rk ELSE 0 END)
              |      AS DOUBLE) -
-             |      CAST(COUNT(*) * (COUNT(*) + 1) AS DOUBLE) / 4.0) /
-             |    sqrt(CAST(COUNT(*) * (COUNT(*) + 1) * (2 * COUNT(*) + 1)
-             |      AS DOUBLE) / 24.0), 6) AS z
+             |      CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE)
+             |        + 1.0) / 4.0) /
+             |    sqrt(CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE)
+             |        + 1.0) * (2.0 * CAST(COUNT(*) AS DOUBLE) + 1.0)
+             |      / 24.0), 6) AS z
              |FROM rk""".stripMargin)),
 
     // Two-sided standardized CUSUM on the daily event counts: z-scores

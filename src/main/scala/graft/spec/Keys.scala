@@ -12,12 +12,17 @@ object Keys {
 
   private def canon(k: String): String = k.replace('-', '_').toLowerCase
 
-  /** Case-insensitive, -/_-interchangeable lookup. */
+  /** Case-insensitive, -/_-interchangeable lookup. Ambiguity rule (fidelity,
+    * dicts.py:37): the reference rebuilds `{conform_key(k): v}` as a dict
+    * comprehension, so when two keys normalize to the same canonical form the
+    * LAST one in iteration order wins — there is no exact-spelling preference.
+    * (Our conformed maps are VectorMaps, so iteration order = declaration
+    * order, matching Python's insertion-ordered dicts.) */
   def fuzzyGet[V](m: scala.collection.Map[String, V], key: String): Option[V] = {
-    m.get(key).orElse {
-      val c = canon(key)
-      m.collectFirst { case (k, v) if canon(k) == c => v }
-    }
+    val c = canon(key)
+    var res: Option[V] = None
+    m.foreach { case (k, v) => if (canon(k) == c) res = Some(v) }
+    res
   }
 
   // Conforming preserves insertion order (VectorMap): the resolver is

@@ -19,26 +19,51 @@ object Registry {
   def apply(tasks: Seq[Task]): Registry =
     new Registry(tasks.map(t => Keys.snake(t.name) -> t).toMap)
 
+  /** Fidelity notes (task.py:350-384, round-14 fresh-eyes sweep):
+    *  - walk is top-down with per-level alphabetical dir order (`dirs.sort()`),
+    *    `tests` subtrees excluded CASE-INSENSITIVELY (`d.lower() != "tests"`);
+    *  - a duplicate task name silently overrides an earlier one
+    *    (`tasks[task.name] = task` — last discovered wins, NO warning), and a
+    *    later path in a multi-path list wins over an earlier one the same way
+    *    (`tasks.update(...)`);
+    *  - a dir "has a manifest" if ANY of its files lowercases to
+    *    `manifest.yml`/`manifest.yaml`, but the loader then reads the literal
+    *    `<dir>/manifest.yml` — a dir shipping only `manifest.yaml` is
+    *    detected, fails to load, and is skipped with the warning
+    *    ("Skipping task at `<dir>` due to error: ..."). */
   def discover(paths: Seq[String], warn: String => Unit = _ => (),
       info: String => Unit = _ => ()): Registry = {
     val found = scala.collection.mutable.LinkedHashMap[String, Task]()
+    def walk(dir: Path): Unit = {
+      val entries =
+        try Files.list(dir).iterator().asScala.toList
+        catch { case _: Exception => Nil }
+      val hasManifest = entries.exists { f =>
+        val n = f.getFileName.toString.toLowerCase
+        Files.isRegularFile(f) && (n == "manifest.yml" || n == "manifest.yaml")
+      }
+      if (hasManifest) {
+        val m = dir.resolve("manifest.yml")
+        info(s"Loading task at: $m")
+        try {
+          val t = Yaml.taskFromFile(m.toString)
+          found(Keys.snake(t.name)) = t
+        } catch {
+          case e: SpecError =>
+            warn(s"Skipping task at `$dir` due to error: ${e.getMessage}")
+          case e: Exception =>
+            warn(s"Skipping task at `$dir` due to unexpected error: ${e.getMessage}")
+        }
+      }
+      entries.filter(Files.isDirectory(_))
+        .filter(_.getFileName.toString.toLowerCase != "tests")
+        .sortBy(_.getFileName.toString)
+        .foreach(walk)
+    }
     paths.foreach { p =>
       val root = Paths.get(p)
-      if (Files.isDirectory(root)) {
-        val manifests = Files.walk(root).iterator().asScala
-          .filter(f => f.getFileName.toString == "manifest.yml" &&
-            !f.iterator().asScala.exists(_.toString == "tests"))
-          .toList.sortBy(_.toString)
-        manifests.foreach { m =>
-          info(s"Loading task at: $m")
-          try {
-            val t = Yaml.taskFromFile(m.toString)
-            found(Keys.snake(t.name)) = t
-          } catch {
-            case e: Exception => warn(s"skipping broken task manifest $m: ${e.getMessage}")
-          }
-        }
-      } else warn(s"tasks path '$p' is not a directory")
+      if (Files.isDirectory(root)) walk(root)
+      else warn(s"tasks path '$p' is not a directory")
     }
     new Registry(found.toMap)
   }

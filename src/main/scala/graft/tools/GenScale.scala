@@ -19,13 +19,35 @@ import org.apache.spark.sql.functions._
   * a tiny deterministic first-component jitter per copy so ANN probes don't
   * see factor-way ties. region/nation are fixed dimensions and copy as-is.
   *
-  * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> [factor]
+  * `mutate` mode (round 14, VERDICT r13 ask #3 — the plain clone scheme
+  * manufactured sf1-probe artifacts: suffix-only text clones inherit the
+  * original's band signatures, so LSH buckets gained ×factor OCCUPANCY
+  * instead of the corpus gaining ×factor new buckets, and duplicated basket
+  * contents replayed identical part co-occurrence). On top of the stride
+  * shifts, per copy k > 0:
+  *  - documents: EVERY token is suffixed with the copy index, so clone
+  *    shingles are disjoint from the original's (new buckets, flat
+  *    occupancy) while near-dup pairs WITHIN a copy universe are preserved
+  *    (both members get the same rewrite);
+  *  - content FKs (l_partkey, l_suppkey, o_custkey, user_id): translated
+  *    within the copy's key universe (`(key + k·8191) mod stride`, a
+  *    bijection onto the same dense key range), so cloned orders are
+  *    FK-consistent NEW part/supplier/customer combinations rather than
+  *    replayed baskets; order↔lineitem linkage keys keep the pure shift so
+  *    the join structure is untouched;
+  *  - embeddings: components circularly rotated by k — each copy universe is
+  *    an isometric copy of the original point cloud in a different
+  *    orientation, so clones are not near-ties of their originals but
+  *    per-universe geometry stays realistic.
+  *
+  * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> [factor] [clone|mutate]
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val mutate = args.lift(3).contains("mutate")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,6 +79,12 @@ object GenScale {
       "l_partkey" -> ("part", "p_partkey"),
       "l_suppkey" -> ("supplier", "s_suppkey"))
 
+    // FK columns translated within the copy universe in mutate mode: a
+    // per-copy bijection onto the same dense 0..stride-1 key range (every
+    // testdata PK range is dense from 0), so the FK stays valid while the
+    // cloned row references a NEW combination of dimension members.
+    val translated = Set("l_partkey", "l_suppkey", "o_custkey", "user_id")
+
     def scale(table: String, keys: Seq[String],
         extra: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map.empty): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
@@ -67,8 +95,14 @@ object GenScale {
       val scaled = df.crossJoin(broadcast(copies))
         .select(df.columns.map { c =>
           val base: org.apache.spark.sql.Column =
-            if (shift.contains(c)) (col(c) + $"copy" * shift(c)).as(c)
-            else col(c)
+            if (shift.contains(c)) {
+              val stride = shift(c)
+              val local =
+                if (mutate && translated(c))
+                  (col(c) + $"copy" * 8191L) % stride
+                else col(c)
+              (local + $"copy" * stride).as(c)
+            } else col(c)
           extra.get(c).map(f => f(base).as(c)).getOrElse(base)
         }.toIndexedSeq: _*)
       scaled.repartition(32).write.mode("overwrite")
@@ -91,13 +125,28 @@ object GenScale {
     scale("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     scale("events", Seq("event_id", "user_id"))
     scale("documents", Seq("doc_id"), extra = Map(
-      // keep replicas textually distinct so dedup operators see a real corpus
-      "text" -> (c => concat(c, lit(" zz"), $"copy".cast("string")))))
+      "text" -> (c =>
+        if (mutate)
+          // rewrite EVERY token per copy: clone shingle sets are disjoint
+          // from the original's, near-dup pairs within a universe preserved
+          when($"copy" === 0, c).otherwise(array_join(
+            transform(split(c, " "),
+              t => concat(t, lit("q"), $"copy".cast("string"))), " "))
+        else
+          // keep replicas textually distinct so dedup operators see a real corpus
+          concat(c, lit(" zz"), $"copy".cast("string")))))
     scale("embeddings", Seq("vec_id"), extra = Map(
-      // break factor-way distance ties without moving the distribution
-      "embedding" -> (c => expr(
-        "transform(embedding, (x, i) -> IF(i = 0, " +
-          "CAST(x + copy * 0.0001D AS FLOAT), x))"))))
+      "embedding" -> (c =>
+        if (mutate)
+          // circular component rotation by copy: an isometry per universe,
+          // decorrelated across universes (factor < 64 dims, no wrap ties)
+          expr("transform(sequence(0, size(embedding) - 1), i -> " +
+            "element_at(embedding, " +
+            "CAST((i + copy) % size(embedding) AS INT) + 1))")
+        else
+          // break factor-way distance ties without moving the distribution
+          expr("transform(embedding, (x, i) -> IF(i = 0, " +
+            "CAST(x + copy * 0.0001D AS FLOAT), x))"))))
     spark.stop()
   }
 }

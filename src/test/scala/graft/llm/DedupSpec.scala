@@ -63,6 +63,23 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.join(plain, Seq("id1", "id2"), "left_anti").count() == 0)
   }
 
+  test("CappedCollect.long: complete below the limit, truncated at it") {
+    import spark.implicits._
+    // 3 groups over 8 input partitions so partial-merge paths are exercised:
+    // g=0 has 4 members (< limit ⇒ complete set), g=1 has 12 (⇒ exactly
+    // `limit` survive), g=2 has 1
+    val df = ((0 until 4).map(i => (0L, i.toLong)) ++
+      (0 until 12).map(i => (1L, 100L + i)) ++ Seq((2L, 7L)))
+      .toDF("g", "v").repartition(8)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.CappedCollect.long($"v", 5).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(got(0L).toSet == (0 until 4).map(_.toLong).toSet)
+    assert(got(1L).length == 5 &&
+      got(1L).forall(v => v >= 100L && v < 112L))
+    assert(got(2L) == Seq(7L))
+  }
+
   test("dfCap at tau >= max df is the identity") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))

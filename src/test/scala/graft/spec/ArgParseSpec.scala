@@ -76,15 +76,31 @@ class ArgParseSpec extends AnyFunSuite {
   }
 
   test("missing required input raises, unknown argument raises, bad types raise") {
+    // reference golden (test_argparser.py:128): argparse aggregates missing
+    // required args into one message, in declaration order
     val e1 = intercept[SpecError](ArgParse.parseArgs(task, Nil, Map.empty))
-    assert(e1.getMessage.contains("missing required argument"))
+    assert(e1.getMessage.startsWith("the following arguments are required: --"))
     val e2 = intercept[SpecError](
       ArgParse.parseArgs(task, Seq("--nope=1"), fullEnv))
     assert(e2.getMessage.contains("unrecognized"))
+    // stdlib wording: `argument --name: invalid <type> value: '<raw>'`
     assert(intercept[SpecError](ArgParse.parseArgs(task,
-      Seq("--throttle=abc"), fullEnv)).getMessage.contains("float"))
+      Seq("--throttle=abc"), fullEnv)).getMessage
+      .contains("argument --throttle: invalid float value: 'abc'"))
     assert(intercept[SpecError](ArgParse.parseArgs(task,
-      Seq("--follow-redirects=maybe"), fullEnv)).getMessage.contains("bool"))
+      Seq("--follow-redirects=maybe"), fullEnv)).getMessage
+      .contains("argument --follow-redirects: invalid bool value: 'maybe'"))
+  }
+
+  test("round-14 sweep: int conversion failure uses the stdlib message; all missing listed") {
+    val t2 = Yaml.taskFromString(
+      "name: dummy\nenv:\n  A_VAR:\n    required: true\n    type: int\n" +
+        "  B_VAR:\n    required: true\nrun: d\n")
+    assert(intercept[SpecError](ArgParse.parseArgs(t2,
+      Seq("--a-var=xyz", "--b-var=1"), Map.empty)).getMessage
+      == "argument --a-var: invalid int value: 'xyz'")
+    assert(intercept[SpecError](ArgParse.parseArgs(t2, Nil, Map.empty))
+      .getMessage == "the following arguments are required: --a-var, --b-var")
   }
 
   // --- remaining reference ids (tests/test_argparser.py), case-by-case ------

@@ -100,6 +100,65 @@ class RefMatrixTaskSpec extends AnyFunSuite {
     }
   }
 
+  // --- round-14 fresh-eyes sweep #3 (VERDICT r13 ask #6) ---------------------
+
+  test("r14 sweep: duplicate task names override silently, last discovered wins (task.py:377)") {
+    val root = tmp()
+    // dirs.sort() ⇒ alphabetical walk; both manifests declare name `dup`
+    writeTask(root, "tasks/aaa", "dup")
+    val later = writeTask(root, "tasks/zzz", "dup")
+    var warned = List.empty[String]
+    val r = Registry.discover(Seq(root.toString), w => warned ::= w)
+    assert(r.names == List("dup"))
+    assert(r.get("dup").flatMap(_.basedir) == Some(later.toString),
+      "alphabetically-later dir must win the name")
+    assert(warned.isEmpty, "the reference emits NO warning on a duplicate name")
+    // multi-path: the LATER path wins (tasks.update, task.py:359-362)
+    val rootA = tmp(); val rootB = tmp()
+    writeTask(rootA, "t", "dup2")
+    val winner = writeTask(rootB, "t", "dup2")
+    val r2 = Registry.discover(Seq(rootA.toString, rootB.toString))
+    assert(r2.get("dup2").flatMap(_.basedir) == Some(winner.toString))
+  }
+
+  test("r14 sweep: `Tests`/`TESTS` dirs are skipped case-insensitively (task.py:367)") {
+    val root = tmp()
+    writeTask(root, "tasks/parser", "parser")
+    writeTask(root, "tasks/parser/Tests", "intests1")
+    writeTask(root, "tasks/parser/TESTS", "intests2")
+    val r = Registry.discover(Seq(root.toString))
+    assert(r.names == List("parser"))
+  }
+
+  test("r14 sweep: manifest.yaml is detected but manifest.yml is loaded (task.py:372-377)") {
+    // the reference's file-set check accepts manifest.yaml, but from_file then
+    // reads the literal `<dir>/manifest.yml` — load fails, task is skipped
+    // with the standard warning
+    val root = tmp()
+    writeTask(root, "tasks/good", "good")
+    writeTask(root, "tasks/yamlonly", "yamlonly", file = "manifest.yaml")
+    var warned = List.empty[String]
+    val r = Registry.discover(Seq(root.toString), w => warned ::= w)
+    assert(r.names == List("good"))
+    assert(warned.exists(w => w.startsWith("Skipping task at `") &&
+      w.contains("yamlonly")))
+  }
+
+  test("r14 sweep: fuzzy_lookup ambiguity — last normalized-equal key wins (dicts.py:37)") {
+    // the reference rebuilds {conform_key(k): v} as a dict comprehension, so
+    // the LAST colliding key's value survives; no exact-spelling preference
+    val m1 = Keys.conformRoot(Map.empty) // ordered-empty seed
+    assert(Keys.fuzzyGet(
+      scala.collection.immutable.VectorMap("my-key" -> 1, "my_key" -> 2),
+      "my-key") == Some(2))
+    assert(Keys.fuzzyGet(
+      scala.collection.immutable.VectorMap("my_key" -> 2, "my-key" -> 1),
+      "my_key") == Some(1))
+    assert(Keys.fuzzyGet(
+      scala.collection.immutable.VectorMap("A" -> 1, "a" -> 2), "A") == Some(2))
+    assert(m1.isEmpty)
+  }
+
   test("test_discover_tasks_list_of_paths (:201): one task per repo path") {
     val root = tmp()
     val d1 = writeTask(root, "tasks1/download", "download")
