@@ -135,19 +135,24 @@ object Similarity {
     lshBandedTopK(vecs, vecs, k, numPlanes, bands, dims, multiprobe = 0)
 
   /** Query-vs-corpus form of [[lshBandedTopK]] with optional multi-probe (Lv et
-    * al., "Multi-Probe LSH", VLDB'07): with `multiprobe = 1` each QUERY probes,
-    * per band, its own bucket plus every bucket at Hamming distance 1 (one
-    * plane's sign flipped) — r+1 probes per band. On weak-similarity corpora
-    * (per-plane sign agreement p ≈ 0.6 here) this lifts per-band true-neighbor
-    * recall from p^r to p^r + r·p^(r-1)(1-p) (~6x at r = 8) for a bounded
-    * (r+1)x candidate-volume cost — and the probing explodes ONLY the query
-    * side, so corpus-side candidate volume stays linear in |Q|·|C|/2^r, never
-    * quadratic in the corpus. Approximate — BENCH-only, never oracle-hashed. */
+    * al., "Multi-Probe LSH", VLDB'07): with `multiprobe = d` each QUERY probes,
+    * per band, every bucket within Hamming distance d of its own —
+    * Σ_{j≤d} C(r,j) probes per band (9 at d=1, 37 at d=2 for r=8). On
+    * weak-similarity corpora (per-plane sign agreement p ≈ 0.6 here) this
+    * lifts per-band true-neighbor recall from p^r to Σ_{j≤d} C(r,j)·
+    * p^(r-j)·(1-p)^j for a candidate-volume cost of (probes/2^r) per
+    * query×corpus pair — and the probing explodes ONLY the query side, so
+    * corpus-side candidate volume stays linear in |Q|·|C|·probes/2^r, never
+    * quadratic in the corpus. The volume fraction IS the recall knob: at
+    * r = 8, d=1 scans ~7% of brute force, d=2 ~29% — past d=2 banded LSH
+    * stops being a bucketing structure on this corpus (see the PLANS.md ANN
+    * positioning note). Approximate — BENCH-only, never oracle-hashed. */
   def lshBandedTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
       bands: Int, dims: Int, multiprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}
     require(numPlanes % bands == 0, s"bands ($bands) must divide numPlanes ($numPlanes)")
-    require(multiprobe >= 0 && multiprobe <= 1, "only Hamming-1 multi-probe is supported")
+    require(multiprobe >= 0 && multiprobe <= 2,
+      "only Hamming-1/-2 multi-probe is supported")
     val r = numPlanes / bands
     // compact candidate stream: (band index, band signature, id) — no vectors
     def bandSigs(df: DataFrame, idAs: String) =
@@ -156,12 +161,18 @@ object Similarity {
           substring(col("bucket"), b * r + 1, r)): _*)).as(Seq("band", "bsig")))
     val qb = bandSigs(queries, "qid")
     val qprobes = if (multiprobe == 0) qb else {
-      val variants = (col("bsig") +: (0 until r).map { i =>
-        val bit = substring(col("bsig"), i + 1, 1)
-        concat(substring(col("bsig"), 1, i),
-          when(bit === "1", lit("0")).otherwise(lit("1")),
-          substring(col("bsig"), i + 2, r - i - 1))
-      }): Seq[Column]
+      def flipAt(sig: Column, i: Int): Column =
+        concat(substring(sig, 1, i),
+          when(substring(sig, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(sig, i + 2, r - i - 1))
+      val flipSets: Seq[Seq[Int]] =
+        Seq(Seq.empty[Int]) ++
+          (0 until r).map(Seq(_)) ++
+          (if (multiprobe >= 2)
+            for { i <- 0 until r; j <- (i + 1) until r } yield Seq(i, j)
+          else Nil)
+      val variants: Seq[Column] =
+        flipSets.map(_.foldLeft(col("bsig"))(flipAt))
       qb.select(col("qid"), col("band"), explode(array(variants: _*)).as("bsig"))
     }
     val cands = qprobes

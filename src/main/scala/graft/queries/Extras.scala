@@ -175,10 +175,16 @@ object Extras {
         // volume at |Q|·|C|·(r+1)/2^r — measured recall 0.192 vs 0.038 plain.
         val mp = graft.llm.Similarity.lshBandedTopK(vecs.filter($"vec_id" < 100),
           vecs, k, numPlanes = 16, bands = 2, dims = 64, multiprobe = 1)
+        // Hamming-2 leg (round 14): 37 probes/band — the measured top of the
+        // banded-LSH recall/volume curve (~29% of brute-force candidate
+        // volume at r = 8; see the PLANS.md ANN positioning note)
+        val mp2 = graft.llm.Similarity.lshBandedTopK(vecs.filter($"vec_id" < 100),
+          vecs, k, numPlanes = 16, bands = 2, dims = 64, multiprobe = 2)
         val ivf = graft.llm.Similarity.ivfTopK(vecs, k, nlist = 16, nprobe = 2)
         recallOf("ivf_nlist16_nprobe2", ivf)
           .unionAll(recallOf("lsh_16planes_2bands", lsh))
           .unionAll(recallOf("lsh_2x8_multiprobe1", mp))
+          .unionAll(recallOf("lsh_2x8_multiprobe2", mp2))
           .orderBy($"method")
       },
       None),

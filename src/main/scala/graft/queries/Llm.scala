@@ -517,7 +517,11 @@ object Llm {
             .groupBy($"vec_id")
             .agg(min(struct($"d2", $"cid")).as("m"))
             .select($"vec_id", $"m.cid".as("cid"))
-          val next = flat.join(assign, "vec_id")
+          // flat is a checkpointed ExistingRDD (NO stats) and assign has one
+          // row PER VECTOR — the embed_rq_encode class: without a hint the
+          // planner may broadcast a linearly-growing side (or the fact side
+          // itself). shuffle_hash co-partitions on vec_id at any scale.
+          val next = flat.join(assign.hint("shuffle_hash"), "vec_id")
             .groupBy($"cid", $"pos")
             .agg((sum($"v".cast("decimal(30,12)")).cast("double") /
               count(lit(1))).as("cval"))

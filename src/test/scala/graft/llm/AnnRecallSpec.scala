@@ -75,6 +75,19 @@ class AnnRecallSpec extends AnyFunSuite {
       "Hamming-1 probe generation or the probe-side explode is likely broken")
   }
 
+  test("multi-probe banded LSH(2x8, Hamming-2) recall@5 holds its floor") {
+    // round 14 (VERDICT r13 ask #4): the top of the banded-LSH recall/volume
+    // curve — 37 probes/band ≈ 29% of brute-force candidate volume at r=8.
+    // Measured 0.604 at sf0.1 and ≈0.6 here; floored at 0.50
+    // (measured minus boundary-tie tolerance). See the PLANS.md ANN
+    // positioning note for the full curve.
+    val r = recall(Similarity.lshBandedTopK(vecs.filter(col("vec_id") < 100),
+      vecs, k, numPlanes = 16, bands = 2, dims = 64, multiprobe = 2))
+    info(f"lsh multiprobe-2 recall@5 = $r%.4f (floor 0.50)")
+    assert(r >= 0.50, f"Hamming-2 multi-probe LSH recall@5 regressed: " +
+      f"$r%.4f < 0.50 — pairwise flip generation is likely broken")
+  }
+
   test("exact ground truth is well-formed: k rows per probe, self excluded") {
     import spark.implicits._
     val counts = exact.groupBy($"qid").count()
