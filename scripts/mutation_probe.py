@@ -170,6 +170,14 @@ def mutate_once(path, s0, s1, rng, used):
     masked = mask_comments(region)
     order = MUTATIONS[:]
     rng.shuffle(order)
+    # Retries must try a DIFFERENT mutation first (the probe's documented
+    # contract): a label that already survived here is suspect of an
+    # equivalent-mutant CONTEXT — e.g. graph_triangle_count's edge-build
+    # joins sit above a distinct over the complete 25-nation graph, so every
+    # eq->neq occurrence there is invisible by saturation (r14 false RED).
+    # Stable sort after the shuffle: unattempted labels first, then deeper
+    # occurrences of already-attempted ones.
+    order.sort(key=lambda t: sum(1 for (l, _) in used if l == t[0]))
     for label, pat, rep in order:
         occ = sum(1 for (l, _) in used if l == label)
         # Search the comment-masked copy (same offsets), splice the original.
