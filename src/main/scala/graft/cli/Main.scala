@@ -29,6 +29,93 @@ object Main {
     "gaudy" -> "gaudy", "moderate" -> "moderate", "minimal" -> "minimal",
     "box" -> "gaudy", "compact" -> "moderate", "plain" -> "minimal")
 
+  /** `-h`/`--help` golden (reference `__main__.py:12-38` argument_parser();
+    * round-15 fresh-eyes sweep #4c). Rendered through the stdlib-argparse
+    * HelpFormatter rules at width 80 (same rules as [[graft.spec.ArgParse
+    * .helpLines]]): usage parts wrap at text-width 78 with continuations
+    * aligned under the prog name, optionals before positionals with the
+    * positional block starting its own line; option invocations ≤20 chars
+    * share the line with help at column 24, longer ones push help to the
+    * next line; help text wraps at width 54. The `{1,2,3,...}` choices
+    * metavar is rendered as argparse does — including the unreachable int
+    * choices (see the styleAliases note below). Engine-only extensions are
+    * listed after the golden block so the reference transcript stays an
+    * exact prefix. */
+  def helpText: String = {
+    val prog = "xETL"
+    val optParts = List("[-h]", "[-c COMMANDS]",
+      "[-l {1,2,3,minimal,moderate,gaudy}]", "[-t]", "[--dryrun]")
+    val posParts = List("manifest")
+    val lead = s"usage: $prog "
+    val indent = " " * lead.length
+    val textWidth = 78
+    def wrapParts(parts: List[String], first: Boolean): List[String] = {
+      val lines = scala.collection.mutable.ListBuffer[String]()
+      var line = new StringBuilder(if (first) lead else indent)
+      var started = false
+      parts.foreach { p =>
+        if (started && line.length + 1 + p.length > textWidth) {
+          lines += line.toString; line = new StringBuilder(indent); started = false
+        }
+        if (started) line.append(' ')
+        line.append(p); started = true
+      }
+      lines += line.toString
+      lines.toList
+    }
+    val oneLine = lead + (optParts ++ posParts).mkString(" ")
+    val usage =
+      if (oneLine.length <= textWidth) List(oneLine)
+      // argparse groups optionals and positionals into separate wrapped
+      // blocks when the one-line form overflows
+      else wrapParts(optParts, first = true) ++ wrapParts(posParts, first = false)
+    def entry(inv: String, help: String): List[String] = {
+      val wrapped = wrapText(help, 54)
+      if (inv.length <= 20)
+        (f"  $inv%-20s  ${wrapped.headOption.getOrElse("")}".stripTrailing()) ::
+          wrapped.drop(1).map(w => " " * 24 + w)
+      else s"  $inv" :: wrapped.map(w => " " * 24 + w)
+    }
+    val positionals = List(entry("manifest",
+      "Path to job manifest YAML file. Relative paths are resolved relative " +
+        "to the current working directory."))
+    val decoHelp = "Sets the amount to decoration to add around logs from 1 " +
+      "(minimal) to 3 (gaudy)."
+    val options = List(
+      entry("-h, --help", "show this help message and exit"),
+      entry("-c COMMANDS, --commands COMMANDS",
+        "Comma-separated list of commands to execute. Commands will be " +
+          "executed in the order defined by the job, regardless of the " +
+          "order in this list."),
+      entry("-l {1,2,3,minimal,moderate,gaudy}, --log-style " +
+        "{1,2,3,minimal,moderate,gaudy}", decoHelp),
+      entry("-t, --no-timestamps", decoHelp),
+      entry("--dryrun", "Print the task details instead of executing them"))
+    val golden = (usage ++ List("", "positional arguments:") ++
+      positionals.flatten ++ List("", "options:") ++ options.flatten)
+      .mkString("", "\n", "\n")
+    golden + List("", "engine extensions:",
+      "  --dry-run             alias of --dryrun",
+      "  --test-task NAME      run a task's in-manifest tests and exit",
+      "  -l also accepts box (gaudy), compact (moderate), plain (minimal)")
+      .mkString("", "\n", "\n")
+  }
+
+  private def wrapText(text: String, width: Int): List[String] = {
+    val words = text.split(" ").toList
+    val lines = scala.collection.mutable.ListBuffer[String]()
+    var line = new StringBuilder
+    words.foreach { w =>
+      if (line.nonEmpty && line.length + 1 + w.length > width) {
+        lines += line.toString; line = new StringBuilder
+      }
+      if (line.nonEmpty) line.append(' ')
+      line.append(w)
+    }
+    if (line.nonEmpty) lines += line.toString
+    lines.toList
+  }
+
   /** The reference keys color on `sys.stdout.isatty()` (logging.py:111-112);
     * the JVM analog is an attached console — non-null exactly when the process
     * runs interactively, null under redirects/tests/CI, so transcript
@@ -101,6 +188,10 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "-h" | "--help" =>
+          // argparse prints help to stdout and exits 0 (__main__.py's parser)
+          print(helpText)
+          sys.exit(0)
         case f @ ("-c" | "--commands") =>
           commands = Some(valueOf(f, i).split(",").toSeq); i += 2
         case "--dry-run" | "--dryrun" => dryrun = true; i += 1

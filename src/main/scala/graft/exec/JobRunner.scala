@@ -53,7 +53,7 @@ final class JobRunner(spark: SparkSession, log: String => Unit = println,
         "manifest, no tasks will be available")
     }
     val discovered = Registry.discover(resolved.tasks,
-      w => out(s"WARNING: $w"), info)
+      w => out(s"WARNING: $w"), info, e => out(s"ERROR: $e"))
     if (context.isDefined && discovered.names.nonEmpty) {
       out("Available tasks detected:")
       discovered.names.foreach(n => out(s" - $n"))

@@ -197,8 +197,8 @@ object Analytics16 {
 
     // Fellegi–Sunter probabilistic record linkage with an HONEST injected
     // match set (the LlmExt2 fixture-injection discipline: the synthetic
-    // customers have no true duplicates, so 39 deterministic clones
-    // (c_custkey < 40 over 1-based custkeys = keys 1..39) — name
+    // customers have no true duplicates, so 40 deterministic clones
+    // (c_custkey < 40 over 0-based custkeys = keys 0..39) — name
     // suffixed 'x', balance nudged — make the m-probabilities genuinely
     // informative rather than vacuously equal to u). Candidate pairs come
     // from the O(n·w) sorted-neighborhood generator (clones sort adjacent

@@ -48,13 +48,29 @@ object ArgParse {
       cli(envName) = value
     }
 
-    // stdlib-argparse fidelity (round-14 sweep; pinned by the reference's
-    // test_argparser.py:126-128 golden): ALL missing required arguments are
-    // aggregated into one "the following arguments are required: --a, --b"
-    // error, in declaration order, rather than failing on the first.
+    // stdlib-argparse error precedence (round-15 fidelity): argparse converts
+    // each value AS IT IS CONSUMED, so an invalid provided value errors before
+    // the end-of-parse missing-required check. The reference additionally
+    // prepends host-env-sourced `--name=value` args ahead of the CLI args
+    // (argparse.py:42-47), so consumption order is: env-sourced values in
+    // task.env declaration order, then CLI values in command-line order.
+    val converted = scala.collection.mutable.LinkedHashMap[String, EnvValue]()
+    task.env.foreach { case (envName, input) =>
+      if (cli.get(envName).isEmpty) hostEnv.get(envName).foreach { s =>
+        converted(envName) = convert(argNameForEnv(envName), s, input.inputType)
+      }
+    }
+    cli.foreach { case (envName, s) =>
+      converted(envName) =
+        convert(argNameForEnv(envName), s, task.env(envName).inputType)
+    }
+
+    // Then the aggregated missing-required error ("the following arguments
+    // are required: --a, --b", declaration order), pinned by the reference's
+    // test_argparser.py:126-128 golden (round-14 sweep).
     val missing = task.env.collect {
       case (envName, input) if input.required && input.default.isEmpty &&
-        cli.get(envName).isEmpty && hostEnv.get(envName).isEmpty =>
+        converted.get(envName).isEmpty =>
         s"--${argNameForEnv(envName)}"
     }
     if (missing.nonEmpty)
@@ -62,12 +78,8 @@ object ArgParse {
         s"the following arguments are required: ${missing.mkString(", ")}")
 
     task.env.map { case (envName, input) =>
-      val raw = cli.get(envName).orElse(hostEnv.get(envName))
-      val value = raw match {
-        case Some(s) => convert(argNameForEnv(envName), s, input.inputType)
-        case None => input.default.getOrElse(EnvValue.NullV)
-      }
-      envName -> value
+      envName -> converted.getOrElse(envName,
+        input.default.getOrElse(EnvValue.NullV))
     }
   }
 

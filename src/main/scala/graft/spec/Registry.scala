@@ -32,7 +32,12 @@ object Registry {
     *    detected, fails to load, and is skipped with the warning
     *    ("Skipping task at `<dir>` due to error: ..."). */
   def discover(paths: Seq[String], warn: String => Unit = _ => (),
-      info: String => Unit = _ => ()): Registry = {
+      info: String => Unit = _ => (),
+      error: String => Unit = null): Registry = {
+    // reference level split (task.py:380 vs :382): expected manifest failures
+    // log at WARNING, the catch-all unexpected branch at ERROR (round-15
+    // fresh-eyes sweep #4a); callers that don't care pass only `warn`
+    val err: String => Unit = if (error ne null) error else warn
     val found = scala.collection.mutable.LinkedHashMap[String, Task]()
     def walk(dir: Path): Unit = {
       val entries =
@@ -52,7 +57,7 @@ object Registry {
           case e: SpecError =>
             warn(s"Skipping task at `$dir` due to error: ${e.getMessage}")
           case e: Exception =>
-            warn(s"Skipping task at `$dir` due to unexpected error: ${e.getMessage}")
+            err(s"Skipping task at `$dir` due to unexpected error: ${e.getMessage}")
         }
       }
       entries.filter(Files.isDirectory(_))

@@ -145,9 +145,27 @@ object Yaml {
   // ---- Task ---------------------------------------------------------------
 
   def taskFromFile(path: String): Task = {
+    // Reference Task.from_file (task.py:196-203): load_file IO failures raise
+    // ManifestLoadError("Failed to load file; <cause>") directly; EVERYTHING
+    // from from_yaml (parse + model build) wraps as "Could not load YAML file
+    // at path: <path>; <cause>". Both are expected manifest errors, so
+    // discover_tasks skips them at WARNING — only non-manifest exceptions
+    // reach its ERROR branch (round-15 fresh-eyes sweep #4b: previously a
+    // missing manifest.yml threw a raw NoSuchFileException here, landing the
+    // yaml-detected/yml-loaded quirk in the wrong branch).
     val p = Paths.get(path)
-    taskFromString(Files.readString(p),
-      basedir = Some(p.toAbsolutePath.getParent.toString))
+    val text =
+      try Files.readString(p)
+      catch { case e: java.io.IOException =>
+        throw SpecError(s"Failed to load file; $e") }
+    try taskFromString(text, basedir = Some(p.toAbsolutePath.getParent.toString))
+    catch { case scala.util.control.NonFatal(e) =>
+      // `except Exception` in the reference — ANY from_yaml failure wraps
+      val cause = e match {
+        case s: SpecError => s.getMessage
+        case other => String.valueOf(other.getMessage)
+      }
+      throw SpecError(s"Could not load YAML file at path: $path; $cause") }
   }
 
   def taskFromString(text: String, basedir: Option[String] = None): Task = {
@@ -165,7 +183,12 @@ object Yaml {
         if (bad.nonEmpty) throw SpecError(
           "Task env names must be strings, the following are invalid: " +
             bad.map(String.valueOf(_)).mkString(", "))
-        items.map(x => Keys.envKey(x.toString) -> TaskInput()).toMap
+        // VectorMap: declaration order must survive (>4 entries would turn a
+        // plain .toMap into an unordered HashMap, breaking the argparse
+        // missing-required aggregation order and fuzzyGet last-wins), matching
+        // the conformEnv path (round-15, ADVICE)
+        scala.collection.immutable.VectorMap.from(
+          items.iterator.map(x => Keys.envKey(x.toString) -> TaskInput()))
       case Some(m) =>
         val raw = Keys.conformEnv(asMap(m, "task env"))
         // required+default is contradictory; the reference aggregates ALL

@@ -120,4 +120,42 @@ class RefMatrixE2ESpec extends AnyFunSuite {
       "═╴Return code: 0╶═",
       "Done! \\o/"))
   }
+
+  test("r15 sweep #4c: CLI -h golden matches stdlib argparse for __main__.py's parser") {
+    // Golden generated from stdlib argparse at COLUMNS=80 for the exact
+    // argument_parser() surface in the reference __main__.py:12-38 (prog
+    // "xETL"; positional manifest; -c/--commands; -l/--log-style with the
+    // mixed int/str choices list rendered verbatim in the metavar;
+    // -t/--no-timestamps; --dryrun — note -t reuses -l's help string in the
+    // reference, a quirk preserved here). Engine-only flags are listed AFTER
+    // the golden so the reference transcript stays an exact prefix.
+    val golden =
+      "usage: xETL [-h] [-c COMMANDS] [-l {1,2,3,minimal,moderate,gaudy}] [-t]\n" +
+      "            [--dryrun]\n" +
+      "            manifest\n" +
+      "\n" +
+      "positional arguments:\n" +
+      "  manifest              Path to job manifest YAML file. Relative paths are\n" +
+      "                        resolved relative to the current working directory.\n" +
+      "\n" +
+      "options:\n" +
+      "  -h, --help            show this help message and exit\n" +
+      "  -c COMMANDS, --commands COMMANDS\n" +
+      "                        Comma-separated list of commands to execute. Commands\n" +
+      "                        will be executed in the order defined by the job,\n" +
+      "                        regardless of the order in this list.\n" +
+      "  -l {1,2,3,minimal,moderate,gaudy}, --log-style {1,2,3,minimal,moderate,gaudy}\n" +
+      "                        Sets the amount to decoration to add around logs from\n" +
+      "                        1 (minimal) to 3 (gaudy).\n" +
+      "  -t, --no-timestamps   Sets the amount to decoration to add around logs from\n" +
+      "                        1 (minimal) to 3 (gaudy).\n" +
+      "  --dryrun              Print the task details instead of executing them\n"
+    val h = graft.cli.Main.helpText
+    assert(h.startsWith(golden), {
+      val hl = h.linesIterator.toList; val gl = golden.linesIterator.toList
+      val i = hl.zip(gl).indexWhere { case (a, b) => a != b }
+      s"first divergence at line $i:\n  got: ${hl.lift(i)}\n  want: ${gl.lift(i)}"
+    })
+    assert(h.contains("engine extensions:"))
+  }
 }

@@ -103,6 +103,33 @@ class ArgParseSpec extends AnyFunSuite {
       .getMessage == "the following arguments are required: --a-var, --b-var")
   }
 
+  test("round-15 ADVICE: invalid provided value errors BEFORE missing-required aggregation") {
+    // stdlib argparse converts during consumption; the required check runs at
+    // end-of-parse — so `--a-var=xyz` with B_VAR absent reports the invalid
+    // int, not the aggregated missing error
+    val t2 = Yaml.taskFromString(
+      "name: dummy\nenv:\n  A_VAR:\n    required: true\n    type: int\n" +
+        "  B_VAR:\n    required: true\nrun: d\n")
+    assert(intercept[SpecError](ArgParse.parseArgs(t2,
+      Seq("--a-var=xyz"), Map.empty)).getMessage
+      == "argument --a-var: invalid int value: 'xyz'")
+    // env-sourced values are prepended before CLI args (reference
+    // argparse.py:42-47), so they convert (and can fail) first too
+    assert(intercept[SpecError](ArgParse.parseArgs(t2,
+      Nil, Map("A_VAR" -> "xyz"))).getMessage
+      == "argument --a-var: invalid int value: 'xyz'")
+  }
+
+  test("round-15 ADVICE: env-as-list keeps declaration order past 4 entries (VectorMap)") {
+    val t3 = Yaml.taskFromString(
+      "name: dummy\nenv: [ZED, ALPHA, MIKE, QUEBEC, BRAVO, YANKEE]\nrun: d\n")
+    assert(t3.env.keys.toList ==
+      List("ZED", "ALPHA", "MIKE", "QUEBEC", "BRAVO", "YANKEE"))
+    assert(intercept[SpecError](ArgParse.parseArgs(t3, Nil, Map.empty))
+      .getMessage == "the following arguments are required: " +
+        "--zed, --alpha, --mike, --quebec, --bravo, --yankee")
+  }
+
   // --- remaining reference ids (tests/test_argparser.py), case-by-case ------
 
   test("test_argument_parser_from_file_or_task (:42): file- and string-built tasks parse alike") {

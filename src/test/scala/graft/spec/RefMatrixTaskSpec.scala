@@ -138,10 +138,41 @@ class RefMatrixTaskSpec extends AnyFunSuite {
     writeTask(root, "tasks/good", "good")
     writeTask(root, "tasks/yamlonly", "yamlonly", file = "manifest.yaml")
     var warned = List.empty[String]
-    val r = Registry.discover(Seq(root.toString), w => warned ::= w)
+    var errored = List.empty[String]
+    val r = Registry.discover(Seq(root.toString), w => warned ::= w,
+      _ => (), e => errored ::= e)
     assert(r.names == List("good"))
-    assert(warned.exists(w => w.startsWith("Skipping task at `") &&
-      w.contains("yamlonly")))
+    // round-15 sweep #4b: full wording pinned — the missing-file load raises
+    // the ManifestLoadError analogue ("Failed to load file; <cause>",
+    // io.py:17-22), caught by the WARNING branch (task.py:379-380), never the
+    // unexpected-ERROR branch (task.py:382)
+    val w = warned.find(_.contains("yamlonly")).getOrElse(fail("no warning"))
+    assert(w.startsWith("Skipping task at `"))
+    assert(w.contains("` due to error: Failed to load file; "))
+    assert(!w.contains("unexpected"))
+    assert(errored.isEmpty)
+  }
+
+  test("r15 sweep: expected manifest failures warn; ERROR channel reserved for the catch-all (task.py:380 vs :382)") {
+    // invalid YAML and a model-build failure (missing name) both wrap as the
+    // ManifestLoadError analogue ("Could not load YAML file at path: ...",
+    // task.py:196-203 wraps EVERY from_yaml failure), so they land at WARNING
+    // exactly as in the reference; the logger.error branch fires only for
+    // non-manifest exceptions, which the from_file wrapping makes structurally
+    // unreachable in both implementations — the split is still wired through
+    // (Registry.discover routes the catch-all to `error`, JobRunner renders it
+    // as "ERROR: ...")
+    val root = tmp()
+    val bad = root.resolve("tasks/bad"); java.nio.file.Files.createDirectories(bad)
+    java.nio.file.Files.writeString(bad.resolve("manifest.yml"), "run: x\n") // no name
+    var warned = List.empty[String]
+    var errored = List.empty[String]
+    val r = Registry.discover(Seq(root.toString), w => warned ::= w,
+      _ => (), e => errored ::= e)
+    assert(r.names.isEmpty)
+    val w = warned.find(_.contains("bad")).getOrElse(fail("no warning"))
+    assert(w.contains("due to error: Could not load YAML file at path: "))
+    assert(errored.isEmpty)
   }
 
   test("r14 sweep: fuzzy_lookup ambiguity — last normalized-equal key wins (dicts.py:37)") {
