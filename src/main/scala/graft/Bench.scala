@@ -20,6 +20,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Sort-shuffle writer past 64 reduce buckets (round 15, VERDICT r14
+      // ask #3): Spark's default bypassMergeThreshold=200 makes every shuffle
+      // at the cluster-default 200 partitions use the bypass writer — one
+      // file per (map task × bucket); measured 2.5x wall on dedup_minhash_lsh
+      // at sf0.1 purely from that. 64 keeps the local 32-bucket shape on the
+      // bypass fast path (bit-identical to the committed floors) and gives
+      // wide shuffles the single-spill sort writer, as on a real cluster.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -115,7 +123,16 @@ object Bench {
       // A retest pass that THROWS must not contribute its (fast) time-to-fail:
       // that would clear a genuine regression with a near-zero elapsed. Failed
       // retest passes are dropped; if every retest pass fails, best(k) stands.
-      val ts = (1 to 2).flatMap { _ =>
+      // Sub-second queries get a DOUBLED retest round (round 15, VERDICT r14
+      // ask #1): their times are scheduler-constant-dominated, so jitter is
+      // proportionally largest there — the r14 driver run's two
+      // retest-surviving flags (graph_bfs_hops, sketch_set_intersection_est,
+      // both sub-1s floors) did not reproduce at the same source state, and
+      // 2 consecutive retest passes inside the same noisy host window are
+      // still correlated. 4 spaced passes make a phantom flag on a ~0.5-1s
+      // query need FOUR bad draws instead of two.
+      val passes = if (baseline(k) * scale < 1.5) 4 else 2
+      val ts = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { consume(SparkEntry.queries(k)(spark, sfDir)); true }
           catch { case _: Throwable => false }

@@ -172,6 +172,13 @@ object Dedup {
 
   /** As [[jaccardPairs]] but over a precomputed (jid, shingle) frame. */
   def jaccardFromShingles(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    // Scale note (round 15): callers with a MATERIALIZED candidate frame
+    // should pre-prune `sh` to the candidate id set with a broadcast
+    // semi-join before calling (see dedup_minhash_lsh) — verification then
+    // shuffles ∝ |candidates|, not |corpus|. The pruning is NOT done here
+    // because building the id broadcast from a lazy `candidates` plan makes
+    // the broadcast thread race the main stages through the whole candidate
+    // pipeline (measured: ~2× wall on dedup_minhash_lsh when cand was lazy).
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col("jid").as("id1"), col("shingle")), Seq("id1"))

@@ -87,7 +87,25 @@ object Llm {
     Q("dedup_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
+        // Round-15 partition sizing (VERDICT r14 ask #3): a persisted frame's
+        // partitioning is pinned at first materialization and sits OUTSIDE
+        // AQE-coalesce reach (cached plans compile with AQE re-planning off),
+        // so both cached frames get explicit, conf-independent sizing:
+        //  - docs arrive as ONE parquet split at sf0.1, so the shingle cache
+        //    fill and every cached read of it (signature agg map side, the
+        //    two Jaccard join map sides) ran as 1-task stages — ~6 s of
+        //    serialized single-thread work at ANY shuffle setting. A cheap
+        //    60k-row round-robin repartition to defaultParallelism before the
+        //    explode makes fill + all reads core-parallel. On a cluster
+        //    defaultParallelism = total executor cores, exactly the floor you
+        //    want for a cached hot frame.
+        //  - `wide` (one row per doc) materialized through its groupBy at
+        //    spark.sql.shuffle.partitions — 200 near-empty cached partitions
+        //    under the cluster-default setting, and every downstream read ran
+        //    200 tasks. coalesce to defaultParallelism pins the cached
+        //    partition count to cores, independent of the shuffle conf.
+        val para = s.sparkContext.defaultParallelism
+        val docs = t(s, dir, "documents").repartition(para)
         // persist the shingle frame once for its two consumers (signatures +
         // verification): MEMORY_AND_DISK spills instead of OOMing, so the same plan
         // holds on a cluster (at 100 TB each executor caches only its partitions;
@@ -100,6 +118,7 @@ object Llm {
         // self-join, and without a materialized input both join sides re-run the
         // minhash aggregation (one row per doc — tiny at any scale)
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 8)
+          .coalesce(para)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // maxBucket=32 — the LSH df-cap IS the production path at scale
         // (VERDICT r12 ask #1, r13 sf1 probe): a dup-heavy corpus makes
@@ -112,11 +131,27 @@ object Llm {
         // uncapped; the oracle mirrors the cap so the hash check stays exact
         // at every scale.
         val cand = Dedup.bandedCandidatesWide(wide, "doc_id", numHashes = 8,
-          bandSize = 2, maxBucket = Some(32))
+            bandSize = 2, maxBucket = Some(32))
+          // materialize the (tiny, df-capped) pair set once: it feeds the
+          // verification pair stream AND the id-set broadcast below — lazy,
+          // the broadcast thread would race the main stages through the whole
+          // banded pipeline (measured ~2× wall)
+          .localCheckpoint(true)
+        // Verification reads only CANDIDATE docs' shingles (round 15, VERDICT
+        // r14 ask #3): prune the 30M-row shingle frame to the ~2|cand| ids
+        // with a broadcast semi-join before jaccardFromShingles' two by-key
+        // shuffles. Verification shuffle volume becomes ∝ |candidates|
+        // (df-cap-bounded), not ∝ |corpus| — the 100 TB requirement — and at
+        // small SF it removes the near-empty-block overhead under the
+        // cluster-default 200 shuffle partitions.
+        val candIds = cand.select($"id1".as("jid"))
+          .union(cand.select($"id2".as("jid"))).distinct()
+        val shPruned = sh.withColumnRenamed("doc_id", "jid")
+          .join(broadcast(candIds), Seq("jid"), "left_semi")
         // materialize the (tiny) final result eagerly, then release both caches —
         // Verify/Bench share one session across all queries, so leaving the shingle
         // frame cached would squeeze execution memory for everything after
-        val res = Dedup.jaccardFromShingles(cand, sh.withColumnRenamed("doc_id", "jid"))
+        val res = Dedup.jaccardFromShingles(cand, shPruned)
           .select($"id1", $"id2", round($"jaccard", 6).as("jacc"))
           .orderBy($"jacc".desc, $"id1", $"id2")
           .limit(50)

@@ -19,6 +19,14 @@ object ProbeTail {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // Sort-shuffle writer past 64 reduce buckets (round 15, VERDICT r14
+      // ask #3): Spark's default bypassMergeThreshold=200 makes every shuffle
+      // at the cluster-default 200 partitions use the bypass writer — one
+      // file per (map task × bucket); measured 2.5x wall on dedup_minhash_lsh
+      // at sf0.1 purely from that. 64 keeps the local 32-bucket shape on the
+      // bypass fast path (bit-identical to the committed floors) and gives
+      // wide shuffles the single-spill sort writer, as on a real cluster.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -113,6 +121,68 @@ object ProbeTail {
       timed("pair agg")(println(s"[probe] distinct brand pairs: ${pairs.count()}"))
       val full = graft.SparkEntry.queries("agg_basket_assoc_rules")(spark, sfDir)
       timed("full query consume")(consume(full))
+    }
+
+    // Round-15 (VERDICT r14 ask #2): per-leg candidate volume for
+    // sim_ann_recall, after the probe-bounded re-shape. Every leg fixes the
+    // query side to the 100-probe audit sample, so candidate counts must grow
+    // ~linearly with the corpus (10× at the sf1 step), never quadratically.
+    if (mode == "all" || mode == "ann") {
+      println(s"== sim_ann_recall anatomy @ $sfDir")
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+      val n = vecs.count()
+      println(s"[probe] corpus vectors: $n")
+      val probeQ = vecs.filter($"vec_id" < 100)
+      val k = 5
+      def legPairs(label: String, df: DataFrame): Unit = {
+        val cnt = timed(s"$label pairs")(df.count())
+        println(s"[probe] $label candidate/result pairs: $cnt")
+      }
+      legPairs("exact(100xN)",
+        graft.llm.Similarity.bruteForceTopK(probeQ, vecs, k))
+      legPairs("lsh H0",
+        graft.llm.Similarity.lshBandedTopK(probeQ, vecs, k, 16, 2, 64, 0))
+      legPairs("lsh H1",
+        graft.llm.Similarity.lshBandedTopK(probeQ, vecs, k, 16, 2, 64, 1))
+      legPairs("lsh H2",
+        graft.llm.Similarity.lshBandedTopK(probeQ, vecs, k, 16, 2, 64, 2))
+      legPairs("ivf nprobe2",
+        graft.llm.Similarity.ivfTopK(probeQ, vecs, k, 16, 2))
+      // pre-topk candidate volume per LSH leg (the scan-cost driver): count
+      // the deduped (qid, vid) pair stream the scorer reads
+      def rawCands(mp: Int): Long = {
+        import graft.llm.Similarity
+        // reconstruct the candidate stream exactly as lshBandedTopK does
+        val r = 8
+        def bandSigs(df: DataFrame, idAs: String) =
+          Similarity.lshBuckets(df, 16, 64)
+            .select(col("vec_id").as(idAs),
+              posexplode(array((0 until 2).map(b =>
+                substring(col("bucket"), b * r + 1, r)): _*))
+                .as(Seq("band", "bsig")))
+        val qb = bandSigs(probeQ, "qid")
+        val qprobes = if (mp == 0) qb else {
+          def flipAt(sig: org.apache.spark.sql.Column, i: Int) =
+            concat(substring(sig, 1, i),
+              when(substring(sig, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+              substring(sig, i + 2, r - i - 1))
+          val flipSets: Seq[Seq[Int]] =
+            Seq(Seq.empty[Int]) ++ (0 until r).map(Seq(_)) ++
+              (if (mp >= 2) for { i <- 0 until r; j <- (i + 1) until r }
+                yield Seq(i, j) else Nil)
+          qb.select(col("qid"), col("band"),
+            explode(array(flipSets.map(_.foldLeft(col("bsig"))(flipAt)): _*))
+              .as("bsig"))
+        }
+        qprobes.join(bandSigs(vecs, "vid"), Seq("band", "bsig"))
+          .filter(col("qid") =!= col("vid"))
+          .select("qid", "vid").distinct().count()
+      }
+      (0 to 2).foreach(d =>
+        println(s"[probe] lsh H$d deduped scored-candidate volume: ${rawCands(d)}" +
+          s" (brute-force would be ${100 * (n - 1)})"))
+      val full = graft.SparkEntry.queries("sim_ann_recall")(spark, sfDir)
+      timed("full sim_ann_recall consume")(consume(full))
     }
     spark.stop()
   }
