@@ -53,6 +53,13 @@ MUTATIONS = [
     ("leq->gt", re.compile(r" <= "), " > "),
     ("cmp-lit+7", re.compile(r" < (\d+)\b"),
      lambda m: f" < {int(m.group(1)) + 7}"),
+    # `> N` threshold flips: a small +7 shift is equivalent by saturation in
+    # blocks like setop_intersect (both sides of acctbal 7000 cover all 25
+    # nations — r15 MUTATION.md adjudication), so move the literal by *3+7,
+    # far enough to empty or drastically reshape the selection while keeping
+    # date-like literals (19940101*3 < Int.MaxValue) compilable.
+    ("cmp-gt-lit*3", re.compile(r" > (\d+)\b"),
+     lambda m: f" > {int(m.group(1)) * 3 + 7}"),
     ("lt->gt", re.compile(r" < "), " > "),
     # aggregate swap — covers agg-only query bodies with no comparisons or
     # numeric literals at all (agg_theil_inequality had NO applicable pattern

@@ -12,6 +12,15 @@ down >5x vs the same-session baseline leg (a hidden partition-count or
 broadcast-size assumption, the embed_rq_encode class). Writes
 scripts/robustness_probe.json; the PLANS.md table is authored from it.
 
+Round-15 addition (r16 queue #4): the legs run in SEPARATE sbt sessions,
+so their ratios carry multi-minute host drift (r15 saw 2-3x cross-session
+entries that a paired instrument put at <=1.0x). Any shuffle200 ratio >2x
+is now re-adjudicated with graft.tools.ProbeAB — which alternates
+spark.sql.shuffle.partitions 32/200 per rep INSIDE one session, so each
+pair shares its host window — and the PAIRED ratio decides the >5x flag
+(recorded as `shuffle200_paired`). mem2g has no paired equivalent: the
+heap is fixed at JVM start, so that leg keeps the cross-session ratio.
+
 Usage: robustness_probe.py [--top 30] [--queries a,b,c]
 """
 import argparse
@@ -43,6 +52,17 @@ def run_leg(names, env_extra, timeout=5400):
         fail[q] = f"no ROBUST line (sbt rc={r.returncode}; JVM died? " \
                   f"tail: {r.stdout[-200:].strip()[-120:]})"
     return ok, fail
+
+
+def run_ab(name, timeout=2400):
+    """Paired 32p/200p ratio from ProbeAB (best-of-3 pairs, one session).
+    Returns (ratio, t32, t200) or None if the probe itself failed."""
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.ProbeAB {name} {SF} 3 32 200"],
+        cwd=ROOT, timeout=timeout, capture_output=True, text=True)
+    m = re.search(r"^AB-BEST \S+ 32p=([0-9.]+) s 200p=([0-9.]+) s "
+                  r"ratio=([0-9.]+)", r.stdout, re.M)
+    return (float(m.group(3)), float(m.group(1)), float(m.group(2))) if m else None
 
 
 def main():
@@ -89,6 +109,28 @@ def main():
         if q in failures["baseline"]:
             flagged.append((q, "baseline", failures["baseline"][q]))
         rows.append(row)
+
+    # Paired re-adjudication of drift-suspect shuffle200 ratios (>2x in the
+    # cross-session sweep): the ProbeAB best-of-pairs ratio replaces the
+    # cross-session one for the >5x flag decision.
+    for row in rows:
+        q, b, t = row["query"], row.get("baseline"), row.get("shuffle200")
+        if "shuffle200_fail" in row or not (b and t and t > 2 * b):
+            continue
+        print(f"-- paired ProbeAB re-adjudication: {q} "
+              f"(cross-session {t / b:.1f}x)")
+        ab = run_ab(q)
+        if ab is None:
+            print(f"   ProbeAB failed; keeping cross-session ratio")
+            continue
+        ratio, t32, t200 = ab
+        row["shuffle200_paired"] = ratio
+        print(f"   paired 32p={t32:.2f}s 200p={t200:.2f}s ratio={ratio:.2f}x")
+        key = (q, "shuffle200", f"{t / b:.1f}x slowdown")
+        if ratio <= 5 and key in flagged:
+            flagged.remove(key)
+        elif ratio > 5 and key not in flagged:
+            flagged.append((q, "shuffle200", f"{ratio:.1f}x paired slowdown"))
 
     with open(os.path.join(ROOT, "scripts/robustness_probe.json"), "w") as f:
         json.dump({"sf": SF, "legs": {k: (v or "default") for k, v in

@@ -15,59 +15,102 @@ package graft.spec
   * including "false", as True — a stdlib quirk, not a semantic to preserve). */
 object ArgParse {
 
+  /** `-h` / `--help` (or an unambiguous prefix of `--help`) was consumed —
+    * stdlib argparse prints the help text and exits 0 at that point; callers
+    * render [[helpLines]]. Raised mid-scan, so it takes precedence over any
+    * later invalid value and over the end-of-parse checks, same as stdlib. */
+  final case class HelpRequested() extends RuntimeException("show this help message and exit")
+
   /** `MY_ENV_VAR` → `my-env-var` (reference arg_name_for_env, argparse.py:9-15). */
   def argNameForEnv(envName: String): String = envName.toLowerCase.replace('_', '-')
 
-  /** Parse `args` against the task's declared inputs. Accepts both `--name=value`
-    * and `--name value` argument forms; a repeated argument keeps the last value.
-    * Returns the resolved env map keyed by the declared env-var names. */
+  /** stdlib argparse's `_negative_number_matcher`: a leading-dash token that
+    * looks like a negative number is still consumable as an option's value
+    * (parsers with no digit-leading option names, which is always true here). */
+  private val NegativeNumber = "^-\\d+$|^-\\d*\\.\\d+$".r
+
+  /** Parse `args` against the task's declared inputs, reproducing stdlib
+    * argparse consumption semantics (round-15/16 fidelity sweep, pinned
+    * against stdlib goldens in ArgParseSpec):
+    *
+    *   - host-env-sourced values are prepended as `--name=value` in
+    *     declaration order (reference argparse.py:42-47). The reference's
+    *     "skip when provided on the CLI" guard compares the full regex match
+    *     `"--name="` (match[0], argparse.py:40-41) against the bare name, so
+    *     it NEVER fires — env values are always prepended and always convert
+    *     first; CLI occurrences override via last-wins.
+    *   - every consumed occurrence converts IMMEDIATELY (convert-on-consume):
+    *     a repeated `--a=bad --a=5` errors on the bad occurrence, and an
+    *     invalid env value errors even when the CLI overrides it later.
+    *   - unique-prefix abbreviation resolves against `--help` plus the
+    *     declared options in declaration order; an ambiguous prefix errors
+    *     immediately (`ambiguous option: --co=5 could match --count, --coal`).
+    *   - unknown options and stray positionals collect into `extras`; after
+    *     the scan, missing-required aggregates first ("the following arguments
+    *     are required: --a, --b"), THEN extras error as
+    *     `unrecognized arguments: --nope=5 stray` — matching stdlib's
+    *     consume > required-check > unrecognized precedence.
+    *   - a space-form value is the next token unless it is option-like
+    *     (leading `-`, not a negative number, no embedded space) — otherwise
+    *     `argument --name: expected one argument`. */
   def parseArgs(task: Task, args: Seq[String],
       hostEnv: Map[String, String] = sys.env): Map[String, EnvValue] = {
-    val byArgName: Map[String, String] =
-      task.env.keys.map(k => argNameForEnv(k) -> k).toMap
+    val declared: Vector[(String, String)] =
+      task.env.keys.toVector.map(k => argNameForEnv(k) -> k)
+    val byArgName: Map[String, String] = declared.toMap
+    // abbreviation candidates in stdlib order: --help is registered first
+    val optionNames: Vector[String] = "help" +: declared.map(_._1)
 
-    // CLI args → (env name → raw string), last occurrence wins
-    val cli = scala.collection.mutable.LinkedHashMap[String, String]()
-    var rest = args.toList
+    // reference argparse.py:42-47 env prepend (never suppressed, see Scaladoc)
+    val envTokens = task.env.keys.toList.collect {
+      case k if hostEnv.contains(k) => s"--${argNameForEnv(k)}=${hostEnv(k)}"
+    }
+
+    val converted = scala.collection.mutable.LinkedHashMap[String, EnvValue]()
+    val extras = scala.collection.mutable.ListBuffer[String]()
+    var rest = envTokens ++ args.toList
+    var afterSeparator = false
     while (rest.nonEmpty) {
       val a = rest.head
       rest = rest.tail
-      if (!a.startsWith("--"))
-        throw SpecError(s"unexpected argument '$a' (expected --name=value or --name value)")
-      val (name, value) = a.indexOf('=') match {
-        case -1 =>
-          rest match {
-            case v :: tl => rest = tl; (a.drop(2), v)
-            case Nil => throw SpecError(s"argument '$a' is missing a value")
+      if (afterSeparator) extras += a
+      else if (a == "--") { afterSeparator = true; extras += a }
+      else if (a == "-h") throw HelpRequested()
+      else if (a.startsWith("--")) {
+        val eq = a.indexOf('=')
+        val (name, inline) =
+          if (eq >= 0) (a.substring(2, eq), Some(a.substring(eq + 1)))
+          else (a.drop(2), None)
+        val resolved: Option[String] =
+          if (optionNames.contains(name)) Some(name)
+          else optionNames.filter(_.startsWith(name)) match {
+            case Vector() => None
+            case Vector(one) => Some(one)
+            case many => throw SpecError(
+              s"ambiguous option: $a could match ${many.map("--" + _).mkString(", ")}")
           }
-        case i => (a.substring(2, i), a.substring(i + 1))
-      }
-      val envName = byArgName.getOrElse(name,
-        throw SpecError(s"unrecognized argument '--$name' for task '${task.name}'; " +
-          s"valid: ${byArgName.keys.toSeq.sorted.map("--" + _).mkString(", ")}"))
-      cli(envName) = value
+        resolved match {
+          case None => extras += a // unknown option: no value consumed
+          case Some("help") => throw HelpRequested()
+          case Some(argName) =>
+            val raw = inline.getOrElse {
+              rest match {
+                case v :: tl if !v.startsWith("-") ||
+                    NegativeNumber.matches(v) || v.contains(' ') =>
+                  rest = tl; v
+                case _ =>
+                  throw SpecError(s"argument --$argName: expected one argument")
+              }
+            }
+            converted(byArgName(argName)) =
+              convert(argName, raw, task.env(byArgName(argName)).inputType)
+        }
+      } else extras += a // single-dash unknown or stray positional
     }
 
-    // stdlib-argparse error precedence (round-15 fidelity): argparse converts
-    // each value AS IT IS CONSUMED, so an invalid provided value errors before
-    // the end-of-parse missing-required check. The reference additionally
-    // prepends host-env-sourced `--name=value` args ahead of the CLI args
-    // (argparse.py:42-47), so consumption order is: env-sourced values in
-    // task.env declaration order, then CLI values in command-line order.
-    val converted = scala.collection.mutable.LinkedHashMap[String, EnvValue]()
-    task.env.foreach { case (envName, input) =>
-      if (cli.get(envName).isEmpty) hostEnv.get(envName).foreach { s =>
-        converted(envName) = convert(argNameForEnv(envName), s, input.inputType)
-      }
-    }
-    cli.foreach { case (envName, s) =>
-      converted(envName) =
-        convert(argNameForEnv(envName), s, task.env(envName).inputType)
-    }
-
-    // Then the aggregated missing-required error ("the following arguments
-    // are required: --a, --b", declaration order), pinned by the reference's
-    // test_argparser.py:126-128 golden (round-14 sweep).
+    // aggregated missing-required ("the following arguments are required:
+    // --a, --b", declaration order; reference test_argparser.py:126-128),
+    // which stdlib raises BEFORE reporting unrecognized extras
     val missing = task.env.collect {
       case (envName, input) if input.required && input.default.isEmpty &&
         converted.get(envName).isEmpty =>
@@ -76,6 +119,8 @@ object ArgParse {
     if (missing.nonEmpty)
       throw SpecError(
         s"the following arguments are required: ${missing.mkString(", ")}")
+    if (extras.nonEmpty)
+      throw SpecError(s"unrecognized arguments: ${extras.mkString(" ")}")
 
     task.env.map { case (envName, input) =>
       envName -> converted.getOrElse(envName,

@@ -82,7 +82,7 @@ class ArgParseSpec extends AnyFunSuite {
     assert(e1.getMessage.startsWith("the following arguments are required: --"))
     val e2 = intercept[SpecError](
       ArgParse.parseArgs(task, Seq("--nope=1"), fullEnv))
-    assert(e2.getMessage.contains("unrecognized"))
+    assert(e2.getMessage == "unrecognized arguments: --nope=1")
     // stdlib wording: `argument --name: invalid <type> value: '<raw>'`
     assert(intercept[SpecError](ArgParse.parseArgs(task,
       Seq("--throttle=abc"), fullEnv)).getMessage
@@ -198,5 +198,146 @@ class ArgParseSpec extends AnyFunSuite {
       "name: dummy\nenv:\n  VAR:\n    optional: true\n    type: int\n    default: 1\nrun: d\n")
     assert(ArgParse.parseArgs(t, Nil, Map.empty)("VAR") == EnvValue.IntV(1))
     assert(ArgParse.parseArgs(t, Seq("--var=2"), Map.empty)("VAR") == EnvValue.IntV(2))
+  }
+
+  // --- round-15 fidelity sweep #5: stdlib consumption-order semantics -------
+  // Every golden below was generated from CPython 3.11 stdlib argparse with a
+  // parser mirroring the reference's ArgumentParser (prog "download",
+  // --url str required, --count int required, --coal str optional).
+
+  private val cTask = Yaml.taskFromString(
+    """name: download
+      |env:
+      |  URL:
+      |    type: str
+      |    required: true
+      |  COUNT:
+      |    type: int
+      |    required: true
+      |  COAL:
+      |    type: str
+      |    optional: true
+      |run: download
+      |""".stripMargin, basedir = Some("/tmp"))
+
+  test("unrecognized arguments collect and error AFTER parsing, space-joined") {
+    // stdlib: `download: error: unrecognized arguments: --a=1 --b 2`
+    // (unknown space-form options do NOT consume the next token; it lands in
+    // extras as a stray positional)
+    val e = intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=3", "--a=1", "--b", "2"), Map.empty))
+    assert(e.getMessage == "unrecognized arguments: --a=1 --b 2")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=3", "stray"), Map.empty)).getMessage
+      == "unrecognized arguments: stray")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=3", "-x"), Map.empty)).getMessage
+      == "unrecognized arguments: -x")
+  }
+
+  test("error precedence: invalid value > missing required > unrecognized") {
+    // unknown + missing required -> missing wins (stdlib raises required at
+    // end of parse_known_args, unrecognized later in parse_args)
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--nope=5"), Map.empty)).getMessage
+      == "the following arguments are required: --count")
+    // unknown + invalid value -> invalid wins (raised during consumption)
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=abc", "--nope=5"), Map.empty)).getMessage
+      == "argument --count: invalid int value: 'abc'")
+  }
+
+  test("convert-on-consume: a repeated argument converts EVERY occurrence") {
+    // stdlib errors on the first occurrence's conversion even though a later
+    // valid occurrence would win
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=xyz", "--count=5"), Map.empty)).getMessage
+      == "argument --count: invalid int value: 'xyz'")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=5", "--count=xyz"), Map.empty)).getMessage
+      == "argument --count: invalid int value: 'xyz'")
+  }
+
+  test("reference quirk: env prepend is NEVER suppressed by a CLI override") {
+    // argparse.py:40-41 compares match[0] ("--count=") against the bare name
+    // ("count"), so the provided-on-CLI guard never fires: an invalid env
+    // value errors during consumption even when the CLI overrides it, in
+    // BOTH the = form and the space form
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=5"), Map("COUNT" -> "zz"))).getMessage
+      == "argument --count: invalid int value: 'zz'")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count", "5"), Map("COUNT" -> "zz"))).getMessage
+      == "argument --count: invalid int value: 'zz'")
+    // valid env + CLI override: CLI still wins via last-wins
+    assert(ArgParse.parseArgs(cTask, Seq("--url=u", "--count=5"),
+      Map("COUNT" -> "7"))("COUNT") == EnvValue.IntV(5))
+  }
+
+  test("unique-prefix abbreviation resolves; ambiguous prefix errors with candidates") {
+    assert(ArgParse.parseArgs(cTask, Seq("--url=u", "--cou=5"),
+      Map.empty)("COUNT") == EnvValue.IntV(5))
+    assert(ArgParse.parseArgs(cTask, Seq("--url=u", "--cou", "5"),
+      Map.empty)("COUNT") == EnvValue.IntV(5))
+    // stdlib lists --help first (registered first), then declaration order,
+    // and shows the FULL offending token including the =value part
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--co=5"), Map.empty)).getMessage
+      == "ambiguous option: --co=5 could match --count, --coal")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=3", "--=x"), Map.empty)).getMessage
+      == "ambiguous option: --=x could match --help, --url, --count, --coal")
+  }
+
+  test("space-form value classification: option-like tokens are not values") {
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count"), Map.empty)).getMessage
+      == "argument --count: expected one argument")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count", "--coal", "x"), Map.empty)).getMessage
+      == "argument --count: expected one argument")
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count", "-x"), Map.empty)).getMessage
+      == "argument --count: expected one argument")
+    // negative numbers ARE consumable values (stdlib _negative_number_matcher)
+    assert(ArgParse.parseArgs(cTask, Seq("--url=u", "--count", "-5"),
+      Map.empty)("COUNT") == EnvValue.IntV(-5))
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count", "-5.5"), Map.empty)).getMessage
+      == "argument --count: invalid int value: '-5.5'")
+    // a token with an embedded space is never option-like
+    assert(ArgParse.parseArgs(cTask, Seq("--url", "-a b", "--count=3"),
+      Map.empty)("URL") == EnvValue.Str("-a b"))
+    // empty inline value converts (and fails for int) rather than dangling
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count="), Map.empty)).getMessage
+      == "argument --count: invalid int value: ''")
+  }
+
+  test("-- separator: everything after (and the -- itself) is unrecognized extras") {
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--count=3", "--", "tail"), Map.empty)).getMessage
+      == "unrecognized arguments: -- tail")
+    // options after -- are positionals; missing-required still wins
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--url=u", "--", "--count=3"), Map.empty)).getMessage
+      == "the following arguments are required: --count")
+  }
+
+  test("-h / --help / unambiguous --h prefix raise HelpRequested mid-scan") {
+    intercept[ArgParse.HelpRequested](
+      ArgParse.parseArgs(cTask, Seq("--url=u", "-h"), Map.empty))
+    intercept[ArgParse.HelpRequested](
+      ArgParse.parseArgs(cTask, Seq("--help"), Map.empty))
+    // --h uniquely prefixes --help here (no declared option starts with h);
+    // stdlib prints help and exits 0 even with required args missing
+    intercept[ArgParse.HelpRequested](
+      ArgParse.parseArgs(cTask, Seq("--h"), Map.empty))
+    // help wins over a LATER invalid value, loses to an EARLIER one
+    intercept[ArgParse.HelpRequested](
+      ArgParse.parseArgs(cTask, Seq("-h", "--count=abc"), Map.empty))
+    assert(intercept[SpecError](ArgParse.parseArgs(cTask,
+      Seq("--count=abc", "-h"), Map.empty)).getMessage
+      == "argument --count: invalid int value: 'abc'")
   }
 }
