@@ -36,17 +36,26 @@ object ConnectedComponents {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .localCheckpoint() // referenced every round — compute the edge pipeline once
-    var labels = sym.select(col("a").as("v")).distinct()
+    val init = sym.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
-    for (_ <- 1 to rounds) {
-      val nmin = sym.join(labels.select(col("v").as("bv"), col("label")),
+    // Convergence early-exit (round 15 optimization, FixpointLoop doc): labels
+    // are monotone non-increasing per vertex and the vertex set is fixed, so
+    // an unchanged (count, exact decimal sum) signature means the label frame
+    // is IDENTICAL to the previous round's — every later round reproduces it,
+    // and the result is bit-identical to always running `rounds` rounds. Real
+    // dup-cluster / nation graphs converge in 1-2 rounds; the fixed 6 covered
+    // diameter ≤ 63 and burned 4-5 rounds of shuffles + checkpoint barriers
+    // doing nothing.
+    val labels = FixpointLoop.iterate(init, rounds,
+      Seq(count(lit(1)), sum(col("label").cast("decimal(38,0)")))) { prev =>
+      val nmin = sym.join(prev.select(col("v").as("bv"), col("label")),
           col("b") === col("bv"))
         .groupBy(col("a").as("nv")).agg(min("label").as("nmin"))
-      labels = labels.join(nmin, col("v") === col("nv"), "left")
+      val propagated = prev.join(nmin, col("v") === col("nv"), "left")
         .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label")))
           .as("label"))
-      val jump = labels.select(col("v").as("jv"), col("label").as("jlabel"))
-      labels = labels.join(jump, col("label") === col("jv"), "left")
+      val jump = propagated.select(col("v").as("jv"), col("label").as("jlabel"))
+      propagated.join(jump, col("label") === col("jv"), "left")
         .select(col("v"), coalesce(col("jlabel"), col("label")).as("label"))
         .localCheckpoint() // truncate lineage: constant-size plan per round
     }

@@ -115,21 +115,37 @@ object Analytics10 {
           .groupBy($"src", $"dst").agg(count(lit(1)).as("weight"))
           .localCheckpoint()
         val nNations = t(s, dir, "nation").count() // 25-row dim, metadata-cheap
-        val rows = Seq(1, 2, 3).map { thr =>
-          val e = w.filter($"weight" >= thr).select($"src", $"dst")
-          val cc = graft.ops.ConnectedComponents.run(e)
-          val sizes = cc.groupBy($"component").agg(count(lit(1)).as("sz"))
-          val agg = sizes.agg(count(lit(1)).as("n_comp_edges"),
-            coalesce(max($"sz"), lit(0L)).as("giant"),
-            coalesce(sum($"sz"), lit(0L)).as("n_in_edges"))
-          agg.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-            .select(lit(thr).as("threshold"), $"n_edges",
-              ($"n_comp_edges" + (lit(nNations) - $"n_in_edges"))
-                .cast("long").as("n_components"),
-              $"giant".cast("long").as("giant_size"),
-              round($"giant".cast("double") / nNations.toDouble, 6)
-                .as("giant_share"))
+        // The 3 threshold legs are independent and each runs an EAGER CC loop
+        // (per-round localCheckpoint barriers). Sequentially, every leg's
+        // scheduler-bound rounds leave the other 31 cores idle — submit the
+        // legs from a small thread pool instead so their jobs back-fill each
+        // other (guide §2.6 "overlap independent jobs"; FIFO scheduling keeps
+        // the back-fill shape). Results are unchanged: legs never interact,
+        // and the final union orders by threshold.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val legs = Seq(1, 2, 3).map { thr =>
+          scala.concurrent.Future {
+            val e = w.filter($"weight" >= thr).select($"src", $"dst")
+            val cc = graft.ops.ConnectedComponents.run(e)
+            val sizes = cc.groupBy($"component").agg(count(lit(1)).as("sz"))
+            val agg = sizes.agg(count(lit(1)).as("n_comp_edges"),
+              coalesce(max($"sz"), lit(0L)).as("giant"),
+              coalesce(sum($"sz"), lit(0L)).as("n_in_edges"))
+            agg.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+              .select(lit(thr).as("threshold"), $"n_edges",
+                ($"n_comp_edges" + (lit(nNations) - $"n_in_edges"))
+                  .cast("long").as("n_components"),
+                $"giant".cast("long").as("giant_size"),
+                round($"giant".cast("double") / nNations.toDouble, 6)
+                  .as("giant_share"))
+          }
         }
+        val rows =
+          try legs.map(scala.concurrent.Await.result(_,
+            scala.concurrent.duration.Duration.Inf))
+          finally pool.shutdown()
         rows.reduce(_ unionAll _).orderBy($"threshold")
       },
       Some {

@@ -47,12 +47,18 @@ object Analytics3 {
           .distinct().localCheckpoint()
         val nodes = edges.select($"src".as("node")).distinct()
           .localCheckpoint()
-        var dist = nodes.select($"node".as("s"), $"node".as("v"),
+        val dist0 = nodes.select($"node".as("s"), $"node".as("v"),
           lit(0).as("d"))
-        (1 to 6).foreach { _ =>
-          val nxt = dist.join(edges, $"v" === $"src")
+        // Fixpoint early-exit (round 15, FixpointLoop doc): the (s,v) pair set
+        // only grows and each d is monotone non-increasing, so an unchanged
+        // (count, sum) signature pins the distance table exactly — identical
+        // to the fixed 6 rounds (the backbone graph's diameter is 2-3, so the
+        // last 3-4 rounds were no-op shuffles + checkpoint barriers).
+        val dist = graft.ops.FixpointLoop.iterate(dist0, 6,
+          Seq(count(lit(1)), sum($"d".cast("long")))) { prev =>
+          val nxt = prev.join(edges, $"v" === $"src")
             .select($"s", $"dst".as("v"), ($"d" + 1).as("d"))
-          dist = dist.unionByName(nxt)
+          prev.unionByName(nxt)
             .groupBy($"s", $"v").agg(min($"d").as("d"))
             .localCheckpoint()
         }
@@ -972,12 +978,15 @@ object Analytics3 {
           .distinct().localCheckpoint()
         val nodes = edges.select($"src".as("node")).distinct()
           .localCheckpoint()
-        var dist = nodes.select($"node".as("s"), $"node".as("v"),
+        val dist0 = nodes.select($"node".as("s"), $"node".as("v"),
           lit(0).as("d"))
-        (1 to 6).foreach { _ =>
-          val nxt = dist.join(edges, $"v" === $"src")
+        // Fixpoint early-exit — same monotone BFS-distance argument as
+        // graph_closeness_centrality above: bit-identical to 6 fixed rounds.
+        val dist = graft.ops.FixpointLoop.iterate(dist0, 6,
+          Seq(count(lit(1)), sum($"d".cast("long")))) { prev =>
+          val nxt = prev.join(edges, $"v" === $"src")
             .select($"s", $"dst".as("v"), ($"d" + 1).as("d"))
-          dist = dist.unionByName(nxt)
+          prev.unionByName(nxt)
             .groupBy($"s", $"v").agg(min($"d").as("d"))
             .localCheckpoint()
         }

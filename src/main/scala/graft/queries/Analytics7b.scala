@@ -300,13 +300,19 @@ object Analytics7b {
           .agg(count(lit(1)).as("w"))
           .filter($"w" >= 150 && $"src" =!= $"dst")
           .select($"src", $"dst")
-        var cur = e0.select(least($"src", $"dst").as("a"),
+        val cur0 = e0.select(least($"src", $"dst").as("a"),
             greatest($"src", $"dst").as("b")).distinct().localCheckpoint()
-        var sup = cur.select($"a", $"b", lit(0L).as("support"))
-        (1 to 3).foreach { _ =>
+        // Fixpoint early-exit (FixpointLoop doc): each round's surviving edge
+        // set is a SUBSET of the previous round's (sup pairs come from joining
+        // against the previous cur), so an unchanged count means the set — and
+        // therefore every later round's recomputed supports — is identical.
+        val sup = graft.ops.FixpointLoop.iterate(
+          cur0.select($"a", $"b", lit(0L).as("support")), 3,
+          Seq(count(lit(1)), sum($"support".cast("decimal(38,0)")))) { prev =>
+          val cur = prev.select($"a", $"b")
           val adj = cur.select($"a".as("v"), $"b".as("u"))
             .unionByName(cur.select($"b".as("v"), $"a".as("u")))
-          sup = cur
+          cur
             .join(adj.select($"v".as("a"), $"u".as("nb")), Seq("a"))
             .filter($"nb" =!= $"b")
             .join(cur.select($"a".as("a2"), $"b".as("b2")),
@@ -316,7 +322,6 @@ object Analytics7b {
             .agg(count(lit(1)).as("support"))
             .filter($"support" >= 2)
             .localCheckpoint()
-          cur = sup.select($"a", $"b")
         }
         sup.select($"a", $"b", $"support").orderBy($"a", $"b")
       },
@@ -376,12 +381,15 @@ object Analytics7b {
           .distinct().localCheckpoint()
         val nodes = edges.select($"src".as("node")).distinct()
           .localCheckpoint()
-        var dist = nodes.select($"node".as("s"), $"node".as("v"),
+        val dist0 = nodes.select($"node".as("s"), $"node".as("v"),
           lit(0).as("d"))
-        (1 to 6).foreach { _ =>
-          val nxt = dist.join(edges, $"v" === $"src")
+        // Fixpoint early-exit — monotone BFS-distance argument (FixpointLoop
+        // doc): bit-identical to the fixed 6 rounds, skips the no-op tail.
+        val dist = graft.ops.FixpointLoop.iterate(dist0, 6,
+          Seq(count(lit(1)), sum($"d".cast("long")))) { prev =>
+          val nxt = prev.join(edges, $"v" === $"src")
             .select($"s", $"dst".as("v"), ($"d" + 1).as("d"))
-          dist = dist.unionByName(nxt)
+          prev.unionByName(nxt)
             .groupBy($"s", $"v").agg(min($"d").as("d"))
             .localCheckpoint()
         }

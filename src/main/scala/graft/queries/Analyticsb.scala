@@ -398,13 +398,18 @@ object Analyticsb {
           .localCheckpoint()
         val nodes = edges.select($"src".as("node"))
           .union(edges.select($"dst".as("node"))).distinct()
-        var dist = nodes.withColumn("d",
+        val dist0 = nodes.withColumn("d",
           when($"node" === 0, lit(BigDecimal(0)).cast("decimal(18,2)")))
-        for (_ <- 1 to 4) {
-          val best = dist.filter($"d".isNotNull)
+        // Fixpoint early-exit (FixpointLoop doc): the reached set (d not null)
+        // only grows and each reached d is monotone non-increasing, in EXACT
+        // decimal(18,2) arithmetic — an unchanged (non-null count, exact sum)
+        // signature pins the table; bit-identical to 4 fixed relax rounds.
+        val dist = graft.ops.FixpointLoop.iterate(dist0, 4,
+          Seq(count($"d"), sum($"d"))) { prev =>
+          val best = prev.filter($"d".isNotNull)
             .join(edges, $"node" === $"src")
             .groupBy($"dst".as("bnode")).agg(min($"d" + $"w").as("best"))
-          dist = dist.join(best, $"node" === $"bnode", "left")
+          prev.join(best, $"node" === $"bnode", "left")
             .select($"node",
               when($"d".isNull, $"best")
                 .when($"best".isNull, $"d")
@@ -1112,7 +1117,7 @@ object Analyticsb {
             $"l_suppkey" === $"s_suppkey")
           .filter($"c_nationkey" =!= $"s_nationkey")
           .select($"c_nationkey".as("x"), $"s_nationkey".as("y"))
-        var edges = raw
+        val edges0 = raw
           .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
           .distinct()
           .select($"a".as("u"), $"b".as("v"))
@@ -1120,10 +1125,13 @@ object Analyticsb {
             greatest($"x", $"y").as("b")).distinct()
             .select($"b".as("u"), $"a".as("v")))
           .localCheckpoint()
-        for (_ <- 1 to 3) {
-          val keep = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+        // Fixpoint early-exit (FixpointLoop doc): peeling only removes edges,
+        // so an unchanged count pins the edge set — identical to 3 fixed rounds.
+        val edges = graft.ops.FixpointLoop.iterate(edges0, 3,
+          Seq(count(lit(1)))) { prev =>
+          val keep = prev.groupBy($"u").agg(count(lit(1)).as("d"))
             .filter($"d" >= 3).select($"u".as("kn"))
-          edges = edges
+          prev
             .join(keep, $"u" === $"kn", "left_semi")
             .join(keep.select($"kn".as("kn2")), $"v" === $"kn2", "left_semi")
             .localCheckpoint()
