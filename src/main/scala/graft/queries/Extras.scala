@@ -154,10 +154,21 @@ object Extras {
         import org.apache.spark.sql.DataFrame
         val k = 5
         val vecs = t(s, dir, "embeddings")
-        val exact = graft.llm.Similarity
-          .bruteForceTopK(vecs.filter($"vec_id" < 100), vecs, k)
-          .select($"qid", $"vid").localCheckpoint(true) // reused per method
-        def recallOf(method: String, ann: DataFrame): DataFrame =
+        // The exact ground-truth pass and the IVF leg each contain an EAGER
+        // localCheckpoint (ground truth is reused per method; IVF materializes
+        // its one ranked corpus pass) with no data dependency between them —
+        // build both from a 2-thread pool so their jobs back-fill each other
+        // (guide §2.6), instead of serializing the two barriers. Results are
+        // unchanged: the frames are combined only in the final lazy union.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val exactF = scala.concurrent.Future {
+          graft.llm.Similarity
+            .bruteForceTopK(vecs.filter($"vec_id" < 100), vecs, k)
+            .select($"qid", $"vid").localCheckpoint(true) // reused per method
+        }
+        def recallOf(exact: DataFrame)(method: String, ann: DataFrame): DataFrame =
           // recall = hit fraction over exact's n_queries×k ground-truth pairs;
           // a left-join hit marker keeps the plan broadcast/hash-join only
           exact.join(
@@ -190,12 +201,21 @@ object Extras {
           vecs, k, numPlanes = 16, bands = 2, dims = 64, multiprobe = 2)
         // centroid training/refinement/list assignment still run over the FULL
         // corpus (the index is corpus-sized by design); only probing is bounded
-        val ivf = graft.llm.Similarity.ivfTopK(probeQ, vecs, k,
-          nlist = 16, nprobe = 2)
-        recallOf("ivf_nlist16_nprobe2", ivf)
-          .unionAll(recallOf("lsh_16planes_2bands", lsh))
-          .unionAll(recallOf("lsh_2x8_multiprobe1", mp))
-          .unionAll(recallOf("lsh_2x8_multiprobe2", mp2))
+        val ivfF = scala.concurrent.Future {
+          graft.llm.Similarity.ivfTopK(probeQ, vecs, k,
+            nlist = 16, nprobe = 2)
+        }
+        val (exact, ivf) =
+          try (scala.concurrent.Await.result(exactF,
+              scala.concurrent.duration.Duration.Inf),
+            scala.concurrent.Await.result(ivfF,
+              scala.concurrent.duration.Duration.Inf))
+          finally pool.shutdown()
+        val recall = recallOf(exact) _
+        recall("ivf_nlist16_nprobe2", ivf)
+          .unionAll(recall("lsh_16planes_2bands", lsh))
+          .unionAll(recall("lsh_2x8_multiprobe1", mp))
+          .unionAll(recall("lsh_2x8_multiprobe2", mp2))
           .orderBy($"method")
       },
       None),
