@@ -91,35 +91,54 @@ object Analytics6 {
           .select($"qid", $"v1", $"v2",
             round(Similarity.dotExact($"e1", $"e2") / ($"n1" * $"n2"), 9)
               .as("sim"))
-          .localCheckpoint()
-        val base = cands.select($"qid", $"vid", $"rel")
-        var sel = base
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"qid").orderBy($"rel".desc, $"vid")))
-          .filter($"rn" === 1)
-          .select($"qid", $"vid", lit(1).as("rank"),
-            (lit(0.7d) * $"rel").as("score"))
-          .localCheckpoint()
-        for (r <- 2 to 5) {
-          val remaining = base.join(sel.select($"qid", $"vid"),
-            Seq("qid", "vid"), "left_anti")
-          val ms = sims.join(sel.select($"qid", $"vid".as("v2")),
-              Seq("qid", "v2"))
-            .groupBy($"qid", $"v1").agg(max($"sim").as("maxsim"))
-            .withColumnRenamed("qid", "q2")
-          val scored = remaining
-            .join(ms, remaining("qid") === ms("q2") &&
-              remaining("vid") === ms("v1"))
-            .select(remaining("qid"), remaining("vid"), $"rel",
-              (lit(0.7d) * $"rel" - lit(0.3d) * $"maxsim").as("score"))
-          val pick = scored
-            .withColumn("rn", row_number().over(
-              Window.partitionBy($"qid").orderBy($"score".desc, $"vid")))
-            .filter($"rn" === 1)
-            .select($"qid", $"vid", lit(r).as("rank"), $"score")
-          sel = sel.union(pick).localCheckpoint()
-        }
-        sel.select($"qid", $"rank", $"vid", round($"score", 9).as("score"))
+        // Greedy MMR selection as ONE aggregation pass (round 15): the
+        // per-probe candidate set is bounded by construction (top-10 per
+        // probe at ANY corpus size), so the 4 selection rounds operate on
+        // ≤10-row frames — as distributed joins they cost 4 checkpoint
+        // barriers + ~20 near-empty stages of pure scheduler constant. Fold
+        // them into built-in higher-order functions over the per-qid
+        // candidate/similarity arrays instead: same IEEE arithmetic
+        // (0.7·rel − 0.3·max sim, on the same round(…,9) inputs), same
+        // (score DESC, vid ASC) tie order via an exact SQL comparator
+        // (array_sort comparator uses SQL comparisons, so ±0.0 ties break by
+        // vid exactly like the window did) — the result is hash-identical,
+        // verified against the DuckDB recursive oracle. No Scala closure:
+        // everything stays a Catalyst expression.
+        val mmrExpr =
+          """aggregate(
+            |  sequence(2, 5),
+            |  array(element_at(array_sort(
+            |    transform(cs, c -> named_struct(
+            |      'rank', 1, 'vid', c.vid, 'score', 0.7D * c.rel)),
+            |    (x, y) -> CASE WHEN x.score > y.score THEN -1
+            |                   WHEN x.score < y.score THEN 1
+            |                   WHEN x.vid < y.vid THEN -1
+            |                   WHEN x.vid > y.vid THEN 1 ELSE 0 END), 1)),
+            |  (acc, r) -> CASE
+            |    WHEN size(filter(cs, c ->
+            |           !exists(acc, a -> a.vid = c.vid))) = 0 THEN acc
+            |    ELSE concat(acc, array(element_at(array_sort(
+            |      transform(
+            |        filter(cs, c -> !exists(acc, a -> a.vid = c.vid)),
+            |        c -> named_struct(
+            |          'rank', r, 'vid', c.vid,
+            |          'score', 0.7D * c.rel - 0.3D * array_max(transform(
+            |            filter(ss, s -> s.v1 = c.vid AND
+            |              exists(acc, a2 -> a2.vid = s.v2)),
+            |            s -> s.sim)))),
+            |      (x, y) -> CASE WHEN x.score > y.score THEN -1
+            |                     WHEN x.score < y.score THEN 1
+            |                     WHEN x.vid < y.vid THEN -1
+            |                     WHEN x.vid > y.vid THEN 1 ELSE 0 END), 1)))
+            |    END)""".stripMargin
+        val candArr = cands.groupBy($"qid")
+          .agg(collect_list(struct($"vid", $"rel")).as("cs"))
+        val simArr = sims.groupBy($"qid")
+          .agg(collect_list(struct($"v1", $"v2", $"sim")).as("ss"))
+        candArr.join(simArr, Seq("qid"), "left")
+          .select($"qid", explode(expr(mmrExpr)).as("p"))
+          .select($"qid", $"p.rank".as("rank"), $"p.vid".as("vid"),
+            round($"p.score", 9).as("score"))
           .orderBy($"qid", $"rank")
       },
       Some {
