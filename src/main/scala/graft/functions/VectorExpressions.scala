@@ -176,6 +176,120 @@ object FloatVecDotExact {
   }
 }
 
+/** Native Catalyst expression: DECIMAL-EXACT squared euclidean distance between
+  * two vector columns (each independently `array<float>` or `array<double>`) —
+  * the L2 companion of [[FloatVecDotExact]], for the posexplode-free spellings of
+  * the nearest-centroid / residual-quantization queries. Reproduces the HOF
+  * formulation `aggregate(zip_with(a, b, (x,y) => ((x-y)*(x-y)).cast(decimal(30,12))),
+  * 0, (acc,x) => acc+x)` bit-for-bit: the per-position difference and square run
+  * in IEEE double (floats widened exactly), each square is rounded HALF_UP at
+  * scale 12 of its shortest-string decimal form (Spark's double→decimal cast),
+  * and the rounded terms are summed exactly — associative, so the result equals
+  * the grouped `SUM(CAST((v-c)*(v-c) AS DECIMAL(30,12)))` the flattened queries
+  * (and the DuckDB oracle) compute over the same positions in any order.
+  *
+  * Same scaled-long fast path / BigInteger fallback / decimal(30,12) capacity
+  * and null semantics as [[FloatVecDotExact]]. */
+case class VecL2Exact(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  // NULL on length mismatch / null element / capacity overflow even for
+  // non-null inputs — same nullable-override requirement as FloatVecDotExact
+  // (Janino "not an rvalue" fallback otherwise).
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2_exact"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecL2Exact.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left.dataType), isFloat(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = graft.functions.VecL2Exact.compute($a, $b, $lf, $rf);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VecL2Exact {
+  private val MaxUnscaled = java.math.BigInteger.TEN.pow(30)
+
+  @inline private def elem(x: ArrayData, i: Int, f: Boolean): Double =
+    if (f) x.getFloat(i).toDouble else x.getDouble(i)
+
+  /** Σᵢ roundHalfUp₁₂((xᵢ − yᵢ)²), exactly; null on length mismatch / null
+    * element / decimal(30,12) overflow. */
+  def compute(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L // unscaled at scale 12
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = elem(x, i, xf) - elem(y, i, yf)
+      val u = java.math.BigDecimal.valueOf(d * d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue() // scale-12 units; NOT the numeric value
+      try acc = java.lang.Math.addExact(acc, u.longValueExact())
+      catch { case _: ArithmeticException => return computeBig(x, y, xf, yf) }
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(acc, 12).doubleValue())
+  }
+
+  /** Long-overflow fallback: same per-term rounding, BigInteger sum, with the
+    * HOF's decimal(30,12) capacity enforced on every term and partial sum. */
+  private def computeBig(x: ArrayData, y: ArrayData, xf: Boolean,
+      yf: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    var acc = java.math.BigInteger.ZERO // unscaled at scale 12
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = elem(x, i, xf) - elem(y, i, yf)
+      val u = java.math.BigDecimal.valueOf(d * d)
+        .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue()
+      if (u.abs.compareTo(MaxUnscaled) >= 0) return null // term overflows cast
+      acc = acc.add(u)
+      if (acc.abs.compareTo(MaxUnscaled) >= 0) return null // sum overflows cast
+      i += 1
+    }
+    java.lang.Double.valueOf(new java.math.BigDecimal(acc, 12).doubleValue())
+  }
+}
+
 /** Native Catalyst expression: dot product of two `array<bigint>` columns in
   * exact long arithmetic — the hot path of int8-quantized similarity search
   * (sim_int8_rerank), where candidate scores are integer by design so the
@@ -261,6 +375,12 @@ object VectorFunctions {
   /** Decimal-exact, codegen'd — drop-in for the HOF dotExact formulation. */
   def vec_dot_exact(a: Column, b: Column): Column =
     Bridge.column(FloatVecDotExact(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Decimal-exact squared L2 distance over array<float|double> — codegen'd
+    * drop-in for `aggregate(zip_with(a,b,(x,y)=>((x-y)*(x-y)).cast(dec(30,12))),
+    * 0, _+_).cast(double)`. */
+  def vec_l2_exact(a: Column, b: Column): Column =
+    Bridge.column(VecL2Exact(Bridge.expression(a), Bridge.expression(b)))
 
   /** Exact integer dot over array<bigint> — codegen'd HOF drop-in. */
   def ivec_dot(a: Column, b: Column): Column =

@@ -342,12 +342,19 @@ object Analytics15 {
         val md = pairs.groupBy($"i", $"li", $"lj")
           .agg((sum($"dist".cast(DEC)).cast("double") / count(lit(1)))
             .as("mdist"))
-        val a = md.filter($"li" === $"lj").select($"i", $"li", $"mdist".as("a"))
-        val b = md.filter($"li" =!= $"lj").groupBy($"i")
-          .agg(min($"mdist").as("b"))
-        val res = a.join(b, "i")
-          .select($"i", $"li",
-            (($"b" - $"a") / greatest($"a", $"b")).as("sil"))
+        // a and b in ONE pass over md (round 15): the old a/b split consumed
+        // md twice, and with no materialization between them the whole
+        // 150² cross-join + grouped-mean subtree executed TWICE (plans do
+        // not share unreferenced common subtrees). max(when(li=lj)) picks
+        // the unique own-label mean; the isNotNull filters reproduce the
+        // old inner join (a vector needs both an own-label and an
+        // other-label mean). Values and tie-handling unchanged.
+        val res = md.groupBy($"i")
+          .agg(max(when($"li" === $"lj", struct($"li", $"mdist"))).as("am"),
+            min(when($"li" =!= $"lj", $"mdist")).as("b"))
+          .filter($"am".isNotNull && $"b".isNotNull)
+          .select($"i", $"am.li".as("li"),
+            (($"b" - $"am.mdist") / greatest($"am.mdist", $"b")).as("sil"))
           .groupBy($"li")
           .agg(count(lit(1)).as("n_vecs"),
             round(sum($"sil".cast(DEC)).cast("double") / count(lit(1)), 6)

@@ -325,54 +325,45 @@ object Analytics3 {
     // nearest first-level codeword (first 8 corpus vectors), stage 2
     // quantizes the residual against a second codebook (vectors 8-15
     // scaled by the exact dyadic 1/8 — a deterministic stand-in for
-    // residual-trained centroids). Everything runs on the flattened
-    // (vec_id, pos, v) frame: per-stage scores are decimal-exact squared
-    // distances grouped per candidate, argmins are min-struct reductions,
-    // residual subtraction is plain IEEE on exact inputs. Codebooks are
-    // bounded broadcast joins on pos — linear in the corpus at 100 TB.
-    // Output pins both code ids and the exact error drop per stage.
+    // residual-trained centroids). Array-native spelling (round 15): both
+    // codebooks collect into ONE bounded row (8 entries × 64 dims each) and
+    // broadcast; per corpus vector the stage argmin is a higher-order-
+    // function fold whose decimal-exact squared distances (VecL2Exact — the
+    // codegen'd twin of the grouped SUM(CAST((v-c)*(v-c) AS DECIMAL(30,12)))
+    // the flattened spelling shuffled for) are bit-identical, so assignment
+    // and residual never leave the row. The old shape posexploded to
+    // (vec_id, pos, v), shuffled 8 candidate rows per (vector, dim) into two
+    // grouped argmins per stage, and shuffle-hash-joined the flat frame back
+    // per stage — 14 Exchanges; this one keeps a single range partition for
+    // the final ORDER BY. Output pins both code ids and the exact error
+    // drop per stage, bit-identical to the flattened/oracle formulation.
     Q("embed_rq_encode",
       (s, dir) => {
         import s.implicits._
-        val flat = t(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("p0", "vf")))
-          .select($"vec_id", ($"p0" + 1).as("pos"),
-            $"vf".cast("double").as("v"))
-          .localCheckpoint()
-        val cbA = flat.filter($"vec_id" < 8)
-          .select($"vec_id".cast("int").as("aid"), $"pos", $"v".as("av"))
-        val s1 = flat.join(broadcast(cbA), "pos")
-          .groupBy($"vec_id", $"aid")
-          .agg(sum((($"v" - $"av") * ($"v" - $"av"))
-            .cast("decimal(30,12)")).cast("double").as("d2"))
-          .groupBy($"vec_id")
-          .agg(min(struct($"d2", $"aid")).as("b"))
-          .select($"vec_id", $"b.aid".as("c1"), $"b.d2".as("d2_stage1"))
-        // The s1 join-back must never default-plan: flat scans as an
-        // ExistingRDD (checkpoint) with no stats, and the planner chose to
-        // BROADCAST THE FACT SIDE — the whole sf1 tail (measured r13 at the
-        // true 10x probe, full-query honest consume: 38.8 s mis-broadcast vs
-        // 6.5 s broadcast(s1) vs 4.7 s shuffle_hash). broadcast(s1) loses
-        // even locally (stage-1 executes inside the single-threaded
-        // broadcast build) AND s1 is one row per corpus vector, so it could
-        // never ship at cluster scale; the co-partitioned shuffle-hash join
-        // on vec_id wins at every scale and keeps one plan shape.
-        val resid = flat.as("f").join(s1.hint("shuffle_hash"), "vec_id")
-          .join(broadcast(cbA.as("ca")),
-            col("f.pos") === col("ca.pos") && $"c1" === col("ca.aid"))
-          .select($"vec_id", col("f.pos").as("pos"),
-            (col("f.v") - col("ca.av")).as("rv"), $"c1", $"d2_stage1")
-        val cbB = flat.filter($"vec_id" >= 8 && $"vec_id" < 16)
-          .select(($"vec_id" - 8).cast("int").as("bid"), $"pos",
-            ($"v" * 0.125d).as("bv"))
-        val s2 = resid.join(broadcast(cbB), "pos")
-          .groupBy($"vec_id", $"c1", $"d2_stage1", $"bid")
-          .agg(sum((($"rv" - $"bv") * ($"rv" - $"bv"))
-            .cast("decimal(30,12)")).cast("double").as("d2"))
-          .groupBy($"vec_id", $"c1", $"d2_stage1")
-          .agg(min(struct($"d2", $"bid")).as("b"))
-        s2.select($"vec_id", $"c1", $"b.bid".as("c2"),
-            round($"d2_stage1", 9).as("d2_stage1"),
+        import graft.functions.VectorFunctions.vec_l2_exact
+        val vecs = t(s, dir, "embeddings").select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("emb"))
+        val cbA = vecs.filter($"vec_id" < 8)
+          .agg(collect_list(struct($"vec_id".cast("int").as("aid"),
+            $"emb".as("aemb"))).as("cba"))
+        val s1 = vecs.crossJoin(broadcast(cbA))
+          .select($"vec_id", $"emb",
+            array_min(transform($"cba", c =>
+              struct(vec_l2_exact($"emb", c("aemb")).as("d2"),
+                c("aid").as("aid"), c("aemb").as("aemb")))).as("b"))
+          .select($"vec_id", $"b.aid".as("c1"), $"b.d2".as("d2_stage1"),
+            // residual subtraction is plain IEEE on exact inputs, as before
+            zip_with($"emb", $"b.aemb", (x, y) => x - y).as("rv"))
+        val cbB = vecs.filter($"vec_id" >= 8 && $"vec_id" < 16)
+          .agg(collect_list(struct(($"vec_id" - 8).cast("int").as("bid"),
+            transform($"emb", x => x * 0.125d).as("bemb"))).as("cbb"))
+        s1.crossJoin(broadcast(cbB))
+          .select($"vec_id", $"c1",
+            array_min(transform($"cbb", c =>
+              struct(vec_l2_exact($"rv", c("bemb")).as("d2"),
+                c("bid").as("bid")))).as("b"),
+            round($"d2_stage1", 9).as("d2_stage1"))
+          .select($"vec_id", $"c1", $"b.bid".as("c2"), $"d2_stage1",
             round($"b.d2", 9).as("d2_stage2"))
           .orderBy($"vec_id")
       },

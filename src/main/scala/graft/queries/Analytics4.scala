@@ -608,33 +608,29 @@ object Analytics4 {
     // Radius (range) similarity search: every corpus vector within cosine
     // >= 0.35 of each probe — the fixed-threshold companion to top-k ANN
     // (dedup wants "all near-dups", not "the k nearest"). Probe set bounded
-    // (vec_id < 10); candidate dots pair probe and corpus flats via an
-    // equi-join on dimension position — linear in the corpus, never a cross.
-    // Dots and norms accumulate in decimal; the cosine threshold compare runs
-    // on identical doubles both engines.
+    // (vec_id < 10). Array-native spelling (round 15): the probes (with
+    // their precomputed exact norms) collect into ONE bounded broadcast row;
+    // per corpus vector the 10 dots and the threshold test run inside the
+    // row via decimal-exact codegen'd folds (FloatVecDotExact — bit-identical
+    // to the flattened SUM(CAST(q.v*c.v AS DECIMAL(30,12))) the old shape
+    // computed), so the only exchange left is the final ORDER BY over the
+    // filtered matches. The old shape posexploded the corpus, checkpointed
+    // it, shuffled 10 candidate rows per (vector, dim) into a grouped dot,
+    // and joined norms twice — 14 Exchanges, all corpus-scaled.
     Q("sim_range_search_radius",
       (s, dir) => {
         import s.implicits._
-        val flat = t(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
-          .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
-          .localCheckpoint()
-        val norms = flat.groupBy($"vec_id")
-          .agg(sqrt(sum(($"v" * $"v").cast("decimal(30,12)")).cast("double"))
-            .as("nrm"))
-        val probes = flat.filter($"vec_id" < 10)
-        val dots = probes.as("q")
-          .join(flat.as("c"),
-            $"q.pos" === $"c.pos" && $"q.vec_id" =!= $"c.vec_id")
-          .groupBy($"q.vec_id".as("probe_id"), $"c.vec_id".as("cand_id"))
-          .agg(sum(($"q.v" * $"c.v").cast("decimal(30,12)"))
-            .cast("double").as("dot"))
-        dots.join(norms.select($"vec_id".as("probe_id"), $"nrm".as("n1")),
-            Seq("probe_id"))
-          .join(norms.select($"vec_id".as("cand_id"), $"nrm".as("n2")),
-            Seq("cand_id"))
-          .select($"probe_id", $"cand_id",
-            ($"dot" / ($"n1" * $"n2")).as("cosine"))
+        import graft.llm.Similarity.{dotExact, normExact}
+        val vecs = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val probes = vecs.filter($"vec_id" < 10)
+          .agg(collect_list(struct($"vec_id".as("probe_id"),
+            $"embedding".as("pemb"), normExact($"embedding").as("n1"))).as("ps"))
+        vecs.crossJoin(broadcast(probes))
+          .select($"vec_id".as("cand_id"), normExact($"embedding").as("n2"),
+            explode(filter($"ps", p => p("probe_id") =!= $"vec_id")).as("p"),
+            $"embedding")
+          .select($"p.probe_id".as("probe_id"), $"cand_id",
+            (dotExact($"embedding", $"p.pemb") / ($"p.n1" * $"n2")).as("cosine"))
           .filter($"cosine" >= 0.35d)
           .select($"probe_id", $"cand_id", round($"cosine", 9).as("cosine"))
           .orderBy($"probe_id", $"cand_id")

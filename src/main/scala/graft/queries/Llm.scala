@@ -527,44 +527,56 @@ object Llm {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // K-means (2 Lloyd iterations, k=4, deterministic init = the first k vectors):
-    // iterative ML as declarative joins — each iteration is ONE broadcast join of
-    // the posexploded vectors to the k·dims centroid frame (assignment by
-    // lexicographic min(struct(d2, cid)) — total order, ties to the lowest id)
-    // plus ONE grouped mean (decimal-exact) for the update. The centroid frame
-    // never exceeds k·dims rows, so every iteration broadcast-joins at any corpus
-    // size — the same Pregel-shape loop as graph_pagerank, applied to clustering.
+    // iterative ML as declarative dataflow. Array-native spelling (round 15):
+    // each iteration collects the k centroids into ONE bounded broadcast row;
+    // assignment is a per-vector higher-order-function argmin over that row
+    // (lexicographic min(struct(d2, cid)) — total order, ties to the lowest id)
+    // whose decimal-exact squared distances (VecL2Exact) are bit-identical to
+    // the flattened grouped sums the old shape shuffled for, so assignment
+    // never leaves the row; only the centroid UPDATE shuffles, and it is a
+    // map-side-combined groupBy over k·dims keys. The old shape posexploded to
+    // (vec_id, pos, v), checkpointed it, and per iteration ran two grouped
+    // argmin shuffles plus a shuffle-hash join of the whole flat frame — 42
+    // Exchanges; the update groupBy is the only corpus-wide exchange left.
     Q("sim_kmeans_lloyd",
       (s, dir) => {
         import s.implicits._
-        val flat = t(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "vf")))
-          .select($"vec_id", $"pos", $"vf".cast("double").as("v"))
-          .localCheckpoint() // reused by every iteration: cut the lineage once
-        val init = flat.filter($"vec_id" < 4)
-          .select($"vec_id".cast("int").as("cid"), $"pos", $"v".as("cval"))
-        // one Lloyd step: assignment (argmin over broadcast centroids) + update
+        import graft.functions.VectorFunctions.vec_l2_exact
+        val vecs = t(s, dir, "embeddings").select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("emb"))
+        val init = vecs.filter($"vec_id" < 4)
+          .select($"vec_id".cast("int").as("cid"), posexplode($"emb").as(Seq("pos", "cval")))
+        // one Lloyd step: assignment (HOF argmin over the collected centroid
+        // row) + update (grouped decimal-exact mean per (cid, pos)). The
+        // update also carries the cluster size, so the final n_vecs readout
+        // never re-consumes the assignment (a second full corpus pass —
+        // assignment is map-only, so there is no exchange for ReuseExchange
+        // to share between two consumers).
         def step(cents: org.apache.spark.sql.DataFrame) = {
-          val assign = flat.join(broadcast(cents), Seq("pos"))
-            .select($"vec_id", $"cid",
-              (($"v" - $"cval") * ($"v" - $"cval")).cast("decimal(30,12)").as("sq"))
-            .groupBy($"vec_id", $"cid")
-            .agg(sum($"sq").cast("double").as("d2"))
-            .groupBy($"vec_id")
-            .agg(min(struct($"d2", $"cid")).as("m"))
-            .select($"vec_id", $"m.cid".as("cid"))
-          // flat is a checkpointed ExistingRDD (NO stats) and assign has one
-          // row PER VECTOR — the embed_rq_encode class: without a hint the
-          // planner may broadcast a linearly-growing side (or the fact side
-          // itself). shuffle_hash co-partitions on vec_id at any scale.
-          val next = flat.join(assign.hint("shuffle_hash"), "vec_id")
+          val cb = cents.groupBy($"cid")
+            .agg(array_sort(collect_list(struct($"pos", $"cval"))).as("pc"))
+            .select($"cid", transform($"pc", p => p("cval")).as("cemb"))
+            .agg(collect_list(struct($"cid", $"cemb")).as("cbs"))
+          vecs.crossJoin(broadcast(cb))
+            .select($"vec_id", $"emb",
+              array_min(transform($"cbs", c =>
+                struct(vec_l2_exact($"emb", c("cemb")).as("d2"),
+                  c("cid").as("cid")))).getField("cid").as("cid"))
+            .select($"cid", posexplode($"emb").as(Seq("pos", "v")))
             .groupBy($"cid", $"pos")
             .agg((sum($"v".cast("decimal(30,12)")).cast("double") /
-              count(lit(1))).as("cval"))
-          (assign, next)
+              count(lit(1))).as("cval"), count(lit(1)).as("n"))
         }
-        val (_, c1) = step(init)
-        val (assign, cents) = step(c1)
-        val sizes = assign.groupBy($"cid").agg(count(lit(1)).as("n_vecs"))
+        val c1 = step(init)
+        // k·dims rows; materialized once (the dedup-family idiom) because the
+        // sizes/sums readouts prune DIFFERENT columns — the duplicated
+        // subtrees are not canonically equal, so ReuseExchange cannot share
+        // them and the whole 2-iteration corpus chain would run twice.
+        val cents = step(c1.select($"cid", $"pos", $"cval")).localCheckpoint()
+        // every member vector contributes exactly one pos-0 row, so the
+        // pos-0 group count IS the cluster size
+        val sizes = cents.filter($"pos" === 0)
+          .select($"cid", $"n".as("n_vecs"))
         val sums = cents.groupBy($"cid")
           .agg(round(sum($"cval".cast("decimal(30,12)")).cast("double"), 9)
             .as("centroid_checksum"))

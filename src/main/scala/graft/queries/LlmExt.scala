@@ -420,19 +420,25 @@ object LlmExt {
             slice($"embedding", $"ss" * sub + 1, lit(sub)).as("csub"))
           .withColumn("cself", vec_dot_exact($"csub", $"csub"))
         // same lossless fast-score prune as dedup_semantic_semdedup: exact
-        // decimal dots only on candidates within 1e-6 of the fast minimum
-        val best = vsubs.join(broadcast(codes), "ss")
-          .withColumn("fscore",
-            $"cself" - lit(2.0d) * graft.functions.VectorFunctions
-              .vec_dot($"vsub", $"csub"))
-          .withColumn("fmin",
-            min($"fscore").over(Window.partitionBy($"vec_id", $"ss")))
-          .filter($"fscore" <= $"fmin" + lit(1e-6))
-          .withColumn("score",
-            $"cself" - lit(2.0d) * vec_dot_exact($"vsub", $"csub"))
-          .groupBy($"vec_id", $"ss")
-          .agg(min(struct($"score", $"code_id")).as("b"),
-            first($"vself").as("vself"))
+        // decimal dots only on candidates within 1e-6 of the fast minimum.
+        // Round 15: the 16-entry codebook of each subspace collects into one
+        // broadcast row and the prune + exact argmin run as higher-order
+        // functions INSIDE the (vector, subspace) row — the old spelling's
+        // 16-fanout join, per-(vec,ss) window min (an extra full shuffle +
+        // sort) and re-grouping argmin shuffle collapse to map-only work.
+        // Same fast/exact scores, same min(struct(score, code_id)) order.
+        val cb = codes.groupBy($"ss")
+          .agg(collect_list(struct($"code_id", $"csub", $"cself")).as("cbs"))
+        def fscore(c: org.apache.spark.sql.Column) =
+          c("cself") - lit(2.0d) * graft.functions.VectorFunctions
+            .vec_dot($"vsub", c("csub"))
+        val best = vsubs.join(broadcast(cb), "ss")
+          .withColumn("fmin", array_min(transform($"cbs", c => fscore(c))))
+          .withColumn("b", array_min(transform(
+            filter($"cbs", c => fscore(c) <= $"fmin" + lit(1e-6)),
+            c => struct((c("cself") - lit(2.0d) *
+                vec_dot_exact($"vsub", c("csub"))).as("score"),
+              c("code_id").as("code_id")))))
           // d² to the chosen code = ||v||² + (||c||² − 2⟨v,c⟩); decimal cast
           // before the cross-subspace sum keeps the 4-term total order-free
           .select($"vec_id", $"ss", $"b.code_id".as("code"),

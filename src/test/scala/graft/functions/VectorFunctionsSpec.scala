@@ -83,6 +83,76 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  /** The HOF specification VecL2Exact must reproduce bit-for-bit. */
+  private def l2ExactHof(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        ((x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))).cast(DEC)),
+      lit(0).cast(DEC),
+      (acc, x) => (acc + x).cast(DEC)
+    ).cast("double")
+  }
+
+  test("vec_l2_exact is BIT-IDENTICAL to the decimal HOF on float embeddings") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf).limit(80).cache()
+    val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+    val bad = a.join(b, $"id1" < $"id2")
+      .select(
+        VectorFunctions.vec_l2_exact($"e1", $"e2").as("native"),
+        l2ExactHof($"e1", $"e2").as("hof"))
+      .filter(!($"native" === $"hof")).count()
+    assert(bad == 0, s"$bad pairs diverge from the HOF formulation")
+  }
+
+  test("vec_l2_exact double and mixed float/double arrays match the HOF") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf).limit(40).cache()
+    val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"),
+      transform($"embedding", x => x.cast("double") * 0.125d).as("d1"))
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"),
+      transform($"embedding", x => x.cast("double") - 0.25d).as("d2x"))
+    val bad = a.join(b, $"id1" < $"id2")
+      .select(
+        VectorFunctions.vec_l2_exact($"d1", $"d2x").as("dd"),
+        l2ExactHof($"d1", $"d2x").as("ddHof"),
+        VectorFunctions.vec_l2_exact($"e1", $"d2x").as("fd"),
+        l2ExactHof($"e1", $"d2x").as("fdHof"),
+        VectorFunctions.vec_l2_exact($"d1", $"e2").as("df"),
+        l2ExactHof($"d1", $"e2").as("dfHof"))
+      .filter(!($"dd" === $"ddHof") || !($"fd" === $"fdHof") ||
+        !($"df" === $"dfHof")).count()
+    assert(bad == 0, s"$bad rows diverge from the HOF formulation")
+  }
+
+  test("vec_l2_exact adversarial values and null semantics") {
+    import spark.implicits._
+    val vs = Seq(
+      (Array(-1.5f, 2.25f, -3.125f), Array(4.0f, -5.5f, 6.75f)),
+      (Array(1e-8f, -1e-8f, 1e8f), Array(1e-8f, 1e-8f, -1e8f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.7f, 0.8f, 0.9f)),
+      (Array(Float.MinPositiveValue, 1f), Array(Float.MinPositiveValue, -1f)))
+    val rows = vs.toDF("a", "b").select(
+      VectorFunctions.vec_l2_exact($"a", $"b").as("native"),
+      l2ExactHof($"a", $"b").as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    val nulls = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f)))), // length mismatch
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(3.0f), Some(4.0f)))), // null elem
+      (None, Some(Seq(Some(1.0f)))) // null array
+    ).toDF("a", "b")
+      .select($"a".cast("array<float>"), $"b".cast("array<float>"))
+      .select(VectorFunctions.vec_l2_exact($"a", $"b")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("vec_dot interpreted eval (no codegen) agrees with codegen") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
