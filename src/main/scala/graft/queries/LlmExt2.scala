@@ -744,8 +744,14 @@ object LlmExt2 {
     Q("text_surprisal_buckets",
       (s, dir) => {
         import s.implicits._
+        // Round 15: docs (tokenized once) and per are each consumed by TWO
+        // downstream branches; without a materialization point the whole
+        // bigram pipeline ran TWICE (9 documents scans in the physical plan
+        // — plans do not share unreferenced common subtrees), the dedup-
+        // family materialize-once idiom the funnel already uses.
         val docs = t(s, dir, "documents")
           .select($"doc_id", TF.tokens($"text").as("toks"))
+          .localCheckpoint()
         val bg = docs.select($"doc_id", explode(TF.ngrams($"toks", 2)).as("bg"))
         val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
         val uni = docs.select(explode($"toks").as("w"))
@@ -758,6 +764,7 @@ object LlmExt2 {
           .groupBy($"doc_id")
           .agg(round((sum($"s").cast("double") / count(lit(1))), 6)
             .as("mean_surprisal"))
+          .localCheckpoint()
         val h = per.groupBy($"mean_surprisal".as("sv"))
           .agg(count(lit(1)).as("c"))
           .withColumn("rb", floor($"sv"))

@@ -343,10 +343,15 @@ object LlmExt2c {
       (s, dir) => {
         import s.implicits._
         val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+        // tokens staged ONCE (round 15): the old shape tokenized (regex
+        // split) in THREE places — nt here (evaluated again per consumer of
+        // base), and a full re-tokenize in the surprisal stage below; the
+        // materialized toks column makes every later stage an array read
         val base = t(s, dir, "documents")
-          .select($"doc_id", $"lang", $"text",
-            size(TF.tokens($"text")).as("nt"))
+          .select($"doc_id", $"lang", $"text", TF.tokens($"text").as("toks"))
+          .withColumn("nt", size($"toks"))
           .withColumn("q_ok", $"nt" >= 25)
+          .localCheckpoint()
         // stage 2: spans over quality survivors only
         val spans = base.filter($"q_ok")
           .select($"doc_id", $"text", length($"text").as("n"))
@@ -369,9 +374,10 @@ object LlmExt2c {
         val staged = base.join(dupDocs, Seq("doc_id"), "left")
           .withColumn("d_ok", $"q_ok" && $"is_dup".isNull)
           .localCheckpoint()
-        // stage 3: bigram-surprisal terciles over d_ok survivors
+        // stage 3: bigram-surprisal terciles over d_ok survivors (toks staged
+        // in base — no re-tokenize)
         val surv = staged.filter($"d_ok")
-          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"toks")
         val bg = surv.select($"doc_id", explode(TF.ngrams($"toks", 2)).as("bg"))
         val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
         val uni = surv.select(explode($"toks").as("w"))
