@@ -348,7 +348,14 @@ object Analytics12 {
         import s.implicits._
         val xd = ($"l_quantity" - 25.0d).cast("decimal(18,2)")
         val yd = ($"l_extendedprice" - 40000.0d).cast("decimal(18,2)")
+        // Round 15 (guide §2.5 unsplittable input): both OLS passes do heavy
+        // per-row decimal(30/38,*) cast+sum work, and a single-row-group
+        // parquet file scans as ONE task — spread the 16-byte projection over
+        // the cores with one deterministic hash repartition; BOTH passes read
+        // the same exchange (ReuseExchange — identical subtree), so the scan
+        // and shuffle happen once. Decimal sums are partitioning-independent.
         val li = t(s, dir, "lineitem").select($"l_quantity", $"l_extendedprice")
+          .repartition(s.sparkContext.defaultParallelism, $"l_extendedprice")
         val m1 = li.agg(count(lit(1)).as("n"),
             sum(xd).cast("double").as("sx"),
             sum(xd * xd).cast("double").as("sxx"),

@@ -538,15 +538,25 @@ object Headline {
           .select($"o_orderkey", $"o_orderdate")
         val li = t(s, dir, "lineitem")
           .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-        val late = li.join(ordF, $"l_orderkey" === $"o_orderkey")
+        // Round 15 (guide §2.4): the semi + anti SELF-joins collapse into
+        // per-order distinct-supplier counts. late ⊆ pairs (same source rows,
+        // extra filter), so for a late (ok, sk): "∃ pairs row with another
+        // supplier" ⇔ the order has ≥ 2 distinct suppliers overall, and
+        // "∄ OTHER late supplier" ⇔ the order has exactly 1 distinct late
+        // supplier (whose sk is then max(sk)). The old plan duplicated the
+        // whole late chain (lineitem+orders scanned twice more) and
+        // re-shuffled both distinct frames from (ok, sk) to ok for the
+        // semi/anti probes; this shape is one grouped pass per side joined
+        // on ok. Same sole set, same numwait counts.
+        val lateAgg = li.join(ordF, $"l_orderkey" === $"o_orderkey")
           .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL '60' DAY"))
-          .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-        val pairs = li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
-          .distinct()
-        late
-          .join(pairs, $"ok" === $"ok2" && $"sk" =!= $"sk2", "left_semi")
-          .join(late.select($"ok".as("ok3"), $"sk".as("sk3")),
-            $"ok" === $"ok3" && $"sk" =!= $"sk3", "left_anti")
+          .groupBy($"l_orderkey")
+          .agg(countDistinct($"l_suppkey").as("nl"), max($"l_suppkey").as("sk"))
+          .filter($"nl" === 1)
+        val pairsAgg = li.groupBy($"l_orderkey")
+          .agg(countDistinct($"l_suppkey").as("np"))
+          .filter($"np" >= 2).select($"l_orderkey")
+        lateAgg.join(pairsAgg, "l_orderkey")
           .join(t(s, dir, "supplier"), $"sk" === $"s_suppkey")
           .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
           .orderBy($"numwait".desc, $"s_name").limit(25)

@@ -1053,7 +1053,15 @@ object LlmExt3b {
         // hotspot; windowing the digest is 8x less hashing for identical
         // determinism (the 16-bit-window % 10000 modulo bias is irrelevant
         // to a bootstrap and identical on both engines).
+        // Round 15 (guide §2.5 unsplittable input): the md5+conv draw work is
+        // ~16 expression evaluations per order row, and a single-row-group
+        // parquet file scans as ONE task — spread the 16-byte projection over
+        // the cores by a deterministic hash repartition BEFORE the hashing,
+        // so the CPU-bound stage parallelizes at any file layout. Weights,
+        // groups and sums are unchanged (partitioning-independent decimal).
         val rows = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+          .repartition(s.sparkContext.defaultParallelism, $"o_orderkey")
           .select($"o_orderkey", $"o_totalprice",
             md5($"o_orderkey".cast("string")).as("h1"),
             md5(concat($"o_orderkey".cast("string"), lit("x"))).as("h2"))
