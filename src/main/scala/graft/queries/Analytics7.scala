@@ -140,12 +140,25 @@ object Analytics7 {
     Q("graph_copurchase_projection",
       (s, dir) => {
         import s.implicits._
-        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-        li.select($"l_orderkey", $"l_partkey".as("pa"))
-          .join(li.select($"l_orderkey", $"l_partkey".as("pb")),
-            Seq("l_orderkey"))
-          .filter($"pa" < $"pb")
-          .groupBy($"pa", $"pb")
+        // Round 15 (the agg_basket_assoc_rules idiom, guide §2.4): ONE
+        // shuffle to per-order part lists, then MAP-SIDE pair expansion via
+        // nested HOFs — the self-equi-join shuffled the fact twice and ran
+        // its probe in the single-row-group scan task. Multiset semantics
+        // preserved exactly: for each element x, every element y with x < y
+        // (value comparison over the collected list, duplicates kept) yields
+        // one (x, y) — the same multiset of pairs the join's pa < pb filter
+        // produced. The projection hash-repartitions by the group key, so
+        // collect + explode run at defaultParallelism on any file layout.
+        val grouped = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey")
+          .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
+          .groupBy($"l_orderkey")
+          .agg(collect_list($"l_partkey").as("arr"))
+        val pairsArr = flatten(transform($"arr", x =>
+          transform(filter($"arr", y => x < y),
+            y => struct(x.as("pa"), y.as("pb")))))
+        grouped.select(explode(pairsArr).as("p"))
+          .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
           .agg(count(lit(1)).as("support"))
           .orderBy($"support".desc, $"pa", $"pb")
           .limit(30)
