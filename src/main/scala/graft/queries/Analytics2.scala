@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.llm.Multimodal
@@ -223,35 +224,57 @@ object Analytics2 {
         val ew = e.crossJoin(broadcast(wtot))
           .select($"src", $"dst",
             ($"w".cast("double") / $"wt".cast("double")).as("frac"))
-          .localCheckpoint()
-        val srcs = ew.select($"src").distinct().localCheckpoint()
-        var h = srcs.withColumn("h", lit(1.0d))
-        var a = ew.select($"dst").distinct().withColumn("a", lit(0.0d))
-        (1 to 4).foreach { _ =>
-          // checkpoint both 25-row frames per round: a feeds h in-round AND
-          // the final normalization, so an unbroken lineage re-expands every
-          // prior round in both consumers (65-shuffle plan vs 10)
-          a = ew.join(h, "src")
-            .select($"dst", ($"frac" * $"h").cast("decimal(30,12)").as("c"))
-            .groupBy($"dst").agg(sum($"c").cast("double").as("a"))
-            .localCheckpoint()
-          h = ew.join(a, "dst")
-            .select($"src", ($"frac" * $"a").cast("decimal(30,12)").as("c"))
-            .groupBy($"src").agg(sum($"c").cast("double").as("h"))
-            .localCheckpoint()
-        }
-        val hTot = h.agg(
-          sum($"h".cast("decimal(30,12)")).cast("double").as("ht"))
-        val aTot = a.agg(
-          sum($"a".cast("decimal(30,12)")).cast("double").as("at"))
-        val hs = h.crossJoin(broadcast(hTot))
-          .select($"src".as("node"), ($"h" / $"ht").as("hub_share"))
-        val as0 = a.crossJoin(broadcast(aTot))
-          .select($"dst".as("node"), ($"a" / $"at").as("auth_share"))
-        hs.join(as0, Seq("node"), "full")
-          .select($"node",
-            round(coalesce($"hub_share", lit(0.0d)), 9).as("hub_share"),
-            round(coalesce($"auth_share", lit(0.0d)), 9).as("auth_share"))
+        // Round 15 (the PowerFold idiom, see graph_pagerank): the 4 rounds of
+        // a ← Wᵀh, h ← W·a over the ≤625-row edge frame fold into ONE
+        // single-row aggregate over an 8-step parity sequence (odd step
+        // updates a from h, even step updates h from a) — the accumulator is
+        // the concrete (h, a) array pair, so each half-round evaluates once.
+        // Replaces 8 loop checkpoints + per-round join/groupBy exchanges.
+        // Decimal gathers are the grouped sums bit-for-bit (order-free);
+        // IEEE multiply is commutative so frac·h = h·frac exactly.
+        val DEC = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+        // (37,12) accumulator: +(30,12) promotes to exactly (38,12) — scale
+        // preserved (a (38,12) acc would promote to precision 39 and Spark
+        // would cut the scale to 11, a rounding sum() never does)
+        val DEC38 = org.apache.spark.sql.types.DataTypes.createDecimalType(37, 12)
+        val row = ew.agg(collect_list(struct($"src", $"dst", $"frac")).as("es"))
+          .withColumn("srcs",
+            array_sort(array_distinct(transform($"es", e => e("src")))))
+          .withColumn("dsts",
+            array_sort(array_distinct(transform($"es", e => e("dst")))))
+        def gA(h: Column) = transform($"dsts", d =>
+          aggregate(filter($"es", e => e("dst") === d), lit(0).cast(DEC38),
+            (acc, e) => (acc + (e("frac") * element_at(h,
+              array_position($"srcs", e("src")).cast("int")))
+              .cast(DEC)).cast(DEC38)).cast("double"))
+        def gH(a: Column) = transform($"srcs", sn =>
+          aggregate(filter($"es", e => e("src") === sn), lit(0).cast(DEC38),
+            (acc, e) => (acc + (e("frac") * element_at(a,
+              array_position($"dsts", e("dst")).cast("int")))
+              .cast(DEC)).cast(DEC38)).cast("double"))
+        val fin = aggregate(sequence(lit(1), lit(8)),
+          struct(transform($"srcs", _ => lit(1.0d)).as("h"),
+            transform($"dsts", _ => lit(0.0d)).as("a")),
+          (acc, k) => when(pmod(k, lit(2)) === 1,
+              struct(acc("h").as("h"), gA(acc("h")).as("a")))
+            .otherwise(struct(gH(acc("a")).as("h"), acc("a").as("a"))))
+        def dsumArr(xs: Column) = aggregate(xs, lit(0).cast(DEC38),
+          (acc, x) => (acc + x.cast(DEC)).cast(DEC38)).cast("double")
+        row.select($"srcs", $"dsts", fin("h").as("hh"), fin("a").as("aa"),
+            array_sort(array_distinct(concat($"srcs", $"dsts"))).as("nodes"))
+          .select(explode(transform($"nodes", n => {
+            val hpos = array_position($"srcs", n).cast("int")
+            val apos = array_position($"dsts", n).cast("int")
+            struct(n.as("node"),
+              when(hpos > 0,
+                round(element_at($"hh", hpos) / dsumArr($"hh"), 9))
+                .otherwise(lit(0.0d)).as("hub_share"),
+              when(apos > 0,
+                round(element_at($"aa", apos) / dsumArr($"aa"), 9))
+                .otherwise(lit(0.0d)).as("auth_share"))
+          })).as("z"))
+          .select($"z.node".as("node"), $"z.hub_share".as("hub_share"),
+            $"z.auth_share".as("auth_share"))
           .orderBy($"node")
       },
       Some {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import QueryDSL._
 
@@ -40,32 +41,26 @@ object Analytics4 {
         val ow = e.groupBy($"src".as("osrc")).agg(sum($"w").as("ow"))
         val ew = e.join(ow, $"src" === $"osrc")
           .select($"src", $"dst", ($"w" / $"ow").as("frac"))
-          .localCheckpoint() // 25-node edge list: cut the 4-join lineage once
         val seeds = t(s, dir, "nation")
           .join(t(s, dir, "region").filter($"r_name" === "EUROPE"),
             $"n_regionkey" === $"r_regionkey")
           .select($"n_nationkey".as("seed"))
-        val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
-        val nodes = ew.select($"src".as("node"))
-          .union(ew.select($"dst".as("node"))).distinct()
-          .join(seeds, $"node" === $"seed", "left")
-          .crossJoin(broadcast(nSeeds))
-          .select($"node",
-            when($"seed".isNotNull, lit(1.0d) / $"n_seeds")
-              .otherwise(lit(0.0d)).as("sshare"))
-          .localCheckpoint()
-        var ranks = nodes.select($"node", $"sshare".as("pr"))
-        for (_ <- 1 to 5) {
-          val inflow = ew.join(ranks, $"src" === $"node")
-            .select($"dst", ($"pr" * $"frac").cast("decimal(30,12)").as("c"))
-            .groupBy($"dst").agg(sum($"c").cast("double").as("inflow"))
-          ranks = nodes.join(inflow, $"node" === $"dst", "left")
-            .select($"node", $"sshare",
-              (lit(0.15d) * $"sshare" +
-                lit(0.85d) * coalesce($"inflow", lit(0.0d))).as("pr"))
-            .select($"node", $"sshare", $"pr")
-        }
-        ranks.select($"node", round($"pr", 12).as("ppr"))
+        // Round 15: 5 rounds folded into one single-row expression
+        // (graft.ops.PowerFold, see graph_pagerank); the seed set collects
+        // into the same row (bounded by |nations|), sshare = 1.0 / n_seeds
+        // for seed nodes exactly as the old left join + scalar cross
+        // computed it. Corpus-scale edge rollup unchanged.
+        val seedsRow = seeds.agg(sort_array(collect_list($"seed")).as("seeds"))
+        val row = graft.ops.PowerFold.edgeRow(ew).crossJoin(broadcast(seedsRow))
+        def sshare(n: Column) =
+          when(array_contains($"seeds", n), lit(1.0d) / size($"seeds"))
+            .otherwise(lit(0.0d))
+        row.select(explode(zip_with($"nodes",
+            graft.ops.PowerFold.ranks($"es", $"nodes",
+              transform($"nodes", n => sshare(n)),
+              transform($"nodes", n => lit(0.15d) * sshare(n)), 0.85, 5),
+            (n, r) => struct(n.as("node"), r.as("pr")))).as("z"))
+          .select($"z.node".as("node"), round($"z.pr", 12).as("ppr"))
           .orderBy($"node")
       },
       Some {
@@ -565,19 +560,17 @@ object Analytics4 {
         val ow = e.groupBy($"src".as("osrc")).agg(sum($"w").as("ow"))
         val ew = e.join(ow, $"src" === $"osrc")
           .select($"src", $"dst", ($"w" / $"ow").as("frac"))
-          .localCheckpoint()
-        val nodes = ew.select($"src".as("node"))
-          .union(ew.select($"dst".as("node"))).distinct().localCheckpoint()
-        var katz = nodes.withColumn("c", lit(1.0d))
-        for (_ <- 1 to 6) {
-          val inflow = ew.join(katz, $"src" === $"node")
-            .select($"dst", ($"c" * $"frac").cast("decimal(30,12)").as("t"))
-            .groupBy($"dst").agg(sum($"t").cast("double").as("inflow"))
-          katz = nodes.join(inflow, $"node" === $"dst", "left")
-            .select($"node",
-              (lit(1.0d) + lit(0.5d) * coalesce($"inflow", lit(0.0d))).as("c"))
-        }
-        katz.select($"node", round($"c", 9).as("katz")).orderBy($"node")
+        // Round 15: 6 rounds folded into one single-row expression
+        // (graft.ops.PowerFold, see graph_pagerank) — bit-identical decimal
+        // gather, corpus-scale edge rollup unchanged.
+        val row = graft.ops.PowerFold.edgeRow(ew)
+        row.select(explode(zip_with($"nodes",
+            graft.ops.PowerFold.ranks($"es", $"nodes",
+              transform($"nodes", _ => lit(1.0d)),
+              transform($"nodes", _ => lit(1.0d)), 0.5, 6),
+            (n, r) => struct(n.as("node"), r.as("c")))).as("z"))
+          .select($"z.node".as("node"), round($"z.c", 9).as("katz"))
+          .orderBy($"node")
       },
       Some {
         val iter = (k: Int) =>

@@ -495,20 +495,19 @@ object Scale {
         val ow = e.groupBy($"src".as("osrc")).agg(sum($"w").as("ow"))
         val ew = e.join(ow, $"src" === $"osrc")
           .select($"src", $"dst", ($"w" / $"ow").as("frac"))
-          .localCheckpoint() // 25-node edge list: cut the 4-join lineage once
-        val nodes = ew.select($"src".as("node"))
-          .union(ew.select($"dst".as("node"))).distinct().localCheckpoint()
-        var ranks = nodes.withColumn("pr", lit(1.0d))
-        for (_ <- 1 to 5) {
-          val inflow = ew.join(ranks, $"src" === $"node")
-            .select($"dst",
-              ($"pr" * $"frac").cast("decimal(30,12)").as("c"))
-            .groupBy($"dst").agg(sum($"c").cast("double").as("inflow"))
-          ranks = nodes.join(inflow, $"node" === $"dst", "left")
-            .select($"node",
-              (lit(0.15d) + lit(0.85d) * coalesce($"inflow", lit(0.0d))).as("pr"))
-        }
-        ranks.orderBy($"node")
+        // Round 15: the 5 join+groupBy rounds over the ≤625-row edge frame
+        // fold into ONE single-row expression (graft.ops.PowerFold — decimal
+        // sums order-free, empty inflow = decimal zero = the old
+        // coalesce(NULL, 0)); the corpus-scale edge rollup above is
+        // unchanged. Replaces 15 tiny exchanges + 2 checkpoint barriers.
+        val row = graft.ops.PowerFold.edgeRow(ew)
+        row.select(explode(zip_with($"nodes",
+            graft.ops.PowerFold.ranks($"es", $"nodes",
+              transform($"nodes", _ => lit(1.0d)),
+              transform($"nodes", _ => lit(0.15d)), 0.85, 5),
+            (n, r) => struct(n.as("node"), r.as("pr")))).as("z"))
+          .select($"z.node".as("node"), $"z.pr".as("pr"))
+          .orderBy($"node")
       },
       Some {
         val iter = (k: Int) =>
