@@ -107,7 +107,13 @@ object Analytics13 {
     Q("text_rouge_ngram",
       (s, dir) => {
         import s.implicits._
+        // Round-15 persist-sizing rule: a 1-row-group parquet source caches
+        // as ONE partition (cached plans are outside AQE reach), serializing
+        // every cache read; repartition by doc_id to defaultParallelism
+        // BEFORE persist — which also co-partitions the per-doc bigram
+        // window and the doc-keyed groupBys downstream.
         val toks = tokens(t(s, dir, "documents").select($"doc_id", $"text"))
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val o1 = clippedOverlap(toks.select($"doc_id", $"w".as("g")))
         val o2 = clippedOverlap(bigrams(toks))
@@ -159,7 +165,13 @@ object Analytics13 {
     Q("text_bleu_ngram",
       (s, dir) => {
         import s.implicits._
+        // Round-15 persist-sizing rule: a 1-row-group parquet source caches
+        // as ONE partition (cached plans are outside AQE reach), serializing
+        // every cache read; repartition by doc_id to defaultParallelism
+        // BEFORE persist — which also co-partitions the per-doc bigram
+        // window and the doc-keyed groupBys downstream.
         val toks = tokens(t(s, dir, "documents").select($"doc_id", $"text"))
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val o1 = clippedOverlap(toks.select($"doc_id", $"w".as("g")))
         val o2 = clippedOverlap(bigrams(toks))

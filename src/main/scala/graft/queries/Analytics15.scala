@@ -329,6 +329,9 @@ object Analytics15 {
         val e = t(s, dir, "embeddings").filter($"vec_id" < 150)
           .select($"vec_id", $"label", $"embedding",
             graft.llm.Similarity.dotExact($"embedding", $"embedding").as("ss"))
+          // r15 persist-sizing rule: a 1-row-group scan caches as ONE
+          // partition, serializing the whole 150-squared exact-distance cross
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = e.select($"vec_id".as("i"), $"label".as("li"),
             $"embedding".as("vi"), $"ss".as("ssi"))

@@ -707,7 +707,9 @@ object Analytics4 {
         import s.implicits._
         import graft.llm.Dedup
         val docs = t(s, dir, "documents").filter($"doc_id" < 300)
+        // r15 persist-sizing rule: a 1-row-group scan caches as ONE partition
         val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 16)
         val bits = wide.select($"doc_id",

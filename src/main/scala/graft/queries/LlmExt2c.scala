@@ -182,7 +182,9 @@ object LlmExt2c {
         import s.implicits._
         import graft.llm.Dedup
         val docs = t(s, dir, "documents").filter($"doc_id" < 150)
+        // r15 persist-sizing rule: a 1-row-group scan caches as ONE partition
         val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val shared = sh.select($"doc_id".as("id1"), $"shingle")
           .join(sh.select($"doc_id".as("id2"), $"shingle"), "shingle")
