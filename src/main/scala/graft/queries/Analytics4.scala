@@ -800,16 +800,28 @@ object Analytics4 {
       (s, dir) => {
         import s.implicits._
         val W = org.apache.spark.sql.expressions.Window
+        // Round 15: the group median came from a row_number window that
+        // sorted every row inside |groups| = 3 partitions (the 0.9 s
+        // dominant stage). l_quantity is a small integer domain, so the
+        // value at rank ⌊(n+1)/2⌋ in x-order is identical read off the
+        // (g, x) histogram's cumulative counts (the rank's orderkey
+        // tie-break never changes the x VALUE at that rank). The narrow
+        // (g, x) projection hash-repartitions once and BOTH passes
+        // (histogram + |x − med| moments) share that exchange, so the
+        // decimal moment pass runs at defaultParallelism instead of inside
+        // the single-row-group scan task.
         val x = t(s, dir, "lineitem")
-          .select($"l_returnflag".as("g"), $"l_quantity".cast("long").as("x"),
-            $"l_orderkey", $"l_linenumber")
-        val ranked = x
-          .withColumn("rn", row_number().over(W.partitionBy($"g")
-            .orderBy($"x", $"l_orderkey", $"l_linenumber")))
-          .withColumn("n", count(lit(1)).over(W.partitionBy($"g")))
-        val med = ranked.filter($"rn" === floor(($"n" + 1) / 2))
+          .select($"l_returnflag".as("g"), $"l_quantity".cast("long").as("x"))
+          .repartition(s.sparkContext.defaultParallelism, $"g", $"x")
+        val hist = x.groupBy($"g", $"x").agg(count(lit(1)).as("c"))
+        val med = hist
+          .withColumn("cum", sum($"c").over(W.partitionBy($"g").orderBy($"x")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("n", sum($"c").over(W.partitionBy($"g")))
+          .filter($"cum" - $"c" < floor(($"n" + 1) / 2) &&
+            floor(($"n" + 1) / 2) <= $"cum")
           .select($"g", $"x".as("med"))
-        val z = x.join(med, Seq("g"))
+        val z = x.join(broadcast(med), Seq("g"))
           .select($"g", abs($"x" - $"med").as("z"))
         val pg = z.groupBy($"g")
           .agg(count(lit(1)).as("ng"),

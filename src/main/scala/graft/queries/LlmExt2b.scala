@@ -302,12 +302,23 @@ object LlmExt2b {
     Q("text_pmi_cooccurrence",
       (s, dir) => {
         import s.implicits._
-        val toks = t(s, dir, "documents")
-          .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("i", "w")))
-        val pairs = toks.select($"doc_id", $"i".as("i1"), $"w".as("w1"))
-          .join(toks.select($"doc_id", $"i".as("i2"), $"w".as("w2")), "doc_id")
-          .filter($"i2" > $"i1" && $"i2" - $"i1" <= 3 && $"w1" =!= $"w2")
-          .select(least($"w1", $"w2").as("wa"), greatest($"w1", $"w2").as("wb"))
+        // Round 15 (the copurchase/basket idiom): the ±3-token window pairs
+        // come from in-row HOFs over the token array — the old token
+        // self-join shuffled the exploded token frame TWICE and, with
+        // `pairs` feeding two consumers, ran the whole join twice. The
+        // (doc_id, text) projection repartitions once (single-row-group
+        // input, §2.5) and both consumers share that exchange; for each
+        // 0-based index i, slice(arr, i+2, 3) is exactly the old
+        // i2 ∈ (i1, i1+3] window, so the (wa, wb) pair multiset is
+        // identical.
+        val docs2 = t(s, dir, "documents").select($"doc_id", $"text")
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        val pairs = docs2.select(TF.tokens($"text").as("arr"))
+          .select(explode(flatten(transform($"arr", (x, i) =>
+            transform(filter(slice($"arr", i + 2, lit(3)), y => x =!= y),
+              y => struct(least(x, y).as("wa"),
+                greatest(x, y).as("wb")))))).as("p"))
+          .select($"p.wa".as("wa"), $"p.wb".as("wb"))
         val pc = pairs.groupBy($"wa", $"wb").agg(count(lit(1)).as("c_pair"))
         val n = pc.agg(sum($"c_pair").as("n_pairs"))
         val wc = pairs.select(explode(array($"wa", $"wb")).as("w"))
