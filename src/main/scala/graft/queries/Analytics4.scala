@@ -707,9 +707,13 @@ object Analytics4 {
         import s.implicits._
         import graft.llm.Dedup
         val docs = t(s, dir, "documents").filter($"doc_id" < 300)
-        // r15 persist-sizing rule: a 1-row-group scan caches as ONE partition
+        // NOTE r15: the persist-sizing repartition was tried here and
+        // REVERTED — the round-gate bench flagged it (floor 1.33 s -> 2.51 s
+        // host-normalized): with a 32-partition cache the 16-key salt join
+        // downstream plans 32-task stages whose per-task constant dwarfs the
+        // 300-doc payload; the 1-partition cache is the cheaper shape for
+        // this bounded subset.
         val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
-          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wide = Dedup.minhashWide(sh, "doc_id", numHashes = 16)
         val bits = wide.select($"doc_id",
